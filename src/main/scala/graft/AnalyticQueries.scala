@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2 of SURVEY.md — the dashboard/analytical surface (the reference's
+  * Looker Studio layer) as TPC-H-shaped plans over the testdata.
+  *
+  * Scale notes: dims (`nation`, `region`, `customer` at small SF) are
+  * broadcast; the only shuffles are on fact keys and AQE handles skew.
+  */
+object AnalyticQueries {
+  import Tables._
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(25,10)")).cast("double")
+
+  val all: Seq[Q] = Seq(
+    // Q5 shape: revenue by nation for one region + date window.
+    Q(
+      "q_revenue_by_nation",
+      (s, d) => {
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+          )
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)
+    ),
+
+    // Top-N per group (dashboard leaderboard) — rank window w/ unique tie-break.
+    Q(
+      "q_top_n_per_group",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3""".stripMargin)
+    ),
+
+    // Pivot event_type → columns via conditional aggregation (portable form).
+    Q(
+      "q_pivot_events",
+      (s, d) => {
+        def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+      },
+      Some("""SELECT user_id,
+             |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+             |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+             |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+             |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+             |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+             |FROM events GROUP BY user_id""".stripMargin)
+    ),
+
+    // Q3 shape: filter + join + agg + topN (shipping priority).
+    Q(
+      "q_shipping_priority",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+          .join(
+            orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey")
+          )
+          .join(
+            broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey")
+          )
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10),
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+             |  AND c_mktsegment = 'BUILDING'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // Q8 shape: per-year revenue share of one region (two-level aggregate).
+    Q(
+      "q_market_share",
+      (s, d) => {
+        val joined = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        joined
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            (dsum(
+              when(col("r_name") === "ASIA", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .otherwise(lit(0.0))
+            ) / dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("asia_share")
+          )
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(SUM(CAST(CASE WHEN r_name = 'ASIA'
+             |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(25,10))) AS DOUBLE)
+             |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))) AS DOUBLE) AS asia_share
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY o_year""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EtlOps
+
+/** §2.1 of SURVEY.md — the reference's ETL capabilities, re-expressed as
+  * declarative Spark plans over the driver testdata.
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares values):
+  *   - Sums/avgs of doubles go through an exact DECIMAL accumulator and are
+  *     cast back to DOUBLE, so the result is independent of partitioning and
+  *     bit-identical between Spark and DuckDB.
+  *   - Every windowed/ranked op has a unique deterministic tie-break column.
+  */
+object EtlQueries {
+  import Tables._
+
+  // Exact, order-independent aggregate of a double column.
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(25,10)")).cast("double")
+
+  val all: Seq[Q] = Seq(
+    // 1. Group-by aggregate rollup (TPC-H Q1 shape — the dashboard agg surface).
+    Q(
+      "q_agg_pricing",
+      (s, d) => {
+        val l = lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // 2. Predicate + projection — filters and column pruning reach the scan.
+    Q(
+      "q_filter_project",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") && col("l_discount") > 0.05)
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_discount > 0.05""".stripMargin)
+    ),
+
+    // 3. Dimension join (reference: wbanno × locations) — broadcast, no fact shuffle.
+    Q(
+      "q_dim_join",
+      (s, d) =>
+        customer(s, d)
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey", "c_name", "n_name", "r_name"),
+      Some("""SELECT c_custkey, c_name, n_name, r_name
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)
+    ),
+
+    // 4. Incremental extract past a watermark (reference: Last modified > last load).
+    Q(
+      "q_incremental_watermark",
+      (s, d) =>
+        EtlOps
+          .incrementalSince(events(s, d), "ts", java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+      Some("""SELECT event_id, ts, user_id, event_type, value
+             |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)
+    ),
+
+    // 5. Composite-key dedup with deterministic winner (min event_id).
+    Q(
+      "q_dedup_composite_key",
+      (s, d) =>
+        EtlOps
+          .dedupByKey(events(s, d), Seq("user_id", "event_type"), "event_id")
+          .select("event_id", "user_id", "event_type", "value"),
+      Some("""SELECT event_id, user_id, event_type, value FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+             |  FROM events) t
+             |WHERE rn = 1""".stripMargin)
+    ),
+
+    // 6. Floor-to-hour + mean (the wind hourly rollup), exact accumulator.
+    Q(
+      "q_hourly_rollup",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+          .agg(
+            (dsum(col("value")) / count(lit(1))).as("avg_value"),
+            count(lit(1)).as("n")
+          ),
+      Some("""SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             |  CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS avg_value,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // 7. Sentinel-guarded unit conversion (C→F when > -90).
+    Q(
+      "q_unit_convert",
+      (s, d) =>
+        events(s, d).select(
+          col("event_id"),
+          col("value"),
+          EtlOps.celsiusToFahrenheit(col("value")).as("value_f")
+        ),
+      Some("""SELECT event_id, value,
+             |  CASE WHEN value > -90 THEN value * 9 / 5 + 32 ELSE value END AS value_f
+             |FROM events""".stripMargin)
+    ),
+
+    // 8. Missing-value policy: sentinel→NULL, NULL→default (gust/wind_chill).
+    Q(
+      "q_missing_value_policy",
+      (s, d) => {
+        val nulled = when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+        events(s, d).select(
+          col("event_id"),
+          col("event_type"),
+          nulled.as("cleaned_value"),
+          coalesce(nulled, lit(0.0)).as("filled_value")
+        )
+      },
+      Some("""SELECT event_id, event_type,
+             |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS cleaned_value,
+             |  COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0) AS filled_value
+             |FROM events""".stripMargin)
+    ),
+
+    // 9. Fixed-offset timezone shift (AKST→UTC = +9h).
+    Q(
+      "q_timezone_shift",
+      (s, d) =>
+        events(s, d).select(
+          col("event_id"),
+          col("ts").as("lst_ts"),
+          EtlOps.shiftHours(col("ts"), 9).as("utc_ts")
+        ),
+      Some("""SELECT event_id, ts AS lst_ts, ts + INTERVAL 9 HOUR AS utc_ts FROM events""")
+    ),
+
+    // 10. Timestamp from integer yyyymmdd + hhmm parts.
+    Q(
+      "q_datetime_build",
+      (s, d) => {
+        val o = orders(s, d)
+        val yyyymmdd =
+          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+            dayofmonth(col("o_orderdate"))).cast("long")
+        val hhmm = (col("o_orderkey") % 24 * 100 + col("o_orderkey") % 60).cast("long")
+        o.select(
+          col("o_orderkey"),
+          EtlOps.timestampFromParts(yyyymmdd, hhmm).as("rebuilt_ts")
+        )
+      },
+      Some("""SELECT o_orderkey,
+             |  make_timestamp(CAST(year(o_orderdate) AS BIGINT), CAST(month(o_orderdate) AS BIGINT),
+             |                 CAST(day(o_orderdate) AS BIGINT), o_orderkey % 24, o_orderkey % 60, 0)
+             |    AS rebuilt_ts
+             |FROM orders""".stripMargin)
+    ),
+
+    // 11. Column-header normalization (°()%→pct, lowercase, spaces→_).
+    Q(
+      "q_column_normalize",
+      (s, d) =>
+        EtlOps.normalizeColumns(
+          events(s, d).select(
+            col("event_id"),
+            col("value").as("Temperature °F"),
+            col("user_id").as("User ID"),
+            col("props").as("Sky Cover (%)")
+          )
+        ),
+      Some("""SELECT event_id, value AS temperature_f, user_id AS user_id, props AS sky_cover_pct
+             |FROM events""".stripMargin)
+    ),
+
+    // 12. Regex column pruning (reference drops soil.*) — reaches ReadSchema.
+    Q(
+      "q_regex_prune",
+      (s, d) => EtlOps.dropColumnsMatching(lineitem(s, d), "tax|discount|linestatus"),
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+             |  l_extendedprice, l_returnflag, l_shipdate
+             |FROM lineitem""".stripMargin)
+    ),
+
+    // 13. Bad-row quarantine (wind<0 or flag=3) — returns the quarantined side.
+    Q(
+      "q_quarantine",
+      (s, d) =>
+        EtlOps
+          .quarantine(events(s, d), col("value") < 0 || col("event_type") === "error")
+          ._2
+          .select("event_id", "user_id", "event_type", "value"),
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events WHERE value < 0 OR event_type = 'error'""".stripMargin)
+    ),
+
+    // 14. Forward fill over an ordered window (reference: _ff_list on NWS dates).
+    Q(
+      "q_forward_fill",
+      (s, d) => {
+        val withGaps = events(s, d)
+          .withColumn("v", when(col("event_type") === "click", lit(null)).otherwise(col("value")))
+        EtlOps
+          .forwardFill(withGaps, Seq("user_id"), "event_id", "v")
+          .select(col("event_id"), col("user_id"), col("v").as("v_filled"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM events""".stripMargin)
+    ),
+
+    // 15. Staging→main append with audit timestamp (fixed clock for determinism).
+    Q(
+      "q_audit_append",
+      (s, d) =>
+        EtlOps
+          .withAudit(events(s, d), clock = lit("2026-01-01 00:00:00").cast("timestamp"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props", "date_added_utc"),
+      Some("""SELECT event_id, ts, user_id, event_type, value, props,
+             |  TIMESTAMP '2026-01-01 00:00:00' AS date_added_utc
+             |FROM events""".stripMargin)
+    ),
+
+    // 16. Sorted export (final ORDER BY before load) with deterministic tie-break.
+    Q(
+      "q_sorted_export",
+      (s, d) =>
+        orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+             |FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin)
+    ),
+
+    // 17. Typed schema enforcement (pd.to_numeric / BigQuery SchemaField).
+    Q(
+      "q_schema_cast",
+      (s, d) =>
+        EtlOps
+          .castColumns(
+            events(s, d).select(
+              col("event_id"),
+              col("event_id").as("event_id_int"),
+              col("user_id").as("user_id_dbl"),
+              col("user_id").as("user_id_str")
+            ),
+            Map("event_id_int" -> "int", "user_id_dbl" -> "double", "user_id_str" -> "string")
+          ),
+      Some("""SELECT event_id, CAST(event_id AS INTEGER) AS event_id_int,
+             |  CAST(user_id AS DOUBLE) AS user_id_dbl, CAST(user_id AS VARCHAR) AS user_id_str
+             |FROM events""".stripMargin)
+    ),
+
+    // 18. Distributed whitespace-text parse (USCRN .txt shape): round-trip
+    //     rows through a single text line, then split + cast back.
+    Q(
+      "q_fixed_width_parse",
+      (s, d) => {
+        val line = concat_ws(" ", col("event_id"), col("user_id"), col("event_type"), col("value"))
+        events(s, d)
+          .select(line.as("line"))
+          .select(split(col("line"), "\\s+").as("f"))
+          .select(
+            element_at(col("f"), 1).cast("long").as("event_id"),
+            element_at(col("f"), 2).cast("long").as("user_id"),
+            element_at(col("f"), 3).as("event_type"),
+            element_at(col("f"), 4).cast("double").as("value")
+          )
+      },
+      Some("""SELECT event_id, user_id, event_type, value FROM events""")
+    ),
+
+    // 19. Semi-structured props parsing (the scraped-page JSON analogue).
+    Q(
+      "q_json_extract",
+      (s, d) =>
+        events(s, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val")
+        ),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+             |FROM events""".stripMargin)
+    )
+  )
+}

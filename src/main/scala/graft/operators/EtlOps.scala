@@ -1,0 +1,150 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference ETL capabilities re-expressed as declarative Spark operators.
+  *
+  * Each operator is a pure DataFrame => DataFrame function (plans compose;
+  * Catalyst optimizes across operator boundaries). Reference analogues are
+  * cited as file:line into /root/reference.
+  */
+object EtlOps {
+
+  /** Incremental extract: keep only rows newer than a watermark.
+    *
+    * Reference: uscrn_dag.py:137-152 (`get_new_file_urls` filters file list by
+    * `Last modified > last date_added_utc`). At scale the predicate is a
+    * pushed-down timestamp filter that prunes date partitions of the main
+    * table — no full scan of 100 TB history.
+    */
+  def incrementalSince(df: DataFrame, tsCol: String, watermark: Timestamp): DataFrame =
+    df.filter(col(tsCol) > lit(watermark))
+
+  /** Composite-key dedup with a deterministic winner.
+    *
+    * Reference: uscrn_dag.py:226-233 (`drop_duplicates(subset=[...])`),
+    * nws_dag.py:173-180. pandas keeps first-encountered row; a distributed
+    * engine has no stable "first", so the winner is the min of `orderCol`
+    * (stable under any partitioning). One shuffle on the key columns.
+    */
+  def dedupByKey(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Floor-to-hour + group mean, rounded — the wind hourly rollup.
+    *
+    * Reference: uscrn_wind_dag.py:197-211 (floor("H"), groupby.mean().round(3)).
+    * Partial aggregation (map-side combine) means the shuffle carries one row
+    * per (key, hour) per partition, not per input row.
+    */
+  def hourlyRollup(df: DataFrame, tsCol: String, keyCols: Seq[String], valueCol: String, outName: String): DataFrame = {
+    val hour = date_trunc("hour", col(tsCol)).as(tsCol)
+    df.groupBy((keyCols.map(col) :+ hour): _*)
+      .agg(round(avg(col(valueCol)), 3).as(outName))
+  }
+
+  /** Sentinel-guarded unit conversion (Celsius→Fahrenheit when > -90).
+    *
+    * Reference: uscrn_dag.py:208-209 (`np.where(celsius > -90, celsius*9/5+32,
+    * celsius)`). Pure codegen'd expression — no UDF.
+    */
+  def celsiusToFahrenheit(c: Column): Column =
+    when(c > -90, c * 9d / 5d + 32d).otherwise(c)
+
+  /** Missing-value policy: map a sentinel to a replacement, else passthrough.
+    *
+    * Reference: nws_dag.py:141-144 (`gust ''→0`, `wind_chill ''→NaN`).
+    */
+  def replaceSentinel(c: Column, sentinel: Column, replacement: Column): Column =
+    when(c <=> sentinel, replacement).otherwise(c)
+
+  /** Fixed-offset timezone shift (AKST→UTC is +9h).
+    *
+    * Reference: nws_dag.py:152-156 (`lst_datetime + timedelta(hours=9)`).
+    */
+  def shiftHours(ts: Column, hours: Int): Column =
+    ts + expr(s"INTERVAL $hours HOURS")
+
+  /** Build a timestamp from integer yyyymmdd + hhmm parts.
+    *
+    * Reference: uscrn_dag.py:214-216 (string-concat + to_datetime('%Y%m%d%H%M')).
+    * Integer arithmetic, no string formatting in the hot path.
+    */
+  def timestampFromParts(yyyymmdd: Column, hhmm: Column): Column =
+    make_timestamp(
+      (yyyymmdd / 10000).cast("int"),
+      (yyyymmdd % 10000 / 100).cast("int"),
+      (yyyymmdd % 100).cast("int"),
+      (hhmm / 100).cast("int"),
+      (hhmm % 100).cast("int"),
+      lit(0)
+    )
+
+  /** Column-header normalization: lowercase, strip `°()`, `%`→pct, spaces→`_`.
+    *
+    * Reference: nws_dag.py:134-138. Pure metadata operation — free at scale.
+    */
+  def normalizeName(name: String): String =
+    name.toLowerCase
+      .replaceAll("[°()]", "")
+      .replaceAll("%", "pct")
+      .trim
+      .replaceAll("\\s+", "_")
+
+  def normalizeColumns(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, normalizeName(c)))
+
+  /** Drop columns whose name matches a regex (reference drops `soil.*`).
+    *
+    * Reference: uscrn_dag.py:211 (`df.filter(regex="^((?!soil).)*$")`).
+    * Done as a `select` so the pruning reaches the parquet scan (ReadSchema).
+    */
+  def dropColumnsMatching(df: DataFrame, pattern: String): DataFrame = {
+    val re = pattern.r
+    df.select(df.columns.filter(c => re.findFirstIn(c).isEmpty).map(col): _*)
+  }
+
+  /** Split a frame into (good, quarantined) by a badness predicate.
+    *
+    * Reference: uscrn_wind_dag.py:161-170 (wind < 0 or flag == "3" rows are
+    * logged as bad, rest kept). Both sides are lazy plans over one scan.
+    */
+  def quarantine(df: DataFrame, isBad: Column): (DataFrame, DataFrame) =
+    (df.filter(!coalesce(isBad, lit(false))), df.filter(coalesce(isBad, lit(false))))
+
+  /** Forward-fill nulls in `valueCol` ordered by `orderCol` within `keyCols`.
+    *
+    * Reference: utils.py:`_ff_list` (list forward fill of the NWS Date row).
+    * Distributed form: `last(ignoreNulls)` over an ordered window — one
+    * shuffle on the partition key; no driver-side iteration.
+    */
+  def forwardFill(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Staging→main append with an audit timestamp column.
+    *
+    * Reference: utils.py:44-73 (`INSERT INTO main SELECT *, CURRENT_TIMESTAMP()
+    * FROM staging`, create-if-missing). The clock is a parameter so tests and
+    * oracles are deterministic; production passes `current_timestamp()`.
+    */
+  def withAudit(staging: DataFrame, auditCol: String = "date_added_utc", clock: Column = current_timestamp()): DataFrame =
+    staging.withColumn(auditCol, clock)
+
+  /** Enforce a typed schema: cast listed columns, leave the rest.
+    *
+    * Reference: uscrn_dag.py:205 (`df.apply(pd.to_numeric, errors='ignore')`)
+    * and the explicit BigQuery SchemaFields (uscrn_dag.py:246-276).
+    */
+  def castColumns(df: DataFrame, types: Map[String, String]): DataFrame =
+    df.select(df.columns.map(c => types.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+}

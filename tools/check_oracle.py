@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/vout
+
+Reads each <name>.parquet produced by graft.Verify, runs the matching oracle
+SQL from oracle_sql.json in DuckDB over the same testdata parquet tables, and
+compares: row count, sorted column names, and a hash of all values (rows
+sorted, columns sorted by name, floats rounded to 9 significant-ish decimals).
+"""
+import sys, os, json, glob, hashlib
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    out = []
+    for c in df.columns:
+        col = df[c]
+        if np.issubdtype(col.dtype, np.floating):
+            out.append(col.round(6).astype(str))
+        else:
+            out.append(col.astype(str))
+    blob = "\x01".join("\x02".join(r) for r in zip(*[c.tolist() for c in out])) if len(df) else ""
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = f"{outdir}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
+        ok_rows = len(spark_df) == len(duck_df)
+        ok_cols = sorted(spark_df.columns) == sorted(duck_df.columns)
+        ok_hash = ok_rows and ok_cols and canon(spark_df) == canon(duck_df)
+        if ok_rows and ok_cols and ok_hash:
+            print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
+        else:
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}, cols_ok={ok_cols}, hash_ok={ok_hash}")
+            if ok_rows and ok_cols:
+                s = spark_df[sorted(spark_df.columns)].sort_values(by=sorted(spark_df.columns)).reset_index(drop=True)
+                dd = duck_df[sorted(duck_df.columns)].sort_values(by=sorted(duck_df.columns)).reset_index(drop=True)
+                for c in s.columns:
+                    if not s[c].astype(str).equals(dd[c].astype(str)):
+                        diff = (s[c].astype(str) != dd[c].astype(str))
+                        i = diff.idxmax()
+                        print(f"  first diff col={c} row={i}: spark={s[c][i]!r} duck={dd[c][i]!r} (n_diff={diff.sum()})")
+            n_fail += 1
+    # queries with no oracle: rows-only
+    for pdir in sorted(glob.glob(f"{outdir}/q_*")):
+        name = os.path.basename(pdir)
+        if name not in oracle:
+            files = glob.glob(f"{pdir}/*.parquet")
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            print(f"{'ROWS' if n > 0 else 'EMPTY'} {name}: {n} rows (no oracle)")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
