@@ -1,6 +1,237 @@
 package graft
 
-/** §2.3 dedup/similarity operators — filled in incrementally. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SimilarityFunctions._
+
+/** §2.3 dedup / similarity-search operators (SURVEY.md).
+  *
+  * Near-dup operators are exercised on a corpus with *planted* near-
+  * duplicates (each document unioned with a truncated copy at
+  * doc_id+1_000_000) — the synthetic corpus has no natural near-dups, and
+  * the planted ones give the operators a known ground truth that the specs
+  * assert on. Candidate generation is always LSH/banded or inverted-index —
+  * never an O(n²) cross join — so the same plan holds at 100 TB.
+  */
 object SimilarityQueries {
-  val all: Seq[Q] = Seq()
+  import Tables._
+
+  /** documents ∪ truncated copies (planted near-duplicates). */
+  def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val planted = documents(s, d).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      col("text").substr(lit(1), (col("n_chars") * 0.85).cast("int")).as("text")
+    )
+    base.unionAll(planted)
+  }
+
+  /** Candidate pairs that co-occupy any LSH band bucket: input must have
+    * (doc_id, bands: array<long>). One shuffle on (band_idx, band_hash).
+    */
+  private def bandedPairs(withBands: DataFrame): DataFrame = {
+    val exploded = withBands
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    exploded
+      .as("a")
+      .join(
+        exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val all: Seq[Q] = Seq(
+    // Exact dedup: content-hash groupBy, min doc_id is the canonical copy.
+    Q(
+      "q_dedup_exact_docs",
+      (s, d) =>
+        documents(s, d)
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "text_hash", "n_copies"),
+      Some("""SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)
+    ),
+
+    // MinHash + LSH near-dup: shingle → signature → band → bucket join →
+    // exact-Jaccard verify on candidates only.
+    Q(
+      "q_dedup_minhash",
+      (s, d) => {
+        val withSig = corpusWithDups(s, d)
+          .withColumn("sh", shingles(col("text")))
+          .withColumn("bands", minhashBands(col("sh"), k = 64, b = 16, r = 4))
+        val cand = bandedPairs(withSig.select("doc_id", "bands"))
+        val sh = withSig.select(col("doc_id"), col("sh"))
+        cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None
+    ),
+
+    // SimHash near-dup: 64-sign sketch, 8×8 banding, hamming verify.
+    Q(
+      "q_dedup_simhash",
+      (s, d) => {
+        val withSigns = corpusWithDups(s, d)
+          .withColumn("signs", simhashSigns("text"))
+          .withColumn("bands", bind(col("signs"))(sg => simhashBands(sg, b = 8, r = 8)))
+        val cand = bandedPairs(withSigns.select("doc_id", "bands"))
+        val sg = withSigns.select(col("doc_id"), col("signs"))
+        cand
+          .join(sg.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sg.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), hamming(col("sa.signs"), col("sb.signs")).as("hamming"))
+          .filter(col("hamming") <= 6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None
+    ),
+
+    // n-gram Jaccard via inverted index: explode shingles, drop hot shingles
+    // (df cap bounds the worst key at scale), count co-occurrences per pair.
+    Q(
+      "q_ngram_jaccard",
+      (s, d) => {
+        val sh = corpusWithDups(s, d)
+          .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+        val df = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+        val filtered = sh.join(df, "sh").select("doc_id", "sh")
+        val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val common = filtered
+          .as("a")
+          .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            (col("common").cast("double") / (col("na.n_sh") + col("nb.n_sh") - col("common")))
+              .as("jaccard")
+          )
+          .filter(col("jaccard") >= 0.4)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None
+    ),
+
+    // Brute-force cosine top-k (the ANN baseline): small query set broadcast
+    // against the corpus; double accumulation matches the DuckDB oracle.
+    Q(
+      "q_embed_cosine_knn",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+        broadcast(q)
+          .join(c, col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "cos_sim", "rn")
+      },
+      Some("""SELECT query_id, neighbor_id, cos_sim, rn FROM (
+             |  SELECT query_id, neighbor_id, cos_sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+             |  FROM (
+             |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |      list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos_sim
+             |    FROM embeddings a, embeddings b
+             |    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id) p) r
+             |WHERE rn <= 5""".stripMargin)
+    ),
+
+    // Sign-LSH ANN (the scale path): bucket on 6 seeded hyperplane signs,
+    // rank within bucket only. Candidate set is bucket-bounded.
+    Q(
+      "q_ann_lsh",
+      (s, d) => {
+        val planes = hyperplanes(6, 64)
+        val e = embeddings(s, d).withColumn("bucket", lshBucket(col("embedding"), planes))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+        broadcast(q)
+          .join(c, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("query_id", "neighbor_id", "cos_sim", "rn")
+      },
+      None
+    ),
+
+    // Embedding near-dup: planted perturbed copies, sign-LSH buckets,
+    // cosine threshold verify within bucket.
+    Q(
+      "q_dedup_embedding",
+      (s, d) => {
+        val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = embeddings(s, d).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(
+            col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)
+          ).as("embedding")
+        )
+        val planes = hyperplanes(6, 64)
+        val corpus = base.unionAll(planted).withColumn("bucket", lshBucket(col("embedding"), planes))
+        corpus
+          .as("a")
+          .join(
+            corpus.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")
+          )
+          .select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cos_sim")
+          )
+          .filter(col("cos_sim") >= 0.995)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      None
+    ),
+
+    // Multimodal plumbing: opaque binary media column + typed metadata with
+    // a deterministic stub decode (real decode libs aren't in the container;
+    // see graft.operators.MultimodalOps for the mapPartitions pipeline).
+    Q(
+      "q_multimodal_meta",
+      (s, d) =>
+        documents(s, d)
+          .withColumn("media", expr("encode(text, 'UTF-8')"))
+          .select(
+            col("doc_id"),
+            expr("octet_length(media)").as("n_bytes"),
+            md5(col("text")).as("checksum"),
+            (lit(64) + col("n_chars") % 1856).as("fake_width"),
+            (lit(64) + (col("n_chars") * 7) % 1016).as("fake_height"),
+            (lit(1) + col("n_chars") % 24).as("n_frames")
+          ),
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  md5(text) AS checksum,
+             |  64 + n_chars % 1856 AS fake_width,
+             |  64 + (n_chars * 7) % 1016 AS fake_height,
+             |  1 + n_chars % 24 AS n_frames
+             |FROM documents""".stripMargin)
+    )
+  )
 }

@@ -1,6 +1,109 @@
 package graft
 
-/** §2.3 text-analysis operators — filled in incrementally. */
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+
+/** §2.3 text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, fingerprinting. All pure column expressions
+  * (codegen), all DuckDB-oracled.
+  */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+  import Tables._
+
+  /** DuckDB-side marker score, kept textually in lockstep with
+    * TextFunctions.markerScore.
+    */
+  private def duckScore(markers: Seq[String]): String = {
+    val set = markers.map(m => s"'$m'").mkString(",")
+    s"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($set)))"
+  }
+
+  private val duckLangCase: String = {
+    val scores = TextFunctions.langMarkers.map { case (l, m) => l -> s"s_$l" }
+    val whens = scores
+      .map { case (l, s) =>
+        val beats = scores.filter(_._1 != l).map { case (_, o) => s"$s >= $o" }.mkString(" AND ")
+        s"WHEN $s > 0 AND $beats THEN '$l'"
+      }
+      .mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  val all: Seq[Q] = Seq(
+    // Token counting: whitespace + BPE-ish regex pre-tokenizer.
+    Q(
+      "q_token_count",
+      (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_ws_tokens"),
+          regexTokenCount(col("text")).as("n_re_tokens")
+        ),
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_re_tokens
+             |FROM documents""".stripMargin)
+    ),
+
+    // Quality scoring: length/punct/stopword ratios + keep decision.
+    Q(
+      "q_text_quality",
+      (s, d) => {
+        val alpha = alphaRatio(col("text"))
+        val stop = stopwordRatio(col("text"))
+        documents(s, d).select(
+          col("doc_id"),
+          alpha.as("alpha_ratio"),
+          punctRatio(col("text")).as("punct_ratio"),
+          stop.as("stopword_ratio"),
+          (alpha > 0.7 && stop >= 0.02).as("quality_ok")
+        )
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+             |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+             |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+             |  (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) > 0.7
+             |   AND CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |    / len(string_split_regex(trim(text), '\s+')) >= 0.02) AS quality_ok
+             |FROM documents""".stripMargin)
+    ),
+
+    // Language ID via marker-word argmax (first-listed wins ties; 'und' if none).
+    Q(
+      "q_lang_id",
+      (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          col("lang"),
+          langId(col("text")).as("predicted_lang")
+        ),
+      Some {
+        val scoreCols = TextFunctions.langMarkers
+          .map { case (l, m) => s"${duckScore(m)} AS s_$l" }
+          .mkString(",\n    ")
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |    $scoreCols
+           |  FROM documents)
+           |SELECT doc_id, lang, $duckLangCase AS predicted_lang
+           |FROM scored""".stripMargin
+      }
+    ),
+
+    // Rolling-hash fingerprint (portable integer fold mod 1e9+7).
+    Q(
+      "q_doc_fingerprint",
+      (s, d) =>
+        documents(s, d).select(col("doc_id"), docFingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split_regex(trim(text), '\s+'),
+             |                     w -> CAST(length(w) * 31 + ascii(substr(w,1,1)) AS BIGINT))),
+             |     (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+             |FROM documents""".stripMargin)
+    )
+  )
 }

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-data pipelines (SURVEY.md §2.3).
+  *
+  * All are single-pass, codegen-friendly expressions built from Spark's
+  * built-in higher-order functions — no UDFs, no JVM object churn per row —
+  * so they run inside WholeStageCodegen and scale linearly with input bytes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a text column. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish pre-tokenizer count: alpha runs, single digits, punctuation. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / length(text)
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text)
+
+  /** How many lowercase whitespace tokens fall in a marker set. */
+  def markerScore(text: Column, markers: Seq[String]): Column =
+    size(filter(split(lower(text), "\\s+"), w => w.isin(markers: _*)))
+
+  /** Fraction of whitespace tokens that are common English stopwords. */
+  def stopwordRatio(text: Column): Column =
+    markerScore(text, Seq("the", "a", "of", "and", "to", "in", "is")).cast("double") /
+      tokenCount(text)
+
+  /** Language marker sets (tiny, deterministic n-gram-heuristic stand-in). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** Predicted language: argmax of marker scores, first-listed wins ties,
+    * 'und' when no marker hits at all.
+    *
+    * Tokenization and the per-language scores are let-bound
+    * ([[graft.functions.SimilarityFunctions.bind]]) so the text is split
+    * once per row and each score computed once, no matter how many times
+    * the argmax cascade compares them.
+    */
+  def langId(text: Column): Column = {
+    import SimilarityFunctions.bind
+    bind(split(lower(text), "\\s+")) { toks =>
+      bind(array(langMarkers.map { case (_, m) => size(filter(toks, w => w.isin(m: _*))) }: _*)) {
+        sc =>
+          langMarkers.zipWithIndex.foldRight(lit("und")) { case (((l, _), i), rest) =>
+            val s = element_at(sc, i + 1)
+            val beatsAll = langMarkers.indices
+              .filter(_ != i)
+              .map(j => s >= element_at(sc, j + 1))
+              .reduce(_ && _)
+            when(s > 0 && beatsAll, lit(l)).otherwise(rest)
+          }
+      }
+    }
+  }
+
+  /** Polynomial rolling-hash fingerprint over whitespace tokens.
+    *
+    * Each word maps to `31*len + codepoint(firstChar)`, folded with
+    * `acc*131 + x (mod 1e9+7)` — integer-exact and portable (the DuckDB
+    * oracle computes the identical fold), so fingerprints are comparable
+    * across engines and stable under repartitioning.
+    */
+  def docFingerprint(text: Column): Column =
+    aggregate(
+      transform(
+        wsTokens(text),
+        w => (length(w) * 31 + ascii(substring(w, 1, 1))).cast("long")
+      ),
+      lit(0L),
+      (acc, x) => (acc * 131 + x) % 1000000007L
+    )
+}

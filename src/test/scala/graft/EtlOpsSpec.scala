@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EtlOps
+
+class EtlOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("dedupByKey keeps the min-order row per composite key") {
+    val df = Seq(
+      (1L, "a", "x", 10.0),
+      (2L, "a", "x", 20.0),
+      (3L, "b", "x", 30.0)
+    ).toDF("id", "k1", "k2", "v")
+    val out = EtlOps.dedupByKey(df, Seq("k1", "k2"), "id").orderBy("id")
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 3L))
+  }
+
+  test("forwardFill carries the last non-null forward within the key") {
+    val df = Seq(
+      (1L, "u", Some(1.0)),
+      (2L, "u", None),
+      (3L, "u", None),
+      (4L, "u", Some(4.0)),
+      (5L, "v", None)
+    ).toDF("id", "k", "v")
+    val out = EtlOps.forwardFill(df, Seq("k"), "id", "v").orderBy("id")
+    assert(
+      out.select("v").as[Option[Double]].collect().toSeq ==
+        Seq(Some(1.0), Some(1.0), Some(1.0), Some(4.0), None)
+    )
+  }
+
+  test("quarantine splits rows exactly, null predicate counts as good") {
+    val df = Seq((1L, Some(-5.0)), (2L, Some(5.0)), (3L, None)).toDF("id", "v")
+    val (good, bad) = EtlOps.quarantine(df, col("v") < 0)
+    assert(good.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(bad.select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("celsiusToFahrenheit respects the -90 sentinel") {
+    val out = Seq(0.0, 100.0, -99.9)
+      .toDF("c")
+      .select(EtlOps.celsiusToFahrenheit(col("c")).as("f"))
+      .as[Double]
+      .collect()
+      .toSeq
+    assert(out == Seq(32.0, 212.0, -99.9))
+  }
+
+  test("normalizeName strips degree/paren/percent and snake_cases") {
+    assert(EtlOps.normalizeName("Temperature °F") == "temperature_f")
+    assert(EtlOps.normalizeName("Sky Cover (%)") == "sky_cover_pct")
+    assert(EtlOps.normalizeName("Wind Speed") == "wind_speed")
+  }
+
+  test("timestampFromParts rebuilds yyyymmdd+hhmm integers") {
+    val out = Seq((20240131L, 1745L))
+      .toDF("d", "t")
+      .select(EtlOps.timestampFromParts(col("d"), col("t")).as("ts"))
+      .as[Timestamp]
+      .head()
+    assert(out == Timestamp.valueOf("2024-01-31 17:45:00"))
+  }
+
+  test("dropColumnsMatching prunes by regex") {
+    val df = Seq((1, 2, 3)).toDF("keep_a", "soil_b", "keep_soil_free")
+    assert(EtlOps.dropColumnsMatching(df, "soil").columns.toSeq == Seq("keep_a"))
+    assert(EtlOps.dropColumnsMatching(df, "^soil").columns.toSeq == Seq("keep_a", "keep_soil_free"))
+  }
+
+  test("castColumns casts listed columns and leaves the rest") {
+    val df = Seq(("1", "2.5", 3)).toDF("a", "b", "c")
+    val out = EtlOps.castColumns(df, Map("a" -> "int", "b" -> "double"))
+    assert(out.schema("a").dataType.typeName == "integer")
+    assert(out.schema("b").dataType.typeName == "double")
+    assert(out.schema("c").dataType.typeName == "integer")
+  }
+
+  test("incrementalSince keeps strictly-newer rows only") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-06-01 00:00:00"))
+    ).toDF("id", "ts")
+    val out = EtlOps.incrementalSince(df, "ts", Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+}
