@@ -58,13 +58,14 @@ object SimilarityQueries {
              |FROM documents GROUP BY md5(text)""".stripMargin)
     ),
 
-    // MinHash + LSH near-dup: shingle → signature → band → bucket join →
-    // exact-Jaccard verify on candidates only.
+    // MinHash + LSH near-dup: hashed shingles → fused signature+banding
+    // (native kernel, one call per row) → bucket join → exact-Jaccard verify
+    // on candidates only (hashed-shingle set intersection).
     Q(
       "q_dedup_minhash",
       (s, d) => {
         val withSig = corpusWithDups(s, d)
-          .withColumn("sh", shingles(col("text")))
+          .withColumn("sh", hashedShingles(col("text")))
           .withColumn("bands", minhashBands(col("sh"), k = 64, b = 16, r = 4))
         val cand = bandedPairs(withSig.select("doc_id", "bands"))
         val sh = withSig.select(col("doc_id"), col("sh"))
@@ -78,32 +79,47 @@ object SimilarityQueries {
       None
     ),
 
-    // SimHash near-dup: 64-sign sketch, 8×8 banding, hamming verify.
+    // SimHash near-dup: packed 64-bit sketch (native kernel), 8 byte-bands
+    // via posexplode, popcount-of-xor hamming verify — every step codegen.
+    // The 8-byte sig rides along with the band explosion, so the hamming
+    // cut applies inside the band join (before any distinct): hot band
+    // buckets stream through the verify instead of materializing an
+    // unfiltered candidate pair set. Pigeonhole: hamming ≤ 6 over 8 bands
+    // guarantees ≥ 1 shared byte-band, so coverage is exact.
     Q(
       "q_dedup_simhash",
       (s, d) => {
-        val withSigns = corpusWithDups(s, d)
-          .withColumn("signs", simhashSigns("text"))
-          .withColumn("bands", bind(col("signs"))(sg => simhashBands(sg, b = 8, r = 8)))
-        val cand = bandedPairs(withSigns.select("doc_id", "bands"))
-        val sg = withSigns.select(col("doc_id"), col("signs"))
-        cand
-          .join(sg.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sg.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"), hamming(col("sa.signs"), col("sb.signs")).as("hamming"))
-          .filter(col("hamming") <= 6)
+        val exploded = corpusWithDups(s, d)
+          .withColumn("sig", simhash64(col("text")))
+          .select(col("doc_id"), col("sig"), posexplode(simhashByteBands(col("sig"))).as(Seq("band_idx", "band_hash")))
+        exploded
+          .as("a")
+          .join(
+            exploded.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              hammingPacked(col("a.sig"), col("b.sig")) <= 6
+          )
+          .select(
+            col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"),
+            hammingPacked(col("a.sig"), col("b.sig")).as("hamming")
+          )
+          .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
       None
     ),
 
-    // n-gram Jaccard via inverted index: explode shingles, drop hot shingles
-    // (df cap bounds the worst key at scale), count co-occurrences per pair.
+    // n-gram Jaccard via inverted index: explode hashed shingles (long keys
+    // shuffle far cheaper than strings), drop hot shingles (df cap bounds
+    // the worst key at scale), count co-occurrences per pair.
     Q(
       "q_ngram_jaccard",
       (s, d) => {
         val sh = corpusWithDups(s, d)
-          .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+          .select(col("doc_id"), explode(hashedShingles(col("text"))).as("sh"))
         val df = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
         val filtered = sh.join(df, "sh").select("doc_id", "sh")
         val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Native Catalyst expressions for the sketch/similarity hot paths.
+  *
+  * Each expression evaluates through a compiled kernel in [[SketchImpl]] and
+  * emits the *same* static call from `doGenCode`, so the sketch computation
+  * stays inside whole-stage codegen — no UDF boundary, no interpreted
+  * higher-order-function lambdas, no per-element array churn. This is the
+  * "custom Expression beats UDF beats HOF" tier of the design (SURVEY.md §3):
+  * per row, one virtual-call-free static invoke over unsafe memory.
+  */
+object NativeExpressions {
+  private[functions] def isStr(dt: DataType): Boolean = dt.isInstanceOf[StringType]
+
+  private[functions] def arrayElem(dt: DataType): DataType =
+    dt.asInstanceOf[ArrayType].elementType
+}
+
+/** `simhash64(text)` → 64-bit packed SimHash of the whitespace tokens. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash64 requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+/** `shingles(text, n)` → distinct word n-grams, first-occurrence order. */
+case class ShingleNGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingles requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.shingleNGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.shingleNGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleNGrams = copy(child = newChild)
+}
+
+/** `hashed_shingles(text, n)` → distinct `xxhash64(shingle) mod P` longs —
+  * the join-key form of [[ShingleNGrams]].
+  */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"hashed_shingles requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.hashedShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.hashedShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles = copy(child = newChild)
+}
+
+/** `minhash_signature(hashedShingles, k)` → k-seat MinHash signature. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.minhashSignature(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.minhashSignature($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature = copy(child = newChild)
+}
+
+/** `minhash_bands(hashedShingles, k, b, r)` → b LSH band hashes (fused
+  * signature + banding, one kernel call per row).
+  */
+case class MinHashBands(child: Expression, k: Int, b: Int, r: Int) extends UnaryExpression {
+  require(b * r == k, s"bands($b) * rows($r) must equal signature size($k)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.minhashBands(input.asInstanceOf[ArrayData], k, b, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.minhashBands($c, $k, $b, $r)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands = copy(child = newChild)
+}
+
+/** `cosine_sim(a, b)` over float/double arrays, double accumulation in
+  * element order (bit-matches the DuckDB oracle fold).
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def okElem(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(left.dataType) && okElem(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires ARRAY<FLOAT|DOUBLE>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  private lazy val aFloat = NativeExpressions.arrayElem(left.dataType) == FloatType
+  private lazy val bFloat = NativeExpressions.arrayElem(right.dataType) == FloatType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchImpl.cosine($a, $b, $aFloat, $bFloat)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `lsh_bucket(vec)` → sign-LSH bucket id (bit p = sign of v·plane_p) against
+  * a fixed, seeded hyperplane matrix. 2^nPlanes buckets bound every
+  * downstream candidate join.
+  */
+case class LshBucket(child: Expression, planes: Seq[Seq[Double]]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  private val nPlanes = planes.length
+  private val dim = planes.head.length
+  @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+  private def okElem(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"lsh_bucket requires ARRAY<FLOAT|DOUBLE>, got ${child.dataType.sql}")
+  private lazy val isFloat = NativeExpressions.arrayElem(child.dataType) == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.lshBucket(input.asInstanceOf[ArrayData], flat, nPlanes, dim, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", flat, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.lshBucket($c, $ref, $nPlanes, $dim, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucket = copy(child = newChild)
+}

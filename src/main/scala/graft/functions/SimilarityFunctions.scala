@@ -1,29 +1,26 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.functions._
 
 /** Similarity / dedup sketches for LLM-data pipelines (SURVEY.md §2.3).
   *
-  * Everything here is a pure column expression over Spark's higher-order
-  * functions: sketches are computed in one distributed pass, and candidate
-  * generation uses LSH banding so the pair space is bounded by bucket
-  * co-occupancy — never an O(n²) cross join. That is the property that keeps
-  * these operators viable at 100 TB.
+  * The sketch computations (shingling, minhash, simhash, cosine, sign-LSH)
+  * are native Catalyst expressions ([[NativeExpressions]]) backed by compiled
+  * kernels ([[SketchImpl]]) that participate in whole-stage codegen. Candidate
+  * generation always goes through LSH banding or an inverted index, so the
+  * pair space is bounded by bucket co-occupancy — never an O(n²) cross join.
+  * That is the property that keeps these operators viable at 100 TB.
   *
-  * EVAL-ONCE DISCIPLINE: Catalyst's interpreted higher-order functions
-  * re-evaluate any expression referenced *inside a lambda body* once per
-  * element, and `CollapseProject` happily inlines an upstream column into
-  * that position. A naive `transform(sequence(0,63), j -> f(shingles(text)))`
-  * therefore tokenizes the document 64 times per row — quadratic, and
-  * observed to be ~1000× slower on real documents. Every function here is
-  * structured so expensive sub-expressions appear only in argument position
-  * (evaluated once per row), using `bind` as an explicit per-row let-binding
-  * where needed.
+  * An earlier revision built the sketches from Catalyst higher-order
+  * functions; those lambdas evaluate interpreted, and the per-element array
+  * churn made simhash ~100× slower than this compiled form at sf0.1.
   */
 object SimilarityFunctions {
 
-  private val P = 1000000007L
+  /** Modulus for hashed shingles / minhash seats: 1e9+7. */
+  val P: Long = SketchImpl.P
 
   /** Per-row let-binding: evaluates `e` exactly once per row and passes the
     * bound value (a cheap lambda variable) to `f`. Implemented as
@@ -37,103 +34,58 @@ object SimilarityFunctions {
   /** Whitespace tokens, evaluated once per row. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles of a text column.
-    *
-    * Built with `zip_with` over shifted slices of the (let-bound) token
-    * array, so tokenization runs once per row — never once per shingle.
-    * For a document of w tokens (w ≥ n) this yields the w-n+1 n-grams.
+  /** Distinct word n-gram shingles of a text column, first-occurrence order.
+    * Documents with fewer than n tokens yield an empty array.
     */
   def shingles(text: Column, n: Int = 3): Column =
-    bind(tokens(text)) { t =>
-      val joined = (2 to n).foldLeft(t) { (acc, k) =>
-        zip_with(acc, slice(t, lit(k), greatest(size(t), lit(1))), (a, b) => concat(a, lit(" "), b))
-      }
-      array_distinct(slice(joined, lit(1), greatest(size(t) - (n - 1), lit(1))))
-    }
+    toCol(ShingleNGrams(toExpr(text), n))
 
-  /** Each shingle hashed once into [0, p). Input in argument position. */
-  def hashedShingles(sh: Column): Column =
-    transform(sh, x => pmod(xxhash64(x), lit(P)))
+  /** Distinct hashed shingles (`xxhash64(ngram) mod P`) of a text column —
+    * the compact join-key form used by minhash and the inverted index.
+    */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    toCol(HashedShingles(toExpr(text), n))
 
   /** MinHash signature (array<long> of length k) over pre-hashed shingles.
-    *
-    * Hash family: h_j(x) = ((2j+1)·x + j·12582917) mod p, p = 1e9+7 —
-    * deterministic and integer-exact. ONE pass over the shingle array: an
-    * `aggregate` carries k running minima and updates all k per element,
-    * instead of k separate scans (which would re-evaluate the input k times).
+    * Hash family: h_j(x) = ((2j+1)·x + j·12582917) mod P — deterministic and
+    * integer-exact.
     */
   def minhashSignature(hs: Column, k: Int = 64): Column =
-    aggregate(
-      hs,
-      array_repeat(lit(P), k),
-      (acc, h) =>
-        zip_with(
-          acc,
-          transform(
-            sequence(lit(0), lit(k - 1)),
-            j => pmod((j * 2 + 1) * h + j * lit(12582917L), lit(P))
-          ),
-          (a, b) => least(a, b)
-        )
-    )
+    toCol(MinHashSignature(toExpr(hs), k))
 
-  /** LSH band hashes for a minhash signature: `b` bands of `r` rows. Docs
-    * sharing any (band_index, band_hash) are candidate pairs.
-    * `sig` is referenced inside the lambda (once per band) — callers must
-    * pass a bound variable or attribute, e.g. via [[bind]] /
-    * [[minhashBands]].
+  /** Hashed shingles → signature → b LSH band hashes, one fused kernel call
+    * per row. Docs sharing any (band index, band hash) are candidate pairs.
     */
-  def bandHashes(sig: Column, b: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(b - 1)), bi => xxhash64(bi, slice(sig, bi * r + 1, lit(r))))
+  def minhashBands(hs: Column, k: Int = 64, b: Int = 16, r: Int = 4): Column =
+    toCol(MinHashBands(toExpr(hs), k, b, r))
 
-  /** shingles → hashed shingles → signature → band hashes, eval-once. */
-  def minhashBands(sh: Column, k: Int = 64, b: Int = 16, r: Int = 4): Column =
-    bind(minhashSignature(hashedShingles(sh), k))(sig => bandHashes(sig, b, r))
-
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  /** Exact Jaccard similarity of two (distinct-element) arrays — built-in
+    * codegen'd set intersection; no custom kernel needed.
+    */
   def jaccard(a: Column, b: Column): Column =
     bind(size(array_intersect(a, b)).cast("double")) { inter =>
       inter / (size(a) + size(b) - inter)
     }
 
-  /** SimHash sign vector (array<long> of 64 0/1 signs) over the whitespace
-    * tokens of `textCol` (a column name / SQL expression).
-    *
-    * For each token, xxhash64 gives 64 bits; bit i votes +1/-1 on sign i.
-    * One `aggregate` pass (tokenization in argument position). Kept as a
-    * sign array (not packed into a long) so banding and hamming distance
-    * stay plain array expressions. Built as a SQL expression because
-    * shift-by-column isn't exposed in the Scala functions API.
+  /** 64-bit packed SimHash of the whitespace tokens of a text column. */
+  def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
+
+  /** Hamming distance between two packed 64-bit sketches: popcount of xor —
+    * entirely built-in codegen.
     */
-  def simhashSigns(textCol: String): Column = expr(
-    s"""transform(
-       |  aggregate(
-       |    split(trim($textCol), '\\\\s+'),
-       |    array_repeat(CAST(0 AS BIGINT), 64),
-       |    (acc, t) -> zip_with(acc,
-       |      transform(sequence(0, 63),
-       |        i -> IF((shiftright(xxhash64(t), i) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
-       |      (a, v) -> a + v)),
-       |  c -> IF(c > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin
-  )
+  def hammingPacked(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Hamming distance between two equal-length sign arrays. */
-  def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, lit(0)).otherwise(lit(1))), lit(0), _ + _)
-
-  /** Band hashes over a simhash sign array: `b` bands of `r` signs.
-    * Same caller contract as [[bandHashes]]. */
-  def simhashBands(signs: Column, b: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(b - 1)), bi => xxhash64(bi, slice(signs, bi * r + 1, lit(r))))
+  /** The 8 byte-bands of a packed 64-bit simhash, as an array for
+    * `posexplode` banding. By pigeonhole, any pair within hamming distance 7
+    * shares at least one of the 8 byte-bands.
+    */
+  def simhashByteBands(sig: Column): Column =
+    array((0 until 8).map(bi => shiftrightunsigned(sig, bi * 8).bitwiseAND(lit(255L))): _*)
 
   /** Cosine similarity of two numeric arrays, accumulated in double in
     * element order — bit-identical to the DuckDB oracle's fold.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")), lit(0.0), _ + _)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
 
   /** Deterministic random hyperplanes for sign-LSH over embeddings:
     * `planes(nPlanes, dim)` — fixed seed so bucketing is reproducible.
@@ -143,15 +95,7 @@ object SimilarityFunctions {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id for an embedding: concatenated signs of the dot
-    * product against each (fixed, seeded) hyperplane.
-    */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val signs = planes.map { p =>
-      val w = typedLit(p)
-      val d = aggregate(zip_with(vec, w, (x, y) => x.cast("double") * y), lit(0.0), _ + _)
-      when(d >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(signs: _*)
-  }
+  /** Sign-LSH bucket id (long; bit p = sign of v·plane_p). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    toCol(LshBucket(toExpr(vec), planes))
 }

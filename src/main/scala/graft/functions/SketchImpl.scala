@@ -1,0 +1,229 @@
+package graft.functions
+
+import java.util.{LinkedHashSet => JLinkedHashSet}
+
+import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled kernels behind the native sketch expressions (NativeExpressions).
+  *
+  * Every method here is a plain static JVM function over Spark's unsafe row
+  * formats (`UTF8String`, `ArrayData`), callable directly from generated
+  * whole-stage-codegen Java. This replaces the interpreted higher-order
+  * function pipelines that computed the same sketches ~100× slower (Catalyst
+  * evaluates HOF lambdas interpreted, allocating per-element arrays; a 64-seat
+  * minhash over a 50-shingle doc churned ~6,400 interpreted expression evals
+  * per row — here it is one tight loop).
+  *
+  * Hash conventions are kept bit-identical to the previous HOF implementation
+  * (and Spark's `xxhash64`): token/shingle hashes are
+  * `XXH64(bytes, seed=42) mod (1e9+7)`, and the minhash family is
+  * `h_j(x) = ((2j+1)·x + j·12582917) mod (1e9+7)`.
+  */
+object SketchImpl {
+  final val P = 1000000007L
+  final val SEED = 42L
+
+  /** Java-regex `\s` byte set (ASCII): space, \t, \n, \x0B, \f, \r. */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || (b >= 9 && b <= 13)
+
+  /** Token [start,end) byte bounds over whitespace runs — the compiled
+    * equivalent of `split(trim(text), "\\s+")`. Returns a flat array of
+    * 2·w ints.
+    */
+  private def tokenBounds(b: Array[Byte]): Array[Int] = {
+    var n = 0
+    var i = 0
+    val len = b.length
+    // count tokens
+    while (i < len) {
+      while (i < len && isWs(b(i))) i += 1
+      if (i < len) { n += 1; while (i < len && !isWs(b(i))) i += 1 }
+    }
+    val out = new Array[Int](2 * n)
+    i = 0
+    var t = 0
+    while (i < len) {
+      while (i < len && isWs(b(i))) i += 1
+      if (i < len) {
+        out(2 * t) = i
+        while (i < len && !isWs(b(i))) i += 1
+        out(2 * t + 1) = i
+        t += 1
+      }
+    }
+    out
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i of each token's xxhash64
+    * votes ±1 on counter i; result bit i = (counter i > 0).
+    */
+  def simhash64(s: UTF8String): Long = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val counters = new Array[Int](64)
+    var t = 0
+    while (t < bounds.length) {
+      val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + bounds(t), bounds(t + 1) - bounds(t), SEED)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+        i += 1
+      }
+      t += 2
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counters(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Builds the single-space-joined byte image of tokens [i, i+n). */
+  private def joinShingle(b: Array[Byte], bounds: Array[Int], i: Int, n: Int): Array[Byte] = {
+    var len = n - 1
+    var j = 0
+    while (j < n) { len += bounds(2 * (i + j) + 1) - bounds(2 * (i + j)); j += 1 }
+    val out = new Array[Byte](len)
+    var pos = 0
+    j = 0
+    while (j < n) {
+      if (j > 0) { out(pos) = ' '; pos += 1 }
+      val st = bounds(2 * (i + j))
+      val en = bounds(2 * (i + j) + 1)
+      System.arraycopy(b, st, out, pos, en - st)
+      pos += en - st
+      j += 1
+    }
+    out
+  }
+
+  /** Distinct word n-gram shingles, in first-occurrence order. Documents with
+    * fewer than n tokens yield an empty array.
+    */
+  def shingleNGrams(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val w = bounds.length / 2
+    if (w < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new JLinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= w) {
+      seen.add(UTF8String.fromBytes(joinShingle(b, bounds, i, n)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Distinct hashed n-gram shingles: `xxhash64(shingle) mod P`, in
+    * first-occurrence order — the join-key form of [[shingleNGrams]] (longs
+    * shuffle and compare far cheaper than strings).
+    */
+  def hashedShingles(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val w = bounds.length / 2
+    if (w < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val seen = new JLinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= w) {
+      val sh = joinShingle(b, bounds, i, n)
+      val h = XXH64.hashUnsafeBytes(sh, Platform.BYTE_ARRAY_OFFSET, sh.length, SEED)
+      seen.add(((h % P) + P) % P)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  private def minhashSigArray(hs: ArrayData, k: Int): Array[Long] = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, P)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val x = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        // x ∈ [0, P): (2j+1)·x + j·12582917 stays well under Long.Max for k ≤ 64.
+        val v = (2L * j + 1L) * x + j * 12582917L
+        val vm = v % P
+        if (vm < sig(j)) sig(j) = vm
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash signature (k minima) over pre-hashed shingles. */
+  def minhashSignature(hs: ArrayData, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minhashSigArray(hs, k))
+
+  /** MinHash LSH band hashes: signature → b bands of r seats, each band
+    * chain-hashed with XXH64. Docs sharing any (band index, band hash) are
+    * candidate pairs.
+    */
+  def minhashBands(hs: ArrayData, k: Int, b: Int, r: Int): ArrayData = {
+    val sig = minhashSigArray(hs, k)
+    val out = new Array[Long](b)
+    var bi = 0
+    while (bi < b) {
+      var acc = XXH64.hashLong(bi.toLong, SEED)
+      var i = bi * r
+      val end = bi * r + r
+      while (i < end) { acc = XXH64.hashLong(sig(i), acc); i += 1 }
+      out(bi) = acc
+      bi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Cosine similarity, double accumulation in element order — the same fold
+    * the DuckDB oracle applies, so hashes match bit-for-bit.
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, aFloat)
+      val y = elem(b, i, bFloat)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-LSH bucket id: bit p = (v · plane_p ≥ 0), planes row-major in
+    * `flat` (nPlanes × dim).
+    */
+  def lshBucket(v: ArrayData, flat: Array[Double], nPlanes: Int, dim: Int, isFloat: Boolean): Long = {
+    var out = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      val base = p * dim
+      while (i < dim) { dot += elem(v, i, isFloat) * flat(base + i); i += 1 }
+      if (dot >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
