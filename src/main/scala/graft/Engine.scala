@@ -55,6 +55,15 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
   }
+  /** `events` with `ts` still the raw int64 nanos from the parquet footer.
+    * Predicates on this column push to the scan (and would partition-prune a
+    * date-partitioned table at scale) — the timestamp-typed view in [[events]]
+    * wraps `ts` in a conversion expression, which blocks pushdown.
+    */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

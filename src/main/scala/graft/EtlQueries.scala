@@ -73,13 +73,19 @@ object EtlQueries {
              |JOIN region ON n_regionkey = r_regionkey""".stripMargin)
     ),
 
-    // 4. Incremental extract past a watermark (reference: Last modified > last load).
+    // 4. Incremental extract past a watermark (reference: Last modified > last
+    //    load). The cutoff is applied to the RAW int64-nanos column so the
+    //    predicate pushes to the parquet scan (PlanAuditSpec pins this); the
+    //    timestamp conversion happens after the filter.
     Q(
       "q_incremental_watermark",
-      (s, d) =>
-        EtlOps
-          .incrementalSince(events(s, d), "ts", java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
-          .select("event_id", "ts", "user_id", "event_type", "value"),
+      (s, d) => {
+        val wmNanos = java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime * 1000000L
+        eventsRaw(s, d)
+          .filter(col("ts") > wmNanos)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+      },
       Some("""SELECT event_id, ts, user_id, event_type, value
              |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)
     ),

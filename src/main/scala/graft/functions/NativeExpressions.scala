@@ -26,6 +26,7 @@ object NativeExpressions {
 /** `simhash64(text)` → 64-bit packed SimHash of the whitespace tokens. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"simhash64 requires STRING, got ${child.dataType.sql}")
@@ -39,6 +40,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** `shingles(text, n)` → distinct word n-grams, first-occurrence order. */
 case class ShingleNGrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"shingles requires STRING, got ${child.dataType.sql}")
@@ -54,6 +56,7 @@ case class ShingleNGrams(child: Expression, n: Int) extends UnaryExpression {
   */
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"hashed_shingles requires STRING, got ${child.dataType.sql}")
@@ -67,6 +70,7 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
 /** `minhash_signature(hashedShingles, k)` → k-seat MinHash signature. */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     SketchImpl.minhashSignature(input.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -80,6 +84,7 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 case class MinHashBands(child: Expression, k: Int, b: Int, r: Int) extends UnaryExpression {
   require(b * r == k, s"bands($b) * rows($r) must equal signature size($k)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     SketchImpl.minhashBands(input.asInstanceOf[ArrayData], k, b, r)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -92,6 +97,7 @@ case class MinHashBands(child: Expression, k: Int, b: Int, r: Int) extends Unary
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
   private def okElem(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType, _) => true
     case _                                    => false
@@ -116,6 +122,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   */
 case class LshBucket(child: Expression, planes: Seq[Seq[Double]]) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
   private val nPlanes = planes.length
   private val dim = planes.head.length
   @transient private lazy val flat: Array[Double] = planes.flatten.toArray

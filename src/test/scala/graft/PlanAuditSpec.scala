@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit (SURVEY.md §5): these assertions pin the *plan shape*
+  * that makes each operator viable at 100 TB — filters pushed to the parquet
+  * scan, projections pruned, dimension joins broadcast, and no accidental
+  * cartesian products in the LSH candidate generation. A regression here can
+  * pass every correctness oracle and still be catastrophic at scale, so the
+  * plan itself is under test.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(name: String): String =
+    QueryRegistry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString()
+
+  /** Untruncated PushedFilters metadata of every parquet scan in the plan. */
+  private def pushedFilters(name: String): Seq[String] =
+    QueryRegistry
+      .queries(name)(spark, sfDir)
+      .queryExecution
+      .executedPlan
+      .collectWithSubqueries { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+      }
+
+  test("q_filter_project: predicate and projection reach the parquet scan") {
+    val pf = pushedFilters("q_filter_project").mkString("; ")
+    assert(
+      pf.contains("GreaterThanOrEqual(l_shipdate") && pf.contains("GreaterThan(l_discount"),
+      s"both predicates must be pushed to the scan, got: $pf"
+    )
+    val p = plan("q_filter_project")
+    assert(!p.contains("l_comment"), "untouched wide columns must be pruned from ReadSchema")
+  }
+
+  test("q_regex_prune: dropped columns never leave the scan") {
+    val p = plan("q_regex_prune")
+    assert(!p.contains("l_tax") && !p.contains("l_discount"), s"pruned columns still read:\n$p")
+  }
+
+  test("q_dim_join: dimension joins broadcast; the fact side never shuffles") {
+    val p = plan("q_dim_join")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2)
+    assert(!p.contains("SortMergeJoin"), s"dim join must not sort-merge:\n$p")
+  }
+
+  test("q_revenue_by_nation: one fact-fact shuffle join, all dims broadcast") {
+    val p = plan("q_revenue_by_nation")
+    val bhj = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+    assert(bhj >= 3, s"customer/nation/region must broadcast (saw $bhj):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_shipping_priority: selective dim filter stays on the broadcast side") {
+    val p = plan("q_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-N must not global-sort the agg output")
+  }
+
+  test("LSH pipelines generate candidates by equi-join only — no cross join") {
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_ann_lsh", "q_dedup_embedding")) {
+      val p = plan(name)
+      assert(
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must pair via banded equi-join, got:\n$p"
+      )
+    }
+  }
+
+  test("sketch expressions stay inside whole-stage codegen (no Janino fallback)") {
+    import graft.functions.SimilarityFunctions._
+    import org.apache.spark.sql.functions.col
+    // A shuffle-free projection is not AQE-wrapped, so the "*(n)" codegen
+    // markers are visible in the plan string; disabling codegen fallback
+    // makes a Janino compile error of the generated kernel calls fatal
+    // instead of silently interpreting.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Tables
+        .documents(spark, sfDir)
+        .select(
+          simhash64(col("text")).as("sig"),
+          minhashBands(hashedShingles(col("text"))).as("bands"),
+          shingles(col("text")).as("sh")
+        )
+      assert(df.queryExecution.executedPlan.toString.contains("*("), "projection not codegen'd")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+
+  test("q_incremental_watermark: watermark predicate is pushed (partition-prunable at scale)") {
+    val pf = pushedFilters("q_incremental_watermark").mkString("; ")
+    assert(pf.contains("GreaterThan(ts"), s"watermark not pushed, got: $pf")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{FixedWidthText, StagingSink}
+
+class SourcesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val uscrnSchema = StructType(
+    Seq(
+      StructField("wbanno", LongType),
+      StructField("utc_date", LongType),
+      StructField("utc_time", LongType),
+      StructField("t_calc", DoubleType),
+      StructField("station", StringType)
+    )
+  )
+
+  test("FixedWidthText reads whitespace lines against a typed schema, skipping comments/blanks") {
+    val dir = Files.createTempDirectory("fwt").toString
+    Files.writeString(
+      java.nio.file.Paths.get(dir, "part1.txt"),
+      """# USCRN-style header comment
+        |23583 20240101 0100 -3.5 Fairbanks
+        |
+        |23583 20240101 0200 -4.0 Fairbanks
+        |25380 20240101 0100 bad Nome
+        |""".stripMargin
+    )
+    val out = FixedWidthText.read(spark, dir, uscrnSchema).orderBy("wbanno", "utc_time")
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(out.schema.fields.map(_.dataType).toSeq == uscrnSchema.fields.map(_.dataType).toSeq)
+    assert(rows(0).getLong(0) == 23583L && rows(0).getDouble(3) == -3.5)
+    assert(rows(2).isNullAt(3), "unparseable numeric field must coerce to NULL, not fail the job")
+    assert(rows(2).getString(4) == "Nome")
+  }
+
+  test("StagingSink append is idempotent on the business key and stamps the audit column") {
+    val base = Files.createTempDirectory("sink").toString
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+    val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+
+    val batch1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
+    StagingSink.stage(batch1, staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), clock)
+    assert(spark.read.parquet(main).count() == 2)
+
+    // Re-running the same batch must not duplicate rows.
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), clock)
+    assert(spark.read.parquet(main).count() == 2)
+
+    // A batch overlapping on key 2 only adds the new key 3.
+    val batch2 = Seq((2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "k", "v")
+    StagingSink.stage(batch2, staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), clock)
+    val out = spark.read.parquet(main)
+    assert(out.count() == 3)
+    assert(out.columns.contains("date_added_utc"))
+    assert(out.filter(col("date_added_utc") =!= clock).count() == 0)
+  }
+}
