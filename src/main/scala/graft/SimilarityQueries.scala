@@ -115,27 +115,37 @@ object SimilarityQueries {
     // n-gram Jaccard via inverted index: explode hashed shingles (long keys
     // shuffle far cheaper than strings), drop hot shingles (df cap bounds
     // the worst key at scale), count co-occurrences per pair.
+    //
+    // Shuffle economy: each doc's set size rides along the explode as a
+    // plain `size(array)` column (no aggregation, no join-back), document
+    // frequency is a count-over-window on `sh` whose hash-partitioning the
+    // self-join immediately reuses (exchange reuse — no second shuffle),
+    // and the pair groupBy carries (na, nb) in its key. 2 shuffles total
+    // vs 6 for the naive df-join/size-join formulation. Jaccard is over
+    // the FULL shingle sets; the df cap only bounds candidate generation.
     Q(
       "q_ngram_jaccard",
       (s, d) => {
+        val w = Window.partitionBy(col("sh"))
         val sh = corpusWithDups(s, d)
-          .select(col("doc_id"), explode(hashedShingles(col("text"))).as("sh"))
-        val df = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
-        val filtered = sh.join(df, "sh").select("doc_id", "sh")
-        val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val common = filtered
-          .as("a")
-          .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .select(col("doc_id"), hashedShingles(col("text")).as("sh_arr"))
+          .select(col("doc_id"), size(col("sh_arr")).as("n_sh"), explode(col("sh_arr")).as("sh"))
+          .withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= 50)
+          .select("doc_id", "n_sh", "sh")
+        sh.as("a")
+          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(
+            col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"),
+            col("a.n_sh").as("na"),
+            col("b.n_sh").as("nb")
+          )
           .agg(count(lit(1)).as("common"))
-        common
-          .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-          .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
           .select(
             col("doc_a"),
             col("doc_b"),
-            (col("common").cast("double") / (col("na.n_sh") + col("nb.n_sh") - col("common")))
-              .as("jaccard")
+            (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard")
           )
           .filter(col("jaccard") >= 0.4)
           .orderBy(col("doc_a"), col("doc_b"))
