@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.SimilarityFunctions._
@@ -197,6 +197,48 @@ object SimilarityQueries {
           .filter(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
           .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("query_id", "neighbor_id", "cos_sim", "rn")
+      },
+      None
+    ),
+
+    // IVF ANN (the other scale path): a bounded coarse quantizer — the first
+    // 16 vectors act as trained centroids (the driver-side "train" step real
+    // IVF has; O(centroids), never O(data)) — assigns every vector to its
+    // best cell by cosine (compiled kernel per centroid, codegen). Queries
+    // probe their top-2 cells and rank exactly within the probed cells only:
+    // the candidate set is cell-bounded, no full scan per query.
+    Q(
+      "q_ann_ivf",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val cents: Array[Seq[Double]] = e
+          .filter(col("vec_id") < 16)
+          .orderBy("vec_id")
+          .select("embedding")
+          .collect()
+          .map(_.getSeq[Float](0).map(_.toDouble))
+        def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
+        def cell(v: Column) =
+          bind(cosArr(v))(a => (array_position(a, array_max(a)) - 1).cast("int"))
+        val corpus = e
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+          .withColumn("cell", cell(col("cv")))
+        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell"))
+        val probes = e
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .select(col("query_id"), col("qv"), posexplode(cosArr(col("qv"))).as(Seq("cell", "qcos")))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 2)
+          .select("query_id", "qv", "cell")
+        val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+        broadcast(probes)
+          .join(corpus, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
+          .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 3)
           .select("query_id", "neighbor_id", "cos_sim", "rn")
       },

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SketchImpl
+
+/** Property tests for the compiled sketch kernels against straight-line
+  * reference implementations (String.split / sliding windows / plain folds).
+  * The kernels operate on unsafe byte formats with hand-rolled tokenization —
+  * exactly the code most likely to harbor boundary bugs, so it gets
+  * randomized coverage. (scalacheck Gen driven directly with fixed seeds —
+  * deterministic, no scalatestplus bridge needed.)
+  */
+class SketchKernelPropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val wsGen = Gen.nonEmptyListOf(Gen.oneOf(' ', ' ', '\t', '\n', '\r', '\f')).map(_.mkString)
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOf(wordGen)
+    seps <- Gen.listOfN(words.length + 1, wsGen)
+    lead <- Gen.oneOf("", " ", "\t ")
+  } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  private def refTokens(s: String): Array[String] =
+    s.trim.split("\\s+").filter(_.nonEmpty)
+
+  private def refShingles(s: String, n: Int): Seq[String] = {
+    val t = refTokens(s)
+    if (t.length < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).distinct.toSeq
+  }
+
+  test("shingleNGrams matches trim/split/sliding/distinct on arbitrary whitespace") {
+    for {
+      s <- samples(textGen, 300)
+      n <- 1 to 4
+    } {
+      val got = SketchImpl
+        .shingleNGrams(UTF8String.fromString(s), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+        .toSeq
+      assert(got == refShingles(s, n), s"text=${s.replace("\n", "\\n")} n=$n")
+    }
+  }
+
+  test("hashedShingles ∈ [0,P), deduplicated, same cardinality as string shingles") {
+    for (s <- samples(textGen, 300)) {
+      val hs = SketchImpl.hashedShingles(UTF8String.fromString(s), 3)
+      val arr = (0 until hs.numElements()).map(hs.getLong)
+      assert(arr.forall(v => v >= 0 && v < SketchImpl.P))
+      assert(arr.distinct.length == arr.length, "hashed shingles must be de-duplicated")
+      assert(arr.length == refShingles(s, 3).length)
+    }
+  }
+
+  test("simhash64 ignores vote magnitude: tripling every token leaves the sketch unchanged") {
+    for (words <- samples(Gen.nonEmptyListOf(wordGen), 200)) {
+      val base = words.mkString(" ")
+      val tripled = (words ++ words ++ words).mkString(" ")
+      val h1 = SketchImpl.simhash64(UTF8String.fromString(base))
+      val h3 = SketchImpl.simhash64(UTF8String.fromString(tripled))
+      assert(h1 == h3, s"simhash must depend on vote signs, not magnitudes: $base")
+    }
+  }
+
+  test("minhash signature: each seat is the min of the seat-hash over the shingle set") {
+    def seatHash(j: Int, x: Long): Long = {
+      val v = (2L * j + 1L) * x + j * 12582917L
+      ((v % SketchImpl.P) + SketchImpl.P) % SketchImpl.P
+    }
+    for (hs0 <- samples(Gen.nonEmptyListOf(Gen.choose(0L, SketchImpl.P - 1)), 200)) {
+      val hs = hs0.distinct
+      val sig = SketchImpl.minhashSignature(ArrayData.toArrayData(hs.toArray), 64)
+      for (j <- 0 until 64) {
+        assert(sig.getLong(j) == hs.map(seatHash(j, _)).min)
+      }
+    }
+  }
+
+  test("minhash containment: adding shingles can only lower each seat") {
+    val g = for {
+      a <- Gen.nonEmptyListOf(Gen.choose(0L, SketchImpl.P - 1))
+      extra <- Gen.listOf(Gen.choose(0L, SketchImpl.P - 1))
+    } yield (a, extra)
+    for ((a, extra) <- samples(g, 200)) {
+      val sigA = SketchImpl.minhashSignature(ArrayData.toArrayData(a.distinct.toArray), 64)
+      val sigAB = SketchImpl.minhashSignature(ArrayData.toArrayData((a ++ extra).distinct.toArray), 64)
+      for (j <- 0 until 64) assert(sigAB.getLong(j) <= sigA.getLong(j))
+    }
+  }
+
+  test("cosine: scale invariance, symmetry, |cos| <= 1") {
+    val vecGen = Gen.choose(2, 64).flatMap(d => Gen.listOfN(d, Gen.choose(-100.0, 100.0)))
+    val g = for { v <- vecGen; k <- Gen.choose(0.1, 10.0) } yield (v, k)
+    for ((v, k) <- samples(g, 300) if v.exists(_ != 0.0)) {
+      val a = ArrayData.toArrayData(v.toArray)
+      val b = ArrayData.toArrayData(v.map(_ * k).toArray)
+      assert(math.abs(SketchImpl.cosine(a, b, false, false) - 1.0) < 1e-9, "cos(v, k*v) must be 1")
+      val x = ArrayData.toArrayData(v.reverse.toArray)
+      val xy = SketchImpl.cosine(a, x, false, false)
+      val yx = SketchImpl.cosine(x, a, false, false)
+      assert(math.abs(xy - yx) < 1e-12, "cosine must be symmetric")
+      assert(math.abs(xy) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("lshBucket: deterministic, bounded by 2^planes, negation flips every decisive plane") {
+    val dim = 8
+    val planes = graft.functions.SimilarityFunctions.hyperplanes(4, dim)
+    val flat = planes.flatten.toArray
+    for (v <- samples(Gen.listOfN(dim, Gen.choose(-10.0, 10.0)), 300)) {
+      val dots = planes.map(p => p.zip(v).map { case (w, x) => w * x }.sum)
+      val a = ArrayData.toArrayData(v.toArray)
+      val b1 = SketchImpl.lshBucket(a, flat, 4, dim, false)
+      assert(b1 == SketchImpl.lshBucket(a, flat, 4, dim, false))
+      assert(b1 >= 0 && b1 < 16)
+      if (dots.forall(d => math.abs(d) > 1e-9)) {
+        val bn = SketchImpl.lshBucket(ArrayData.toArrayData(v.map(-_).toArray), flat, 4, dim, false)
+        assert((b1 ^ bn) == 15, "negating the vector must flip every strictly-signed plane bit")
+      }
+    }
+  }
+
+  test("float and double element paths agree") {
+    for (v <- samples(Gen.listOfN(16, Gen.choose(-8f, 8f)), 200)) {
+      val f = ArrayData.toArrayData(v.toArray)
+      val d = ArrayData.toArrayData(v.map(_.toDouble).toArray)
+      val cf = SketchImpl.cosine(f, f, true, true)
+      val cd = SketchImpl.cosine(d, d, false, false)
+      if (v.exists(_ != 0f)) {
+        assert(math.abs(cf - 1.0) < 1e-6 && math.abs(cd - 1.0) < 1e-12)
+        assert(
+          SketchImpl.lshBucket(f, Array.fill(16)(0.5), 1, 16, true) ==
+            SketchImpl.lshBucket(d, Array.fill(16)(0.5), 1, 16, false)
+        )
+      }
+    }
+  }
+}
