@@ -92,6 +92,31 @@ case class MinHashBands(child: Expression, k: Int, b: Int, r: Int) extends Unary
   override protected def withNewChildInternal(newChild: Expression): MinHashBands = copy(child = newChild)
 }
 
+/** `marker_counts(text)` → per-marker-set membership counts of the lowercased
+  * whitespace tokens, every set counted in one compiled tokenization pass.
+  * Backs language-ID scoring and stopword ratios.
+  */
+case class MarkerCounts(child: Expression, markerSets: Seq[Seq[String]]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"marker_counts requires STRING, got ${child.dataType.sql}")
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    markerSets.map { ms =>
+      val h = new java.util.HashSet[UTF8String]()
+      ms.foreach(m => h.add(UTF8String.fromString(m.toLowerCase)))
+      h
+    }.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.markerCounts(input.asInstanceOf[UTF8String], sets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.markerCounts($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MarkerCounts = copy(child = newChild)
+}
+
 /** `cosine_sim(a, b)` over float/double arrays, double accumulation in
   * element order (bit-matches the DuckDB oracle fold).
   */

@@ -210,6 +210,29 @@ object SketchImpl {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Per-marker-set token membership counts over the lowercased whitespace
+    * tokens of `s` — all sets counted in ONE tokenization pass (the
+    * interpreted form re-ran filter+isin per language per row).
+    * `sets` contains lowercased marker tokens.
+    */
+  def markerCounts(s: UTF8String, sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val lower = s.toLowerCase
+    val b = lower.getBytes
+    val bounds = tokenBounds(b)
+    val counts = new Array[Int](sets.length)
+    var t = 0
+    while (t < bounds.length) {
+      val tok = UTF8String.fromBytes(b, bounds(t), bounds(t + 1) - bounds(t))
+      var i = 0
+      while (i < sets.length) {
+        if (sets(i).contains(tok)) counts(i) += 1
+        i += 1
+      }
+      t += 2
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
   /** Sign-LSH bucket id: bit p = (v · plane_p ≥ 0), planes row-major in
     * `flat` (nPlanes × dim).
     */

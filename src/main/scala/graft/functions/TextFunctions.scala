@@ -29,9 +29,17 @@ object TextFunctions {
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text)
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Per-set marker counts of the lowercased tokens — ONE compiled
+    * tokenization pass for all sets (native [[MarkerCounts]] expression).
+    */
+  def markerCounts(text: Column, sets: Seq[Seq[String]]): Column =
+    toCol(MarkerCounts(toExpr(text), sets))
+
   /** How many lowercase whitespace tokens fall in a marker set. */
   def markerScore(text: Column, markers: Seq[String]): Column =
-    size(filter(split(lower(text), "\\s+"), w => w.isin(markers: _*)))
+    element_at(markerCounts(text, Seq(markers)), 1)
 
   /** Fraction of whitespace tokens that are common English stopwords. */
   def stopwordRatio(text: Column): Column =
@@ -50,24 +58,20 @@ object TextFunctions {
   /** Predicted language: argmax of marker scores, first-listed wins ties,
     * 'und' when no marker hits at all.
     *
-    * Tokenization and the per-language scores are let-bound
-    * ([[graft.functions.SimilarityFunctions.bind]]) so the text is split
-    * once per row and each score computed once, no matter how many times
-    * the argmax cascade compares them.
+    * All language scores come from ONE [[MarkerCounts]] kernel call per row
+    * (let-bound so the argmax cascade can reference them freely); the
+    * cascade itself is plain codegen'd conditionals.
     */
   def langId(text: Column): Column = {
     import SimilarityFunctions.bind
-    bind(split(lower(text), "\\s+")) { toks =>
-      bind(array(langMarkers.map { case (_, m) => size(filter(toks, w => w.isin(m: _*))) }: _*)) {
-        sc =>
-          langMarkers.zipWithIndex.foldRight(lit("und")) { case (((l, _), i), rest) =>
-            val s = element_at(sc, i + 1)
-            val beatsAll = langMarkers.indices
-              .filter(_ != i)
-              .map(j => s >= element_at(sc, j + 1))
-              .reduce(_ && _)
-            when(s > 0 && beatsAll, lit(l)).otherwise(rest)
-          }
+    bind(markerCounts(text, langMarkers.map(_._2))) { sc =>
+      langMarkers.zipWithIndex.foldRight(lit("und")) { case (((l, _), i), rest) =>
+        val s = element_at(sc, i + 1)
+        val beatsAll = langMarkers.indices
+          .filter(_ != i)
+          .map(j => s >= element_at(sc, j + 1))
+          .reduce(_ && _)
+        when(s > 0 && beatsAll, lit(l)).otherwise(rest)
       }
     }
   }
