@@ -17,22 +17,33 @@ object AnalyticQueries {
 
   val all: Seq[Q] = Seq(
     // Q5 shape: revenue by nation for one region + date window.
+    // Scale shape: lineitem revenue is partially aggregated per order key
+    // BEFORE the fact-fact join — the join then carries one row per order
+    // instead of one per lineitem (~4x fewer at TPC-H shape), and the
+    // decimal accumulator keeps the result bit-identical to the flat
+    // aggregation the oracle computes.
     Q(
       "q_revenue_by_nation",
       (s, d) => {
-        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")
-        lineitem(s, d)
-          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        val orev = lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(25,10)"))
+              .as("orev")
+          )
+        orev
+          .join(
+            orders(s, d).filter(
+              col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+            ),
+            col("l_orderkey") === col("o_orderkey")
+          )
           .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-          .filter(col("r_name") === "ASIA")
-          .filter(
-            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1998-01-01").cast("timestamp")
-          )
+          .join(broadcast(region(s, d)).filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .agg(sum(col("orev")).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some("""SELECT n_name,
@@ -117,21 +128,28 @@ object AnalyticQueries {
     ),
 
     // Q8 shape: per-year revenue share of one region (two-level aggregate).
+    // Same pre-aggregation shape as q_revenue_by_nation: revenue collapses
+    // to one decimal per order before the join, and the region condition
+    // (constant per order) applies to the pre-aggregated row. Decimal sums
+    // are exact, so the share is bit-identical to the flat form.
     Q(
       "q_market_share",
       (s, d) => {
-        val joined = lineitem(s, d)
+        val orev = lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(25,10)"))
+              .as("orev")
+          )
+        orev
           .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        joined
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
-            (dsum(
-              when(col("r_name") === "ASIA", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-                .otherwise(lit(0.0))
-            ) / dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("asia_share")
+            (sum(when(col("r_name") === "ASIA", col("orev"))).cast("double") /
+              sum(col("orev")).cast("double")).as("asia_share")
           )
           .orderBy(col("o_year"))
       },

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EtlOps
+import graft.sources.{FixedWidthText, StagingSink}
+
+/** End-to-end re-expression of the reference's USCRN DAG
+  * (uscrn_dag.py): whitespace-text extract → timestamp build → sentinel-
+  * guarded C→F conversion → locations dimension join → composite-key dedup
+  * → staging load → staging→main insert with audit timestamp → incremental
+  * second run. Every step is a graft operator; the spec asserts the final
+  * main table exactly, including idempotency of the re-run — the property
+  * the reference gets from its watermark + pre-load dedup.
+  */
+class UscrnPipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(
+    Seq(
+      StructField("wbanno", LongType),
+      StructField("utc_date", LongType),
+      StructField("utc_time", LongType),
+      StructField("t_calc", DoubleType)
+    )
+  )
+
+  private def runBatch(rawDir: String, staging: String, main: String): Unit = {
+    val locations = Seq((23583L, "Fairbanks AK"), (25380L, "Nome AK"))
+      .toDF("wbanno", "station_location")
+
+    val parsed = FixedWidthText.read(spark, rawDir, schema)
+    val transformed = parsed
+      .withColumn("utc_datetime", EtlOps.timestampFromParts(col("utc_date"), col("utc_time")))
+      .withColumn("t_calc_f", EtlOps.celsiusToFahrenheit(col("t_calc")))
+      .join(broadcast(locations), Seq("wbanno"))
+    val deduped = EtlOps.dedupByKey(transformed, Seq("station_location", "utc_datetime"), "utc_time")
+      .select("wbanno", "station_location", "utc_datetime", "t_calc", "t_calc_f")
+
+    StagingSink.stage(deduped, staging)
+    StagingSink.mergeToMain(
+      spark,
+      staging,
+      main,
+      keyCols = Seq("station_location", "utc_datetime"),
+      clock = lit("2026-01-01 00:00:00").cast("timestamp")
+    )
+  }
+
+  test("the full USCRN flow: parse, convert, join, dedup, staged load, incremental re-run") {
+    val base = Files.createTempDirectory("uscrn").toString
+    val raw1 = s"$base/raw1"; val raw2 = s"$base/raw2"
+    Files.createDirectories(Paths.get(raw1)); Files.createDirectories(Paths.get(raw2))
+
+    // Batch 1: one in-file duplicate key (same station+datetime), one
+    // sentinel temperature (-9999.0 must NOT be converted to Fahrenheit).
+    Files.writeString(
+      Paths.get(raw1, "CRNH0203-2024-AK_Fairbanks.txt"),
+      """23583 20240101 0100 -3.5
+        |23583 20240101 0100 -3.5
+        |23583 20240101 0200 -9999.0
+        |25380 20240101 0100 2.0
+        |""".stripMargin
+    )
+    val staging = s"$base/staging"; val main = s"$base/main"
+    runBatch(raw1, staging, main)
+
+    val after1 = spark.read.parquet(main)
+    assert(after1.count() == 3, "in-file duplicate must collapse to one row")
+    val sentinel = after1.filter(col("t_calc") === -9999.0).select("t_calc_f").as[Double].head()
+    assert(sentinel == -9999.0, "sentinel rows must pass through unconverted")
+    val converted = after1
+      .filter(col("wbanno") === 25380L)
+      .select("t_calc_f")
+      .as[Double]
+      .head()
+    assert(converted == 2.0 * 9 / 5 + 32)
+    assert(after1.columns.contains("date_added_utc"))
+
+    // Batch 2: overlaps batch 1 on the Fairbanks 01:00 reading (must not
+    // duplicate) and adds one genuinely new hour.
+    Files.writeString(
+      Paths.get(raw2, "CRNH0203-2024-AK_Fairbanks.txt"),
+      """23583 20240101 0100 -3.5
+        |23583 20240101 0300 -5.0
+        |""".stripMargin
+    )
+    runBatch(raw2, staging, main)
+
+    val after2 = spark.read.parquet(main)
+    assert(after2.count() == 4, "re-run must add only the new hour")
+    assert(
+      after2.filter(col("station_location") === "Fairbanks AK").count() == 3,
+      "overlapping reading must not duplicate"
+    )
+
+    // Third run of the identical batch: a strict no-op.
+    runBatch(raw2, staging, main)
+    assert(spark.read.parquet(main).count() == 4)
+  }
+}
