@@ -28,15 +28,19 @@ object SimilarityQueries {
   }
 
   /** Candidate pairs that co-occupy any LSH band bucket: input must have
-    * (doc_id, bands: array<long>). One shuffle on (band_idx, band_hash).
+    * (doc_id, bands: array<long>). One shuffle on (band_idx, band_hash):
+    * the merge hint forces a sort-merge self-join whose two shuffle
+    * subtrees are identical, so ReuseExchange computes the sketch+explode
+    * once (a broadcast self-join would rebuild it per side).
     */
   private def bandedPairs(withBands: DataFrame): DataFrame = {
     val exploded = withBands
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     exploded
       .as("a")
+      .hint("merge")
       .join(
-        exploded.as("b"),
+        exploded.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id")
@@ -85,7 +89,10 @@ object SimilarityQueries {
     // cut applies inside the band join (before any distinct): hot band
     // buckets stream through the verify instead of materializing an
     // unfiltered candidate pair set. Pigeonhole: hamming ≤ 6 over 8 bands
-    // guarantees ≥ 1 shared byte-band, so coverage is exact.
+    // guarantees ≥ 1 shared byte-band, so coverage is exact. The merge
+    // hints force a sort-merge self-join with identical shuffle subtrees,
+    // so ReuseExchange computes the sketch+explode once (3.4s -> 1.4s at
+    // sf0.1 vs the broadcast self-join that rebuilt it per side).
     Q(
       "q_dedup_simhash",
       (s, d) => {
@@ -94,8 +101,9 @@ object SimilarityQueries {
           .select(col("doc_id"), col("sig"), posexplode(simhashByteBands(col("sig"))).as(Seq("band_idx", "band_hash")))
         exploded
           .as("a")
+          .hint("merge")
           .join(
-            exploded.as("b"),
+            exploded.as("b").hint("merge"),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_hash") === col("b.band_hash") &&
               col("a.doc_id") < col("b.doc_id") &&
@@ -134,7 +142,8 @@ object SimilarityQueries {
           .filter(col("df") <= 50)
           .select("doc_id", "n_sh", "sh")
         sh.as("a")
-          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .hint("merge")
+          .join(sh.as("b").hint("merge"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(
             col("a.doc_id").as("doc_a"),
             col("b.doc_id").as("doc_b"),
