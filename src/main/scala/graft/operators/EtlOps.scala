@@ -140,6 +140,34 @@ object EtlOps {
   def withAudit(staging: DataFrame, auditCol: String = "date_added_utc", clock: Column = current_timestamp()): DataFrame =
     staging.withColumn(auditCol, clock)
 
+  /** Skew-safe equi-join: salt the hot (left) side's key into `saltFactor`
+    * sub-keys and explode the right side across all salts, so one hot key
+    * spreads over `saltFactor` reducers instead of melting a single task.
+    *
+    * The salt is `pmod(hash(whole row), saltFactor)` — deterministic, no
+    * rand(), so re-runs and retries partition identically. Use when a key's
+    * frequency is pathological even for AQE's skew-join splitting (which
+    * only splits partitions, not single keys, for joins it plans as SMJ).
+    * Cost: the right side replicates ×saltFactor — use for dimension-sized
+    * right sides against a skewed fact.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltFactor: Int
+  ): DataFrame = {
+    val salted = skewed.withColumn(
+      "__salt",
+      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+    )
+    val exploded = right.withColumn(
+      "__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1)))
+    )
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Enforce a typed schema: cast listed columns, leave the rest.
     *
     * Reference: uscrn_dag.py:205 (`df.apply(pd.to_numeric, errors='ignore')`)

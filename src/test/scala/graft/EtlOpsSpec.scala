@@ -89,4 +89,24 @@ class EtlOpsSpec extends AnyFunSuite with SparkSpec {
     val out = EtlOps.incrementalSince(df, "ts", Timestamp.valueOf("2024-01-01 00:00:00"))
     assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("saltedJoin equals the plain join and spreads a hot key over salts") {
+    // 10k rows of one pathological key + a sprinkle of normal keys.
+    val fact = spark.range(10000).selectExpr("CAST(id % 10 = 0 AS INT) * 0 + 1 AS k", "id AS v")
+      .union(spark.range(100).selectExpr("CAST(2 + id % 5 AS INT) AS k", "id AS v"))
+    val dim = Seq((1, "hot"), (2, "a"), (3, "b"), (4, "c"), (5, "d"), (6, "e")).toDF("k", "name")
+
+    val plain = fact.join(dim, Seq("k")).groupBy("k", "name").count()
+    val salted = EtlOps.saltedJoin(fact, dim, "k", saltFactor = 8).groupBy("k", "name").count()
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    // The hot key must actually occupy multiple salt sub-keys.
+    val saltSpread = fact
+      .withColumn("__salt", pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .filter(col("k") === 1)
+      .select("__salt")
+      .distinct()
+      .count()
+    assert(saltSpread > 4, s"hot key spread over only $saltSpread salts")
+  }
 }
