@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{FixedWidthText, StagingSink}
+import graft.sources.{FixedWidthText, StagingSink, TypedFiles}
 
 class SourcesSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
@@ -39,6 +39,32 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(rows(0).getLong(0) == 23583L && rows(0).getDouble(3) == -3.5)
     assert(rows(2).isNullAt(3), "unparseable numeric field must coerce to NULL, not fail the job")
     assert(rows(2).getString(4) == "Nome")
+  }
+
+  test("TypedFiles: explicit-schema csv/json with corrupt-record quarantine") {
+    val dir = Files.createTempDirectory("typed").toString
+    Files.writeString(
+      java.nio.file.Paths.get(dir, "data.csv"),
+      "id,score\n1,0.5\n2,0.75\nnot_a_number,xyz\n3,1.25\n"
+    )
+    val schema = StructType(
+      Seq(StructField("id", LongType), StructField("score", DoubleType))
+    )
+    val (good, bad) = TypedFiles.csv(spark, s"$dir/data.csv", schema)
+    assert(good.count() == 3 && bad.count() == 1)
+    assert(good.schema.map(_.dataType) == Seq(LongType, DoubleType))
+    assert(bad.head().getString(0).startsWith("not_a_number"))
+
+    val jdir = Files.createTempDirectory("typedj").toString
+    Files.writeString(
+      java.nio.file.Paths.get(jdir, "data.jsonl"),
+      """{"id": 1, "score": 0.5}
+        |{"id": "oops"}
+        |{"id": 3, "score": 1.5}
+        |""".stripMargin
+    )
+    val (jgood, jbad) = TypedFiles.json(spark, s"$jdir/data.jsonl", schema)
+    assert(jgood.count() == 2 && jbad.count() == 1)
   }
 
   test("StagingSink append is idempotent on the business key and stamps the audit column") {
