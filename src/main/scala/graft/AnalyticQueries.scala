@@ -127,6 +127,29 @@ object AnalyticQueries {
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
     ),
 
+    // Group-wise exact quantiles (dashboard latency/value percentiles).
+    // Spark's `percentile` is the exact sort-based form with linear
+    // interpolation — the same definition as DuckDB's quantile_cont, so the
+    // oracle hash-matches. At 100 TB swap for approx_percentile (t-digest)
+    // and drop the oracle to a tolerance check; the plan shape is identical.
+    Q(
+      "q_group_quantiles",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"),
+            count(lit(1)).as("n")
+          )
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  quantile_cont(value, 0.5) AS p50,
+             |  quantile_cont(value, 0.95) AS p95,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // Q8 shape: per-year revenue share of one region (two-level aggregate).
     // Same pre-aggregation shape as q_revenue_by_nation: revenue collapses
     // to one decimal per order before the join, and the region condition

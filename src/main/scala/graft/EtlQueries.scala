@@ -300,6 +300,21 @@ object EtlQueries {
       Some("""SELECT event_id, user_id, event_type, value FROM events""")
     ),
 
+    // 19b. Deterministic hash sampling: keep rows whose key's md5 prefix
+    //      falls under a threshold (~5.1%) — reproducible across engines,
+    //      retries, and partitionings (unlike rand()-based sampling), and
+    //      consistent per key so joins of two sampled tables still align.
+    Q(
+      "q_deterministic_sample",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(md5(concat(col("l_orderkey").cast("string"), lit("_"), col("l_linenumber").cast("string"))) < "0d")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)) < '0d'""".stripMargin)
+    ),
+
     // 19. Semi-structured props parsing (the scraped-page JSON analogue).
     Q(
       "q_json_extract",

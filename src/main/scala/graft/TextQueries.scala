@@ -93,6 +93,39 @@ object TextQueries {
       }
     ),
 
+    // PII redaction: email/phone patterns replaced with typed placeholder
+    // tokens — the standard pre-training scrub. Pure codegen'd
+    // regexp_replace (single pass per pattern); patterns chosen within the
+    // RE2 ∩ java.util.regex dialect so the DuckDB oracle runs identically.
+    // A synthetic contact line is appended so the redaction provably fires.
+    Q(
+      "q_redact_pii",
+      (s, d) => {
+        val withPii = concat(
+          col("text"),
+          lit(" contact: user"),
+          col("doc_id"),
+          lit("@example.com or 555-867-530"),
+          (col("doc_id") % 10).cast("string")
+        )
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        documents(s, d).select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(withPii, email, "<EMAIL>"), phone, "<PHONE>")
+            .as("redacted")
+        )
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-867-530'
+             |           || CAST(doc_id % 10 AS VARCHAR),
+             |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM documents""".stripMargin)
+    ),
+
     // Rolling-hash fingerprint (portable integer fold mod 1e9+7).
     Q(
       "q_doc_fingerprint",
