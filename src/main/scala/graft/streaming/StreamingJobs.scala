@@ -94,6 +94,38 @@ object StreamingJobs {
     out.result().iterator
   }
 
+  /** The reference's staging→main load as a streaming job: each micro-batch
+    * lands in staging and merges into main with audit timestamp +
+    * business-key idempotency (`StagingSink.mergeToMain`). With
+    * `Trigger.AvailableNow` this is the incremental-batch deployment shape
+    * (run on a schedule, process only new files, stop); as a continuous
+    * query it is the always-on shape — the code is identical. The
+    * checkpoint gives exactly-once file tracking, and the key anti-join
+    * makes replayed batches no-ops, so end-to-end the load is idempotent
+    * even across checkpoint loss.
+    */
+  def stagedLoad(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stagingPath: String,
+      mainPath: String,
+      keyCols: Seq[String],
+      checkpoint: String,
+      clock: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.StagingSink.stage(batch, stagingPath)
+        graft.sources.StagingSink.mergeToMain(batch.sparkSession, stagingPath, mainPath, keyCols, clock)
+      }
+      .start()
+
   /** Gap-based sessionization with explicit per-user state. */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
     implicit val stateEnc = Encoders.product[OpenSession]

@@ -39,6 +39,44 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       again.sortBy(f => (f.doc_id, f.frame_idx)).map(_.features.toSeq).toSeq)
   }
 
+  test("streaming staged load: micro-batches merge into main incrementally and idempotently") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("sload").toString
+    val src = s"$base/src"; val staging = s"$base/staging"
+    val main = s"$base/main"; val ckpt = s"$base/ckpt"
+    val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+
+    val batch1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    batch1.write.parquet(src)
+    val schema = batch1.schema
+
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingJobs
+        .stagedLoad(spark, src, schema, staging, main, Seq("id"), ckpt, clock)
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(spark.read.parquet(main).count() == 2)
+
+    // No new files: AvailableNow with the same checkpoint is a no-op.
+    runOnce()
+    assert(spark.read.parquet(main).count() == 2)
+
+    // A new file overlapping on key 2: only key 3 lands.
+    Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v").write.mode("append").parquet(src)
+    runOnce()
+    val out = spark.read.parquet(main)
+    assert(out.count() == 3)
+    assert(out.columns.contains("date_added_utc"))
+
+    // Checkpoint loss: the whole source replays, but the key anti-join
+    // still makes it a no-op — idempotent end-to-end.
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    runOnce()
+    assert(spark.read.parquet(main).count() == 3)
+  }
+
   test("stateful sessionize matches the window-based batch formulation") {
     val evs = Tables
       .events(spark, sfDir)
