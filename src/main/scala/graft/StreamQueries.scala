@@ -53,6 +53,37 @@ object StreamQueries {
              |FROM events GROUP BY 1, 2""".stripMargin)
     ),
 
+    // Streaming stateful dedup: dropDuplicates over a keyed stream keeps
+    // the first arrival per key in the state store (state is O(distinct
+    // keys); with a watermark the store evicts — the unbounded-stream
+    // deployment adds dropDuplicatesWithinWatermark). Only the key columns
+    // are emitted: WHICH row wins per key is arrival-order-dependent in a
+    // distributed stream, but the key SET is deterministic — exactly what
+    // the DuckDB oracle checks.
+    Q(
+      "q_stream_dedup",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = "sdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events""")
+    ),
+
     Q(
       "q_stream_sessionize",
       (s, d) => {
