@@ -88,8 +88,10 @@ object SimilarityQueries {
     // The 8-byte sig rides along with the band explosion, so the hamming
     // cut applies inside the band join (before any distinct): hot band
     // buckets stream through the verify instead of materializing an
-    // unfiltered candidate pair set. Pigeonhole: hamming ≤ 6 over 8 bands
-    // guarantees ≥ 1 shared byte-band, so coverage is exact. The merge
+    // unfiltered candidate pair set. Pigeonhole: hamming ≤ 7 over 8 bands
+    // guarantees ≥ 1 shared byte-band, so coverage is exact (7 is the
+    // loosest threshold byte-banding covers; DedupRecallSpec tracks the
+    // planted-dup recall this yields on 15%-truncation edits). The merge
     // hints force a sort-merge self-join with identical shuffle subtrees,
     // so ReuseExchange computes the sketch+explode once (3.4s -> 1.4s at
     // sf0.1 vs the broadcast self-join that rebuilt it per side).
@@ -107,7 +109,7 @@ object SimilarityQueries {
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_hash") === col("b.band_hash") &&
               col("a.doc_id") < col("b.doc_id") &&
-              hammingPacked(col("a.sig"), col("b.sig")) <= 6
+              hammingPacked(col("a.sig"), col("b.sig")) <= 7
           )
           .select(
             col("a.doc_id").as("doc_a"),
@@ -191,14 +193,22 @@ object SimilarityQueries {
     ),
 
     // Sign-LSH ANN (the scale path): bucket on 6 seeded hyperplane signs,
-    // rank within bucket only. Candidate set is bucket-bounded.
+    // rank within probed buckets only. Multi-probe: each query also probes
+    // the 6 buckets at hamming distance 1 from its own (a near neighbor on
+    // the far side of one hyperplane lands exactly there) — 7/64 of the
+    // corpus per query instead of a full scan, with recall close to exact.
     Q(
       "q_ann_lsh",
       (s, d) => {
         val planes = hyperplanes(6, 64)
         val e = embeddings(s, d).withColumn("bucket", lshBucket(col("embedding"), planes))
+        val probes = array((lit(0) +: (0 until 6).map(b => lit(1L << b))): _*)
         val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+          .select(
+            col("vec_id").as("query_id"),
+            col("embedding").as("qv"),
+            explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket")
+          )
         val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
         val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
         broadcast(q)
@@ -216,7 +226,7 @@ object SimilarityQueries {
     // 16 vectors act as trained centroids (the driver-side "train" step real
     // IVF has; O(centroids), never O(data)) — assigns every vector to its
     // best cell by cosine (compiled kernel per centroid, codegen). Queries
-    // probe their top-2 cells and rank exactly within the probed cells only:
+    // probe their top-4 cells and rank exactly within the probed cells only:
     // the candidate set is cell-bounded, no full scan per query.
     Q(
       "q_ann_ivf",
@@ -240,7 +250,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
           .select(col("query_id"), col("qv"), posexplode(cosArr(col("qv"))).as(Seq("cell", "qcos")))
           .withColumn("pr", row_number().over(wProbe))
-          .filter(col("pr") <= 2)
+          .filter(col("pr") <= 4)
           .select("query_id", "qv", "cell")
         val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
         broadcast(probes)

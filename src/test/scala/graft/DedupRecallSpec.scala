@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground-truth recall for the near-dup operators: every corpus plants one
+  * near-duplicate per document (an 85%-truncated copy at doc_id + 1e6), so
+  * the pair (d, d+1e6) is a known positive. These specs assert each
+  * operator recovers a healthy fraction of them — an operator can return
+  * plausible-looking rows and still be broken (wrong banding, dead verify
+  * threshold); row counts alone would not catch that.
+  */
+class DedupRecallSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def plantedRecall(name: String): Double = {
+    val out = QueryRegistry.queries(name)(spark, sfDir)
+    val cols = out.columns.take(2)
+    val pairs = out
+      .select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+      .filter(col("b") === col("a") + 1000000L)
+      .count()
+    val total = Tables.documents(spark, sfDir).count()
+    pairs.toDouble / total
+  }
+
+  test("minhash LSH recovers most planted near-duplicates") {
+    val r = plantedRecall("q_dedup_minhash")
+    assert(r > 0.8, s"minhash planted recall $r")
+  }
+
+  test("simhash banding recovers planted near-duplicates within its edit budget") {
+    // A 15%-truncation is a HEAVY edit for simhash (its sweet spot is
+    // boilerplate-level change; minhash owns set-overlap edits — by design
+    // the two sketches cover different edit regimes). Hamming <= 7 is the
+    // loosest threshold 8-byte-banding covers exactly; the floor here
+    // tracks that regime honestly rather than pretending simhash matches
+    // minhash on aggressive edits.
+    val r = plantedRecall("q_dedup_simhash")
+    assert(r > 0.65, s"simhash planted recall $r")
+  }
+
+  test("ngram-jaccard inverted index recovers most planted near-duplicates") {
+    val r = plantedRecall("q_ngram_jaccard")
+    assert(r > 0.8, s"ngram-jaccard planted recall $r")
+  }
+
+  test("embedding LSH dedup recovers most planted perturbed copies") {
+    val out = QueryRegistry.queries("q_dedup_embedding")(spark, sfDir)
+    val planted = out.filter(col("vec_b") === col("vec_a") + 1000000L).count()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(planted.toDouble / total > 0.8, s"embedding planted recall ${planted.toDouble / total}")
+  }
+
+  test("ANN top-1 quality ratio vs brute force stays high for every query") {
+    // The synthetic embeddings are near-uniform (median true top-1 cosine
+    // ~0.36, per-hyperplane agreement ~0.61): on that geometry NO
+    // sub-linear ANN finds the identical top-1 reliably — that is the
+    // curse of dimensionality, not an implementation property. The honest
+    // ANN metric is the quality ratio: the approximate top-1 must be a
+    // genuinely comparable neighbor, on every single query, from a
+    // bucket/cell-bounded candidate set.
+    def top1cos(name: String): Map[Long, Double] =
+      QueryRegistry
+        .queries(name)(spark, sfDir)
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cos_sim"))
+        .as[(Long, Double)]
+        .collect()
+        .toMap
+    val exact = top1cos("q_embed_cosine_knn")
+    assert(exact.size == 10)
+    for (ann <- Seq("q_ann_lsh", "q_ann_ivf")) {
+      val approx = top1cos(ann)
+      assert(approx.size == 10, s"$ann must return a top-1 for every query")
+      val ratios = exact.map { case (q, c) => approx(q) / c }
+      assert(ratios.forall(_ > 0.6), s"$ann worst quality ratio ${ratios.min}")
+      assert(ratios.sum / ratios.size > 0.8, s"$ann mean quality ratio ${ratios.sum / ratios.size}")
+    }
+  }
+}
