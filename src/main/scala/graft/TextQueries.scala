@@ -93,6 +93,42 @@ object TextQueries {
       }
     ),
 
+    // TF-IDF top terms per document (search/feature-extraction staple).
+    // Two partial-agg'd shuffles (doc×term, then term) + a shuffle join on
+    // term; N is a driver-side scalar (O(1) result, not a data loop). ln()
+    // is IEEE-identical across engines, and ties rank deterministically by
+    // term, so the oracle hash-matches the doubles.
+    Q(
+      "q_tfidf_top_terms",
+      (s, d) => {
+        val docs = documents(s, d)
+        val n = docs.count()
+        val terms = docs.select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(df, "term")
+          .select(col("doc_id"), col("term"), (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "term", "tfidf", "rn")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents)
+             |SELECT doc_id, term, tfidf, rn FROM (
+             |  SELECT tf.doc_id, tf.term,
+             |    tf.tf * ln((SELECT n FROM n) / (1.0 * df.df)) AS tfidf,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf * ln((SELECT n FROM n) / (1.0 * df.df)) DESC, tf.term) AS rn
+             |  FROM tf JOIN df USING (term)) x
+             |WHERE rn <= 3""".stripMargin)
+    ),
+
     // PII redaction: email/phone patterns replaced with typed placeholder
     // tokens — the standard pre-training scrub. Pure codegen'd
     // regexp_replace (single pass per pattern); patterns chosen within the
