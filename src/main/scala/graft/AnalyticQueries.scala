@@ -127,6 +127,59 @@ object AnalyticQueries {
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
     ),
 
+    // Time-based sliding-window average: each event vs the trailing hour of
+    // its user's events — a RANGE frame over event time (not ROWS), the
+    // window type sensor rollups and rate limiters need. The accumulator
+    // is exact decimal so the average is independent of evaluation
+    // strategy (DuckDB evaluates moving frames via segment trees; floats
+    // would drift in the low bits).
+    Q(
+      "q_sliding_window_avg",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("trailing_sum", sum(col("value").cast("decimal(25,10)")).over(w))
+          .withColumn("trailing_n", count(lit(1)).over(w))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("ts"),
+            (col("trailing_sum").cast("double") / col("trailing_n")).as("trailing_avg_1h"),
+            col("trailing_n")
+          )
+      },
+      Some("""SELECT event_id, user_id, ts,
+             |  CAST(SUM(CAST(value AS DECIMAL(25,10))) OVER w AS DOUBLE) / COUNT(*) OVER w AS trailing_avg_1h,
+             |  COUNT(*) OVER w AS trailing_n
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)
+    ),
+
+    // Referential-integrity audit: count of fact rows whose dimension key
+    // has no match (the data-quality side of the reference's bad-row
+    // policy), as a one-row summary (0 orphans on intact data IS the
+    // result). Left-anti join — the orders side prunes to its key column,
+    // no payload shuffles; the 1x1 cross join just glues the two scalars.
+    Q(
+      "q_anti_join_orphans",
+      (s, d) => {
+        val orphans = lineitem(s, d)
+          .join(orders(s, d).select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val total = lineitem(s, d).agg(count(lit(1)).as("n_lines"))
+        orphans.crossJoin(total)
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM lineitem
+             |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans,
+             |  (SELECT COUNT(*) FROM lineitem) AS n_lines""".stripMargin)
+    ),
+
     // Group-wise exact quantiles (dashboard latency/value percentiles).
     // Spark's `percentile` is the exact sort-based form with linear
     // interpolation — the same definition as DuckDB's quantile_cont, so the
