@@ -4,12 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // The engine's tuned session (AQE, UTC, broadcast threshold, bloom
+    // pruning, GraftExtensions) IS the measured artifact.
+    val spark = Engine.session(s"local[$cpus]", cpus.toInt)
     // Warm up session machinery (codegen compiler, shuffle system, parquet
     // footer reader) so the alphabetically-first query doesn't absorb ~5s of
     // one-time JVM init into its measurement.

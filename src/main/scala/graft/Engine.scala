@@ -22,6 +22,10 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
+      // Runtime bloom-filter join pruning: the selective side of a shuffle
+      // join broadcasts a bloom of its keys so the big side's scan drops
+      // non-matching rows before the shuffle — a fact-table win at scale.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
