@@ -128,6 +128,22 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("markerCounts matches split+lowercase+set-membership counting") {
+    val sets = Seq(Seq("the", "a", "of"), Seq("der", "und"), Seq("xyzzy"))
+    val jsets = sets.map { ms =>
+      val h = new java.util.HashSet[UTF8String]()
+      ms.foreach(m => h.add(UTF8String.fromString(m)))
+      h
+    }.toArray
+    val mixedCase = textGen.map(s => s.zipWithIndex.map { case (c, i) => if (i % 2 == 0) c.toUpper else c }.mkString)
+    for (s <- samples(Gen.oneOf(textGen, mixedCase, Gen.const("The A of DER und the")), 300)) {
+      val got = SketchImpl.markerCounts(UTF8String.fromString(s), jsets)
+      val toks = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val want = sets.map(ms => toks.count(ms.contains))
+      assert((0 until got.numElements()).map(got.getInt) == want, s"text=$s")
+    }
+  }
+
   test("float and double element paths agree") {
     for (v <- samples(Gen.listOfN(16, Gen.choose(-8f, 8f)), 200)) {
       val f = ArrayData.toArrayData(v.toArray)
