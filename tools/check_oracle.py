@@ -40,8 +40,9 @@ def main(sfdir, outdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        pdir = f"{outdir}/{name}"
-        files = glob.glob(f"{pdir}/*.parquet")
+        # Verify writes a <name>.parquet directory (driver contract); accept
+        # the older extension-less layout too.
+        files = glob.glob(f"{outdir}/{name}.parquet/*.parquet") or glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
@@ -67,7 +68,7 @@ def main(sfdir, outdir):
             n_fail += 1
     # queries with no oracle: rows-only
     for pdir in sorted(glob.glob(f"{outdir}/q_*")):
-        name = os.path.basename(pdir)
+        name = os.path.basename(pdir).removesuffix(".parquet")
         if name not in oracle:
             files = glob.glob(f"{pdir}/*.parquet")
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
