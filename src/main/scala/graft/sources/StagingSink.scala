@@ -40,7 +40,8 @@ object StagingSink {
       stagingPath: String,
       mainPath: String,
       keyCols: Seq[String],
-      clock: Column = current_timestamp()
+      clock: Column = current_timestamp(),
+      partitionCols: Seq[String] = Nil
   ): Unit = {
     val staged = spark.read.parquet(stagingPath)
     val fresh =
@@ -48,6 +49,12 @@ object StagingSink {
         val mainKeys = spark.read.parquet(mainPath).select(keyCols.map(col).toIndexedSeq: _*)
         staged.join(mainKeys, keyCols, "left_anti")
       } else staged
-    fresh.withColumn("date_added_utc", clock).write.mode("append").parquet(mainPath)
+    val writer = fresh.withColumn("date_added_utc", clock).write.mode("append")
+    // Hive-style partitioning of main: this is the 100 TB layout that turns
+    // watermark predicates into partition pruning (whole date directories
+    // skipped at planning time — see SURVEY §5 and SourcesSpec's pruning
+    // assertion) and bounds the idempotency anti-join to recent partitions.
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(mainPath)
   }
 }

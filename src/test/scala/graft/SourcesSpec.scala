@@ -67,6 +67,38 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(jgood.count() == 2 && jbad.count() == 1)
   }
 
+  test("partitioned main: watermark predicates prune whole date partitions at planning time") {
+    val base = Files.createTempDirectory("part").toString
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+    val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+    val batch = Seq(
+      (1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+      (3L, "2024-01-02", 3.0), (4L, "2024-01-03", 4.0)
+    ).toDF("id", "dt", "v")
+    StagingSink.stage(batch, staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), clock, partitionCols = Seq("dt"))
+
+    // Hive layout on disk: one directory per date.
+    val dirs = new java.io.File(main).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("dt=2024-01-01", "dt=2024-01-02", "dt=2024-01-03"))
+
+    // The watermark-shaped predicate must land in PartitionFilters (pruned
+    // at planning time), NOT in PushedFilters/row-level data filters.
+    val q = spark.read.parquet(main).filter(col("dt") > "2024-01-01")
+    val scan = q.queryExecution.executedPlan
+      .collectWithSubqueries { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .head
+    assert(scan.metadata("PartitionFilters").contains("dt"), scan.metadata("PartitionFilters"))
+    assert(q.count() == 2)
+    // Empirical pruning proof: the scan's numFiles metric (files actually
+    // read) must be smaller than the files on disk across all partitions.
+    val allFiles = new java.io.File(main).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < allFiles, s"read $readFiles of $allFiles files — no pruning happened")
+  }
+
   test("StagingSink append is idempotent on the business key and stamps the audit column") {
     val base = Files.createTempDirectory("sink").toString
     val staging = s"$base/staging"
