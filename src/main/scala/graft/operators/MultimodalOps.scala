@@ -71,6 +71,32 @@ object MultimodalOps {
     */
   def frameCount(nBytes: Long): Int = (1L + nBytes / 256L).min(24L).toInt
 
+  /** Nearest-neighbor resize of a row-major grayscale buffer — real image
+    * math (only the pixels' provenance is stubbed). Training pipelines
+    * normalize frames to a fixed geometry before feature extraction; this
+    * is that step.
+    */
+  def resize(
+      px: Array[Byte],
+      w: Int,
+      h: Int,
+      targetW: Int,
+      targetH: Int
+  ): Array[Byte] = {
+    val out = new Array[Byte](targetW * targetH)
+    var y = 0
+    while (y < targetH) {
+      val sy = y * h / targetH
+      var x = 0
+      while (x < targetW) {
+        out(y * targetW + x) = px(sy * w + x * w / targetW)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** 16-bin normalized byte histogram — the stand-in feature extractor
     * (real pipelines put an embedding model here; the batch shape is the
     * same: bytes in, fixed-width vector out).
@@ -89,17 +115,25 @@ object MultimodalOps {
     bins
   }
 
-  /** Decode every `frameStride`-th frame of each document and extract
-    * features. One pass, partition-preserving (narrow), executor-only.
+  /** Decode every `frameStride`-th frame of each document, resize to a
+    * fixed geometry, and extract features. One pass, partition-preserving
+    * (narrow), executor-only. `targetSize <= 0` skips the resize.
     */
-  def decodeFrames(media: Dataset[MediaDoc], frameStride: Int = 1): Dataset[FrameFeatures] = {
+  def decodeFrames(
+      media: Dataset[MediaDoc],
+      frameStride: Int = 1,
+      targetSize: Int = 32
+  ): Dataset[FrameFeatures] = {
     implicit val enc = Encoders.product[FrameFeatures]
     media.mapPartitions { docs =>
       // Per-partition setup would open the real codec context here.
       docs.flatMap { doc =>
         (0 until frameCount(doc.n_bytes) by frameStride).iterator.map { fi =>
           val (w, h, px) = decodeStub(doc.media, fi)
-          FrameFeatures(doc.doc_id, fi, w, h, featureHistogram(px))
+          val (ow, oh, opx) =
+            if (targetSize > 0) (targetSize, targetSize, resize(px, w, h, targetSize, targetSize))
+            else (w, h, px)
+          FrameFeatures(doc.doc_id, fi, ow, oh, featureHistogram(opx))
         }
       }
     }

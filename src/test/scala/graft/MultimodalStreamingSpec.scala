@@ -30,6 +30,7 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       .sum
     val out = frames.collect()
     assert(out.length == expected, "frame cardinality must be exact (stride 2)")
+    assert(out.forall(f => f.width == 32 && f.height == 32), "frames must be resized to the target geometry")
     assert(out.forall(f => f.features.length == 16))
     assert(out.forall(f => math.abs(f.features.sum - 1.0) < 1e-9), "histogram must be normalized")
 
@@ -75,6 +76,16 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     runOnce()
     assert(spark.read.parquet(main).count() == 3)
+  }
+
+  test("resize preserves constant images and is exact on integer scale factors") {
+    val flat = Array.fill(24 * 24)(7.toByte)
+    val r = MultimodalOps.resize(flat, 24, 24, 32, 32)
+    assert(r.length == 32 * 32 && r.forall(_ == 7.toByte))
+    // 2x2 checkerboard upscaled 2x: each source pixel becomes a 2x2 block.
+    val checker = Array[Byte](0, 1, 1, 0)
+    val up = MultimodalOps.resize(checker, 2, 2, 4, 4)
+    assert(up.toSeq == Seq[Byte](0, 0, 1, 1, 0, 0, 1, 1, 1, 1, 0, 0, 1, 1, 0, 0))
   }
 
   test("stateful sessionize matches the window-based batch formulation") {
