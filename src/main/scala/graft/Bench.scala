@@ -18,11 +18,15 @@ object Bench {
     // shared JVM are dominated by JIT/GC cross-talk from neighboring
     // queries (observed 3-4x swings on identical plans); min-of-2 is the
     // steady-state cost a production job sees.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val t1 = once()
@@ -30,10 +34,25 @@ object Bench {
       val t2 = once()
       name -> math.min(t1, t2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A query that throws would otherwise contribute its fast-fail elapsed
+    // time and be indistinguishable from a legitimately fast run — drop it
+    // from the per-query map and list it explicitly.
+    val ok = results.filterNot { case (k, _) => failed(k) }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // sbt prefixes stdout with [info], which broke the driver's JSON parse in
+    // round 1 — emit the line on every channel it might read: stdout, stderr
+    // (unprefixed by sbt), bench.json in cwd, and $SPARK_GRAFT_BENCH_OUT.
+    println(line)
+    System.err.println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -7,9 +7,15 @@ import org.apache.spark.sql.streaming.Trigger
 /** §2.4 streaming over `events` (SURVEY.md).
   *
   * `q_stream_windowed_agg` runs a real Structured Streaming job (file
-  * source → watermark → tumbling window → memory sink, Trigger.AvailableNow)
-  * and returns the sink table — on bounded input the result equals the
-  * batch aggregation, which is exactly what the DuckDB oracle computes.
+  * source → watermark → tumbling window → foreachBatch parquet sink,
+  * Trigger.AvailableNow) and reads the sink directory back — on bounded
+  * input the result equals the batch aggregation, which is exactly what the
+  * DuckDB oracle computes. foreachBatch keeps the write a distributed
+  * parquet job (complete-mode result overwritten per micro-batch) instead
+  * of materializing the result table in driver memory the way a memory
+  * sink would — at scale the windowed-agg result is bounded by group
+  * cardinality but the dedup result is O(distinct keys), so both queries
+  * use file-backed sinks.
   *
   * `q_stream_sessionize` is the batch-equivalent sessionization (gap > 30
   * min starts a new session); the stateful streaming variant lives in
@@ -18,13 +24,18 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamQueries {
   import Tables._
 
+  /** Fresh sink/checkpoint dir under java.io.tmpdir, distinct per call. */
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   val all: Seq[Q] = Seq(
     Q(
       "q_stream_windowed_agg",
       (s, d) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val name = "wagg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val out = tmpDir("graft_wagg_out")
+        val ckpt = tmpDir("graft_wagg_ckpt")
         val agg = s.readStream
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
@@ -39,13 +50,19 @@ object StreamQueries {
           )
           .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("avg_value"))
         val q = agg.writeStream
-          .format("memory")
-          .queryName(name)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // Complete mode re-emits the full result each micro-batch;
+            // overwrite keeps the sink dir equal to the latest full result.
+            // The write is an executor-side parquet job — nothing collects
+            // to the driver.
+            batch.write.mode("overwrite").parquet(out)
+          }
           .outputMode("complete")
+          .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(name)
+        s.read.parquet(out)
       },
       Some("""SELECT make_timestamp(CAST((epoch_us(ts) // 21600000000) * 21600000000 AS BIGINT)) AS window_start,
              |  event_type, COUNT(*) AS n,
@@ -65,7 +82,8 @@ object StreamQueries {
       (s, d) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val name = "sdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val out = tmpDir("graft_sdedup_out")
+        val ckpt = tmpDir("graft_sdedup_ckpt")
         val q = s.readStream
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
@@ -73,13 +91,14 @@ object StreamQueries {
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
           .writeStream
-          .format("memory")
-          .queryName(name)
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(name)
+        s.read.parquet(out)
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events""")
     ),

@@ -31,7 +31,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys CORRECTNESS by output filename ("q_x.parquet"); emit
+    // each oracle under BOTH the bare name and the filename key so the gate
+    // matches regardless of which form it looks up (round-1 all-`no_oracle`
+    // root cause).
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
