@@ -80,7 +80,11 @@ object EtlQueries {
     Q(
       "q_incremental_watermark",
       (s, d) => {
-        val wmNanos = java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime * 1000000L
+        // Timezone-independent: Timestamp.valueOf parses in the JVM default
+        // zone, which would shift the watermark on a non-UTC host while the
+        // DuckDB oracle stays naive-UTC.
+        val wmNanos = java.time.LocalDateTime.of(2024, 1, 20, 0, 0)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
         eventsRaw(s, d)
           .filter(col("ts") > wmNanos)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -123,41 +123,40 @@ object SimilarityQueries {
     ),
 
     // n-gram Jaccard via inverted index: explode hashed shingles (long keys
-    // shuffle far cheaper than strings), drop hot shingles (df cap bounds
-    // the worst key at scale), count co-occurrences per pair.
-    //
-    // Shuffle economy: each doc's set size rides along the explode as a
-    // plain `size(array)` column (no aggregation, no join-back), document
-    // frequency is a count-over-window on `sh` whose hash-partitioning the
-    // self-join immediately reuses (exchange reuse — no second shuffle),
-    // and the pair groupBy carries (na, nb) in its key. 2 shuffles total
-    // vs 6 for the naive df-join/size-join formulation. Jaccard is over
-    // the FULL shingle sets; the df cap only bounds candidate generation.
+    // shuffle far cheaper than strings), drop hot shingles from the INDEX
+    // ONLY (df cap bounds the worst bucket at scale — the honest
+    // approximation is that a pair sharing nothing but high-df boilerplate
+    // shingles is never generated as a candidate), then join the distinct
+    // candidate pairs back to the full shingle arrays and score EXACT
+    // Jaccard over the full sets — same verify shape as q_dedup_minhash,
+    // so the df cap cannot bias the reported similarity, only recall of
+    // boilerplate-only pairs. Document frequency is a count-over-window on
+    // the shingle key whose hash-partitioning the self-join immediately
+    // reuses (exchange reuse — no second shuffle).
     Q(
       "q_ngram_jaccard",
       (s, d) => {
-        val w = Window.partitionBy(col("sh"))
-        val sh = corpusWithDups(s, d)
-          .select(col("doc_id"), hashedShingles(col("text")).as("sh_arr"))
-          .select(col("doc_id"), size(col("sh_arr")).as("n_sh"), explode(col("sh_arr")).as("sh"))
+        val withSh = corpusWithDups(s, d)
+          .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+        val w = Window.partitionBy(col("sh_key"))
+        val idx = withSh
+          .select(col("doc_id"), explode(col("sh")).as("sh_key"))
           .withColumn("df", count(lit(1)).over(w))
           .filter(col("df") <= 50)
-          .select("doc_id", "n_sh", "sh")
-        sh.as("a")
+          .select("doc_id", "sh_key")
+        val cand = idx
+          .as("a")
           .hint("merge")
-          .join(sh.as("b").hint("merge"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(
-            col("a.doc_id").as("doc_a"),
-            col("b.doc_id").as("doc_b"),
-            col("a.n_sh").as("na"),
-            col("b.n_sh").as("nb")
+          .join(
+            idx.as("b").hint("merge"),
+            col("a.sh_key") === col("b.sh_key") && col("a.doc_id") < col("b.doc_id")
           )
-          .agg(count(lit(1)).as("common"))
-          .select(
-            col("doc_a"),
-            col("doc_b"),
-            (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard")
-          )
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(withSh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(withSh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.4)
           .orderBy(col("doc_a"), col("doc_b"))
       },

@@ -95,14 +95,16 @@ object TextQueries {
 
     // TF-IDF top terms per document (search/feature-extraction staple).
     // Two partial-agg'd shuffles (doc×term, then term) + a shuffle join on
-    // term; N is a driver-side scalar (O(1) result, not a data loop). ln()
-    // is IEEE-identical across engines, and ties rank deterministically by
-    // term, so the oracle hash-matches the doubles.
+    // term; N enters as a 1-row aggregate broadcast-cross-joined into the
+    // plan (single Spark job — an eager docs.count() would run a separate
+    // job per invocation). ln() is IEEE-identical across engines, and ties
+    // rank deterministically by term, so the oracle hash-matches the
+    // doubles.
     Q(
       "q_tfidf_top_terms",
       (s, d) => {
         val docs = documents(s, d)
-        val n = docs.count()
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val terms = docs.select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -110,7 +112,8 @@ object TextQueries {
           .partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("term"))
         tf.join(df, "term")
-          .select(col("doc_id"), col("term"), (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"), (col("tf") * log(col("n_docs") / col("df"))).as("tfidf"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select("doc_id", "term", "tfidf", "rn")

@@ -192,9 +192,17 @@ object SketchImpl {
 
   /** Cosine similarity, double accumulation in element order — the same fold
     * the DuckDB oracle applies, so hashes match bit-for-bit.
+    *
+    * Dimension mismatch fails loudly: silently truncating to the shorter
+    * array would return a plausible-but-wrong similarity. Zero-norm (e.g.
+    * empty or all-zero) input yields NaN (0/0), matching DuckDB's
+    * list_cosine_similarity.
     */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine: dimension mismatch (${n} vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -6,7 +6,7 @@ Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/vout
 Reads each <name>.parquet produced by graft.Verify, runs the matching oracle
 SQL from oracle_sql.json in DuckDB over the same testdata parquet tables, and
 compares: row count, sorted column names, and a hash of all values (rows
-sorted, columns sorted by name, floats rounded to 9 significant-ish decimals).
+sorted, columns sorted by name, floats rounded to 6 absolute decimals).
 """
 import sys, os, json, glob, hashlib
 import duckdb
