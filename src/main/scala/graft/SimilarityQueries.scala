@@ -49,6 +49,49 @@ object SimilarityQueries {
       .distinct()
   }
 
+  /** Spherical k-means coarse quantizer for IVF: a few Lloyd iterations run
+    * as Spark jobs. Seeded deterministically from the first k vectors; each
+    * iteration assigns every vector to its best centroid by cosine
+    * (compiled kernel per centroid, codegen) and recomputes each centroid
+    * as the per-cell mean of unit-normalized vectors — the spherical mean
+    * direction; cosine is scale-invariant so renormalizing before the next
+    * assignment is unnecessary. Driver state stays O(k × dim) doubles per
+    * iteration (never O(data)); the per-iteration update shuffles n × dim
+    * (cell, pos, x) rows with map-side partial aggregation, combining to
+    * ≤ k × dim rows per partition before the exchange. Cells that lose all
+    * members keep their previous centroid.
+    */
+  private[graft] def trainIvfCentroids(
+      e: DataFrame,
+      k: Int = 16,
+      iters: Int = 3
+  ): Array[Seq[Double]] = {
+    var cents: Array[Seq[Double]] = e
+      .filter(col("vec_id") < k)
+      .orderBy("vec_id")
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val cs = cents
+      val cosArr = array(cs.map(c => cosine(col("embedding"), typedLit(c))).toIndexedSeq: _*)
+      val cell = bind(cosArr)(a => (array_position(a, array_max(a)) - 1).cast("int"))
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0d), (acc, x) =>
+        acc + x.cast("double") * x.cast("double")))
+      val updated = e
+        .select(cell.as("cell"), norm.as("nrm"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast("double") / col("nrm")).as("mean_x"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
   val all: Seq[Q] = Seq(
     // Exact dedup: content-hash groupBy, min doc_id is the canonical copy.
     Q(
@@ -221,22 +264,17 @@ object SimilarityQueries {
       None
     ),
 
-    // IVF ANN (the other scale path): a bounded coarse quantizer — the first
-    // 16 vectors act as trained centroids (the driver-side "train" step real
-    // IVF has; O(centroids), never O(data)) — assigns every vector to its
-    // best cell by cosine (compiled kernel per centroid, codegen). Queries
-    // probe their top-4 cells and rank exactly within the probed cells only:
-    // the candidate set is cell-bounded, no full scan per query.
+    // IVF ANN (the other scale path): a spherical-k-means coarse quantizer
+    // (trainIvfCentroids above — Lloyd iterations as Spark jobs, O(centroids)
+    // driver state, never O(data)) assigns every vector to its best cell by
+    // cosine (compiled kernel per centroid, codegen). Queries probe their
+    // top-4 cells and rank exactly within the probed cells only: the
+    // candidate set is cell-bounded, no full scan per query.
     Q(
       "q_ann_ivf",
       (s, d) => {
         val e = embeddings(s, d)
-        val cents: Array[Seq[Double]] = e
-          .filter(col("vec_id") < 16)
-          .orderBy("vec_id")
-          .select("embedding")
-          .collect()
-          .map(_.getSeq[Float](0).map(_.toDouble))
+        val cents = trainIvfCentroids(e, k = 16, iters = 3)
         def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
         def cell(v: Column) =
           bind(cosArr(v))(a => (array_position(a, array_max(a)) - 1).cast("int"))

@@ -70,12 +70,15 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
         .toMap
     val exact = top1cos("q_embed_cosine_knn")
     assert(exact.size == 10)
-    for (ann <- Seq("q_ann_lsh", "q_ann_ivf")) {
+    // IVF's k-means-trained cells carve the sphere better than fixed
+    // hyperplane signs, so its gate is tighter (mean > 0.9) than LSH's.
+    for ((ann, meanFloor) <- Seq("q_ann_lsh" -> 0.8, "q_ann_ivf" -> 0.9)) {
       val approx = top1cos(ann)
       assert(approx.size == 10, s"$ann must return a top-1 for every query")
       val ratios = exact.map { case (q, c) => approx(q) / c }
+      info(s"$ann quality ratios: min=${ratios.min} mean=${ratios.sum / ratios.size}")
       assert(ratios.forall(_ > 0.6), s"$ann worst quality ratio ${ratios.min}")
-      assert(ratios.sum / ratios.size > 0.8, s"$ann mean quality ratio ${ratios.sum / ratios.size}")
+      assert(ratios.sum / ratios.size > meanFloor, s"$ann mean quality ratio ${ratios.sum / ratios.size}")
     }
   }
 }
