@@ -266,6 +266,33 @@ object EtlQueries {
              |FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin)
     ),
 
+    // 16b. CSV round-trip export (reference: notebooks/3_gcf_export.ipynb —
+    //      query results → headered CSV; the reference's only egress
+    //      format). The value WRITTEN and READ BACK through CSV is what the
+    //      oracle checks, so the whole egress surface — header, separator,
+    //      timestamp format, typed read-back — sits inside the gate.
+    Q(
+      "q_csv_export",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_csv_export").toString
+        graft.sources.CsvExport.write(
+          orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .filter(col("o_totalprice") > 200000.0),
+          out,
+          sortCols = Seq("o_orderkey"),
+          singleFile = true
+        )
+        graft.sources.CsvExport.read(
+          s,
+          out,
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+        )
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM orders WHERE o_totalprice > 200000.0""".stripMargin)
+    ),
+
     // 17. Typed schema enforcement (pd.to_numeric / BigQuery SchemaField).
     Q(
       "q_schema_cast",

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** External-warehouse (JDBC) load surface — the reference loads every batch
+  * to BigQuery via a staging table then `INSERT INTO main SELECT *,
+  * CURRENT_TIMESTAMP() AS date_added_utc` with create-if-needed
+  * (reference: airflow/dags/utils/utils.py:44-67 insert_table,
+  * nws_dag.py load task). Re-expressed on Spark's public JDBC source so any
+  * JDBC-speaking warehouse works; the parquet twin of this pattern lives in
+  * [[StagingSink]].
+  *
+  * Scale notes: writes are executor-parallel (one JDBC connection per
+  * partition — `df.repartition(n)` bounds the warehouse's connection
+  * count; `batchsize` controls rows per INSERT round-trip). Reads
+  * parallelize when partitionColumn/lowerBound/upperBound/numPartitions
+  * are set. The idempotency anti-join selects ONLY the key columns from
+  * main, which Spark pushes to the warehouse as a projection — main's
+  * payload columns never cross the wire.
+  */
+object WarehouseSink {
+
+  /** Staging table name for a main table (reference: `{table}_staging`). */
+  def stagingTable(table: String): String = table + "_staging"
+
+  /** Connection health check with timeout — the reference pings its source
+    * and warehouse domains before running a DAG (utils.py:27-42
+    * check_connection with a 5 s timeout). Returns the failure message
+    * rather than throwing so callers can alert-and-skip like the DAG does.
+    */
+  def checkConnection(url: String, props: Properties, timeoutSec: Int = 5): Either[String, Unit] = {
+    DriverManager.setLoginTimeout(timeoutSec)
+    try {
+      val c = DriverManager.getConnection(url, props)
+      try Right(()) finally c.close()
+    } catch {
+      case e: Exception => Left(s"Connection to $url failed: ${e.getMessage}")
+    }
+  }
+
+  /** DAG-level retry policy (the reference's Airflow default_args retries):
+    * run `f`, retrying up to `retries` times with linear backoff.
+    */
+  def withRetries[T](retries: Int, backoffMs: Long = 1000L)(f: () => T): T = {
+    var left = retries
+    while (true) {
+      try return f()
+      catch {
+        case e: Exception if left > 0 =>
+          System.err.println(s"[warehouse] attempt failed (${e.getMessage}); $left retries left")
+          Thread.sleep(backoffMs)
+          left -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Load a batch into the staging table (full overwrite — staging is
+    * transient by contract, exactly like the reference's `_staging` load).
+    */
+  def stage(df: DataFrame, url: String, table: String, props: Properties): Unit =
+    df.write.mode("overwrite").jdbc(url, stagingTable(table), props)
+
+  /** True when `table` exists in the warehouse, per JDBC metadata. Checked
+    * case-insensitively: Derby/Postgres fold unquoted identifiers to
+    * upper/lower case respectively.
+    */
+  def tableExists(url: String, table: String, props: Properties): Boolean = {
+    val c = DriverManager.getConnection(url, props)
+    try {
+      val md = c.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
+        val rs = md.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+    } finally c.close()
+  }
+
+  /** Append staged rows to main with an audit timestamp, creating main if
+    * missing (the reference's CREATE_IF_NEEDED branch is Spark's
+    * SaveMode.Append creating absent JDBC tables). Re-running the same
+    * batch is a no-op: rows whose `keyCols` already exist in main are
+    * anti-joined away — the key-only main read pushes a projection to the
+    * warehouse, and for a small staged batch AQE broadcasts it.
+    *
+    * `clock` defaults to `current_timestamp()`; tests pass a fixed literal.
+    */
+  def mergeToMain(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      props: Properties,
+      clock: Column = current_timestamp()
+  ): Unit = {
+    val staged = spark.read.jdbc(url, stagingTable(table), props)
+    val fresh =
+      if (tableExists(url, table, props)) {
+        val mainKeys = spark.read.jdbc(url, table, props).select(keyCols.map(col).toIndexedSeq: _*)
+        staged.join(mainKeys, keyCols, "left_anti")
+      } else staged
+    fresh
+      .withColumn("date_added_utc", clock)
+      .write.mode("append").jdbc(url, table, props)
+  }
+}

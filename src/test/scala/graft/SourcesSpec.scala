@@ -123,4 +123,31 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.contains("date_added_utc"))
     assert(out.filter(col("date_added_utc") =!= clock).count() == 0)
   }
+
+  test("full egress path: staging → main → sorted headered CSV export round-trips") {
+    val base = Files.createTempDirectory("egress").toString
+    val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+
+    val batch = Seq((3L, "c", 30.0), (1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
+    StagingSink.stage(batch, s"$base/staging")
+    StagingSink.mergeToMain(spark, s"$base/staging", s"$base/main", Seq("id"), clock)
+
+    graft.sources.CsvExport.write(
+      spark.read.parquet(s"$base/main").select("id", "k", "v"),
+      s"$base/export",
+      sortCols = Seq("id"),
+      singleFile = true
+    )
+    // Exactly one part file (the Kaggle-style single-file contract) …
+    val parts = new java.io.File(s"$base/export").listFiles().filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1)
+    // … with a header line and rows in key order.
+    val lines = scala.io.Source.fromFile(parts.head).getLines().toSeq
+    assert(lines.head == "id,k,v")
+    assert(lines.tail.map(_.takeWhile(_ != ',')) == Seq("1", "2", "3"))
+    // Typed read-back returns the exported values.
+    val back = graft.sources.CsvExport.read(spark, s"$base/export", "id BIGINT, k STRING, v DOUBLE")
+    assert(back.as[(Long, String, Double)].collect().sorted.toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
 }

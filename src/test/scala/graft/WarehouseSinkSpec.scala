@@ -1,0 +1,60 @@
+package graft
+
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.WarehouseSink
+
+/** Real JDBC round-trip against embedded Derby (ships with Spark): the
+  * staging→main warehouse load (reference utils.py:44-67 insert_table) must
+  * create main on first merge, stamp the audit column, and be idempotent
+  * under batch replay via the key anti-join.
+  */
+class WarehouseSinkSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftwh;create=true"
+  private val props = new Properties()
+  private val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+
+  test("staging→main JDBC load: create-if-needed, audit stamp, replay idempotency") {
+    val batch1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "value")
+
+    WarehouseSink.stage(batch1, url, "measurements", props)
+    WarehouseSink.mergeToMain(spark, url, "measurements", Seq("id"), props, clock)
+
+    val main1 = spark.read.jdbc(url, "measurements", props)
+    assert(main1.count() == 3)
+    assert(main1.columns.map(_.toLowerCase).contains("date_added_utc"))
+
+    // Replaying the SAME staged batch must not duplicate rows.
+    WarehouseSink.mergeToMain(spark, url, "measurements", Seq("id"), props, clock)
+    assert(spark.read.jdbc(url, "measurements", props).count() == 3)
+
+    // A new batch overlapping on key 3 adds only the genuinely new key 4.
+    val batch2 = Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "name", "value")
+    WarehouseSink.stage(batch2, url, "measurements", props)
+    WarehouseSink.mergeToMain(spark, url, "measurements", Seq("id"), props, clock)
+    val main2 = spark.read.jdbc(url, "measurements", props)
+    assert(main2.count() == 4)
+    assert(main2.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("connection health check: reachable warehouse passes, bogus one reports") {
+    assert(WarehouseSink.checkConnection(url, props).isRight)
+    val bad = WarehouseSink.checkConnection("jdbc:derby:memory:nope", props, timeoutSec = 1)
+    assert(bad.isLeft, "connecting to an uncreated in-memory db must fail")
+  }
+
+  test("withRetries retries transient failures then succeeds") {
+    var calls = 0
+    val out = WarehouseSink.withRetries(retries = 3, backoffMs = 1L) { () =>
+      calls += 1
+      if (calls < 3) sys.error("transient") else "ok"
+    }
+    assert(out == "ok" && calls == 3)
+  }
+}
