@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.EtlOps
 
 /** End-to-end re-expression of the reference's NWS forecast DAG
-  * (nws_dag.py): scraped-table rows → column-name normalization
+  * (nws_dag.py), now starting from RAW PAGE HTML the way the DAG does:
+  * pre-fetched pages → HtmlTable.landscapeRecords (6th-table extract +
+  * landscape transpose, utils.py:180-232) → column-name normalization
   * (`°()%`→pct, lowercase, spaces→_) → missing-value policy (gust ''→0,
   * wind_chill ''→NULL) → forward-fill of the carried-down date column →
   * fixed AKST→UTC +9h shift → composite-key dedup → typed schema cast.
@@ -15,17 +17,32 @@ import graft.operators.EtlOps
 class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  test("the full NWS flow: normalize, missing-value policy, ffill, tz shift, dedup, cast") {
-    // Shape of the transposed forecast table: Date is only present on the
-    // first row of each scrape block (the reference forward-fills it).
-    val raw = Seq(
-      // location, date(gappy), hour, temp_f, gust, wind_chill
-      ("ANC", "2024-01-01", "01", "12", "", "-5"),
-      ("ANC", null, "02", "11", "20", ""),
-      ("ANC", null, "03", "10", "", ""),
-      ("ANC", null, "03", "10", "", ""), // scrape overlap duplicate
-      ("FAI", "2024-01-01", "01", "-2", "35", "-20")
-    ).toDF("Location", "Date", "Hour", "Temperature °F", "Gust (mph)", "Wind Chill °F")
+  test("the full NWS flow: html extract, normalize, missing-value policy, ffill, tz shift, dedup, cast") {
+    // One pre-fetched page per location (fixture HTML in test resources,
+    // same shape as the NWS pages: nav tables first, then the landscape
+    // forecast table with colspan dividers and <font>-wrapped cells; the
+    // Date column is only populated on the first record of each half —
+    // the reference forward-fills it).
+    val pagesDir = getClass.getResource("/nws").getPath
+    val pages = spark.read.option("wholetext", "true").text(pagesDir)
+      .select(
+        upper(regexp_extract(input_file_name(), "([a-z]+)\\.html", 1)).as("Location"),
+        col("value").as("html")
+      )
+    val raw = graft.sources.HtmlTable
+      .landscapeRecords(
+        pages,
+        col("html"),
+        tableIdx = 2,
+        cols = Seq("Date", "Hour", "Temperature °F", "Gust (mph)", "Wind Chill °F"),
+        cellTag = "font"
+      )
+      .drop("html")
+      // The transpose leaves '' in the gappy Date slots; the reference's
+      // _ff_list treats '' as missing — make that explicit before ffill.
+      .withColumn("Date", when(col("Date") === "", lit(null)).otherwise(col("Date")))
+
+    assert(raw.count() == 5, "ANC yields 4 records (2 per half), FAI yields 1")
 
     val normalized = EtlOps.normalizeColumns(raw)
     assert(

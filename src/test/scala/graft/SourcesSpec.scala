@@ -124,6 +124,34 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("date_added_utc") =!= clock).count() == 0)
   }
 
+  test("HtmlTable: document-order table indexing, entity decode, landscape transpose") {
+    val html =
+      """<html><body>
+        |<table><tr><td>nav</td></tr></table>
+        |<!-- <table><tr><td>commented out</td></tr></table> -->
+        |<table><tr><td>outer A</td></tr>
+        |  <table><tr><td>nested &amp; decoded</td></tr></table>
+        |</table>
+        |<table>
+        |<tr><td colspan="9"><font>&nbsp;</font></td></tr>
+        |<tr><td><font>Hour</font></td><td><font>01</font></td><td><font>02</font></td></tr>
+        |<tr><td><font>Temp &deg;F</font></td><td><font>12</font></td><td><font>11</font></td></tr>
+        |<tr><td colspan="9"><font>&nbsp;</font></td></tr>
+        |<tr><td><font>Hour</font></td><td><font>03</font></td></tr>
+        |<tr><td><font>Temp &deg;F</font></td><td><font>10</font></td></tr>
+        |</table>
+        |</body></html>""".stripMargin
+    // find_all-style document order: nav, outer, nested, forecast — and the
+    // commented-out table is invisible.
+    import graft.sources.HtmlTable
+    assert(HtmlTable.extractTable(html, 0) == Seq(Seq("nav")))
+    assert(HtmlTable.extractTable(html, 2) == Seq(Seq("nested & decoded")))
+    // Landscape transpose: divider rows skipped, repeated halves concatenate.
+    val m = HtmlTable.parseLandscape(html, 3, cellTag = "font")
+    assert(m("Hour") == Seq("01", "02", "03"))
+    assert(m("Temp °F") == Seq("12", "11", "10"))
+  }
+
   test("full egress path: staging → main → sorted headered CSV export round-trips") {
     val base = Files.createTempDirectory("egress").toString
     val clock = lit("2026-01-01 00:00:00").cast("timestamp")
