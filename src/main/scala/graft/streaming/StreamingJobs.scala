@@ -44,54 +44,85 @@ object StreamingJobs {
       session_end: Timestamp
   )
 
-  /** Splits one user's (sorted) events into sessions, carrying at most one
-    * open session in `state`. Batch mode delivers each group once with no
-    * timeout, so the final session is flushed on the spot.
+  private def micros(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+  private def fromMicros(us: Long): Timestamp = Timestamp.from(java.time.Instant.ofEpochSecond(
+    Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+  private def toOut(userId: Long, open: OpenSession): SessionOut =
+    SessionOut(userId, open.session_id, open.n_events, fromMicros(open.start_us), fromMicros(open.end_us))
+
+  /** Folds one delivery of a user's events into the open session, emitting
+    * every session a gap closes. Micro-batch iterators are not time-ordered;
+    * the per-user sort is bounded by that user's events in THIS batch (not
+    * global history). Returns the still-open trailing session (never null
+    * for non-empty input).
+    */
+  private def foldEvents(
+      gapUs: Long,
+      userId: Long,
+      rows: Iterator[SessionEvent],
+      prior: Option[OpenSession],
+      out: scala.collection.mutable.Builder[SessionOut, Seq[SessionOut]]
+  ): OpenSession = {
+    val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+    var open = prior.orNull
+    for (e <- evs) {
+      val us = micros(e.ts)
+      if (open == null) {
+        open = OpenSession(1L, 1L, us, us)
+      } else if (us - open.end_us > gapUs) {
+        out += toOut(userId, open)
+        open = OpenSession(open.session_id + 1L, 1L, us, us)
+      } else {
+        open = open.copy(n_events = open.n_events + 1L, end_us = us)
+      }
+    }
+    open
+  }
+
+  /** Batch mode: each group is delivered exactly once with no timeout, so
+    * the trailing session is flushed on the spot.
     */
   private def sessionizeGroup(gapUs: Long)(
       userId: Long,
       rows: Iterator[SessionEvent],
       state: GroupState[OpenSession]
   ): Iterator[SessionOut] = {
-    def micros(t: Timestamp): Long = t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-    def fromMicros(us: Long): Timestamp = Timestamp.from(java.time.Instant.ofEpochSecond(
-      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
-    // Micro-batch iterators are not time-ordered; per-user sort is bounded
-    // by that user's events in the batch (not global history).
-    val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
-    var open = state.getOption.orNull
     val out = Seq.newBuilder[SessionOut]
-    for (e <- evs) {
-      val us = micros(e.ts)
-      if (open == null) {
-        open = OpenSession(1L, 1L, us, us)
-      } else if (us - open.end_us > gapUs) {
-        out += SessionOut(
-          userId,
-          open.session_id,
-          open.n_events,
-          fromMicros(open.start_us),
-          fromMicros(open.end_us)
-        )
-        open = OpenSession(open.session_id + 1L, 1L, us, us)
-      } else {
-        open = open.copy(n_events = open.n_events + 1L, end_us = us)
-      }
-    }
+    val open = foldEvents(gapUs, userId, rows, state.getOption, out)
     if (open != null) {
-      // Batch mode: the group is complete — flush the trailing session.
-      // (Streaming mode would instead state.update(open) and flush on
-      // event-time timeout; see scaladoc.)
-      out += SessionOut(
-        userId,
-        open.session_id,
-        open.n_events,
-        fromMicros(open.start_us),
-        fromMicros(open.end_us)
-      )
+      out += toOut(userId, open)
       state.remove()
     }
     out.result().iterator
+  }
+
+  /** Streaming mode: the trailing session stays OPEN in the state store and
+    * flushes via `EventTimeTimeout` when the watermark passes its end + gap
+    * — the state store stays O(active users) because every timed-out key is
+    * removed. Requires `withWatermark` upstream (sessionizeStream wires it).
+    */
+  private def sessionizeGroupStreaming(gapUs: Long)(
+      userId: Long,
+      rows: Iterator[SessionEvent],
+      state: GroupState[OpenSession]
+  ): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      // Watermark passed end + gap: no on-time event can extend this
+      // session any more — emit and clear the key's state.
+      val open = state.get
+      state.remove()
+      Iterator.single(toOut(userId, open))
+    } else {
+      val out = Seq.newBuilder[SessionOut]
+      val open = foldEvents(gapUs, userId, rows, state.getOption, out)
+      if (open != null) {
+        state.update(open)
+        // Event-time timeout fires when the watermark passes this instant.
+        state.setTimeoutTimestamp(Math.floorDiv(open.end_us + gapUs, 1000L) + 1L)
+      }
+      out.result().iterator
+    }
   }
 
   /** The reference's staging→main load as a streaming job: each micro-batch
@@ -126,7 +157,7 @@ object StreamingJobs {
       }
       .start()
 
-  /** Gap-based sessionization with explicit per-user state. */
+  /** Gap-based sessionization with explicit per-user state (batch form). */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val outEnc = Encoders.product[SessionOut]
@@ -137,5 +168,33 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()
       )(sessionizeGroup(gapUs))
+  }
+
+  /** True streaming deployment of [[sessionize]]: attach to a `readStream`
+    * source, watermark the event time, and let `EventTimeTimeout` flush
+    * each open session once the watermark passes its end + gap. Sessions a
+    * gap closes inside a batch emit immediately; the trailing session per
+    * user survives micro-batch boundaries in the state store (one
+    * OpenSession per active user — 4 longs, never the event list).
+    *
+    * `watermarkDelay` is the allowed event-time disorder across batches:
+    * events later than that are the deployment's late-data budget, exactly
+    * as in the windowed-agg query.
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionOut]
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      )(sessionizeGroupStreaming(gapUs))
   }
 }

@@ -105,4 +105,69 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stateful.exceptAll(windowed).isEmpty && windowed.exceptAll(stateful).isEmpty,
       "flatMapGroupsWithState sessionization must be row-identical to the oracled window form")
   }
+
+  test("sessionize in TRUE streaming mode: EventTimeTimeout flushes match the batch form") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("ssess").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+
+    // Bounded fixture: a subset of users, sliced into 3 time-ordered files
+    // so open sessions must survive micro-batch boundaries in the state
+    // store, plus a far-future sentinel event (user -1) whose arrival
+    // advances the watermark past every real session's end + gap — firing
+    // the EventTimeTimeout path for every user.
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val (minUs, maxUs) = evs
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .as[(Long, Long)].head()
+    val cut1 = minUs + (maxUs - minUs) / 3
+    val cut2 = minUs + 2 * (maxUs - minUs) / 3
+    val sentinelUs = maxUs + 800L * 86400L * 1000000L
+    val slices = Seq(
+      evs.filter(unix_micros(col("ts")) <= cut1),
+      evs.filter(unix_micros(col("ts")) > cut1 && unix_micros(col("ts")) <= cut2),
+      evs.filter(unix_micros(col("ts")) > cut2),
+      Seq((-1L, -1L)).toDF("user_id", "event_id")
+        .select(col("user_id"), col("event_id"), timestamp_micros(lit(sentinelUs)).as("ts"))
+    )
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$base/slice$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(srcDir, f"$i%02d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      // Oldest-first pickup order: FileStreamSource sorts by mod time.
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val stream = spark.readStream
+      .schema(evs.schema)
+      .option("maxFilesPerTrigger", "1") // one slice per micro-batch
+      .parquet(srcDir)
+      .as[SessionEvent]
+    // Watermark delay spans the whole fixture so no session times out
+    // mid-stream (session_id numbering stays cumulative); the sentinel then
+    // pushes the watermark past all of them at once.
+    val out = StreamingJobs.sessionizeStream(stream, gapMinutes = 30, watermarkDelay = "365 days")
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$base/out")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+    val batch = StreamingJobs.sessionize(evs.as[SessionEvent], gapMinutes = 30)
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+
+    assert(streamed.count() == batch.count(), "every session must flush (gap-closed or timed out)")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming-mode sessions (incl. EventTimeTimeout flushes) must equal the batch form")
+  }
 }
