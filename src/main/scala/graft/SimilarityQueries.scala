@@ -97,6 +97,64 @@ object SimilarityQueries {
     cents
   }
 
+  /** Verified MinHash near-dup pairs (doc_a < doc_b, exact Jaccard ≥ 0.5):
+    * the shared pair generator behind q_dedup_minhash and the
+    * connected-components clustering.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val withSig = corpusWithDups(s, d)
+      .withColumn("sh", hashedShingles(col("text")))
+      .withColumn("bands", minhashBands(col("sh"), k = 64, b = 16, r = 4))
+    val cand = bandedPairs(withSig.select("doc_id", "bands"))
+    val sh = withSig.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Connected components by min-label propagation over an undirected edge
+    * set — the canonical "fuzzy dedup" clustering step: every document gets
+    * the smallest doc_id reachable through the near-dup graph as its
+    * cluster id. Each iteration is two shuffles (neighbor-min groupBy +
+    * label join); near-dup graphs have tiny diameter (a cluster is a
+    * handful of variants of one document), so convergence takes a couple
+    * of rounds — the loop runs Spark JOBS per round (a convergence count,
+    * exactly like Pregel supersteps), never row-level driver work, and
+    * `localCheckpoint` truncates the growing lineage each round (at
+    * cluster scale: checkpoint to durable storage instead).
+    */
+  private[graft] def connectedComponents(
+      nodes: DataFrame, // one column: id
+      edges: DataFrame, // columns: src, dst
+      maxIters: Int = 20
+  ): DataFrame = {
+    val bi = edges
+      .select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = bi
+        .join(labels, bi("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("nmin"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   val all: Seq[Q] = Seq(
     // Exact dedup: content-hash groupBy, min doc_id is the canonical copy.
     Q(
@@ -115,18 +173,28 @@ object SimilarityQueries {
     // on candidates only (hashed-shingle set intersection).
     Q(
       "q_dedup_minhash",
+      (s, d) => minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      None
+    ),
+
+    // Fuzzy-dedup clustering: connected components over the verified
+    // MinHash pair graph. Output is one row per document with its cluster
+    // id (min reachable doc_id) and a canonical flag — the exact shape a
+    // pre-training dedup pass consumes ("keep one doc per cluster").
+    // Gate: DedupRecallSpec checks the partition equals a union-find over
+    // the same pairs and that planted dups share their source's cluster.
+    Q(
+      "q_dedup_clusters",
       (s, d) => {
-        val withSig = corpusWithDups(s, d)
-          .withColumn("sh", hashedShingles(col("text")))
-          .withColumn("bands", minhashBands(col("sh"), k = 64, b = 16, r = 4))
-        val cand = bandedPairs(withSig.select("doc_id", "bands"))
-        val sh = withSig.select(col("doc_id"), col("sh"))
-        cand
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy(col("doc_a"), col("doc_b"))
+        val pairs = minhashPairs(s, d)
+        val nodes = corpusWithDups(s, d).select(col("doc_id").as("id"))
+        connectedComponents(nodes, pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .select(
+            col("id").as("doc_id"),
+            col("comp").as("cluster_id"),
+            (col("id") === col("comp")).as("is_canonical")
+          )
+          .orderBy(col("doc_id"))
       },
       None
     ),

@@ -71,6 +71,94 @@ object TextQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // Gopher-style repetition filters: the share of the most frequent word
+    // and the duplicate-word fraction per document — the standard
+    // pre-training repetition signals (a doc dominated by one token or by
+    // repeats is boilerplate/spam). Computed by explode → (doc, word)
+    // partial-agg counts → per-doc agg: two map-side-combined shuffles,
+    // never a per-row O(n²) HOF; at 100 TB this is the same tf pipeline
+    // TF-IDF runs. Threshold values follow the Gopher paper's repetition
+    // rules (most-common-word share ≤ 0.2 here, tuned to the synthetic
+    // vocabulary).
+    Q(
+      "q_repetition_filter",
+      (s, d) => {
+        val words = documents(s, d)
+          .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        words
+          .groupBy("doc_id", "word")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            (max(col("c")).cast("double") / sum(col("c"))).as("top_word_share"),
+            ((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c"))).as("dup_word_frac")
+          )
+          .withColumn("repetition_ok", col("top_word_share") <= 0.2)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(max(c) AS DOUBLE) / sum(c) AS top_word_share,
+             |  CAST(sum(c) - COUNT(*) AS DOUBLE) / sum(c) AS dup_word_frac,
+             |  (CAST(max(c) AS DOUBLE) / sum(c)) <= 0.2 AS repetition_ok
+             |FROM tf GROUP BY doc_id""".stripMargin)
+    ),
+
+    // Benchmark decontamination: flag corpus documents sharing any 13-word
+    // gram with a benchmark set (docs 0-19 stand in for the eval set; in
+    // production the benchmark side is a provided table) — the GPT-3-style
+    // 13-gram overlap rule. Grams are built per row (narrow transform +
+    // explode), the benchmark side deduplicates then broadcast/shuffle
+    // joins by gram: an inverted-index membership join, never doc×doc.
+    // Runs over the planted-duplicate corpus so the operator demonstrably
+    // catches the truncated near-copies of the benchmark docs (the exact
+    // leak pattern decontamination exists for) — and the oracle replicates
+    // the planting, so the whole path stays hash-checked.
+    Q(
+      "q_decontaminate",
+      (s, d) => {
+        val n = 13
+        val grams = SimilarityQueries
+          .corpusWithDups(s, d)
+          .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+          .filter(size(col("w")) >= n)
+          .select(
+            col("doc_id"),
+            explode(
+              transform(
+                sequence(lit(0), size(col("w")) - n),
+                i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))
+              )
+            ).as("gram")
+          )
+        val bench = grams.filter(col("doc_id") < 20).select("gram").distinct()
+        grams
+          .filter(col("doc_id") >= 20)
+          .join(bench, "gram")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM corpus),
+             |g AS (
+             |  SELECT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+             |  FROM w, unnest(range(1, len(w) - 11)) AS t(i)
+             |  WHERE len(w) >= 13),
+             |b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+             |SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_contaminated_grams
+             |FROM g JOIN b USING (gram) WHERE g.doc_id >= 20
+             |GROUP BY g.doc_id""".stripMargin)
+    ),
+
     // Language ID via marker-word argmax (first-listed wins ties; 'und' if none).
     Q(
       "q_lang_id",

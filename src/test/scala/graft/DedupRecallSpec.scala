@@ -52,6 +52,40 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     assert(planted.toDouble / total > 0.8, s"embedding planted recall ${planted.toDouble / total}")
   }
 
+  test("dedup clustering equals union-find over the same near-dup pair graph") {
+    val comp = QueryRegistry
+      .queries("q_dedup_clusters")(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val pairs = QueryRegistry
+      .queries("q_dedup_minhash")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)]
+      .collect()
+
+    // Ground truth: union-find over the identical pair set, labeled by the
+    // min id of each set — the same canonicalization the operator promises.
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = comp.keys.map(id => id -> find(id)).toMap
+
+    assert(comp.size == Tables.documents(spark, sfDir).count() * 2,
+      "every document (base + planted) must get a cluster id")
+    assert(comp == expected,
+      "min-label propagation must produce exactly the union-find partition")
+    assert(pairs.forall { case (a, b) => comp(a) == comp(b) },
+      "every near-dup pair must share a cluster")
+  }
+
   test("ANN top-1 quality ratio vs brute force stays high for every query") {
     // The synthetic embeddings are near-uniform (median true top-1 cosine
     // ~0.36, per-hyperplane agreement ~0.61): on that geometry NO
