@@ -133,7 +133,14 @@ object SimilarityQueries {
     val bi = edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+      .localCheckpoint()
+    // Only nodes that touch an edge can ever change label — in a dedup
+    // graph that is a small fraction of the corpus, so the iteration works
+    // on the edge-connected subset and the (dominant) singleton mass joins
+    // back untouched at the end. At 100 TB this is the difference between
+    // iterating over near-dup clusters and iterating over the internet.
+    val connected = bi.select(col("src").as("id")).distinct()
+    var labels = connected.select(col("id"), col("id").as("comp")).localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -152,7 +159,9 @@ object SimilarityQueries {
       labels = next
       it += 1
     }
-    labels
+    nodes
+      .join(labels, nodes("id") === labels("id"), "left")
+      .select(nodes("id"), coalesce(col("comp"), nodes("id")).as("comp"))
   }
 
   val all: Seq[Q] = Seq(

@@ -106,6 +106,41 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       "flatMapGroupsWithState sessionization must be row-identical to the oracled window form")
   }
 
+  test("bounded-state streaming dedup: dropDuplicatesWithinWatermark matches DISTINCT") {
+    // q_stream_dedup's dropDuplicates holds every key forever — correct on
+    // bounded input, unbounded state on an unbounded stream. The
+    // deployment form is dropDuplicatesWithinWatermark: state evicts once
+    // the watermark passes, bounding the store to the delay window. With a
+    // delay spanning the whole (bounded) fixture the result must equal the
+    // exact DISTINCT, which is what this pins.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("wmdedup").toString
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    evs.write.parquet(s"$base/src")
+
+    val q = spark.readStream
+      .schema(evs.schema)
+      .parquet(s"$base/src")
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$base/out")
+    val exact = evs.select("user_id", "event_type").distinct()
+    assert(streamed.count() == exact.count())
+    assert(streamed.exceptAll(exact).isEmpty && exact.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionize in TRUE streaming mode: EventTimeTimeout flushes match the batch form") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("ssess").toString
