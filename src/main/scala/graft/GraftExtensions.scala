@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "minhash_signature", es => MinHashSignature(one(es, "minhash_signature"), 64))
     register(ext, "minhash_bands", es => MinHashBands(one(es, "minhash_bands"), 64, 16, 4))
     register(ext, "cosine_sim", es => CosineSim(two(es, "cosine_sim")._1, two(es, "cosine_sim")._2))
+    register(ext, "word_rep_stats", es => WordRepStats(one(es, "word_rep_stats")))
   }
 }
 

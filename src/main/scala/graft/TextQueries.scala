@@ -74,27 +74,23 @@ object TextQueries {
     // Gopher-style repetition filters: the share of the most frequent word
     // and the duplicate-word fraction per document — the standard
     // pre-training repetition signals (a doc dominated by one token or by
-    // repeats is boilerplate/spam). Computed by explode → (doc, word)
-    // partial-agg counts → per-doc agg: two map-side-combined shuffles,
-    // never a per-row O(n²) HOF; at 100 TB this is the same tf pipeline
-    // TF-IDF runs. Threshold values follow the Gopher paper's repetition
-    // rules (most-common-word share ≤ 0.2 here, tuned to the synthetic
-    // vocabulary).
+    // repeats is boilerplate/spam). Per-document word stats are ROW-LOCAL,
+    // so this is one compiled kernel pass per row inside the scan's
+    // codegen stage (native WordRepStats) — zero shuffles, no ×n_words
+    // explode blowup; the oracle computes the same stats the relational
+    // way. Threshold follows the Gopher paper's repetition rules
+    // (most-common-word share ≤ 0.2, tuned to the synthetic vocabulary).
     Q(
       "q_repetition_filter",
-      (s, d) => {
-        val words = documents(s, d)
-          .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-        words
-          .groupBy("doc_id", "word")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(
-            (max(col("c")).cast("double") / sum(col("c"))).as("top_word_share"),
-            ((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c"))).as("dup_word_frac")
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), wordRepStats(col("text")).as("r"))
+          .select(
+            col("doc_id"),
+            element_at(col("r"), 1).as("top_word_share"),
+            element_at(col("r"), 2).as("dup_word_frac")
           )
-          .withColumn("repetition_ok", col("top_word_share") <= 0.2)
-      },
+          .withColumn("repetition_ok", col("top_word_share") <= 0.2),
       Some("""WITH w AS (
              |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
              |  FROM documents),

@@ -117,6 +117,23 @@ case class MarkerCounts(child: Expression, markerSets: Seq[Seq[String]]) extends
   override protected def withNewChildInternal(newChild: Expression): MarkerCounts = copy(child = newChild)
 }
 
+/** `word_rep_stats(text)` → [top_word_share, dup_word_frac] over the
+  * lowercased whitespace tokens, one compiled pass per row (Gopher
+  * repetition signals without an explode/shuffle pipeline).
+  */
+case class WordRepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_rep_stats requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.wordRepStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.wordRepStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordRepStats = copy(child = newChild)
+}
+
 /** `cosine_sim(a, b)` over float/double arrays, double accumulation in
   * element order (bit-matches the DuckDB oracle fold).
   */

@@ -241,6 +241,37 @@ object SketchImpl {
     UnsafeArrayData.fromPrimitiveArray(counts)
   }
 
+  /** Word repetition stats over the lowercased whitespace tokens of `s` in
+    * ONE pass: [top_word_share, dup_word_frac] — the Gopher repetition
+    * signals. Per-document stats are row-local, so this replaces an
+    * explode → tf → agg pipeline (two shuffles, ×n_words row blowup) with
+    * a zero-shuffle projection. Empty input yields NaNs (no tokens to
+    * measure).
+    */
+  def wordRepStats(s: UTF8String): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val bounds = tokenBounds(b)
+    val n = bounds.length / 2
+    val out = new Array[Double](2)
+    if (n == 0) { out(0) = Double.NaN; out(1) = Double.NaN }
+    else {
+      val m = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+      var maxC = 0
+      var t = 0
+      while (t < bounds.length) {
+        val tok = UTF8String.fromBytes(b, bounds(t), bounds(t + 1) - bounds(t))
+        var c = m.get(tok)
+        if (c == null) { c = new Array[Int](1); m.put(tok, c) }
+        c(0) += 1
+        if (c(0) > maxC) maxC = c(0)
+        t += 2
+      }
+      out(0) = maxC.toDouble / n
+      out(1) = (n - m.size).toDouble / n
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sign-LSH bucket id: bit p = (v · plane_p ≥ 0), planes row-major in
     * `flat` (nPlanes × dim).
     */

@@ -41,6 +41,11 @@ object TextFunctions {
   def markerScore(text: Column, markers: Seq[String]): Column =
     element_at(markerCounts(text, Seq(markers)), 1)
 
+  /** [top_word_share, dup_word_frac] of the lowercased tokens — the Gopher
+    * repetition signals in one compiled pass (native [[WordRepStats]]).
+    */
+  def wordRepStats(text: Column): Column = toCol(WordRepStats(toExpr(text)))
+
   /** Fraction of whitespace tokens that are common English stopwords. */
   def stopwordRatio(text: Column): Column =
     markerScore(text, Seq("the", "a", "of", "and", "to", "in", "is")).cast("double") /

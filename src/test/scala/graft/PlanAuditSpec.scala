@@ -69,6 +69,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_repetition_filter is a zero-shuffle projection (row-local kernel, no explode)") {
+    val p = plan("q_repetition_filter")
+    assert(!p.contains("Exchange") && !p.contains("Generate"),
+      s"repetition stats must not shuffle or explode:\n$p")
+  }
+
   test("sketch expressions stay inside whole-stage codegen (no Janino fallback)") {
     import graft.functions.SimilarityFunctions._
     import org.apache.spark.sql.functions.col

@@ -144,6 +144,28 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordRepStats matches split+groupBy reference counting") {
+    for (s <- samples(textGen, 300)) {
+      val got = SketchImpl.wordRepStats(UTF8String.fromString(s))
+      val toks = refTokens(s.toLowerCase)
+      if (toks.isEmpty) {
+        assert(got.getDouble(0).isNaN && got.getDouble(1).isNaN, s"text=$s")
+      } else {
+        val counts = toks.groupBy(identity).map(_._2.length)
+        val top = counts.max.toDouble / toks.length
+        val dup = (toks.length - counts.size).toDouble / toks.length
+        assert(got.getDouble(0) == top && got.getDouble(1) == dup,
+          s"text=${s.replace("\n", "\\n")}")
+      }
+    }
+  }
+
+  test("cosine throws loudly on dimension mismatch") {
+    val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
+    val b = ArrayData.toArrayData(Array(1.0, 2.0))
+    intercept[IllegalArgumentException](SketchImpl.cosine(a, b, false, false))
+  }
+
   test("float and double element paths agree") {
     for (v <- samples(Gen.listOfN(16, Gen.choose(-8f, 8f)), 200)) {
       val f = ArrayData.toArrayData(v.toArray)
