@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
+import graft.functions.SimilarityFunctions.hashedShingles
 
 /** §2.3 text-analysis operators over `documents` — language ID, quality
   * scoring, token counting, fingerprinting. All pure column expressions
@@ -105,30 +106,22 @@ object TextQueries {
     // Benchmark decontamination: flag corpus documents sharing any 13-word
     // gram with a benchmark set (docs 0-19 stand in for the eval set; in
     // production the benchmark side is a provided table) — the GPT-3-style
-    // 13-gram overlap rule. Grams are built per row (narrow transform +
-    // explode), the benchmark side deduplicates then broadcast/shuffle
-    // joins by gram: an inverted-index membership join, never doc×doc.
-    // Runs over the planted-duplicate corpus so the operator demonstrably
-    // catches the truncated near-copies of the benchmark docs (the exact
-    // leak pattern decontamination exists for) — and the oracle replicates
-    // the planting, so the whole path stays hash-checked.
+    // 13-gram overlap rule. Grams come from the hashedShingles native
+    // kernel (n = 13): one compiled pass per row, already deduplicated,
+    // and the membership join shuffles 8-byte longs instead of ~100-byte
+    // gram strings. Distinct-gram counts agree with the string oracle up
+    // to 64-bit hash collisions (~n²/2⁶⁴ — the same tolerance every
+    // hashed-shingle operator here documents). Runs over the
+    // planted-duplicate corpus so the operator demonstrably catches the
+    // truncated near-copies of the benchmark docs (the exact leak pattern
+    // decontamination exists for) — and the oracle replicates the
+    // planting, so the whole path stays hash-checked.
     Q(
       "q_decontaminate",
       (s, d) => {
-        val n = 13
         val grams = SimilarityQueries
           .corpusWithDups(s, d)
-          .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
-          .filter(size(col("w")) >= n)
-          .select(
-            col("doc_id"),
-            explode(
-              transform(
-                sequence(lit(0), size(col("w")) - n),
-                i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))
-              )
-            ).as("gram")
-          )
+          .select(col("doc_id"), explode(hashedShingles(lower(col("text")), n = 13)).as("gram"))
         val bench = grams.filter(col("doc_id") < 20).select("gram").distinct()
         grams
           .filter(col("doc_id") >= 20)

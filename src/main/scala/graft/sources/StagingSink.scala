@@ -27,6 +27,22 @@ object StagingSink {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The incremental-extract cutoff: max `date_added_utc` in main, or None
+    * when main does not exist yet (first load takes everything). The
+    * reference derives its update watermark the same way (uscrn_dag.py:
+    * 96-113 check_last_added, uscrn_wind_dag.py:85 get_update_cutoff). A
+    * 1-row max aggregate — on a date-partitioned main, Spark answers it
+    * from the latest partitions' footers, never a full scan.
+    */
+  def lastAdded(spark: SparkSession, mainPath: String): Option[java.sql.Timestamp] =
+    if (!exists(spark, mainPath)) None
+    else
+      Option(
+        spark.read.parquet(mainPath)
+          .agg(max(col("date_added_utc")))
+          .head().getTimestamp(0)
+      )
+
   /** Append staged rows to main with an audit timestamp, creating main if
     * missing. Re-running the same batch is a no-op: rows whose `keyCols`
     * already exist in main are anti-joined away (the reference gets this

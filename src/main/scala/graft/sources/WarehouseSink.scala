@@ -80,6 +80,28 @@ object WarehouseSink {
     } finally c.close()
   }
 
+  /** The incremental-extract cutoff from the warehouse: max
+    * `date_added_utc` in main, None when the table doesn't exist (first
+    * load takes everything). Mirrors check_last_added (uscrn_dag.py:96-113)
+    * — issued as a pushed-down 1-row aggregate, not a table read.
+    */
+  def lastAdded(spark: SparkSession, url: String, table: String, props: Properties): Option[java.sql.Timestamp] =
+    if (!tableExists(url, table, props)) None
+    else {
+      // Spark's JDBC writer emits the table name as given but quotes COLUMN
+      // identifiers in the DDL, so columns are stored case-exact — quote
+      // the column through the dialect (a case-folding engine like Derby
+      // would otherwise look up DATE_ADDED_UTC) and pass the table name
+      // through raw, exactly as the writer did.
+      val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      val col = dialect.quoteIdentifier("date_added_utc")
+      Option(
+        spark.read
+          .jdbc(url, s"(SELECT max($col) AS m FROM $table) t", props)
+          .head().getTimestamp(0)
+      )
+    }
+
   /** Append staged rows to main with an audit timestamp, creating main if
     * missing (the reference's CREATE_IF_NEEDED branch is Spark's
     * SaveMode.Append creating absent JDBC tables). Re-running the same

@@ -122,6 +122,15 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 3)
     assert(out.columns.contains("date_added_utc"))
     assert(out.filter(col("date_added_utc") =!= clock).count() == 0)
+
+    // Incremental cutoff discovery (reference check_last_added): absent
+    // main → None (first load takes everything); after loads → the max
+    // audit stamp, i.e. the watermark the next extract filters against.
+    assert(StagingSink.lastAdded(spark, s"$base/nonexistent").isEmpty)
+    val clock2 = lit("2026-02-01 00:00:00").cast("timestamp")
+    StagingSink.stage(Seq((9L, "z", 90.0)).toDF("id", "k", "v"), staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), clock2)
+    assert(StagingSink.lastAdded(spark, main).map(_.toString).contains("2026-02-01 00:00:00.0"))
   }
 
   test("HtmlTable: document-order table indexing, entity decode, landscape transpose") {

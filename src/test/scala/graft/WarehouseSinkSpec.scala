@@ -41,6 +41,11 @@ class WarehouseSinkSpec extends AnyFunSuite with SparkSpec {
     val main2 = spark.read.jdbc(url, "measurements", props)
     assert(main2.count() == 4)
     assert(main2.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+
+    // Incremental cutoff discovery, pushed down as a 1-row aggregate.
+    assert(WarehouseSink.lastAdded(spark, url, "no_such_table", props).isEmpty)
+    assert(WarehouseSink.lastAdded(spark, url, "measurements", props)
+      .map(_.toString).contains("2026-01-01 00:00:00.0"))
   }
 
   test("connection health check: reachable warehouse passes, bogus one reports") {
