@@ -164,6 +164,59 @@ object SimilarityQueries {
       .select(nodes("id"), coalesce(col("comp"), nodes("id")).as("comp"))
   }
 
+  /** Product-quantization codebooks: per-subspace k-means (Lloyd) trained
+    * driver-side on a bounded deterministic sample — the faiss shape:
+    * codebooks converge on a few hundred vectors, so the train step is
+    * O(sample × ksub), never O(data), and the result is m × ksub × dsub
+    * doubles of driver state (8 KB here).
+    */
+  private[graft] def trainPqCodebooks(
+      e: DataFrame,
+      m: Int,
+      ksub: Int,
+      dsub: Int,
+      sampleN: Int = 512,
+      iters: Int = 10
+  ): Seq[Double] = {
+    val sample: Array[Array[Double]] = e
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .orderBy("vec_id")
+      .limit(sampleN)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= ksub, s"PQ training needs >= $ksub sample vectors")
+    val books = new Array[Double](m * ksub * dsub)
+    for (sub <- 0 until m) {
+      val xs = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      val cents = xs.take(ksub).map(_.clone)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        for (x <- xs) {
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var j = 0
+            while (j < dsub) { val df = x(j) - cents(c)(j); d += df * df; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += x(j); j += 1 }
+        }
+        for (c <- 0 until ksub if counts(c) > 0; j <- 0 until dsub)
+          cents(c)(j) = sums(c)(j) / counts(c)
+      }
+      for (c <- 0 until ksub; j <- 0 until dsub)
+        books((sub * ksub + c) * dsub + j) = cents(c)(j)
+    }
+    books.toIndexedSeq
+  }
+
   val all: Seq[Q] = Seq(
     // Exact dedup: content-hash groupBy, min doc_id is the canonical copy.
     Q(
@@ -384,6 +437,64 @@ object SimilarityQueries {
         broadcast(probes)
           .join(corpus, Seq("cell"))
           .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select("query_id", "neighbor_id", "cos_sim", "rn")
+      },
+      None
+    ),
+
+    // IVF-PQ ANN (the billion-vector memory form): the scan side of the
+    // index holds ONLY (id, cell, 32-bit PQ code) — 64 floats compress to
+    // one long via per-subspace codebooks (trainPqCodebooks; driver state
+    // 8 KB). Queries probe their top-4 IVF cells, rank candidates by
+    // asymmetric-distance cosine over the CODE alone (pqCosine kernel, no
+    // float vectors move), shortlist top-10, then refine exactly by
+    // re-fetching just the shortlist's vectors by id — the join-back
+    // models the fetch-from-store step a real PQ index does, so the
+    // scan:refine data volume ratio is the honest one (8 bytes/candidate
+    // vs 256 bytes/finalist).
+    Q(
+      "q_ann_ivfpq",
+      (s, d) => {
+        val (m, ksub, dsub) = (8, 16, 8)
+        val e = embeddings(s, d)
+        val books = trainPqCodebooks(e, m, ksub, dsub)
+        val cents = trainIvfCentroids(e, k = 16, iters = 3)
+        def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
+        def cell(v: Column) =
+          bind(cosArr(v))(a => (array_position(a, array_max(a)) - 1).cast("int"))
+        val index = e
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+          .select(
+            col("neighbor_id"),
+            cell(col("cv")).as("cell"),
+            pqEncode(col("cv"), books, m, ksub, dsub).as("code")
+          )
+        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell"))
+        val probes = e
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .select(col("query_id"), col("qv"), posexplode(cosArr(col("qv"))).as(Seq("cell", "qcos")))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 4)
+          .select("query_id", "qv", "cell")
+        val wPq = Window.partitionBy(col("query_id")).orderBy(col("pq_sim").desc, col("neighbor_id"))
+        val shortlist = broadcast(probes)
+          .join(index, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(
+            col("query_id"),
+            col("qv"),
+            col("neighbor_id"),
+            pqCosine(col("qv"), col("code"), books, m, ksub, dsub).as("pq_sim")
+          )
+          .withColumn("prn", row_number().over(wPq))
+          .filter(col("prn") <= 10)
+        val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+        shortlist
+          .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 3)

@@ -158,6 +158,62 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** `pq_encode(vec)` → product-quantization code (one long): nearest codebook
+  * centroid per subspace, bit-packed. 64 floats become a 32-bit code at
+  * m=8, ksub=16 — the memory form a billion-vector index actually holds.
+  */
+case class PqEncode(child: Expression, codebooks: Seq[Double], m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+  require(codebooks.length == m * ksub * dsub, "codebooks must be m*ksub*dsub doubles")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  private def okElem(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"pq_encode requires ARRAY<FLOAT|DOUBLE>, got ${child.dataType.sql}")
+  @transient private lazy val flat: Array[Double] = codebooks.toArray
+  private lazy val isFloat = NativeExpressions.arrayElem(child.dataType) == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.pqEncode(input.asInstanceOf[ArrayData], flat, m, ksub, dsub, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.pqEncode($c, $ref, $m, $ksub, $dsub, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode = copy(child = newChild)
+}
+
+/** `pq_cosine(query_vec, code)` → asymmetric-distance cosine: exact query
+  * side against the PQ reconstruction of the coded vector.
+  */
+case class PqCosine(left: Expression, right: Expression, codebooks: Seq[Double], m: Int, ksub: Int, dsub: Int)
+    extends BinaryExpression {
+  require(codebooks.length == m * ksub * dsub, "codebooks must be m*ksub*dsub doubles")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def okElem(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(left.dataType) && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_cosine requires (ARRAY<FLOAT|DOUBLE>, BIGINT), got ${left.dataType.sql}, ${right.dataType.sql}")
+  @transient private lazy val flat: Array[Double] = codebooks.toArray
+  private lazy val isFloat = NativeExpressions.arrayElem(left.dataType) == FloatType
+  override protected def nullSafeEval(q: Any, code: Any): Any =
+    SketchImpl.pqCosine(q.asInstanceOf[ArrayData], code.asInstanceOf[Long], flat, m, ksub, dsub, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+    defineCodeGen(ctx, ev, (q, c) =>
+      s"graft.functions.SketchImpl.pqCosine($q, $c, $ref, $m, $ksub, $dsub, $isFloat)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `lsh_bucket(vec)` → sign-LSH bucket id (bit p = sign of v·plane_p) against
   * a fixed, seeded hyperplane matrix. 2^nPlanes buckets bound every
   * downstream candidate join.

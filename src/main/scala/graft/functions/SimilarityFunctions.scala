@@ -87,6 +87,16 @@ object SimilarityFunctions {
     */
   def cosine(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
 
+  /** Product-quantization code of a vector against trained codebooks
+    * (flat m × ksub × dsub). One compiled pass per row.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
+    toCol(PqEncode(toExpr(vec), codebooks, m, ksub, dsub))
+
+  /** Asymmetric-distance cosine between an exact query vector and a PQ code. */
+  def pqCosine(qv: Column, code: Column, codebooks: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
+    toCol(PqCosine(toExpr(qv), toExpr(code), codebooks, m, ksub, dsub))
+
   /** Deterministic random hyperplanes for sign-LSH over embeddings:
     * `planes(nPlanes, dim)` — fixed seed so bucketing is reproducible.
     */

@@ -272,6 +272,84 @@ object SketchImpl {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Product-quantization encode: split `v` into `m` contiguous subvectors
+    * of `dsub` dims, pick the nearest (L2) of `ksub` codebook centroids per
+    * subspace, and pack the code indices little-endian at
+    * ceil(log2(ksub))-bits each into one long — a 64-float vector becomes a
+    * 32-bit code at m=8, ksub=16. `codebooks` is flat
+    * [sub][centroid][dim] row-major (m × ksub × dsub doubles).
+    */
+  def pqEncode(
+      v: ArrayData,
+      codebooks: Array[Double],
+      m: Int,
+      ksub: Int,
+      dsub: Int,
+      isFloat: Boolean
+  ): Long = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros((ksub - 1).toLong).toInt
+    var code = 0L
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        var d2 = 0.0
+        var j = 0
+        val cOff = (sub * ksub + c) * dsub
+        while (j < dsub) {
+          val diff = elem(v, sub * dsub + j, isFloat) - codebooks(cOff + j)
+          d2 += diff * diff
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      code |= best.toLong << (sub * bits)
+      sub += 1
+    }
+    code
+  }
+
+  /** Asymmetric-distance cosine: approximate cos(q, x) from x's PQ `code`
+    * alone — dot and reconstruction norm accumulate over the coded
+    * centroids, the query side stays exact. The classic ADC lookup
+    * evaluated inline (ksub is small enough that the table buys nothing at
+    * these sizes).
+    */
+  def pqCosine(
+      q: ArrayData,
+      code: Long,
+      codebooks: Array[Double],
+      m: Int,
+      ksub: Int,
+      dsub: Int,
+      isFloat: Boolean
+  ): Double = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros((ksub - 1).toLong).toInt
+    val mask = (1L << bits) - 1
+    var dot = 0.0
+    var nq = 0.0
+    var nc = 0.0
+    var sub = 0
+    while (sub < m) {
+      val c = ((code >>> (sub * bits)) & mask).toInt
+      val cOff = (sub * ksub + c) * dsub
+      var j = 0
+      while (j < dsub) {
+        val qj = elem(q, sub * dsub + j, isFloat)
+        val cj = codebooks(cOff + j)
+        dot += qj * cj
+        nq += qj * qj
+        nc += cj * cj
+        j += 1
+      }
+      sub += 1
+    }
+    dot / (math.sqrt(nq) * math.sqrt(nc))
+  }
+
   /** Sign-LSH bucket id: bit p = (v · plane_p ≥ 0), planes row-major in
     * `flat` (nPlanes × dim).
     */

@@ -160,6 +160,34 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pqEncode/pqCosine: codes in range, centroid vectors reconstruct exactly") {
+    val (m, ksub, dsub) = (4, 4, 2)
+    val rng = new scala.util.Random(7)
+    val books = Array.fill(m * ksub * dsub)(rng.nextDouble() * 2 - 1)
+    val bits = 2 // log2(ksub)
+    // A vector assembled FROM codebook centroids must encode back to
+    // exactly those centroid indices, and its ADC cosine must equal the
+    // exact cosine (reconstruction is lossless for codebook points).
+    for (_ <- 1 to 100) {
+      val picks = Array.fill(m)(rng.nextInt(ksub))
+      val v = Array.tabulate(m * dsub)(i => books((i / dsub * ksub + picks(i / dsub)) * dsub + i % dsub))
+      val vd = ArrayData.toArrayData(v)
+      val code = SketchImpl.pqEncode(vd, books, m, ksub, dsub, false)
+      for (sub <- 0 until m)
+        assert(((code >>> (sub * bits)) & ((1L << bits) - 1)).toInt == picks(sub))
+      val adc = SketchImpl.pqCosine(vd, code, books, m, ksub, dsub, false)
+      assert(math.abs(adc - 1.0) < 1e-9, s"self-ADC of a codebook point must be 1, got $adc")
+    }
+    // Arbitrary vectors: code stays within m*bits bits, ADC stays in [-1,1].
+    for (v <- samples(Gen.listOfN(m * dsub, Gen.choose(-5.0, 5.0)), 200) if v.exists(_ != 0.0)) {
+      val vd = ArrayData.toArrayData(v.toArray)
+      val code = SketchImpl.pqEncode(vd, books, m, ksub, dsub, false)
+      assert((code >>> (m * bits)) == 0L)
+      val adc = SketchImpl.pqCosine(vd, code, books, m, ksub, dsub, false)
+      assert(adc >= -1.0 - 1e-9 && adc <= 1.0 + 1e-9)
+    }
+  }
+
   test("cosine throws loudly on dimension mismatch") {
     val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
     val b = ArrayData.toArrayData(Array(1.0, 2.0))
