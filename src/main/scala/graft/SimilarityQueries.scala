@@ -380,15 +380,19 @@ object SimilarityQueries {
 
     // Sign-LSH ANN (the scale path): bucket on 6 seeded hyperplane signs,
     // rank within probed buckets only. Multi-probe: each query also probes
-    // the 6 buckets at hamming distance 1 from its own (a near neighbor on
-    // the far side of one hyperplane lands exactly there) — 7/64 of the
-    // corpus per query instead of a full scan, with recall close to exact.
+    // every bucket within hamming distance 2 of its own (a near neighbor
+    // sits on the far side of at most a couple of hyperplanes) — 22/64 of
+    // the corpus per query instead of a full scan, still sub-linear, with
+    // mean top-1 quality ≥ 0.9 (gated).
     Q(
       "q_ann_lsh",
       (s, d) => {
         val planes = hyperplanes(6, 64)
         val e = embeddings(s, d).withColumn("bucket", lshBucket(col("embedding"), planes))
-        val probes = array((lit(0) +: (0 until 6).map(b => lit(1L << b))): _*)
+        val masks: Seq[Long] = 0L +:
+          ((0 until 6).map(1L << _) ++
+            (for { i <- 0 until 6; j <- (i + 1) until 6 } yield (1L << i) | (1L << j)))
+        val probes = array(masks.map(lit): _*)
         val q = e.filter(col("vec_id") < 10)
           .select(
             col("vec_id").as("query_id"),

@@ -107,7 +107,7 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     // IVF's k-means-trained cells carve the sphere better than fixed
     // hyperplane signs, so its gate is tighter (mean > 0.9) than LSH's;
     // IVF-PQ ranks by code but refines exactly, so it holds the same bar.
-    for ((ann, meanFloor) <- Seq("q_ann_lsh" -> 0.8, "q_ann_ivf" -> 0.9, "q_ann_ivfpq" -> 0.9)) {
+    for ((ann, meanFloor) <- Seq("q_ann_lsh" -> 0.9, "q_ann_ivf" -> 0.9, "q_ann_ivfpq" -> 0.9)) {
       val approx = top1cos(ann)
       assert(approx.size == 10, s"$ann must return a top-1 for every query")
       val ratios = exact.map { case (q, c) => approx(q) / c }

@@ -90,10 +90,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         .select(
           simhash64(col("text")).as("sig"),
           minhashBands(hashedShingles(col("text"))).as("bands"),
-          shingles(col("text")).as("sh")
+          shingles(col("text")).as("sh"),
+          graft.functions.TextFunctions.wordRepStats(col("text")).as("rep")
         )
       assert(df.queryExecution.executedPlan.toString.contains("*("), "projection not codegen'd")
       assert(df.count() > 0)
+
+      // PQ kernels likewise: encode + ADC must codegen with fallback off.
+      val books = Seq.tabulate(8 * 16 * 8)(i => (i % 7).toDouble / 7.0)
+      val pq = Tables
+        .embeddings(spark, sfDir)
+        .select(col("embedding"), pqEncode(col("embedding"), books, 8, 16, 8).as("code"))
+        .select(pqCosine(col("embedding"), col("code"), books, 8, 16, 8).as("adc"))
+      assert(pq.queryExecution.executedPlan.toString.contains("*("), "pq projection not codegen'd")
+      assert(pq.count() > 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
