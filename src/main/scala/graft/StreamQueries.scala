@@ -103,6 +103,58 @@ object StreamQueries {
       Some("""SELECT DISTINCT user_id, event_type FROM events""")
     ),
 
+    // Stream-stream inner join: click → purchase attribution within 1 h
+    // per user. Watermarks on BOTH sides plus the event-time range in the
+    // join condition are what let the state store evict matched/expired
+    // rows — without them a stream-stream join buffers forever. On bounded
+    // input the result equals the batch self-join, which is exactly the
+    // DuckDB oracle. Append mode, file sink, no driver materialization.
+    Q(
+      "q_stream_join",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val out = tmpDir("graft_sjoin_out")
+        val ckpt = tmpDir("graft_sjoin_ckpt")
+        def src = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val clicks = src
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = src
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val q = clicks
+          .join(
+            purchases,
+            col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR")
+          )
+          .select(col("user_id"), col("click_id"), col("purchase_id"), col("click_ts"), col("purchase_ts"))
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  c.ts AS click_ts, p.ts AS purchase_ts
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin)
+    ),
+
     Q(
       "q_stream_sessionize",
       (s, d) => {
