@@ -239,6 +239,75 @@ object AnalyticQueries {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY 1 ORDER BY o_year""".stripMargin)
+    ),
+
+    // As-of join (EtlOps.asofJoin): every purchase matched to the user's
+    // most recent signup at-or-before its event time — the "latest
+    // snapshot at event time" join metrics/feature pipelines live on.
+    // Signups are pre-deduped to one per (user, ts) (max event_id) so the
+    // match is deterministic; DuckDB's native ASOF LEFT JOIN is the
+    // oracle. One shuffle+sort over the unioned sides, no range self-join.
+    Q(
+      "q_asof_join",
+      (s, d) => {
+        val e = events(s, d)
+        val purchases = e
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = e
+          .filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts").as("signup_ts"))
+          .agg(max(col("event_id")).as("signup_id"))
+          .select("user_id", "signup_ts", "signup_id")
+        graft.operators.EtlOps
+          .asofJoin(purchases, signups, Seq("user_id"), "ts", "signup_ts", Seq("signup_id", "signup_ts"))
+          .select("event_id", "user_id", "ts", "signup_id", "signup_ts")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |g AS (
+             |  SELECT user_id, ts AS signup_ts, max(event_id) AS signup_id
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts, g.signup_id, g.signup_ts
+             |FROM p ASOF LEFT JOIN g
+             |  ON p.user_id = g.user_id AND p.ts >= g.signup_ts""".stripMargin)
+    ),
+
+    // Range join with NO equi key (EtlOps.rangeJoin): events matched into
+    // promo windows by pure interval containment. The naive plan is a
+    // broadcast-nested-loop filter; the binned form turns it into an
+    // equi-join on time bins (intervals explode across the bins they
+    // overlap) + exact containment filter — LSH-banding for time, so the
+    // fact side never nested-loops. 1-hour bins against 12-hour windows.
+    Q(
+      "q_range_join",
+      (s, d) => {
+        val e = events(s, d)
+        val windows = e
+          .groupBy(col("event_type").as("promo_type"))
+          .agg(
+            min(col("ts")).as("w_start"),
+            (min(col("ts")) + expr("INTERVAL 12 HOURS")).as("w_end")
+          )
+        graft.operators.EtlOps
+          .rangeJoin(
+            e.select(col("event_id"), col("ts")),
+            windows,
+            "ts",
+            "w_start",
+            "w_end",
+            binWidthUs = 3600000000L
+          )
+          .select("event_id", "ts", "promo_type")
+          .orderBy("event_id", "promo_type")
+      },
+      Some("""WITH w AS (
+             |  SELECT event_type AS promo_type, min(ts) AS w_start,
+             |         min(ts) + INTERVAL 12 HOUR AS w_end
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_id, e.ts, w.promo_type
+             |FROM events e JOIN w
+             |  ON e.ts >= w.w_start AND e.ts <= w.w_end""".stripMargin)
     )
   )
 }

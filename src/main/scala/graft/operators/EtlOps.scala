@@ -131,6 +131,91 @@ object EtlOps {
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** As-of join: for every left row, attach the single right row with the
+    * greatest `rightTs` ≤ `leftTs` for the same key — the "latest snapshot
+    * at event time" join (DuckDB/kdb ASOF JOIN; Spark has no native
+    * operator). Left-outer semantics: left rows with no prior right row
+    * keep nulls.
+    *
+    * Distributed form: union both sides tagged, ONE shuffle+sort on
+    * (key, ts, tag) and a `last(ignoreNulls)` running window carries each
+    * right payload forward to the left rows that follow it — never a
+    * per-row subquery, never a range self-join. Right rows order before
+    * left rows at equal ts (tag 0 < 1), so ties match inclusively, and
+    * among equal-ts right rows the last by `rightTs` ordering wins
+    * deterministically. Scales as a single sort-merge pass per key.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .select(
+        (keys.map(col) :+ col("__ts") :+ col("__tag")) ++
+          leftCols.filterNot(keys.contains).map(col) ++
+          payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*
+      )
+      .unionByName(
+        right
+          .withColumn("__ts", col(rightTs))
+          .withColumn("__tag", lit(0))
+          .select(
+            (keys.map(col) :+ col("__ts") :+ col("__tag")) ++
+              leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+              payload.map(col): _*
+          )
+      )
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload
+      .foldLeft(tagged)((df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+      .filter(col("__tag") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** Range join by time binning: match left rows to right INTERVALS
+    * (`startCol` ≤ ts ≤ `endCol`) with no equi key — the plan Spark would
+    * otherwise execute as a broadcast-nested-loop/cartesian filter. Both
+    * sides map to fixed-width time bins (intervals explode across every
+    * bin they overlap), the join becomes an equi-join on the bin, and the
+    * exact containment predicate filters within bins — candidates are
+    * bounded by bin co-occupancy, the same trick as LSH banding, so the
+    * plan survives a fact side that is far too big to nested-loop.
+    * `binWidthUs` should be on the order of typical interval length:
+    * wider bins → fewer replicas but more false candidates.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      binWidthUs: Long
+  ): DataFrame = {
+    val lb = left.withColumn("__bin", (unix_micros(col(tsCol)) / binWidthUs).cast("long"))
+    val rb = right.withColumn(
+      "__bin",
+      explode(
+        sequence(
+          (unix_micros(col(startCol)) / binWidthUs).cast("long"),
+          (unix_micros(col(endCol)) / binWidthUs).cast("long")
+        )
+      )
+    )
+    lb.join(rb, Seq("__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** Staging→main append with an audit timestamp column.
     *
     * Reference: utils.py:44-73 (`INSERT INTO main SELECT *, CURRENT_TIMESTAMP()

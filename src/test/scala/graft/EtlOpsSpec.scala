@@ -109,4 +109,47 @@ class EtlOpsSpec extends AnyFunSuite with SparkSpec {
       .count()
     assert(saltSpread > 4, s"hot key spread over only $saltSpread salts")
   }
+
+  test("asofJoin: latest at-or-before match, inclusive ties, null when no prior row") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after r2 → matches r2
+      (2L, 10L, ts("2024-01-01 08:00:00")), // equal to r1's ts → inclusive match r1
+      (3L, 10L, ts("2024-01-01 07:00:00")), // before any right row → null
+      (4L, 20L, ts("2024-01-01 12:00:00"))  // other key, no right rows at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 101L), // r1
+      (10L, ts("2024-01-01 09:00:00"), 102L)  // r2
+    ).toDF("user_id", "signup_ts", "signup_id")
+
+    val out = EtlOps
+      .asofJoin(left, right, Seq("user_id"), "ts", "signup_ts", Seq("signup_id"))
+      .select("event_id", "signup_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    assert(out == Map(1L -> Some(102L), 2L -> Some(101L), 3L -> None, 4L -> None))
+  }
+
+  test("rangeJoin: exact interval containment across bin boundaries, no equi key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 00:30:00")), // inside w1 only
+      (2L, ts("2024-01-01 02:00:00")), // inside w1 (end-inclusive) and w2 (start-inclusive)
+      (3L, ts("2024-01-01 05:00:01"))  // just past w2's end → no match
+    ).toDF("event_id", "ts")
+    val windows = Seq(
+      ("w1", ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      ("w2", ts("2024-01-01 02:00:00"), ts("2024-01-01 05:00:00"))
+    ).toDF("name", "w_start", "w_end")
+
+    val out = EtlOps
+      .rangeJoin(left, windows, "ts", "w_start", "w_end", binWidthUs = 3600000000L)
+      .select("event_id", "name")
+      .as[(Long, String)]
+      .collect()
+      .toSet
+    assert(out == Set((1L, "w1"), (2L, "w1"), (2L, "w2")))
+  }
 }

@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("LSH pipelines generate candidates by equi-join only — no cross join") {
     for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_ann_lsh",
-        "q_dedup_embedding", "q_decontaminate", "q_ann_ivfpq")) {
+        "q_dedup_embedding", "q_decontaminate", "q_ann_ivfpq", "q_range_join")) {
       val p = plan(name)
       assert(
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
