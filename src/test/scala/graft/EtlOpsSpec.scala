@@ -132,6 +132,36 @@ class EtlOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> Some(102L), 2L -> Some(101L), 3L -> None, 4L -> None))
   }
 
+  test("asofJoin matches a brute-force reference on randomized data") {
+    val rng = new scala.util.Random(42)
+    val leftRows = (1 to 200).map { i =>
+      (i.toLong, (rng.nextInt(8) + 1).toLong, new java.sql.Timestamp(1700000000000L + rng.nextInt(100000) * 1000L))
+    }
+    val rightRows = (1 to 80).map { i =>
+      ((rng.nextInt(8) + 1).toLong, new java.sql.Timestamp(1700000000000L + rng.nextInt(100000) * 1000L), (1000 + i).toLong)
+    }.distinct
+      // one right row per (key, ts): the operator's documented precondition
+      // for a deterministic match (q_asof_join pre-dedups the same way)
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val left = leftRows.toDF("event_id", "user_id", "ts")
+    val right = rightRows.toDF("user_id", "signup_ts", "signup_id")
+
+    val got = EtlOps
+      .asofJoin(left, right, Seq("user_id"), "ts", "signup_ts", Seq("signup_id"))
+      .select("event_id", "signup_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    val expected = leftRows.map { case (id, key, ts) =>
+      id -> rightRows
+        .filter(r => r._1 == key && !r._2.after(ts))
+        .sortBy(r => (r._2.getTime, r._3))
+        .lastOption
+        .map(_._3)
+    }.toMap
+    assert(got == expected)
+  }
+
   test("rangeJoin: exact interval containment across bin boundaries, no equi key") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(

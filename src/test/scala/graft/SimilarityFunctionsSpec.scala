@@ -170,6 +170,14 @@ class SimilarityFunctionsSpec extends AnyFunSuite with SparkSpec {
     val direct = Seq("aa bb cc").toDF("t").select(simhash64(col("t"))).as[Long].head()
     assert(out._1 == direct)
     assert(out._2 == 1.0)
+
+    // word_rep_stats: 'aa aa bb' → top share 2/3, dup fraction 1/3.
+    val rep = spark
+      .sql("SELECT word_rep_stats('aa aa bb') AS r")
+      .selectExpr("r[0]", "r[1]")
+      .as[(Double, Double)]
+      .head()
+    assert(math.abs(rep._1 - 2.0 / 3) < 1e-12 && math.abs(rep._2 - 1.0 / 3) < 1e-12)
   }
 
   test("bind evaluates its argument once per row (plan sanity)") {
