@@ -141,9 +141,12 @@ object EtlOps {
     * (key, ts, tag) and a `last(ignoreNulls)` running window carries each
     * right payload forward to the left rows that follow it — never a
     * per-row subquery, never a range self-join. Right rows order before
-    * left rows at equal ts (tag 0 < 1), so ties match inclusively, and
-    * among equal-ts right rows the last by `rightTs` ordering wins
-    * deterministically. Scales as a single sort-merge pass per key.
+    * left rows at equal ts (tag 0 < 1), so ties match inclusively.
+    * Precondition for a deterministic match: at most one right row per
+    * (key, rightTs) — pre-aggregate duplicates away as q_asof_join does,
+    * otherwise which equal-ts right row wins depends on partitioning.
+    * Scales as a single sort-merge pass per key. Payload column names must
+    * not collide with left column names.
     */
   def asofJoin(
       left: DataFrame,
