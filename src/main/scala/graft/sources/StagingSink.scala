@@ -27,6 +27,37 @@ object StagingSink {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Compact a parquet table's small files: incremental loads append one
+    * file per batch-partition, and a year of hourly merges leaves main as
+    * thousands of KB-sized files whose open/footer costs dominate every
+    * scan. Rewrites to ceil(bytes / targetFileBytes) files via
+    * repartition, atomically swapping directories only after the rewrite
+    * succeeds (write to `<path>__compact`, then move) so a crashed
+    * compaction never corrupts main. Optionally sorts within partitions by
+    * `sortCols` so parquet row-group min/max stats become selective for
+    * those columns (poor-man's clustering).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil
+  ): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df0 = spark.read.parquet(path).repartition(nFiles)
+    val df = if (sortCols.nonEmpty) df0.sortWithinPartitions(sortCols.map(col): _*) else df0
+    val tmp = path + "__compact"
+    df.write.mode("overwrite").parquet(tmp)
+    val old = path + "__old"
+    fs.rename(p, new Path(old))
+    fs.rename(new Path(tmp), p)
+    fs.delete(new Path(old), true)
+    nFiles
+  }
+
   /** The incremental-extract cutoff: max `date_added_utc` in main, or None
     * when main does not exist yet (first load takes everything). The
     * reference derives its update watermark the same way (uscrn_dag.py:

@@ -161,6 +161,23 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(m("Temp °F") == Seq("12", "11", "10"))
   }
 
+  test("compact rewrites a many-small-files table into few files, data identical") {
+    val base = Files.createTempDirectory("compact").toString
+    val main = s"$base/main"
+    // Simulate a year of tiny incremental appends: 40 single-row files.
+    for (i <- 1 to 40)
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1).write.mode("append").parquet(main)
+    def parquetFiles = new java.io.File(main).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 40)
+    val before = spark.read.parquet(main).collect().toSet
+
+    val n = StagingSink.compact(spark, main, targetFileBytes = 1L << 30, sortCols = Seq("id"))
+    assert(n == 1 && parquetFiles == 1, s"expected 1 compacted file, have $parquetFiles")
+    assert(spark.read.parquet(main).collect().toSet == before, "compaction must not change data")
+    // No stray staging dirs left behind.
+    assert(!new java.io.File(s"${main}__compact").exists() && !new java.io.File(s"${main}__old").exists())
+  }
+
   test("full egress path: staging → main → sorted headered CSV export round-trips") {
     val base = Files.createTempDirectory("egress").toString
     val clock = lit("2026-01-01 00:00:00").cast("timestamp")
