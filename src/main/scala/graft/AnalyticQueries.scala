@@ -308,6 +308,57 @@ object AnalyticQueries {
              |SELECT e.event_id, e.ts, w.promo_type
              |FROM events e JOIN w
              |  ON e.ts >= w.w_start AND e.ts <= w.w_end""".stripMargin)
+    ),
+
+    // Data profiling: per-column row/null/distinct/min/max — the
+    // data-quality monitoring pass every load pipeline runs before
+    // publishing. One aggregate job per profiled column unioned into a
+    // uniform (col_name, stats...) shape; every stat is a partial-agg'd
+    // single shuffle. Min/max surface as strings so one schema carries
+    // mixed column types.
+    Q(
+      "q_profile",
+      (s, d) => {
+        val e = events(s, d)
+        def stat(c: String) = e.agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v")
+        ).select(lit(c).as("col_name"), col("n"), col("n_null"), col("n_distinct"), col("min_v"), col("max_v"))
+        Seq("event_id", "user_id", "event_type").map(stat).reduce(_ unionAll _)
+      },
+      Some("""SELECT 'event_id' AS col_name, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  COUNT(DISTINCT event_id) AS n_distinct,
+             |  CAST(min(event_id) AS VARCHAR) AS min_v, CAST(max(event_id) AS VARCHAR) AS max_v
+             |FROM events
+             |UNION ALL
+             |SELECT 'user_id', COUNT(*), CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  COUNT(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+             |FROM events
+             |UNION ALL
+             |SELECT 'event_type', COUNT(*), CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  COUNT(DISTINCT event_type), CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+             |FROM events""".stripMargin)
+    ),
+
+    // Equal-width histogram (dashboard staple): fixed [0, 600000) range in
+    // 10 buckets over order totals — integer bucket arithmetic on the
+    // IEEE-identical double, so the oracle hash-matches. One partial-agg'd
+    // shuffle regardless of data size.
+    Q(
+      "q_histogram",
+      (s, d) =>
+        orders(s, d)
+          .select(least(floor(col("o_totalprice") / 60000.0), lit(9L)).cast("long").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS BIGINT) AS bucket,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
     )
   )
 }
