@@ -113,6 +113,13 @@ object StreamQueries {
       "q_stream_join",
       (s, d) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // Inner-join output is complete after the data batches; the extra
+        // no-data micro-batch only advances the watermark to evict state —
+        // hygiene an AvailableNow one-shot doesn't need, and worth a full
+        // batch of latency here. A continuous deployment leaves this on
+        // (restored below).
+        val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val out = tmpDir("graft_sjoin_out")
         val ckpt = tmpDir("graft_sjoin_ckpt")
@@ -144,7 +151,8 @@ object StreamQueries {
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        try q.awaitTermination()
+        finally s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         s.read.parquet(out)
       },
       Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
