@@ -48,6 +48,48 @@ class WarehouseSinkSpec extends AnyFunSuite with SparkSpec {
       .map(_.toString).contains("2026-01-01 00:00:00.0"))
   }
 
+  test("streaming staged load into the JDBC warehouse: incremental and idempotent") {
+    // The reference's deployment shape end-to-end on a real warehouse:
+    // a file stream lands each micro-batch in the JDBC staging table and
+    // merges to main with the audit stamp — checkpointed file tracking on
+    // the Spark side, key anti-join idempotency on the warehouse side.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("jdbc_sload").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").write.parquet(s"$base/src/b1")
+    val schema = spark.read.parquet(s"$base/src/b1").schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/src/*")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          WarehouseSink.stage(batch, url, "stream_main", props)
+          WarehouseSink.mergeToMain(batch.sparkSession, url, "stream_main", Seq("id"), props, clock)
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(spark.read.jdbc(url, "stream_main", props).count() == 2)
+    // New file with one overlapping key: only the new key lands; the
+    // checkpoint skips already-processed files entirely.
+    Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v").write.parquet(s"$base/src/b2")
+    runOnce()
+    val main = spark.read.jdbc(url, "stream_main", props)
+    assert(main.count() == 3)
+    assert(main.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // Replaying with a fresh checkpoint (simulated checkpoint loss) is
+    // still a no-op thanks to the warehouse-side anti-join.
+    new scala.reflect.io.Directory(new java.io.File(s"$base/ckpt")).deleteRecursively()
+    runOnce()
+    assert(spark.read.jdbc(url, "stream_main", props).count() == 3)
+  }
+
   test("connection health check: reachable warehouse passes, bogus one reports") {
     assert(WarehouseSink.checkConnection(url, props).isRight)
     val bad = WarehouseSink.checkConnection("jdbc:derby:memory:nope", props, timeoutSec = 1)
