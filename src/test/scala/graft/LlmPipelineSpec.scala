@@ -57,9 +57,13 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(clean.count() == dedup.count() -
       dedup.join(contaminated, Seq("doc_id")).count())
 
-    // 7. Deterministic sample: md5-threshold, reproducible across runs.
-    val sampled = clean.filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10) < 0x8000)
-    val again = clean.filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10) < 0x8000)
+    // 7. Deterministic sample: md5-prefix threshold (the same idiom as
+    //    q_deterministic_sample), reproducible across runs. '8' keeps
+    //    hashes starting 0-7 ≈ half the corpus.
+    def half(df: org.apache.spark.sql.DataFrame) =
+      df.filter(md5(col("doc_id").cast("string")) < "8")
+    val sampled = half(clean)
+    val again = half(clean)
     assert(sampled.count() == again.count())
     assert(sampled.exceptAll(again).isEmpty, "sampling must be deterministic")
 
