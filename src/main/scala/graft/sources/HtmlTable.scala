@@ -85,7 +85,12 @@ object HtmlTable {
   }
 
   private val landscapeUdf =
-    udf((html: String, idx: Int, cellTag: String) => parseLandscape(html, idx, cellTag))
+    udf { (html: String, idx: Int, cellTag: String) =>
+      // A failed fetch (null page) yields zero records, not a task-killing
+      // NPE — one bad row must not fail a million-page corpus.
+      if (html == null) Map.empty[String, Seq[String]]
+      else parseLandscape(html, idx, cellTag)
+    }
 
   /** One output row per record of the landscape table in `htmlCol`, with one
     * string column per requested table column; original input columns ride

@@ -31,30 +31,51 @@ object StagingSink {
     * file per batch-partition, and a year of hourly merges leaves main as
     * thousands of KB-sized files whose open/footer costs dominate every
     * scan. Rewrites to ceil(bytes / targetFileBytes) files via
-    * repartition, atomically swapping directories only after the rewrite
-    * succeeds (write to `<path>__compact`, then move) so a crashed
-    * compaction never corrupts main. Optionally sorts within partitions by
-    * `sortCols` so parquet row-group min/max stats become selective for
-    * those columns (poor-man's clustering).
+    * repartition, then swaps directories with checked renames (write to
+    * `<path>__compact`, move main to `<path>__old`, move the rewrite in,
+    * drop `__old`); a crash between the renames is recovered on the next
+    * call — the table is never deleted until its replacement is in place.
+    * Pass `partitionCols` for a Hive-partitioned main so the rewrite
+    * keeps the layout. Optionally sorts within partitions by `sortCols`
+    * so parquet row-group min/max stats become selective for those
+    * columns (poor-man's clustering).
     */
   def compact(
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      sortCols: Seq[String] = Nil
+      sortCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil
   ): Int = {
     val p = new Path(path)
+    val tmpP = new Path(path + "__compact")
+    val oldP = new Path(path + "__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery: a leftover __old with no main means a previous
+    // compaction died between its two renames — the old dir IS the table;
+    // restore it before anything else. A leftover __old alongside main is
+    // a superseded copy (crash after the swap, before cleanup) — drop it.
+    if (fs.exists(oldP) && !fs.exists(p)) require(fs.rename(oldP, p), s"recovery rename $oldP -> $p failed")
+    if (fs.exists(oldP)) require(fs.delete(oldP, true), s"could not delete stale $oldP")
+    if (fs.exists(tmpP)) require(fs.delete(tmpP, true), s"could not delete stale $tmpP")
+
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df0 = spark.read.parquet(path).repartition(nFiles)
     val df = if (sortCols.nonEmpty) df0.sortWithinPartitions(sortCols.map(col): _*) else df0
-    val tmp = path + "__compact"
-    df.write.mode("overwrite").parquet(tmp)
-    val old = path + "__old"
-    fs.rename(p, new Path(old))
-    fs.rename(new Path(tmp), p)
-    fs.delete(new Path(old), true)
+    // A Hive-partitioned main must be rewritten partitioned, or the next
+    // partitioned append produces conflicting directory depths.
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer).parquet(tmpP.toString)
+
+    // Hadoop rename signals failure by RETURNING false — check both, and
+    // never delete the old copy until the new one is in place.
+    require(fs.rename(p, oldP), s"rename $p -> $oldP failed; table untouched")
+    if (!fs.rename(tmpP, p)) {
+      require(fs.rename(oldP, p), s"rollback rename $oldP -> $p failed — table is at $oldP")
+      throw new IllegalStateException(s"rename $tmpP -> $p failed; rolled back")
+    }
+    fs.delete(oldP, true) // best-effort; recovery above handles leftovers
     nFiles
   }
 

@@ -33,13 +33,16 @@ object WarehouseSink {
     * rather than throwing so callers can alert-and-skip like the DAG does.
     */
   def checkConnection(url: String, props: Properties, timeoutSec: Int = 5): Either[String, Unit] = {
+    // setLoginTimeout is JVM-global — restore it so a 5 s health-check cap
+    // doesn't silently apply to every later JDBC connection in the driver.
+    val prevTimeout = DriverManager.getLoginTimeout
     DriverManager.setLoginTimeout(timeoutSec)
     try {
       val c = DriverManager.getConnection(url, props)
       try Right(()) finally c.close()
     } catch {
       case e: Exception => Left(s"Connection to $url failed: ${e.getMessage}")
-    }
+    } finally DriverManager.setLoginTimeout(prevTimeout)
   }
 
   /** DAG-level retry policy (the reference's Airflow default_args retries):

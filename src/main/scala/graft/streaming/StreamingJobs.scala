@@ -54,8 +54,13 @@ object StreamingJobs {
   /** Folds one delivery of a user's events into the open session, emitting
     * every session a gap closes. Micro-batch iterators are not time-ordered;
     * the per-user sort is bounded by that user's events in THIS batch (not
-    * global history). Returns the still-open trailing session (never null
-    * for non-empty input).
+    * global history). An admitted late event that lands inside the open
+    * session (us ≤ end + gap but us < end) merges without moving the
+    * session end backwards — start/end are min/max, never last-seen.
+    * `prior` may be a flushed-counter marker (n_events == 0): no open
+    * session, but session numbering continues from its session_id.
+    * Returns the still-open trailing session (never null for non-empty
+    * input).
     */
   private def foldEvents(
       gapUs: Long,
@@ -65,16 +70,21 @@ object StreamingJobs {
       out: scala.collection.mutable.Builder[SessionOut, Seq[SessionOut]]
   ): OpenSession = {
     val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
-    var open = prior.orNull
+    var open = prior.filter(_.n_events > 0).orNull
+    var nextId = prior.map(_.session_id + 1L).getOrElse(1L)
     for (e <- evs) {
       val us = micros(e.ts)
       if (open == null) {
-        open = OpenSession(1L, 1L, us, us)
+        open = OpenSession(nextId, 1L, us, us)
       } else if (us - open.end_us > gapUs) {
         out += toOut(userId, open)
         open = OpenSession(open.session_id + 1L, 1L, us, us)
       } else {
-        open = open.copy(n_events = open.n_events + 1L, end_us = us)
+        open = open.copy(
+          n_events = open.n_events + 1L,
+          start_us = math.min(open.start_us, us),
+          end_us = math.max(open.end_us, us)
+        )
       }
     }
     open
@@ -97,29 +107,50 @@ object StreamingJobs {
     out.result().iterator
   }
 
-  /** Streaming mode: the trailing session stays OPEN in the state store and
-    * flushes via `EventTimeTimeout` when the watermark passes its end + gap
-    * — the state store stays O(active users) because every timed-out key is
-    * removed. Requires `withWatermark` upstream (sessionizeStream wires it).
+  /** Streaming mode: the trailing session stays OPEN in the state store
+    * and flushes via `EventTimeTimeout` when the watermark passes its
+    * end + gap. The flush does NOT drop the key's state: it leaves a
+    * counter marker (same OpenSession, n_events = 0) with a second,
+    * longer timeout, so a returning user's next session continues the
+    * cumulative session_id numbering instead of restarting at 1 — without
+    * the marker, (user_id, session_id) stops being a unique key over the
+    * stream's lifetime. The marker itself times out after
+    * `counterRetentionGaps` further gap-lengths of silence and is removed
+    * without emitting, so the store stays O(users active within the
+    * retention window), not O(all users ever). Requires `withWatermark`
+    * upstream (sessionizeStream wires it).
     */
-  private def sessionizeGroupStreaming(gapUs: Long)(
+  private def sessionizeGroupStreaming(gapUs: Long, counterRetentionGaps: Int)(
       userId: Long,
       rows: Iterator[SessionEvent],
       state: GroupState[OpenSession]
   ): Iterator[SessionOut] = {
+    // Spark rejects a timeout at or below the current watermark — clamp:
+    // a very-late event can fold into state whose end + gap is already
+    // behind the watermark, and the flush must then fire next batch, not
+    // crash this one.
+    def timeoutAt(us: Long): Long =
+      math.max(Math.floorDiv(us, 1000L) + 1L, state.getCurrentWatermarkMs() + 1L)
     if (state.hasTimedOut) {
-      // Watermark passed end + gap: no on-time event can extend this
-      // session any more — emit and clear the key's state.
       val open = state.get
-      state.remove()
-      Iterator.single(toOut(userId, open))
+      if (open.n_events > 0) {
+        // Watermark passed end + gap: no on-time event can extend this
+        // session — emit it and keep only the numbering counter.
+        state.update(open.copy(n_events = 0L, start_us = open.end_us))
+        state.setTimeoutTimestamp(timeoutAt(open.end_us + counterRetentionGaps.toLong * gapUs))
+        Iterator.single(toOut(userId, open))
+      } else {
+        // Retention passed with no new session: forget the counter.
+        state.remove()
+        Iterator.empty
+      }
     } else {
       val out = Seq.newBuilder[SessionOut]
       val open = foldEvents(gapUs, userId, rows, state.getOption, out)
       if (open != null) {
         state.update(open)
-        // Event-time timeout fires when the watermark passes this instant.
-        state.setTimeoutTimestamp(Math.floorDiv(open.end_us + gapUs, 1000L) + 1L)
+        // Event-time timeout fires when the watermark passes end + gap.
+        state.setTimeoutTimestamp(timeoutAt(open.end_us + gapUs))
       }
       out.result().iterator
     }
@@ -179,12 +210,16 @@ object StreamingJobs {
     *
     * `watermarkDelay` is the allowed event-time disorder across batches:
     * events later than that are the deployment's late-data budget, exactly
-    * as in the windowed-agg query.
+    * as in the windowed-agg query. `counterRetentionGaps` bounds how long
+    * (in gap-lengths of event-time silence) a flushed user's session
+    * counter survives so numbering stays cumulative across timeouts; after
+    * that the counter evicts and a much-later return restarts at 1.
     */
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapMinutes: Int = 30,
-      watermarkDelay: String = "10 minutes"
+      watermarkDelay: String = "10 minutes",
+      counterRetentionGaps: Int = 48
   ): Dataset[SessionOut] = {
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val outEnc = Encoders.product[SessionOut]
@@ -195,6 +230,6 @@ object StreamingJobs {
       .flatMapGroupsWithState[OpenSession, SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()
-      )(sessionizeGroupStreaming(gapUs))
+      )(sessionizeGroupStreaming(gapUs, counterRetentionGaps))
   }
 }

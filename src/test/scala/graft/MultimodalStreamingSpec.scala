@@ -141,6 +141,73 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.exceptAll(exact).isEmpty && exact.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming sessionize: late in-session merge, mid-stream timeout, counter survives flush") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("ssess2").toString
+    val srcDir = s"$base/src"; Files.createDirectories(Paths.get(srcDir))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val day = 86400L * 1000000L
+
+    // One slice per micro-batch. u1/u2 session at 10:00; a LATE u1 event
+    // (10:02) arrives a batch later and must merge WITHOUT moving the
+    // session end backwards; u99 pushes the watermark so u1/u2's sessions
+    // flush via EventTimeTimeout mid-stream (leaving counter markers);
+    // when u1/u2 return at day+60 their sessions must number 2, not 1.
+    val slices: Seq[Seq[(Long, Long, java.sql.Timestamp)]] = Seq(
+      Seq((1L, 1L, ts("2024-01-01 10:00:00")), (1L, 2L, ts("2024-01-01 10:05:00")),
+        (2L, 3L, ts("2024-01-01 10:00:00"))),
+      Seq((1L, 4L, ts("2024-01-01 10:02:00"))), // late, inside the open session
+      Seq((99L, 5L, ts("2024-01-31 10:00:00"))), // watermark push
+      Seq((99L, 6L, ts("2024-02-01 10:00:00"))), // timeouts for u1/u2 fire here
+      Seq((1L, 7L, ts("2024-03-01 10:00:00")), (2L, 8L, ts("2024-03-01 10:00:00"))),
+      Seq((-1L, 9L, ts("2025-06-01 00:00:00"))) // sentinel: flush the rest
+    )
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$base/slice$i"
+      rows.toDF("user_id", "event_id", "ts").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(srcDir, f"$i%02d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val schema = spark.read.parquet(s"$srcDir/00.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .as[SessionEvent]
+    val q = StreamingJobs
+      .sessionizeStream(stream, gapMinutes = 30, watermarkDelay = "1 hour",
+        counterRetentionGaps = 10000) // retention covers the day+60 returns
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.read.parquet(s"$base/out")
+      .filter(col("user_id") > 0)
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect()
+      .toSet
+    val expected = Set(
+      // u1 session 1 absorbed the late 10:02 event; end stayed 10:05.
+      (1L, 1L, 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
+      (2L, 1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00")),
+      // Post-timeout returns continue the numbering at 2.
+      (1L, 2L, 1L, ts("2024-03-01 10:00:00"), ts("2024-03-01 10:00:00")),
+      (2L, 2L, 1L, ts("2024-03-01 10:00:00"), ts("2024-03-01 10:00:00")),
+      (99L, 1L, 1L, ts("2024-01-31 10:00:00"), ts("2024-01-31 10:00:00")),
+      (99L, 2L, 1L, ts("2024-02-01 10:00:00"), ts("2024-02-01 10:00:00"))
+    )
+    assert(out == expected, s"got:\n${out.toSeq.sortBy(r => (r._1, r._2)).mkString("\n")}")
+  }
+
   test("sessionize in TRUE streaming mode: EventTimeTimeout flushes match the batch form") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("ssess").toString

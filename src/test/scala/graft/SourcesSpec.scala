@@ -178,6 +178,31 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"${main}__compact").exists() && !new java.io.File(s"${main}__old").exists())
   }
 
+  test("compact preserves Hive partitioning and recovers from a crashed swap") {
+    val base = Files.createTempDirectory("compact2").toString
+    val main = s"$base/main"
+    for (i <- 1 to 6)
+      Seq((i.toLong, s"d${i % 2}", s"v$i")).toDF("id", "date", "v")
+        .coalesce(1).write.partitionBy("date").mode("append").parquet(main)
+    val before = spark.read.parquet(main).select("id", "date", "v").collect().toSet
+
+    StagingSink.compact(spark, main, targetFileBytes = 1L << 30, partitionCols = Seq("date"))
+    // Partition directories survive the rewrite (pruning still works)…
+    val dirs = new java.io.File(main).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("date=d0", "date=d1"), s"partition layout lost: $dirs")
+    assert(spark.read.parquet(main).select("id", "date", "v").collect().toSet == before)
+
+    // Crashed swap: main renamed away, __old left behind. compact must
+    // restore the table instead of compacting nothing / deleting the copy.
+    val fs = new org.apache.hadoop.fs.Path(main)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(main), new org.apache.hadoop.fs.Path(s"${main}__old")))
+    StagingSink.compact(spark, main, targetFileBytes = 1L << 30, partitionCols = Seq("date"))
+    assert(spark.read.parquet(main).select("id", "date", "v").collect().toSet == before,
+      "crash recovery must restore and recompact the table")
+    assert(!new java.io.File(s"${main}__old").exists() && !new java.io.File(s"${main}__compact").exists())
+  }
+
   test("full egress path: staging → main → sorted headered CSV export round-trips") {
     val base = Files.createTempDirectory("egress").toString
     val clock = lit("2026-01-01 00:00:00").cast("timestamp")
