@@ -35,10 +35,15 @@ object StagingSink {
     * `<path>__compact`, move main to `<path>__old`, move the rewrite in,
     * drop `__old`); a crash between the renames is recovered on the next
     * call — the table is never deleted until its replacement is in place.
-    * Pass `partitionCols` for a Hive-partitioned main so the rewrite
-    * keeps the layout. Optionally sorts within partitions by `sortCols`
-    * so parquet row-group min/max stats become selective for those
-    * columns (poor-man's clustering).
+    * A Hive-partitioned main is detected automatically (root-level
+    * `name=value` directories) and rewritten with its layout — rows are
+    * hash-distributed BY the partition columns first, so each Hive
+    * partition lands in one task and writes one file (a plain round-robin
+    * repartition before partitionBy would write up to tasks × partitions
+    * small files, defeating the compaction). `partitionCols` overrides
+    * detection if needed. Optionally sorts within partitions by
+    * `sortCols` so parquet row-group min/max stats become selective for
+    * those columns (poor-man's clustering).
     */
   def compact(
       spark: SparkSession,
@@ -59,14 +64,30 @@ object StagingSink {
     if (fs.exists(oldP)) require(fs.delete(oldP, true), s"could not delete stale $oldP")
     if (fs.exists(tmpP)) require(fs.delete(tmpP, true), s"could not delete stale $tmpP")
 
+    // A Hive-partitioned main must be rewritten partitioned, or the next
+    // partitioned append produces conflicting directory depths — detect
+    // the layout rather than trusting the caller to remember.
+    val detected =
+      if (partitionCols.nonEmpty) partitionCols
+      else
+        fs.listStatus(p).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(_.contains("="))
+          .map(_.takeWhile(_ != '='))
+          .distinct
+
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df0 = spark.read.parquet(path).repartition(nFiles)
+    val base = spark.read.parquet(path)
+    // Partitioned: distribute by the partition columns so each Hive
+    // partition is written by exactly one task (one file per partition).
+    val df0 =
+      if (detected.nonEmpty) base.repartition(nFiles, detected.map(col): _*)
+      else base.repartition(nFiles)
     val df = if (sortCols.nonEmpty) df0.sortWithinPartitions(sortCols.map(col): _*) else df0
-    // A Hive-partitioned main must be rewritten partitioned, or the next
-    // partitioned append produces conflicting directory depths.
     val writer = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer).parquet(tmpP.toString)
+    (if (detected.nonEmpty) writer.partitionBy(detected: _*) else writer).parquet(tmpP.toString)
 
     // Hadoop rename signals failure by RETURNING false — check both, and
     // never delete the old copy until the new one is in place.

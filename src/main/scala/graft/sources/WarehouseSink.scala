@@ -32,18 +32,24 @@ object WarehouseSink {
     * check_connection with a 5 s timeout). Returns the failure message
     * rather than throwing so callers can alert-and-skip like the DAG does.
     */
-  def checkConnection(url: String, props: Properties, timeoutSec: Int = 5): Either[String, Unit] = {
-    // setLoginTimeout is JVM-global — restore it so a 5 s health-check cap
-    // doesn't silently apply to every later JDBC connection in the driver.
-    val prevTimeout = DriverManager.getLoginTimeout
-    DriverManager.setLoginTimeout(timeoutSec)
-    try {
-      val c = DriverManager.getConnection(url, props)
-      try Right(()) finally c.close()
-    } catch {
-      case e: Exception => Left(s"Connection to $url failed: ${e.getMessage}")
-    } finally DriverManager.setLoginTimeout(prevTimeout)
-  }
+  private val loginTimeoutLock = new Object
+
+  def checkConnection(url: String, props: Properties, timeoutSec: Int = 5): Either[String, Unit] =
+    // setLoginTimeout is JVM-global: serialize the set/connect/restore so
+    // concurrent health checks can't restore each other's temporary cap
+    // as the "previous" value (other threads' connections made during the
+    // window still see the cap — an unavoidable JDBC API limitation this
+    // lock at least bounds to the health check's duration).
+    loginTimeoutLock.synchronized {
+      val prevTimeout = DriverManager.getLoginTimeout
+      DriverManager.setLoginTimeout(timeoutSec)
+      try {
+        val c = DriverManager.getConnection(url, props)
+        try Right(()) finally c.close()
+      } catch {
+        case e: Exception => Left(s"Connection to $url failed: ${e.getMessage}")
+      } finally DriverManager.setLoginTimeout(prevTimeout)
+    }
 
   /** DAG-level retry policy (the reference's Airflow default_args retries):
     * run `f`, retrying up to `retries` times with linear backoff.

@@ -56,11 +56,16 @@ object StreamingJobs {
     * the per-user sort is bounded by that user's events in THIS batch (not
     * global history). An admitted late event that lands inside the open
     * session (us ≤ end + gap but us < end) merges without moving the
-    * session end backwards — start/end are min/max, never last-seen.
-    * `prior` may be a flushed-counter marker (n_events == 0): no open
-    * session, but session numbering continues from its session_id.
-    * Returns the still-open trailing session (never null for non-empty
-    * input).
+    * session end backwards — start/end are min/max, never last-seen. An
+    * admitted event OLDER than the open session's reach (us < start − gap)
+    * is dropped as too-late: it belongs to an already-numbered earlier
+    * span, and retro-inserting a session would invalidate emitted ids —
+    * the standard streaming late-data policy (size the watermark delay ≤
+    * gap and this cannot trigger; in batch mode the global per-user sort
+    * makes it unreachable). `prior` may be a flushed-counter marker
+    * (n_events == 0): no open session, but session numbering continues
+    * from its session_id. Returns the still-open trailing session (null
+    * only when every event was dropped and no session was open).
     */
   private def foldEvents(
       gapUs: Long,
@@ -79,13 +84,14 @@ object StreamingJobs {
       } else if (us - open.end_us > gapUs) {
         out += toOut(userId, open)
         open = OpenSession(open.session_id + 1L, 1L, us, us)
-      } else {
+      } else if (us >= open.start_us - gapUs) {
         open = open.copy(
           n_events = open.n_events + 1L,
           start_us = math.min(open.start_us, us),
           end_us = math.max(open.end_us, us)
         )
       }
+      // else: too-late event, dropped (see scaladoc).
     }
     open
   }

@@ -186,10 +186,17 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
         .coalesce(1).write.partitionBy("date").mode("append").parquet(main)
     val before = spark.read.parquet(main).select("id", "date", "v").collect().toSet
 
-    StagingSink.compact(spark, main, targetFileBytes = 1L << 30, partitionCols = Seq("date"))
-    // Partition directories survive the rewrite (pruning still works)…
-    val dirs = new java.io.File(main).listFiles().filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("date=d0", "date=d1"), s"partition layout lost: $dirs")
+    // No partitionCols passed: the Hive layout must be auto-detected.
+    StagingSink.compact(spark, main, targetFileBytes = 1L << 30)
+    // Partition directories survive the rewrite (pruning still works),
+    // each compacted to a single file (distribute-by-partition-col, not
+    // round-robin)…
+    val dirs = new java.io.File(main).listFiles().filter(_.isDirectory)
+    assert(dirs.map(_.getName).toSet == Set("date=d0", "date=d1"),
+      s"partition layout lost: ${dirs.map(_.getName).toSet}")
+    for (dir <- dirs)
+      assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${dir.getName} not compacted to one file")
     assert(spark.read.parquet(main).select("id", "date", "v").collect().toSet == before)
 
     // Crashed swap: main renamed away, __old left behind. compact must
@@ -197,7 +204,7 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(main)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new org.apache.hadoop.fs.Path(main), new org.apache.hadoop.fs.Path(s"${main}__old")))
-    StagingSink.compact(spark, main, targetFileBytes = 1L << 30, partitionCols = Seq("date"))
+    StagingSink.compact(spark, main, targetFileBytes = 1L << 30)
     assert(spark.read.parquet(main).select("id", "date", "v").collect().toSet == before,
       "crash recovery must restore and recompact the table")
     assert(!new java.io.File(s"${main}__old").exists() && !new java.io.File(s"${main}__compact").exists())

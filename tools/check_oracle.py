@@ -39,9 +39,9 @@ def main(sfdir, outdir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # Verify emits each oracle under both 'q_x' and 'q_x.parquet' (the
-    # driver keys by filename); both resolve to the same output dir, so
-    # dedup to one check per query rather than double-counting the gate.
-    oracle = {k: v for k, v in oracle.items() if not k.endswith(".parquet")}
+    # driver keys by filename); both resolve to the same output dir —
+    # NORMALIZE (don't drop) so a file keyed only by filename still gates.
+    oracle = {k.removesuffix(".parquet"): v for k, v in oracle.items()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         # Verify writes a <name>.parquet directory (driver contract); accept
