@@ -312,22 +312,33 @@ object AnalyticQueries {
 
     // Data profiling: per-column row/null/distinct/min/max — the
     // data-quality monitoring pass every load pipeline runs before
-    // publishing. One aggregate job per profiled column unioned into a
-    // uniform (col_name, stats...) shape; every stat is a partial-agg'd
-    // single shuffle. Min/max surface as strings so one schema carries
-    // mixed column types.
+    // publishing. ONE scan computes every stat for every profiled column
+    // in a single aggregate (the multiple count-distincts plan through
+    // Spark's Expand), then a stack() unpivots the 1-row result into the
+    // uniform (col_name, stats...) shape — versus a union of per-column
+    // aggregates, which reads the table once PER COLUMN (3× the IO at
+    // 100 TB for this profile). Min/max surface as strings so one schema
+    // carries mixed column types.
     Q(
       "q_profile",
       (s, d) => {
-        val e = events(s, d)
-        def stat(c: String) = e.agg(
-          count(lit(1)).as("n"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_v"),
-          max(col(c)).cast("string").as("max_v")
-        ).select(lit(c).as("col_name"), col("n"), col("n_null"), col("n_distinct"), col("min_v"), col("max_v"))
-        Seq("event_id", "user_id", "event_type").map(stat).reduce(_ unionAll _)
+        val cols = Seq("event_id", "user_id", "event_type")
+        val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+            countDistinct(col(c)).as(s"dist_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c")
+          )
+        }
+        val branches = cols
+          .map(c => s"'$c', n, null_$c, dist_$c, min_$c, max_$c")
+          .mkString(", ")
+        events(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(
+            s"stack(${cols.length}, $branches) AS (col_name, n, n_null, n_distinct, min_v, max_v)"
+          )
       },
       Some("""SELECT 'event_id' AS col_name, COUNT(*) AS n,
              |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

@@ -69,6 +69,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_profile reads the table exactly once for all column stats") {
+    val p = plan("q_profile")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"profile must be a single-pass aggregate, not one scan per column:\n$p")
+  }
+
   test("q_repetition_filter is a zero-shuffle projection (row-local kernel, no explode)") {
     val p = plan("q_repetition_filter")
     assert(!p.contains("Exchange") && !p.contains("Generate"),
