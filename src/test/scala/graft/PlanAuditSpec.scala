@@ -69,6 +69,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("LSH self-joins reuse their shuffle subtree (sketch computed once, not per side)") {
+    // The merge hints force identical shuffle subtrees on both sides of
+    // each banded self-join; AQE's stage reuse then computes the
+    // sketch+explode pipeline once (measured ~2x on simhash at sf0.1). The
+    // marker only appears in the FINAL adaptive plan, so execute first.
+    for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_ngram_jaccard")) {
+      val df = QueryRegistry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(_.contains("Reused")),
+        s"$name lost exchange/stage reuse — the sketch pipeline now runs per join side:\n$p")
+    }
+  }
+
   test("q_profile reads the table exactly once for all column stats") {
     val p = plan("q_profile")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
