@@ -355,6 +355,68 @@ object AnalyticQueries {
              |FROM events""".stripMargin)
     ),
 
+    // Funnel analysis: users progressing view → click (after their first
+    // view) → purchase (after that click) — each stage is a keyed
+    // min-aggregate joined to the previous stage's timestamps, so the
+    // whole funnel is three partial-agg'd shuffles on user_id (AQE
+    // broadcasts the shrinking stage tables), never a per-user sort or
+    // window over all events.
+    Q(
+      "q_funnel",
+      (s, d) => {
+        val e = events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+             |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             |       (SELECT COUNT(*) FROM c) AS n_view_click,
+             |       (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin)
+    ),
+
+    // Weekly cohort retention (the other dashboard staple): users grouped
+    // by first-activity week, counted distinct per subsequent active week.
+    // Weeks are Monday-truncated on both engines, so the day difference is
+    // an exact multiple of 7 and the offset arithmetic is integer-safe.
+    Q(
+      "q_retention_cohorts",
+      (s, d) => {
+        val e = events(s, d)
+        val first = e.groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        e.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+          .join(first, "user_id")
+          .groupBy(col("cohort"), (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1),
+             |a AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+             |SELECT f.cohort,
+             |  CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+             |  COUNT(DISTINCT a.user_id) AS n_users
+             |FROM a JOIN f ON a.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin)
+    ),
+
     // Equal-width histogram (dashboard staple): fixed [0, 600000) range in
     // 10 buckets over order totals — integer bucket arithmetic on the
     // IEEE-identical double, so the oracle hash-matches. One partial-agg'd
