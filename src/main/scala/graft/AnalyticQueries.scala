@@ -356,26 +356,27 @@ object AnalyticQueries {
     ),
 
     // Funnel analysis: users progressing view → click (after their first
-    // view) → purchase (after that click) — each stage is a keyed
-    // min-aggregate joined to the previous stage's timestamps, so the
-    // whole funnel is three partial-agg'd shuffles on user_id (AQE
-    // broadcasts the shrinking stage tables), never a per-user sort or
-    // window over all events.
+    // view) → purchase (after that click). ONE shuffle on user_id: three
+    // chained per-user window minimums (each stage's cutoff feeds the
+    // next; all three windows share the same partitioning and sort, so
+    // Catalyst plans a single exchange), then a per-user rollup that
+    // reuses that partitioning and a 1-row count — versus the staged
+    // join formulation whose every stage re-shuffled and re-scanned.
     Q(
       "q_funnel",
       (s, d) => {
-        val e = events(s, d)
-        val v = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val c = e.filter(col("event_type") === "click")
-          .join(v, "user_id").filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        val p = e.filter(col("event_type") === "purchase")
-          .join(c, "user_id").filter(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        v.agg(count(lit(1)).as("n_view"))
-          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+        val w = Window.partitionBy(col("user_id"))
+        events(s, d)
+          .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+          .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+          .agg(
+            count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_view_click"),
+            count(col("t3")).as("n_view_click_purchase")
+          )
       },
       Some("""WITH v AS (
              |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -35,14 +35,16 @@ object StagingSink {
     * `<path>__compact`, move main to `<path>__old`, move the rewrite in,
     * drop `__old`); a crash between the renames is recovered on the next
     * call — the table is never deleted until its replacement is in place.
-    * A Hive-partitioned main is detected automatically (root-level
-    * `name=value` directories) and rewritten with its layout — rows are
-    * hash-distributed BY the partition columns first, so each Hive
-    * partition lands in one task and writes one file (a plain round-robin
-    * repartition before partitionBy would write up to tasks × partitions
-    * small files, defeating the compaction). `partitionCols` overrides
-    * detection if needed. Optionally sorts within partitions by
-    * `sortCols` so parquet row-group min/max stats become selective for
+    * A Hive-partitioned main is detected automatically (every `name=value`
+    * directory level) and rewritten with its layout — rows distribute by
+    * the partition columns plus a bounded salt, so small partitions
+    * compact to one file each while oversized partitions still split
+    * toward the target size (a plain round-robin repartition before
+    * partitionBy would write up to tasks × partitions small files,
+    * defeating the compaction). `partitionCols` overrides detection if
+    * needed. Optionally sorts within partitions by `sortCols` (prefixed
+    * with the partition columns so the dynamic-partition writer keeps the
+    * ordering) so parquet row-group min/max stats become selective for
     * those columns (poor-man's clustering).
     */
   def compact(
@@ -66,26 +68,41 @@ object StagingSink {
 
     // A Hive-partitioned main must be rewritten partitioned, or the next
     // partitioned append produces conflicting directory depths — detect
-    // the layout rather than trusting the caller to remember.
-    val detected =
-      if (partitionCols.nonEmpty) partitionCols
-      else
-        fs.listStatus(p).toSeq
-          .filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .filter(_.contains("="))
-          .map(_.takeWhile(_ != '='))
-          .distinct
+    // the FULL layout (all `name=value` levels, e.g. date=/hour=) rather
+    // than trusting the caller to remember, and count the leaf partition
+    // directories while walking so file sizing can respect both contracts
+    // below.
+    def walk(dir: Path): (Seq[String], Int) = {
+      val dirs = fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (dirs.isEmpty) (Nil, 1)
+      else {
+        val level = dirs.head.getPath.getName.takeWhile(_ != '=')
+        val below = dirs.map(d => walk(d.getPath))
+        (level +: below.head._1, below.map(_._2).sum)
+      }
+    }
+    val (walked, leafDirs) = walk(p)
+    val detected = if (partitionCols.nonEmpty) partitionCols else walked
 
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val base = spark.read.parquet(path)
-    // Partitioned: distribute by the partition columns so each Hive
-    // partition is written by exactly one task (one file per partition).
+    // Partitioned: distribute by the partition columns plus a bounded salt
+    // so each Hive partition is written by ~filesPerPart tasks — one file
+    // per partition when partitions are small, but a 50 GB partition still
+    // splits toward targetFileBytes instead of funneling through one task.
+    val filesPerPart = math.max(1, math.ceil(nFiles.toDouble / math.max(1, leafDirs)).toInt)
+    val dataCols = base.columns.filterNot(detected.contains).map(col).toIndexedSeq
     val df0 =
-      if (detected.nonEmpty) base.repartition(nFiles, detected.map(col): _*)
+      if (detected.nonEmpty)
+        base.repartition(nFiles, detected.map(col) :+ pmod(hash(dataCols: _*), lit(filesPerPart)): _*)
       else base.repartition(nFiles)
-    val df = if (sortCols.nonEmpty) df0.sortWithinPartitions(sortCols.map(col): _*) else df0
+    // Prefix the sort with the partition columns: the dynamic-partition
+    // writer requires that ordering and would otherwise insert its own
+    // sort on just the partition columns, discarding the clustering.
+    val effectiveSort = (detected ++ sortCols).map(col)
+    val df = if (effectiveSort.nonEmpty) df0.sortWithinPartitions(effectiveSort: _*) else df0
     val writer = df.write.mode("overwrite")
     (if (detected.nonEmpty) writer.partitionBy(detected: _*) else writer).parquet(tmpP.toString)
 

@@ -78,9 +78,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       val df = QueryRegistry.queries(name)(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
-      assert(p.linesIterator.exists(_.contains("Reused")),
+      // Match exchange/stage reuse specifically — a ReusedSubquery node
+      // would NOT prove the sketch pipeline is shared across join sides.
+      assert(p.linesIterator.exists(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage")),
         s"$name lost exchange/stage reuse — the sketch pipeline now runs per join side:\n$p")
     }
+  }
+
+  test("q_funnel is a single-shuffle window funnel (one exchange, one scan)") {
+    val p = plan("q_funnel")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"funnel must read events once:\n$p")
   }
 
   test("q_profile reads the table exactly once for all column stats") {

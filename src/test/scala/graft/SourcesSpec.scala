@@ -210,6 +210,23 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"${main}__old").exists() && !new java.io.File(s"${main}__compact").exists())
   }
 
+  test("compact auto-detects multi-level partitioning (date=/hour=)") {
+    val base = Files.createTempDirectory("compact3").toString
+    val main = s"$base/main"
+    for (i <- 1 to 8)
+      Seq((i.toLong, s"d${i % 2}", s"h${i % 2}", s"v$i")).toDF("id", "date", "hour", "v")
+        .coalesce(1).write.partitionBy("date", "hour").mode("append").parquet(main)
+    val before = spark.read.parquet(main).select("id", "date", "hour", "v").collect().toSet
+
+    StagingSink.compact(spark, main, targetFileBytes = 1L << 30)
+    // BOTH levels must survive — detecting only date= would write hour as
+    // a data column and corrupt the directory depths.
+    val leaf = new java.io.File(s"$main/date=d0/hour=h0")
+    assert(leaf.isDirectory, "second partition level lost in rewrite")
+    assert(leaf.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(main).select("id", "date", "hour", "v").collect().toSet == before)
+  }
+
   test("full egress path: staging → main → sorted headered CSV export round-trips") {
     val base = Files.createTempDirectory("egress").toString
     val clock = lit("2026-01-01 00:00:00").cast("timestamp")

@@ -40,8 +40,14 @@ def main(sfdir, outdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # Verify emits each oracle under both 'q_x' and 'q_x.parquet' (the
     # driver keys by filename); both resolve to the same output dir —
-    # NORMALIZE (don't drop) so a file keyed only by filename still gates.
-    oracle = {k.removesuffix(".parquet"): v for k, v in oracle.items()}
+    # NORMALIZE (don't drop) so a file keyed only by filename still gates,
+    # and fail loudly if the two keys ever carry different SQL.
+    norm = {}
+    for k, v in oracle.items():
+        b = k.removesuffix(".parquet")
+        assert norm.get(b, v) == v, f"conflicting oracle SQL for {b}"
+        norm[b] = v
+    oracle = norm
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         # Verify writes a <name>.parquet directory (driver contract); accept
