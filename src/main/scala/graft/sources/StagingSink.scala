@@ -36,16 +36,22 @@ object StagingSink {
     * drop `__old`); a crash between the renames is recovered on the next
     * call — the table is never deleted until its replacement is in place.
     * A Hive-partitioned main is detected automatically (every `name=value`
-    * directory level) and rewritten with its layout — rows distribute by
-    * the partition columns plus a bounded salt, so small partitions
-    * compact to one file each while oversized partitions still split
-    * toward the target size (a plain round-robin repartition before
-    * partitionBy would write up to tasks × partitions small files,
-    * defeating the compaction). `partitionCols` overrides detection if
-    * needed. Optionally sorts within partitions by `sortCols` (prefixed
-    * with the partition columns so the dynamic-partition writer keeps the
-    * ordering) so parquet row-group min/max stats become selective for
-    * those columns (poor-man's clustering).
+    * directory level) and rewritten with its layout — each partition gets
+    * its own salt range sized from its OWN bytes (one metadata walk, the
+    * same listings partition discovery performs; O(partitions) driver
+    * state, the planner's norm), so small partitions compact to exactly
+    * one file while an oversized partition splits toward the target size
+    * — neither the tasks × partitions small-file explosion of a
+    * round-robin repartition nor a 50 GB single-task funnel. The salt
+    * hashes the hashable data columns (falling back to a row id when
+    * every column is a map or a partition key). `partitionCols` overrides
+    * detection when repartitioning INTO a new layout; per-partition sizes
+    * are then unknown, so sizing falls back to a global average over the
+    * distinct partition count. Optionally sorts within partitions by
+    * `sortCols` (prefixed with the partition columns so the
+    * dynamic-partition writer keeps the ordering) so parquet row-group
+    * min/max stats become selective for those columns (poor-man's
+    * clustering).
     */
   def compact(
       spark: SparkSession,
@@ -69,35 +75,64 @@ object StagingSink {
     // A Hive-partitioned main must be rewritten partitioned, or the next
     // partitioned append produces conflicting directory depths — detect
     // the FULL layout (all `name=value` levels, e.g. date=/hour=) rather
-    // than trusting the caller to remember, and count the leaf partition
-    // directories while walking so file sizing can respect both contracts
-    // below.
-    def walk(dir: Path): (Seq[String], Int) = {
-      val dirs = fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      if (dirs.isEmpty) (Nil, 1)
+    // than trusting the caller to remember, and record each leaf
+    // partition's VALUES and BYTES while walking so file sizing is
+    // per-partition (same listings partition discovery performs anyway).
+    def walk(dir: Path, values: Seq[String]): (Seq[String], Seq[(Seq[String], Long)]) = {
+      val st = fs.listStatus(dir).toSeq
+      val dirs = st.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (dirs.isEmpty)
+        (Nil, Seq(values -> st.filter(_.isFile).map(_.getLen).sum))
       else {
         val level = dirs.head.getPath.getName.takeWhile(_ != '=')
-        val below = dirs.map(d => walk(d.getPath))
-        (level +: below.head._1, below.map(_._2).sum)
+        val below = dirs.map(d => walk(d.getPath, values :+ d.getPath.getName.dropWhile(_ != '=').tail))
+        (level +: below.head._1, below.flatMap(_._2))
       }
     }
-    val (walked, leafDirs) = walk(p)
+    val (walked, leaves) = walk(p, Nil)
     val detected = if (partitionCols.nonEmpty) partitionCols else walked
 
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val base = spark.read.parquet(path)
-    // Partitioned: distribute by the partition columns plus a bounded salt
-    // so each Hive partition is written by ~filesPerPart tasks — one file
-    // per partition when partitions are small, but a 50 GB partition still
-    // splits toward targetFileBytes instead of funneling through one task.
-    val filesPerPart = math.max(1, math.ceil(nFiles.toDouble / math.max(1, leafDirs)).toInt)
-    val dataCols = base.columns.filterNot(detected.contains).map(col).toIndexedSeq
+    def subFiles(b: Long): Int = math.max(1, math.ceil(b.toDouble / targetFileBytes).toInt)
+
+    // Salt source: hash the hashable data columns (hash() rejects maps;
+    // a table whose every column is a partition key has none) — fall back
+    // to a synthetic row id, only ever used modulo the salt range.
+    val hashable = base.schema.fields.toIndexedSeq
+      .filterNot(f => detected.contains(f.name))
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
+    val saltSrc = if (hashable.nonEmpty) hash(hashable: _*) else monotonically_increasing_id()
+    val sep = "\u0001"
+
     val df0 =
-      if (detected.nonEmpty)
-        base.repartition(nFiles, detected.map(col) :+ pmod(hash(dataCols: _*), lit(filesPerPart)): _*)
-      else base.repartition(nFiles)
+      if (detected.isEmpty) base.repartition(nFiles)
+      else if (detected == walked && leaves.nonEmpty) {
+        // Per-partition salt range: each leaf's own bytes decide how many
+        // files it splits into — 1 for small partitions, ~bytes/target
+        // for an oversized one — joined in via a broadcast map keyed on
+        // the partition VALUES in string form (as the directory names
+        // encode them; an exotic escaped value misses the map and falls
+        // back to 1 file via the left join).
+        import spark.implicits._
+        val mapDf = leaves.map { case (vs, b) => (vs.mkString(sep), subFiles(b)) }.toDF("__pk", "__nsub")
+        base
+          .withColumn("__pk", concat_ws(sep, detected.map(c => col(c).cast("string")): _*))
+          .join(broadcast(mapDf), Seq("__pk"), "left")
+          .withColumn("__salt", pmod(saltSrc, coalesce(col("__nsub"), lit(1))))
+          .repartition(nFiles, detected.map(col) :+ col("__salt"): _*)
+          .drop("__pk", "__nsub", "__salt")
+      } else {
+        // Repartitioning INTO a new layout (explicit partitionCols with no
+        // matching dirs): per-partition bytes are unknowable from the
+        // walk — average over the distinct partition count (one cheap
+        // key-only aggregate job).
+        val distinctParts = math.max(1L, base.select(detected.map(col): _*).distinct().count())
+        val per = math.max(1, math.ceil(nFiles.toDouble / distinctParts).toInt)
+        base.repartition(nFiles, detected.map(col) :+ pmod(saltSrc, lit(per)): _*)
+      }
     // Prefix the sort with the partition columns: the dynamic-partition
     // writer requires that ordering and would otherwise insert its own
     // sort on just the partition columns, discarding the clustering.

@@ -210,6 +210,26 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"${main}__old").exists() && !new java.io.File(s"${main}__compact").exists())
   }
 
+  test("compact sizes files per partition: small ones to one file, oversized ones split") {
+    val base = Files.createTempDirectory("compact4").toString
+    val main = s"$base/main"
+    // One oversized partition (well past the target), several tiny ones
+    // written as many small appends.
+    spark.range(200000).selectExpr("id", "'big' AS date", "uuid() AS v")
+      .coalesce(1).write.partitionBy("date").mode("append").parquet(main)
+    for (i <- 1 to 3; _ <- 1 to 3)
+      Seq((i.toLong, s"small$i", "x")).toDF("id", "date", "v")
+        .coalesce(1).write.partitionBy("date").mode("append").parquet(main)
+    val before = spark.read.parquet(main).count()
+
+    StagingSink.compact(spark, main, targetFileBytes = 512L * 1024)
+    def files(d: String) = new java.io.File(s"$main/date=$d").listFiles().count(_.getName.endsWith(".parquet"))
+    for (i <- 1 to 3)
+      assert(files(s"small$i") == 1, s"small partition must compact to one file, got ${files(s"small$i")}")
+    assert(files("big") > 1, "oversized partition must split toward the target size, not one task/file")
+    assert(spark.read.parquet(main).count() == before)
+  }
+
   test("compact auto-detects multi-level partitioning (date=/hour=)") {
     val base = Files.createTempDirectory("compact3").toString
     val main = s"$base/main"
