@@ -239,6 +239,46 @@ object SimilarityQueries {
       None
     ),
 
+    // Containment near-dup (truncation detection): the asymmetric score
+    // |A∩B| / min(|A|,|B|) — a truncated or excerpted copy scores ~1.0
+    // where symmetric Jaccard dilutes toward |small|/|big|. Candidates
+    // come from the same LSH bands; the exact intersection size derives
+    // algebraically from the verified Jaccard and the two set sizes
+    // (c = J(a+b)/(1+J)), so no second intersection pass runs. The
+    // verify threshold is deliberately looser on Jaccard (0.3) and tight
+    // on containment (0.9): that is the asymmetric regime this operator
+    // exists for. DedupRecallSpec gates planted-truncation recall.
+    Q(
+      "q_dedup_containment",
+      (s, d) => {
+        val withSig = corpusWithDups(s, d)
+          .withColumn("sh", hashedShingles(col("text")))
+          .withColumn("bands", minhashBands(col("sh"), k = 64, b = 16, r = 4))
+        val cand = bandedPairs(withSig.select("doc_id", "bands"))
+        val sh = withSig.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+        cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"),
+            col("sa.n_sh").as("na"),
+            col("sb.n_sh").as("nb")
+          )
+          .filter(col("jaccard") >= 0.3)
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            (col("jaccard") * (col("na") + col("nb")) / (col("jaccard") + 1.0) /
+              least(col("na"), col("nb"))).as("containment")
+          )
+          .filter(col("containment") >= 0.9)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None
+    ),
+
     // Fuzzy-dedup clustering: connected components over the verified
     // MinHash pair graph. Output is one row per document with its cluster
     // id (min reachable doc_id) and a canonical flag — the exact shape a

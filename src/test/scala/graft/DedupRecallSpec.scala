@@ -45,6 +45,14 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     assert(r > 0.8, s"ngram-jaccard planted recall $r")
   }
 
+  test("containment dedup recovers planted truncations at a higher bar than jaccard") {
+    // Planted dups are 85%-truncations — the asymmetric regime: the copy's
+    // shingles are (nearly) a subset of the source's, so containment ~1.0
+    // even where symmetric jaccard sits near 0.5-0.7.
+    val r = plantedRecall("q_dedup_containment")
+    assert(r > 0.9, s"containment planted recall $r")
+  }
+
   test("embedding LSH dedup recovers most planted perturbed copies") {
     val out = QueryRegistry.queries("q_dedup_embedding")(spark, sfDir)
     val planted = out.filter(col("vec_b") === col("vec_a") + 1000000L).count()
