@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * parquet/table layer.
   *
   * Scale notes: the idempotency check is a left-anti join on the business
-  * key — at 100 TB the main side is partition-pruned by the same watermark
-  * that bounded the extract, so the anti-join touches only recent partitions,
-  * and AQE picks broadcast for a small staging batch. No driver-side state.
+  * key — at 100 TB callers pass `mainFilter` (the same watermark that
+  * bounded the extract) so the main side is partition-pruned and the
+  * anti-join touches only recent partitions; AQE picks broadcast for a
+  * small staging batch. No driver-side state.
   */
 object StagingSink {
 
@@ -168,10 +169,37 @@ object StagingSink {
           .head().getTimestamp(0)
       )
 
+  /** The staged rows that are NOT yet in main: the anti-join the merge
+    * appends. Exposed so callers (and the pruning spec) can inspect the
+    * plan. `mainFilter` bounds the main-side key read — on a partitioned
+    * main a watermark predicate here becomes planning-time partition
+    * pruning, so the idempotency check never scans historical partitions.
+    * The filter must be CONSERVATIVE: every main row that could collide
+    * with this batch's keys must satisfy it (the extract watermark is by
+    * construction — staged rows are newer than the cutoff, so their keys
+    * can only exist in partitions at/after the cutoff).
+    */
+  def freshRows(
+      spark: SparkSession,
+      stagingPath: String,
+      mainPath: String,
+      keyCols: Seq[String],
+      mainFilter: Option[Column] = None
+  ): DataFrame = {
+    val staged = spark.read.parquet(stagingPath)
+    if (exists(spark, mainPath)) {
+      val main = spark.read.parquet(mainPath)
+      val bounded = mainFilter.fold(main)(main.where)
+      staged.join(bounded.select(keyCols.map(col).toIndexedSeq: _*), keyCols, "left_anti")
+    } else staged
+  }
+
   /** Append staged rows to main with an audit timestamp, creating main if
     * missing. Re-running the same batch is a no-op: rows whose `keyCols`
     * already exist in main are anti-joined away (the reference gets this
     * from its pre-load dedup + watermark; here it is explicit and exact).
+    * Pass `mainFilter` (the extract watermark) so the anti-join's main
+    * side is partition-pruned rather than a full historical key scan.
     *
     * `clock` defaults to `current_timestamp()`; tests pass a fixed literal
     * for determinism.
@@ -182,14 +210,10 @@ object StagingSink {
       mainPath: String,
       keyCols: Seq[String],
       clock: Column = current_timestamp(),
-      partitionCols: Seq[String] = Nil
+      partitionCols: Seq[String] = Nil,
+      mainFilter: Option[Column] = None
   ): Unit = {
-    val staged = spark.read.parquet(stagingPath)
-    val fresh =
-      if (exists(spark, mainPath)) {
-        val mainKeys = spark.read.parquet(mainPath).select(keyCols.map(col).toIndexedSeq: _*)
-        staged.join(mainKeys, keyCols, "left_anti")
-      } else staged
+    val fresh = freshRows(spark, stagingPath, mainPath, keyCols, mainFilter)
     val writer = fresh.withColumn("date_added_utc", clock).write.mode("append")
     // Hive-style partitioning of main: this is the 100 TB layout that turns
     // watermark predicates into partition pruning (whole date directories

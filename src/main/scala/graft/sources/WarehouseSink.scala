@@ -111,12 +111,37 @@ object WarehouseSink {
       )
     }
 
+  /** The staged rows not yet in main — the anti-join the merge appends.
+    * `mainFilter` bounds the main-side key read; Spark pushes both the
+    * key projection AND this predicate down to the warehouse (visible as
+    * PushedFilters on the JDBC scan), so an incremental load's
+    * idempotency check issues `SELECT keys FROM main WHERE watermark…`
+    * instead of reading every historical key over the wire.
+    */
+  def freshRows(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      props: Properties,
+      mainFilter: Option[Column] = None
+  ): DataFrame = {
+    val staged = spark.read.jdbc(url, stagingTable(table), props)
+    if (tableExists(url, table, props)) {
+      val main = spark.read.jdbc(url, table, props)
+      val bounded = mainFilter.fold(main)(main.where)
+      staged.join(bounded.select(keyCols.map(col).toIndexedSeq: _*), keyCols, "left_anti")
+    } else staged
+  }
+
   /** Append staged rows to main with an audit timestamp, creating main if
     * missing (the reference's CREATE_IF_NEEDED branch is Spark's
     * SaveMode.Append creating absent JDBC tables). Re-running the same
     * batch is a no-op: rows whose `keyCols` already exist in main are
     * anti-joined away — the key-only main read pushes a projection to the
-    * warehouse, and for a small staged batch AQE broadcasts it.
+    * warehouse, and for a small staged batch AQE broadcasts it. Pass
+    * `mainFilter` (the extract watermark) so that read also pushes a
+    * bounding predicate instead of pulling every historical key.
     *
     * `clock` defaults to `current_timestamp()`; tests pass a fixed literal.
     */
@@ -126,15 +151,10 @@ object WarehouseSink {
       table: String,
       keyCols: Seq[String],
       props: Properties,
-      clock: Column = current_timestamp()
+      clock: Column = current_timestamp(),
+      mainFilter: Option[Column] = None
   ): Unit = {
-    val staged = spark.read.jdbc(url, stagingTable(table), props)
-    val fresh =
-      if (tableExists(url, table, props)) {
-        val mainKeys = spark.read.jdbc(url, table, props).select(keyCols.map(col).toIndexedSeq: _*)
-        staged.join(mainKeys, keyCols, "left_anti")
-      } else staged
-    fresh
+    freshRows(spark, url, table, keyCols, props, mainFilter)
       .withColumn("date_added_utc", clock)
       .write.mode("append").jdbc(url, table, props)
   }

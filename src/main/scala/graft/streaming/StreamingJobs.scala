@@ -180,7 +180,9 @@ object StreamingJobs {
       mainPath: String,
       keyCols: Seq[String],
       checkpoint: String,
-      clock: org.apache.spark.sql.Column
+      clock: org.apache.spark.sql.Column,
+      partitionCols: Seq[String] = Nil,
+      mainFilter: Option[org.apache.spark.sql.Column] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -190,7 +192,8 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         graft.sources.StagingSink.stage(batch, stagingPath)
-        graft.sources.StagingSink.mergeToMain(batch.sparkSession, stagingPath, mainPath, keyCols, clock)
+        graft.sources.StagingSink.mergeToMain(
+          batch.sparkSession, stagingPath, mainPath, keyCols, clock, partitionCols, mainFilter)
       }
       .start()
 

@@ -99,6 +99,54 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(readFiles < allFiles, s"read $readFiles of $allFiles files — no pruning happened")
   }
 
+  test("mergeToMain mainFilter partition-prunes the idempotency anti-join's main side") {
+    val base = Files.createTempDirectory("prune").toString
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+    val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+    // Historical main: three date partitions.
+    val history = Seq(
+      (1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0), (3L, "2024-01-03", 3.0)
+    ).toDF("id", "dt", "v")
+    StagingSink.stage(history, staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), clock, partitionCols = Seq("dt"))
+
+    // Incremental batch: one replayed row from the latest partition plus a
+    // new one. The extract watermark bounds it to dt >= 2024-01-03, so the
+    // same predicate is a valid (conservative) bound on the main key read.
+    val batch = Seq((3L, "2024-01-03", 3.0), (4L, "2024-01-04", 4.0)).toDF("id", "dt", "v")
+    StagingSink.stage(batch, staging)
+    val wm = Some(col("dt") >= "2024-01-03")
+
+    // Plan assertion: the main-side scan of freshRows must carry the
+    // watermark in PartitionFilters (planning-time pruning), and executing
+    // it must read fewer files than main holds. AQE is off for the
+    // inspection only — pruning is decided at planning time, and the
+    // adaptive wrapper hides the scan nodes from collectWithSubqueries.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val fresh = StagingSink.freshRows(spark, staging, main, Seq("id"), wm)
+      assert(fresh.collect().map(_.getLong(0)).toSet == Set(4L), "anti-join result wrong under mainFilter")
+      val scans = fresh.queryExecution.executedPlan
+        .collectWithSubqueries { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      val mainScan = scans.find(_.metadata("Location").contains("main")).get
+      assert(mainScan.metadata("PartitionFilters").contains("dt"), mainScan.metadata("PartitionFilters"))
+      val allFiles = new java.io.File(main).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+      assert(mainScan.metrics("numFiles").value < allFiles,
+        s"read ${mainScan.metrics("numFiles").value} of $allFiles main files — anti-join not pruned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // End-to-end: the filtered merge appends exactly the new key.
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), clock, Seq("dt"), wm)
+    val out = spark.read.parquet(main)
+    assert(out.count() == 4 && out.filter(col("id") === 4L).count() == 1)
+    // Replay the same batch with the same filter: still a no-op.
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), clock, Seq("dt"), wm)
+    assert(spark.read.parquet(main).count() == 4)
+  }
+
   test("StagingSink append is idempotent on the business key and stamps the audit column") {
     val base = Files.createTempDirectory("sink").toString
     val staging = s"$base/staging"

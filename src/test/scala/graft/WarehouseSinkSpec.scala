@@ -48,6 +48,33 @@ class WarehouseSinkSpec extends AnyFunSuite with SparkSpec {
       .map(_.toString).contains("2026-01-01 00:00:00.0"))
   }
 
+  test("mergeToMain mainFilter pushes the watermark predicate down to the warehouse") {
+    val batch = Seq((10L, "x", 1.0), (11L, "y", 2.0)).toDF("id", "name", "value")
+    WarehouseSink.stage(batch, url, "pushdown_main", props)
+    WarehouseSink.mergeToMain(spark, url, "pushdown_main", Seq("id"), props, clock)
+
+    // Replay with a watermark bound on the main key read: the predicate
+    // must appear as a pushed filter on the JDBC scan (issued in the
+    // warehouse's WHERE clause, not evaluated Spark-side over a full pull).
+    val wm = Some(col("date_added_utc") >= clock)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val pushed =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val fresh = WarehouseSink.freshRows(spark, url, "pushdown_main", Seq("id"), props, wm)
+        assert(fresh.count() == 0, "replayed batch must anti-join away under the filter")
+        fresh.queryExecution.executedPlan
+          .collectWithSubqueries { case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s }
+          .map(_.metadata.getOrElse("PushedFilters", ""))
+          .mkString(";")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(pushed.toLowerCase.contains("date_added_utc"),
+      s"watermark not pushed to JDBC source: $pushed")
+    // And the merge itself stays idempotent with the filter in place.
+    WarehouseSink.mergeToMain(spark, url, "pushdown_main", Seq("id"), props, clock, wm)
+    assert(spark.read.jdbc(url, "pushdown_main", props).count() == 2)
+  }
+
   test("streaming staged load into the JDBC warehouse: incremental and idempotent") {
     // The reference's deployment shape end-to-end on a real warehouse:
     // a file stream lands each micro-batch in the JDBC staging table and
