@@ -203,6 +203,27 @@ object AnalyticQueries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // The 100 TB form of the quantile query: approx_percentile's mergeable
+    // sketch (Greenwald-Khanna summaries) aggregates in one pass with
+    // map-side partial merge — no per-group value sort, bounded memory per
+    // group regardless of group size. Rows-only at the driver gate
+    // (sketches are not bit-reproducible against DuckDB); correctness is
+    // the tolerance spec in QueryRegistrySpec pinning p50/p95 within 2% of
+    // the exact sibling's rank on the same data.
+    Q(
+      "q_group_quantiles_approx",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+            expr("approx_percentile(value, 0.95, 10000)").as("p95"),
+            count(lit(1)).as("n")
+          )
+          .orderBy(col("event_type")),
+      None
+    ),
+
     // Q8 shape: per-year revenue share of one region (two-level aggregate).
     // Same pre-aggregation shape as q_revenue_by_nation: revenue collapses
     // to one decimal per order before the join, and the region condition

@@ -37,8 +37,11 @@ object Bench {
     // A query that throws would otherwise contribute its fast-fail elapsed
     // time and be indistinguishable from a legitimately fast run — drop it
     // from the per-query map and list it explicitly.
+    // 0.1 ms resolution keeps the whole line under the ~2000-char tail
+    // window the driver parses (full-precision doubles overflowed it).
+    def r4(d: Double): Double = math.rint(d * 10000) / 10000
     val ok = results.filterNot { case (k, _) => failed(k) }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
@@ -72,10 +75,10 @@ object Bench {
       val t1 = skewOnce(s); System.gc(); val t2 = skewOnce(s)
       s -> math.min(t1, t2)
     }.toMap
-    val skewJson = s"""{"salted":${skew(true)},"unsalted":${skew(false)}}"""
+    val skewJson = s"""{"salted":${r4(skew(true))},"unsalted":${r4(skew(false))}}"""
 
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skew_demo":$skewJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skew_demo":$skewJson,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info], which broke the driver's JSON parse in
     // round 1 — emit the line on every channel it might read: stdout, stderr
     // (unprefixed by sbt), bench.json in cwd, and $SPARK_GRAFT_BENCH_OUT.

@@ -17,15 +17,30 @@ import graft.functions.SimilarityFunctions._
 object SimilarityQueries {
   import Tables._
 
-  /** documents ∪ truncated copies (planted near-duplicates). */
-  def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+  /** documents ∪ truncated copies (planted near-duplicates). `keepFrac` is
+    * the fraction of each document the planted copy keeps — 0.85 is the
+    * default near-dup regime; the containment recall spec also plants 0.5
+    * (heavy truncation, Jaccard ≈ 0.5 but containment ≈ 1.0).
+    */
+  def corpusWithDups(s: SparkSession, d: String, keepFrac: Double = 0.85): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val planted = documents(s, d).select(
       (col("doc_id") + 1000000L).as("doc_id"),
-      col("text").substr(lit(1), (col("n_chars") * 0.85).cast("int")).as("text")
+      col("text").substr(lit(1), (col("n_chars") * keepFrac).cast("int")).as("text")
     )
     base.unionAll(planted)
   }
+
+  /** Sign-LSH plane count as a function of corpus size: enough planes that
+    * the EXPECTED bucket occupancy stays ~targetBucket, i.e.
+    * p = ⌈log₂(n / targetBucket)⌉. This is the knob that keeps within-
+    * bucket candidate pairs O(n × targetBucket) instead of O((n/2^p)²)
+    * blowing up as the corpus grows — at n = 10⁹ and target 64 it yields
+    * p = 24 (16M buckets), at the test scale it stays small enough that
+    * recall gates exercise real multi-bucket behavior.
+    */
+  private[graft] def lshPlaneCount(n: Long, targetBucket: Int): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))).toInt
 
   /** Candidate pairs that co-occupy any LSH band bucket: input must have
     * (doc_id, bands: array<long>). One shuffle on (band_idx, band_hash):
@@ -56,21 +71,29 @@ object SimilarityQueries {
     * as the per-cell mean of unit-normalized vectors — the spherical mean
     * direction; cosine is scale-invariant so renormalizing before the next
     * assignment is unnecessary. Driver state stays O(k × dim) doubles per
-    * iteration (never O(data)); the per-iteration update shuffles n × dim
-    * (cell, pos, x) rows with map-side partial aggregation, combining to
-    * ≤ k × dim rows per partition before the exchange. Cells that lose all
-    * members keep their previous centroid.
+    * iteration (never O(data)); the per-iteration update shuffles at most
+    * sampleN × dim (cell, pos, x) rows with map-side partial aggregation,
+    * combining to ≤ k × dim rows per partition before the exchange. Cells
+    * that lose all members keep their previous centroid.
     */
   private[graft] def trainIvfCentroids(
       e0: DataFrame,
       k: Int = 16,
-      iters: Int = 3
+      iters: Int = 3,
+      sampleN: Int = 4096
   ): Array[Seq[Double]] = {
-    // Standard IVF practice: train the coarse quantizer on a subsample —
-    // centroid quality converges long before the full corpus is seen, and
-    // the per-iteration explode shuffle shrinks 10×. Deterministic modulo
-    // sample so repeated runs train identically.
-    val e = e0.filter(pmod(col("vec_id"), lit(10)) === 0 || col("vec_id") < k)
+    // Standard IVF/faiss practice: train the coarse quantizer on a BOUNDED
+    // sample — centroid quality converges on a few thousand vectors, so
+    // training cost is O(sampleN × dim) per iteration, independent of
+    // corpus size (a fractional sample would still be O(data) at 100 TB).
+    // Deterministic: every-10th vector by id, smallest ids first, capped at
+    // sampleN; the cap is a TakeOrdered (per-partition top-N, no full
+    // sort), and the 4096-row result is cached for the Lloyd iterations.
+    val e = e0
+      .filter(pmod(col("vec_id"), lit(10)) === 0 || col("vec_id") < k)
+      .orderBy("vec_id")
+      .limit(sampleN)
+      .cache()
     var cents: Array[Seq[Double]] = e
       .filter(col("vec_id") < k)
       .orderBy("vec_id")
@@ -94,6 +117,7 @@ object SimilarityQueries {
         }
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }
+    e.unpersist()
     cents
   }
 
@@ -217,6 +241,40 @@ object SimilarityQueries {
     books.toIndexedSeq
   }
 
+  /** The containment pipeline behind q_dedup_containment, parameterized on
+    * the planted truncation depth so the recall spec can exercise the
+    * heavy-truncation regime (keepFrac = 0.5) the banding is sized for.
+    */
+  private[graft] def containmentPairs(
+      s: SparkSession,
+      d: String,
+      keepFrac: Double = 0.85
+  ): DataFrame = {
+    val withSig = corpusWithDups(s, d, keepFrac)
+      .withColumn("sh", hashedShingles(col("text")))
+      .withColumn("bands", minhashBands(col("sh"), k = 64, b = 32, r = 2))
+    val cand = bandedPairs(withSig.select("doc_id", "bands"))
+    val sh = withSig.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"),
+        col("sa.n_sh").as("na"),
+        col("sb.n_sh").as("nb")
+      )
+      .filter(col("jaccard") >= 0.3)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("jaccard") * (col("na") + col("nb")) / (col("jaccard") + 1.0) /
+          least(col("na"), col("nb"))).as("containment")
+      )
+      .filter(col("containment") >= 0.9)
+  }
+
   val all: Seq[Q] = Seq(
     // Exact dedup: content-hash groupBy, min doc_id is the canonical copy.
     Q(
@@ -242,40 +300,20 @@ object SimilarityQueries {
     // Containment near-dup (truncation detection): the asymmetric score
     // |A∩B| / min(|A|,|B|) — a truncated or excerpted copy scores ~1.0
     // where symmetric Jaccard dilutes toward |small|/|big|. Candidates
-    // come from the same LSH bands; the exact intersection size derives
+    // come from minhash bands sized for the CONTAINMENT regime — 32 bands
+    // of 2 rows, not the Jaccard-regime 16×4: a band fires with
+    // probability J^r, so at J = 0.3 (a 30% excerpt) r = 4 gives
+    // 1-(1-0.3⁴)¹⁶ ≈ 12% candidate recall while r = 2 gives
+    // 1-(1-0.09)³² ≈ 95%. The exact intersection size derives
     // algebraically from the verified Jaccard and the two set sizes
     // (c = J(a+b)/(1+J)), so no second intersection pass runs. The
     // verify threshold is deliberately looser on Jaccard (0.3) and tight
     // on containment (0.9): that is the asymmetric regime this operator
-    // exists for. DedupRecallSpec gates planted-truncation recall.
+    // exists for. DedupRecallSpec gates planted-truncation recall at both
+    // 85% and 50% keep fractions.
     Q(
       "q_dedup_containment",
-      (s, d) => {
-        val withSig = corpusWithDups(s, d)
-          .withColumn("sh", hashedShingles(col("text")))
-          .withColumn("bands", minhashBands(col("sh"), k = 64, b = 16, r = 4))
-        val cand = bandedPairs(withSig.select("doc_id", "bands"))
-        val sh = withSig.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-        cand
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(
-            col("doc_a"),
-            col("doc_b"),
-            jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"),
-            col("sa.n_sh").as("na"),
-            col("sb.n_sh").as("nb")
-          )
-          .filter(col("jaccard") >= 0.3)
-          .select(
-            col("doc_a"),
-            col("doc_b"),
-            (col("jaccard") * (col("na") + col("nb")) / (col("jaccard") + 1.0) /
-              least(col("na"), col("nb"))).as("containment")
-          )
-          .filter(col("containment") >= 0.9)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => containmentPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       None
     ),
 
@@ -418,20 +456,25 @@ object SimilarityQueries {
              |WHERE rn <= 5""".stripMargin)
     ),
 
-    // Sign-LSH ANN (the scale path): bucket on 6 seeded hyperplane signs,
-    // rank within probed buckets only. Multi-probe: each query also probes
-    // every bucket within hamming distance 2 of its own (a near neighbor
-    // sits on the far side of at most a couple of hyperplanes) — 22/64 of
-    // the corpus per query instead of a full scan, still sub-linear, with
-    // mean top-1 quality ≥ 0.9 (gated).
+    // Sign-LSH ANN (the scale path): bucket on p seeded hyperplane signs
+    // where p = ⌈log₂(n/256)⌉ — the plane count GROWS with the corpus so
+    // expected bucket occupancy stays ~256 vectors regardless of scale
+    // (a fixed p would probe a constant fraction of the corpus, linear in
+    // n). Multi-probe: each query also probes every bucket within hamming
+    // distance 2 of its own (a near neighbor sits on the far side of at
+    // most a couple of hyperplanes) — 1 + p + C(p,2) buckets of the 2^p,
+    // so probed volume is ~p² × 256 vectors: sub-linear, shrinking as a
+    // fraction of n. Mean top-1 quality ≥ 0.9 (gated).
     Q(
       "q_ann_lsh",
       (s, d) => {
-        val planes = hyperplanes(6, 64)
+        val n = embeddings(s, d).count() // parquet metadata count — no data scan
+        val p = lshPlaneCount(n, targetBucket = 256)
+        val planes = hyperplanes(p, 64)
         val e = embeddings(s, d).withColumn("bucket", lshBucket(col("embedding"), planes))
         val masks: Seq[Long] = 0L +:
-          ((0 until 6).map(1L << _) ++
-            (for { i <- 0 until 6; j <- (i + 1) until 6 } yield (1L << i) | (1L << j)))
+          ((0 until p).map(1L << _) ++
+            (for { i <- 0 until p; j <- (i + 1) until p } yield (1L << i) | (1L << j)))
         val probes = array(masks.map(lit): _*)
         val q = e.filter(col("vec_id") < 10)
           .select(
@@ -547,8 +590,17 @@ object SimilarityQueries {
       None
     ),
 
-    // Embedding near-dup: planted perturbed copies, sign-LSH buckets,
-    // cosine threshold verify within bucket.
+    // Embedding near-dup: planted perturbed copies, multi-table sign-LSH
+    // banding, cosine threshold verify on candidates. Scale shape mirrors
+    // the minhash path exactly: b independent plane sets (distinct seeds)
+    // each with p = ⌈log₂(n/64)⌉ planes, so buckets hold ~64 vectors at
+    // ANY corpus size (within-bucket pair work stays O(n × 64) instead of
+    // O((n/2^p)²) as n grows), and a true near-dup only needs to collide
+    // in ONE of the 6 tables (per-table miss rates multiply: recall-gated
+    // >0.8 in DedupRecallSpec). The (table, bucket) pairs go through the
+    // shared bandedPairs self-join, whose merge hints force identical
+    // shuffle subtrees — the bucketing pipeline computes once via
+    // ReusedExchange (pinned in PlanAuditSpec), not once per join side.
     Q(
       "q_dedup_embedding",
       (s, d) => {
@@ -560,18 +612,23 @@ object SimilarityQueries {
             (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)
           ).as("embedding")
         )
-        val planes = hyperplanes(6, 64)
-        val corpus = base.unionAll(planted).withColumn("bucket", lshBucket(col("embedding"), planes))
-        corpus
-          .as("a")
-          .join(
-            corpus.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")
-          )
+        val n = 2L * embeddings(s, d).count()
+        val p = lshPlaneCount(n, targetBucket = 64)
+        val nTables = 6
+        val bands = array(
+          (0 until nTables).map(t => lshBucket(col("embedding"), hyperplanes(p, 64, seed = 42L + t))): _*
+        )
+        val corpus = base.unionAll(planted)
+          .select(col("vec_id").as("doc_id"), col("embedding"), bands.as("bands"))
+        val cand = bandedPairs(corpus.select("doc_id", "bands"))
+        val vecs = corpus.select(col("doc_id"), col("embedding"))
+        cand
+          .join(vecs.as("va"), col("doc_a") === col("va.doc_id"))
+          .join(vecs.as("vb"), col("doc_b") === col("vb.doc_id"))
           .select(
-            col("a.vec_id").as("vec_a"),
-            col("b.vec_id").as("vec_b"),
-            cosine(col("a.embedding"), col("b.embedding")).as("cos_sim")
+            col("doc_a").as("vec_a"),
+            col("doc_b").as("vec_b"),
+            cosine(col("va.embedding"), col("vb.embedding")).as("cos_sim")
           )
           .filter(col("cos_sim") >= 0.995)
           .orderBy(col("vec_a"), col("vec_b"))

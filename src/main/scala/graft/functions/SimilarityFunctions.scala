@@ -99,9 +99,10 @@ object SimilarityFunctions {
 
   /** Deterministic random hyperplanes for sign-LSH over embeddings:
     * `planes(nPlanes, dim)` — fixed seed so bucketing is reproducible.
+    * Distinct seeds give independent plane sets for multi-table banding.
     */
-  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(42)
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 

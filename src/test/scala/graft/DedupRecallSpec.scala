@@ -53,6 +53,20 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     assert(r > 0.9, s"containment planted recall $r")
   }
 
+  test("containment dedup still recovers heavily truncated (50%) copies") {
+    // A half-document keeps Jaccard ≈ 0.5 but containment ≈ 1.0 — the
+    // regime the 32-band/2-row banding is sized for (the Jaccard-tuned
+    // 16×4 banding generates candidates at J=0.3..0.5 with only ~12-60%
+    // probability; 32×2 pushes that >95%).
+    val out = SimilarityQueries.containmentPairs(spark, sfDir, keepFrac = 0.5)
+    val pairs = out
+      .filter(col("doc_b") === col("doc_a") + 1000000L)
+      .count()
+    val total = Tables.documents(spark, sfDir).count()
+    val r = pairs.toDouble / total
+    assert(r > 0.9, s"containment recall at 50% truncation: $r")
+  }
+
   test("embedding LSH dedup recovers most planted perturbed copies") {
     val out = QueryRegistry.queries("q_dedup_embedding")(spark, sfDir)
     val planted = out.filter(col("vec_b") === col("vec_a") + 1000000L).count()

@@ -4,71 +4,101 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.EtlOps
+import graft.pipeline.Pipeline
+import graft.sources.StagingSink
 
 /** End-to-end re-expression of the reference's NWS forecast DAG
-  * (nws_dag.py), now starting from RAW PAGE HTML the way the DAG does:
-  * pre-fetched pages → HtmlTable.landscapeRecords (6th-table extract +
-  * landscape transpose, utils.py:180-232) → column-name normalization
-  * (`°()%`→pct, lowercase, spaces→_) → missing-value policy (gust ''→0,
-  * wind_chill ''→NULL) → forward-fill of the carried-down date column →
-  * fixed AKST→UTC +9h shift → composite-key dedup → typed schema cast.
-  * Asserts exact output values at each policy point.
+  * (nws_dag.py:224-239), DECLARED as a [[graft.pipeline.Pipeline]] the way
+  * the DAG declares its chain (get_forecast >> transform >> load_staging >>
+  * insert), starting from RAW PAGE HTML the way the DAG does: pre-fetched
+  * pages → HtmlTable.landscapeRecords (landscape transpose, utils.py:
+  * 180-232) → column-name normalization (`°()%`→pct, lowercase, spaces→_)
+  * → missing-value policy (gust ''→0, wind_chill ''→NULL) → forward-fill
+  * of the carried-down date column → fixed AKST→UTC +9h shift →
+  * composite-key dedup → typed schema cast → staged load → keyed merge to
+  * main. Steps hand off through parquet paths (extract lands before
+  * transform reads), so each step is a retry-safe resume point. Asserts
+  * exact output values at each policy point.
   */
 class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
-  import spark.implicits._
 
-  test("the full NWS flow: html extract, normalize, missing-value policy, ffill, tz shift, dedup, cast") {
-    // One pre-fetched page per location (fixture HTML in test resources,
-    // same shape as the NWS pages: nav tables first, then the landscape
-    // forecast table with colspan dividers and <font>-wrapped cells; the
-    // Date column is only populated on the first record of each half —
-    // the reference forward-fills it).
-    val pagesDir = getClass.getResource("/nws").getPath
-    val pages = spark.read.option("wholetext", "true").text(pagesDir)
-      .select(
-        upper(regexp_extract(input_file_name(), "([a-z]+)\\.html", 1)).as("Location"),
-        col("value").as("html")
-      )
-    val raw = graft.sources.HtmlTable
-      .landscapeRecords(
-        pages,
-        col("html"),
-        tableIdx = 2,
-        cols = Seq("Date", "Hour", "Temperature °F", "Gust (mph)", "Wind Chill °F"),
-        cellTag = "font"
-      )
-      .drop("html")
-      // The transpose leaves '' in the gappy Date slots; the reference's
-      // _ff_list treats '' as missing — make that explicit before ffill.
-      .withColumn("Date", when(col("Date") === "", lit(null)).otherwise(col("Date")))
+  test("the full NWS flow as a pipeline: extract, transform, staged load, merge") {
+    val base = java.nio.file.Files.createTempDirectory("nws").toString
+    val extracted = s"$base/extracted"
+    val staging = s"$base/staging"
+    val main = s"$base/main"
 
-    assert(raw.count() == 5, "ANC yields 4 records (2 per half), FAI yields 1")
+    val run = Pipeline("nws")
+      .preflight("check_pages") {
+        if (getClass.getResource("/nws") != null) Right(()) else Left("no fetched pages")
+      }
+      // One pre-fetched page per location (fixture HTML in test resources,
+      // same shape as the NWS pages: nav tables first, then the landscape
+      // forecast table with colspan dividers and <font>-wrapped cells; the
+      // Date column is only populated on the first record of each half —
+      // the reference forward-fills it).
+      .step("extract_pages") {
+        val pagesDir = getClass.getResource("/nws").getPath
+        val pages = spark.read.option("wholetext", "true").text(pagesDir)
+          .select(
+            upper(regexp_extract(input_file_name(), "([a-z]+)\\.html", 1)).as("Location"),
+            col("value").as("html")
+          )
+        graft.sources.HtmlTable
+          .landscapeRecords(
+            pages,
+            col("html"),
+            tableIdx = 2,
+            cols = Seq("Date", "Hour", "Temperature °F", "Gust (mph)", "Wind Chill °F"),
+            cellTag = "font"
+          )
+          .drop("html")
+          // The transpose leaves '' in the gappy Date slots; the reference's
+          // _ff_list treats '' as missing — make that explicit before ffill.
+          .withColumn("Date", when(col("Date") === "", lit(null)).otherwise(col("Date")))
+          .write.mode("overwrite").parquet(extracted)
+      }
+      .step("transform_stage") {
+        val raw = spark.read.parquet(extracted)
+        val normalized = EtlOps.normalizeColumns(raw)
+        val policied = normalized
+          .withColumn("gust_mph", EtlOps.replaceSentinel(col("gust_mph"), lit(""), lit("0")))
+          .withColumn("wind_chill_f", EtlOps.replaceSentinel(col("wind_chill_f"), lit(""), lit(null)))
+        val filled = EtlOps.forwardFill(policied, Seq("location"), "hour", "date")
+        val withTs = filled
+          .withColumn(
+            "lst_datetime",
+            to_timestamp(concat_ws(" ", col("date"), concat(col("hour"), lit(":00"))))
+          )
+          .withColumn("utc_datetime", EtlOps.shiftHours(col("lst_datetime"), 9))
+        val deduped = EtlOps.dedupByKey(withTs, Seq("location", "lst_datetime"), "hour")
+        val typed = EtlOps.castColumns(
+          deduped,
+          Map("temperature_f" -> "double", "gust_mph" -> "double", "wind_chill_f" -> "double")
+        )
+        StagingSink.stage(typed, staging)
+      }
+      .step("merge_to_main") {
+        StagingSink.mergeToMain(
+          spark, staging, main,
+          keyCols = Seq("location", "lst_datetime"),
+          clock = lit("2026-01-01 00:00:00").cast("timestamp")
+        )
+      }
+      .run()
 
-    val normalized = EtlOps.normalizeColumns(raw)
-    assert(
-      normalized.columns.toSeq ==
-        Seq("location", "date", "hour", "temperature_f", "gust_mph", "wind_chill_f")
-    )
+    assert(run.succeeded, s"pipeline run failed: ${run.status} ${run.alerts}")
+    assert(run.steps.map(_.name) == Seq("extract_pages", "transform_stage", "merge_to_main"))
 
-    val policied = normalized
-      .withColumn("gust_mph", EtlOps.replaceSentinel(col("gust_mph"), lit(""), lit("0")))
-      .withColumn("wind_chill_f", EtlOps.replaceSentinel(col("wind_chill_f"), lit(""), lit(null)))
-    val filled = EtlOps.forwardFill(policied, Seq("location"), "hour", "date")
+    assert(spark.read.parquet(extracted).count() == 5,
+      "ANC yields 4 records (2 per half), FAI yields 1")
 
-    val withTs = filled
-      .withColumn(
-        "lst_datetime",
-        to_timestamp(concat_ws(" ", col("date"), concat(col("hour"), lit(":00"))))
-      )
-      .withColumn("utc_datetime", EtlOps.shiftHours(col("lst_datetime"), 9))
+    val out = spark.read.parquet(main)
+    assert(out.columns.toSet ==
+      Set("location", "date", "hour", "temperature_f", "gust_mph", "wind_chill_f",
+        "lst_datetime", "utc_datetime", "date_added_utc"))
 
-    val deduped = EtlOps.dedupByKey(withTs, Seq("location", "lst_datetime"), "hour")
-    val typed = EtlOps.castColumns(
-      deduped,
-      Map("temperature_f" -> "double", "gust_mph" -> "double", "wind_chill_f" -> "double")
-    )
-
-    val rows = typed
+    val rows = out
       .orderBy("location", "lst_datetime")
       .select("location", "date", "utc_datetime", "temperature_f", "gust_mph", "wind_chill_f")
       .collect()
@@ -82,6 +112,21 @@ class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
     // AKST -> UTC is +9h.
     assert(rows(0).getTimestamp(2).toString == "2024-01-01 10:00:00.0")
     // Typed cast applied.
-    assert(typed.schema("temperature_f").dataType.typeName == "double")
+    assert(out.schema("temperature_f").dataType.typeName == "double")
+
+    // Re-running the whole pipeline (the next scheduled DAG run over the
+    // same forecast pages) must be a no-op on main: the keyed merge is the
+    // idempotency boundary, exactly like the reference's staging->insert.
+    val run2 = Pipeline("nws_rerun")
+      .step("merge_again") {
+        StagingSink.mergeToMain(
+          spark, staging, main,
+          keyCols = Seq("location", "lst_datetime"),
+          clock = lit("2026-01-02 00:00:00").cast("timestamp")
+        )
+      }
+      .run()
+    assert(run2.succeeded)
+    assert(spark.read.parquet(main).count() == 4, "replayed merge must not duplicate")
   }
 }

@@ -74,7 +74,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // each banded self-join; AQE's stage reuse then computes the
     // sketch+explode pipeline once (measured ~2x on simhash at sf0.1). The
     // marker only appears in the FINAL adaptive plan, so execute first.
-    for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_ngram_jaccard")) {
+    for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_ngram_jaccard", "q_dedup_embedding")) {
       val df = QueryRegistry.queries(name)(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString

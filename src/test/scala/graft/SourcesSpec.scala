@@ -295,6 +295,72 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(main).select("id", "date", "hour", "v").collect().toSet == before)
   }
 
+  test("full incremental lifecycle: streaming staged load → partitioned main → compact → prune") {
+    // The production loop in one test: scheduled AvailableNow loads land
+    // micro-batches in staging and merge (keyed, watermark-bounded) into a
+    // date=/hour=-partitioned main; the accumulated small files compact in
+    // place preserving the layout; watermark reads partition-prune; the
+    // audit max drives the next extract; and a post-compact checkpoint
+    // loss replays as a no-op.
+    val base = Files.createTempDirectory("lifecycle").toString
+    val src = s"$base/src"; val staging = s"$base/staging"
+    val main = s"$base/main"; val ckpt = s"$base/ckpt"
+
+    // hr is an INT partition column on purpose: partition-value type
+    // inference would turn a "00" string into 0 on read-back and move the
+    // directory on rewrite.
+    val batch1 = Seq(
+      (1L, "2024-01-01", 0, 1.0), (2L, "2024-01-01", 1, 2.0), (3L, "2024-01-02", 0, 3.0)
+    ).toDF("id", "dt", "hr", "v")
+    batch1.write.parquet(src)
+    val schema = batch1.schema
+
+    def load(clockLit: String): Unit = {
+      val q = graft.streaming.StreamingJobs.stagedLoad(
+        spark, src, schema, staging, main, Seq("id"), ckpt,
+        clock = lit(clockLit).cast("timestamp"),
+        partitionCols = Seq("dt", "hr"),
+        mainFilter = Some(col("dt") >= "2024-01-01")
+      )
+      q.awaitTermination()
+    }
+
+    load("2026-01-01 00:00:00")
+    assert(spark.read.parquet(main).count() == 3)
+    assert(new java.io.File(s"$main/dt=2024-01-01/hr=0").isDirectory, "two-level layout expected")
+
+    // Second scheduled run: one overlapping key, one new hour.
+    Seq((3L, "2024-01-02", 0, 3.0), (4L, "2024-01-02", 1, 4.0))
+      .toDF("id", "dt", "hr", "v").write.mode("append").parquet(src)
+    load("2026-02-01 00:00:00")
+    assert(spark.read.parquet(main).count() == 4, "overlap must not duplicate")
+
+    // The audit max is the next extract's watermark (check_last_added).
+    assert(StagingSink.lastAdded(spark, main).map(_.toString).contains("2026-02-01 00:00:00.0"))
+
+    // Compact: incremental appends left multiple files across the leaves;
+    // the rewrite must auto-detect BOTH levels and keep the data.
+    val before = spark.read.parquet(main).select("id", "dt", "hr", "v").collect().toSet
+    StagingSink.compact(spark, main, targetFileBytes = 1L << 30)
+    val leaf = new java.io.File(s"$main/dt=2024-01-02/hr=0")
+    assert(leaf.isDirectory && leaf.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(main).select("id", "dt", "hr", "v").collect().toSet == before)
+
+    // Watermark reads prune whole date directories after the compact.
+    val q = spark.read.parquet(main).filter(col("dt") === "2024-01-02")
+    val scan = q.queryExecution.executedPlan
+      .collectWithSubqueries { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .head
+    assert(scan.metadata("PartitionFilters").contains("dt"))
+    assert(q.count() == 2)
+
+    // Checkpoint loss after the compact: the full source replays, the
+    // keyed merge absorbs it — main unchanged.
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    load("2026-03-01 00:00:00")
+    assert(spark.read.parquet(main).count() == 4, "post-compact replay must be a no-op")
+  }
+
   test("full egress path: staging → main → sorted headered CSV export round-trips") {
     val base = Files.createTempDirectory("egress").toString
     val clock = lit("2026-01-01 00:00:00").cast("timestamp")

@@ -7,15 +7,20 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.EtlOps
+import graft.pipeline.Pipeline
 import graft.sources.{FixedWidthText, StagingSink}
 
-/** End-to-end re-expression of the reference's USCRN DAG
-  * (uscrn_dag.py): whitespace-text extract → timestamp build → sentinel-
-  * guarded C→F conversion → locations dimension join → composite-key dedup
-  * → staging load → staging→main insert with audit timestamp → incremental
-  * second run. Every step is a graft operator; the spec asserts the final
-  * main table exactly, including idempotency of the re-run — the property
-  * the reference gets from its watermark + pre-load dedup.
+/** End-to-end re-expression of the reference's USCRN DAG (uscrn_dag.py),
+  * DECLARED as a [[graft.pipeline.Pipeline]] the way the reference declares
+  * its task chain (check_domain >> check_last_added >> extract >> transform
+  * >> load_staging >> insert): whitespace-text extract → timestamp build →
+  * sentinel-guarded C→F conversion → locations dimension join →
+  * composite-key dedup → staging load → staging→main insert with audit
+  * timestamp → incremental second run. Steps hand off through the staging
+  * path (storage, not memory), so each step is a retry-safe resume point.
+  * The spec asserts the final main table exactly, including idempotency of
+  * the re-run — the property the reference gets from its watermark +
+  * pre-load dedup.
   */
 class UscrnPipelineSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
@@ -29,26 +34,47 @@ class UscrnPipelineSpec extends AnyFunSuite with SparkSpec {
     )
   )
 
-  private def runBatch(rawDir: String, staging: String, main: String): Unit = {
+  private def uscrnPipeline(rawDir: String, staging: String, main: String): Pipeline = {
     val locations = Seq((23583L, "Fairbanks AK"), (25380L, "Nome AK"))
       .toDF("wbanno", "station_location")
 
-    val parsed = FixedWidthText.read(spark, rawDir, schema)
-    val transformed = parsed
-      .withColumn("utc_datetime", EtlOps.timestampFromParts(col("utc_date"), col("utc_time")))
-      .withColumn("t_calc_f", EtlOps.celsiusToFahrenheit(col("t_calc")))
-      .join(broadcast(locations), Seq("wbanno"))
-    val deduped = EtlOps.dedupByKey(transformed, Seq("station_location", "utc_datetime"), "utc_time")
-      .select("wbanno", "station_location", "utc_datetime", "t_calc", "t_calc_f")
+    Pipeline("uscrn")
+      // The reference pings its source domain before running (check_domain,
+      // uscrn_dag.py:90); here the "domain" is the raw landing dir.
+      .preflight("check_source") {
+        if (new java.io.File(rawDir).isDirectory) Right(())
+        else Left(s"raw dir $rawDir unreachable")
+      }
+      // check_last_added (uscrn_dag.py:96): the incremental cutoff — not
+      // used to filter the tiny fixture batch, but the step MUST resolve
+      // (None on first run, the audit max afterwards) like the reference's.
+      .step("check_last_added") { StagingSink.lastAdded(spark, main); () }
+      .step("extract_transform_stage") {
+        val parsed = FixedWidthText.read(spark, rawDir, schema)
+        val transformed = parsed
+          .withColumn("utc_datetime", EtlOps.timestampFromParts(col("utc_date"), col("utc_time")))
+          .withColumn("t_calc_f", EtlOps.celsiusToFahrenheit(col("t_calc")))
+          .join(broadcast(locations), Seq("wbanno"))
+        val deduped = EtlOps.dedupByKey(transformed, Seq("station_location", "utc_datetime"), "utc_time")
+          .select("wbanno", "station_location", "utc_datetime", "t_calc", "t_calc_f")
+        StagingSink.stage(deduped, staging)
+      }
+      .step("merge_to_main") {
+        StagingSink.mergeToMain(
+          spark,
+          staging,
+          main,
+          keyCols = Seq("station_location", "utc_datetime"),
+          clock = lit("2026-01-01 00:00:00").cast("timestamp")
+        )
+      }
+  }
 
-    StagingSink.stage(deduped, staging)
-    StagingSink.mergeToMain(
-      spark,
-      staging,
-      main,
-      keyCols = Seq("station_location", "utc_datetime"),
-      clock = lit("2026-01-01 00:00:00").cast("timestamp")
-    )
+  private def runBatch(rawDir: String, staging: String, main: String): Unit = {
+    val run = uscrnPipeline(rawDir, staging, main).run()
+    assert(run.succeeded, s"pipeline run failed: ${run.status} ${run.alerts}")
+    assert(run.steps.map(_.name) ==
+      Seq("check_last_added", "extract_transform_stage", "merge_to_main"))
   }
 
   test("the full USCRN flow: parse, convert, join, dedup, staged load, incremental re-run") {
@@ -101,5 +127,17 @@ class UscrnPipelineSpec extends AnyFunSuite with SparkSpec {
     // Third run of the identical batch: a strict no-op.
     runBatch(raw2, staging, main)
     assert(spark.read.parquet(main).count() == 4)
+  }
+
+  test("unreachable source: preflight alerts and skips, main is never touched") {
+    val base = Files.createTempDirectory("uscrn_skip").toString
+    val run = uscrnPipeline(s"$base/no_such_dir", s"$base/staging", s"$base/main").run()
+    run.status match {
+      case graft.pipeline.RunStatus.PreflightSkipped("check_source", reason) =>
+        assert(reason.contains("unreachable"))
+      case other => fail(s"expected PreflightSkipped, got $other")
+    }
+    assert(run.steps.isEmpty, "no step may run after a failed preflight")
+    assert(!new java.io.File(s"$base/main").exists(), "a skipped run must not create main")
   }
 }
