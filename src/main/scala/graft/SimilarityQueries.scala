@@ -121,22 +121,45 @@ object SimilarityQueries {
     cents
   }
 
+  /** The shared minhash-banded candidate+verify pipeline: shingle, band
+    * with (b × r) LSH, pair up docs sharing any band bucket, join back to
+    * the full shingle sets and score EXACT Jaccard (plus both set sizes,
+    * for containment's algebra). (b, r) picks the banding regime: 16×4
+    * fires at Jaccard ≥ ~0.5 (near-dup), 32×2 at ≥ ~0.3 (containment).
+    */
+  private def verifiedJaccardPairs(
+      s: SparkSession,
+      d: String,
+      keepFrac: Double,
+      b: Int,
+      r: Int,
+      jaccardMin: Double
+  ): DataFrame = {
+    val withSig = corpusWithDups(s, d, keepFrac)
+      .withColumn("sh", hashedShingles(col("text")))
+      .withColumn("bands", minhashBands(col("sh"), k = 64, b = b, r = r))
+    val cand = bandedPairs(withSig.select("doc_id", "bands"))
+    val sh = withSig.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"),
+        col("sa.n_sh").as("na"),
+        col("sb.n_sh").as("nb")
+      )
+      .filter(col("jaccard") >= jaccardMin)
+  }
+
   /** Verified MinHash near-dup pairs (doc_a < doc_b, exact Jaccard ≥ 0.5):
     * the shared pair generator behind q_dedup_minhash and the
     * connected-components clustering.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val withSig = corpusWithDups(s, d)
-      .withColumn("sh", hashedShingles(col("text")))
-      .withColumn("bands", minhashBands(col("sh"), k = 64, b = 16, r = 4))
-    val cand = bandedPairs(withSig.select("doc_id", "bands"))
-    val sh = withSig.select(col("doc_id"), col("sh"))
-    cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-  }
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    verifiedJaccardPairs(s, d, keepFrac = 0.85, b = 16, r = 4, jaccardMin = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
 
   /** Connected components by min-label propagation over an undirected edge
     * set — the canonical "fuzzy dedup" clustering step: every document gets
@@ -249,23 +272,8 @@ object SimilarityQueries {
       s: SparkSession,
       d: String,
       keepFrac: Double = 0.85
-  ): DataFrame = {
-    val withSig = corpusWithDups(s, d, keepFrac)
-      .withColumn("sh", hashedShingles(col("text")))
-      .withColumn("bands", minhashBands(col("sh"), k = 64, b = 32, r = 2))
-    val cand = bandedPairs(withSig.select("doc_id", "bands"))
-    val sh = withSig.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-    cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"),
-        col("sa.n_sh").as("na"),
-        col("sb.n_sh").as("nb")
-      )
-      .filter(col("jaccard") >= 0.3)
+  ): DataFrame =
+    verifiedJaccardPairs(s, d, keepFrac, b = 32, r = 2, jaccardMin = 0.3)
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -273,7 +281,6 @@ object SimilarityQueries {
           least(col("na"), col("nb"))).as("containment")
       )
       .filter(col("containment") >= 0.9)
-  }
 
   val all: Seq[Q] = Seq(
     // Exact dedup: content-hash groupBy, min doc_id is the canonical copy.

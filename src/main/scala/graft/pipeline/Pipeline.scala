@@ -59,9 +59,10 @@ final case class StepResult(name: String, attempts: Int, durationMs: Long, succe
   *     or warehouse unreachable — [[graft.sources.WarehouseSink.checkConnection]]
   *     is the intended check) alerts and skips the run rather than failing
   *     it, matching check_domain / check_connection in the reference.
-  *   - '''max_active_runs=1''': concurrent `run()` calls on the same
-  *     pipeline serialize on an internal lock, so two overlapping scheduled
-  *     triggers cannot interleave their merges.
+  *   - '''max_active_runs=1''': concurrent `run()` calls serialize on a
+  *     JVM-wide per-NAME lock (not per instance — a scheduler naturally
+  *     rebuilds the chain each tick), so two overlapping scheduled
+  *     triggers of the same pipeline cannot interleave their merges.
   *
   * Builder-style; every combinator returns a new immutable Pipeline:
   * {{{
@@ -101,15 +102,19 @@ final class Pipeline private (
   def step(stepName: String)(body: => Unit): Pipeline =
     copy(steps = steps :+ (stepName, () => body))
 
-  /** Per-step retry policy with linear backoff — the reference's Airflow
-    * default_args `retries`/`retry_delay`.
+  /** Per-step retry policy with a fixed delay between attempts — the
+    * reference's Airflow default_args `retries`/`retry_delay` (also a
+    * constant delay).
     */
   def withRetries(n: Int, backoffMs: Long = 1000L): Pipeline =
     copy(retries = n, backoffMs = backoffMs)
 
   /** Install the alert channel (the reference's logger + Airflow email
     * alerting). Default: stderr. The hook receives preflight failures and
-    * every failed step attempt.
+    * every failed step attempt. A THROWING hook cannot change a run's
+    * outcome (a down alert channel must not mask the underlying failure
+    * or eat remaining retries): its exception is swallowed to stderr and
+    * the run proceeds exactly as if the alert had been delivered.
     */
   def onAlert(f: String => Unit): Pipeline = copy(alertHook = f)
 
@@ -119,7 +124,14 @@ final class Pipeline private (
     */
   def run(): PipelineRun = runLock.synchronized {
     val alerts = ArrayBuffer.empty[String]
-    def alert(msg: String): Unit = { alerts += msg; alertHook(msg) }
+    def alert(msg: String): Unit = {
+      alerts += msg
+      try alertHook(msg)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[pipeline] alert hook failed for '$msg': $e")
+      }
+    }
 
     val failedCheck = preflights.iterator
       .map { case (check, f) =>
@@ -164,6 +176,12 @@ final class Pipeline private (
 }
 
 object Pipeline {
+
+  // One lock per pipeline NAME, JVM-wide: rebuilding the chain each
+  // scheduled tick (the natural use of the builder) must still serialize
+  // runs of the same pipeline.
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def apply(name: String): Pipeline =
     new Pipeline(
       name,
@@ -172,6 +190,6 @@ object Pipeline {
       retries = 0,
       backoffMs = 1000L,
       alertHook = m => System.err.println(s"[pipeline] $m"),
-      runLock = new Object
+      runLock = locks.computeIfAbsent(name, _ => new Object)
     )
 }

@@ -35,10 +35,21 @@ object TypedFiles {
     else StructType(schema.fields :+ StructField(CorruptCol, StringType))
 
   /** Typed CSV read. Returns (good rows in `schema`, quarantined raw lines).
-    * With `header = true`, lines whose every field parses (as text) to its
-    * own column name are treated as headers and dropped from both splits —
-    * content-based, so every file's header line is skipped, exactly like
-    * the file reader's per-file header handling.
+    *
+    * Header handling is CONTENT-based, not position-based: with
+    * `header = true`, a line whose every field equals its column name
+    * (trimmed, case-insensitive) is treated as a header and dropped from
+    * both splits. This skips each file's header wherever the file was
+    * split, AND repeated headers from naively concatenated CSVs — at the
+    * cost of two documented edge semantics: a data row that replicates
+    * the header text in every column is indistinguishable from a header
+    * (dropped), and a header whose labels differ from the schema's field
+    * names is not recognized (it quarantines, which surfaces the
+    * mismatch rather than hiding it). The check costs no second parse on
+    * the hot path: with any non-string field a header line always fails
+    * the typed parse, so the string-schema re-parse only evaluates on
+    * corrupt rows; with an all-string schema the typed parse itself is
+    * the string parse and is reused.
     */
   def csv(
       spark: SparkSession,
@@ -48,20 +59,23 @@ object TypedFiles {
   ): (DataFrame, DataFrame) = {
     val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)
     val strSchema = StructType(schema.fields.map(f => StructField(f.name, StringType)))
-    val notHeader: Column =
-      if (!header) lit(true)
-      else {
-        val asStrings = from_csv(col("value"), strSchema, opts)
-        !schema.fieldNames.toIndexedSeq
-          .map(n => asStrings.getField(n) <=> lit(n))
-          .reduce(_ && _)
-      }
-    split(
-      spark.read.text(path),
-      from_csv(col("value"), withCorrupt(schema), opts),
-      schema,
-      keep = length(trim(col("value"))) > 0 && notHeader // csv reader skips blank lines too
-    )
+    val rows = spark.read.text(path)
+      .where(length(trim(col("value"))) > 0) // csv reader skips blank lines too
+      .withColumn(ParsedCol, from_csv(col("value"), withCorrupt(schema), opts))
+    val corrupt = col(ParsedCol).isNull || col(ParsedCol).getField(CorruptCol).isNotNull
+    def matchesHeader(p: Column): Column = schema.fieldNames.toIndexedSeq
+      .map(n => lower(trim(p.getField(n))) <=> lit(n.toLowerCase))
+      .reduce(_ && _)
+    val allString = schema.fields.forall(_.dataType == StringType)
+    val isHeader: Column =
+      if (!header) lit(false)
+      else if (allString) matchesHeader(col(ParsedCol))
+      else when(corrupt, matchesHeader(from_csv(col("value"), strSchema, opts))).otherwise(lit(false))
+    val good = rows
+      .where(!corrupt && !isHeader)
+      .select(schema.fieldNames.toIndexedSeq.map(n => col(ParsedCol).getField(n).as(n)): _*)
+    val bad = rows.where(corrupt && !isHeader).select(col("value").as(CorruptCol))
+    (good, bad)
   }
 
   /** Typed JSON-lines read. Returns (good rows, quarantined raw lines). */
@@ -71,21 +85,9 @@ object TypedFiles {
       schema: StructType
   ): (DataFrame, DataFrame) = {
     val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)
-    split(
-      spark.read.text(path),
-      from_json(col("value"), withCorrupt(schema), opts),
-      schema,
-      keep = length(trim(col("value"))) > 0
-    )
-  }
-
-  private def split(
-      text: DataFrame,
-      parsed: Column,
-      schema: StructType,
-      keep: Column
-  ): (DataFrame, DataFrame) = {
-    val rows = text.where(keep).withColumn(ParsedCol, parsed)
+    val rows = spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .withColumn(ParsedCol, from_json(col("value"), withCorrupt(schema), opts))
     // A malformed line sets the corrupt field; a line the parser rejects
     // outright yields a null struct — both quarantine.
     val corrupt = col(ParsedCol).isNull || col(ParsedCol).getField(CorruptCol).isNotNull

@@ -52,7 +52,8 @@ object WarehouseSink {
     }
 
   /** DAG-level retry policy (the reference's Airflow default_args retries):
-    * run `f`, retrying up to `retries` times with linear backoff.
+    * run `f`, retrying up to `retries` times with a fixed delay between
+    * attempts (Airflow's retry_delay is likewise constant).
     */
   def withRetries[T](retries: Int, backoffMs: Long = 1000L)(f: () => T): T = {
     var left = retries

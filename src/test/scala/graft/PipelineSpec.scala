@@ -83,20 +83,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(run.alerts.isEmpty)
   }
 
-  test("concurrent runs of the same pipeline serialize (max_active_runs=1)") {
-    // Two threads run a pipeline whose step records overlap: with the run
-    // lock, the second run's step may only start after the first finished.
+  test("concurrent runs of the same pipeline NAME serialize (max_active_runs=1)") {
+    // A scheduler rebuilds the chain each tick, so each thread constructs
+    // its OWN Pipeline instance with the same name — the lock must be
+    // per-name, not per-instance, for overlapping triggers to serialize.
     val active = new java.util.concurrent.atomic.AtomicInteger(0)
     var maxActive = 0
-    val pipe = Pipeline("t").step("s") {
+    def build() = Pipeline("serialize-me").step("s") {
       val a = active.incrementAndGet()
       maxActive = math.max(maxActive, a)
       Thread.sleep(50)
       active.decrementAndGet()
     }
-    val threads = (1 to 2).map(_ => new Thread(() => { pipe.run(); () }))
+    val threads = (1 to 2).map(_ => new Thread(() => { build().run(); () }))
     threads.foreach(_.start())
     threads.foreach(_.join())
     assert(maxActive == 1, s"runs overlapped: $maxActive active at once")
+  }
+
+  test("a throwing alert hook does not change the run outcome or eat retries") {
+    var calls = 0
+    val run = Pipeline("t")
+      .onAlert(_ => sys.error("alert channel down"))
+      .withRetries(3, backoffMs = 1L)
+      .step("flaky") { calls += 1; if (calls < 3) sys.error("transient") }
+      .run()
+    assert(run.succeeded && calls == 3,
+      "run must retry to success even when every alert delivery throws")
+    assert(run.alerts.size == 2, "alerts are still recorded on the run")
   }
 }

@@ -67,6 +67,37 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(jgood.count() == 2 && jbad.count() == 1)
   }
 
+  test("TypedFiles csv header handling: concatenated and case-variant headers, all-string schemas") {
+    val dir = Files.createTempDirectory("typedh").toString
+    // Naive concatenation of two exports: the mid-file repeated header
+    // (case-variant, padded) must be dropped from both splits.
+    Files.writeString(
+      java.nio.file.Paths.get(dir, "concat.csv"),
+      "id,score\n1,0.5\n ID , Score \n2,0.75\n"
+    )
+    val schema = StructType(
+      Seq(StructField("id", LongType), StructField("score", DoubleType))
+    )
+    val (good, bad) = TypedFiles.csv(spark, s"$dir/concat.csv", schema)
+    assert(good.count() == 2, "both data rows parse")
+    assert(bad.count() == 0, "repeated/case-variant headers must not quarantine")
+
+    // All-string schema: the header line parses cleanly, so only the
+    // content check can drop it — and data rows must survive.
+    val sdir = Files.createTempDirectory("typeds").toString
+    Files.writeString(
+      java.nio.file.Paths.get(sdir, "s.csv"),
+      "word,label\nfoo,bar\nword,other\n"
+    )
+    val sschema = StructType(
+      Seq(StructField("word", StringType), StructField("label", StringType))
+    )
+    val (sgood, sbad) = TypedFiles.csv(spark, s"$sdir/s.csv", sschema)
+    // "word,other" shares one field with the header but not all — kept.
+    assert(sgood.count() == 2 && sbad.count() == 0)
+    assert(sgood.orderBy("label").collect().map(_.getString(0)).toSeq == Seq("foo", "word"))
+  }
+
   test("partitioned main: watermark predicates prune whole date partitions at planning time") {
     val base = Files.createTempDirectory("part").toString
     val staging = s"$base/staging"
