@@ -253,6 +253,51 @@ object TextQueries {
              |                     w -> CAST(length(w) * 31 + ascii(substr(w,1,1)) AS BIGINT))),
              |     (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
              |FROM documents""".stripMargin)
+    ),
+
+    // Per-source document cap — the "at most N pages per domain" rule every
+    // pretraining mix applies so one boilerplate-heavy domain can't dominate
+    // the corpus. Deterministic keep-order (lowest doc_id wins) makes the
+    // cut reproducible. Plan: ONE shuffle on source for the running rank;
+    // at 100 TB a mega-domain makes that key hot, but a cap needs a global
+    // per-key rank, and rank-then-filter is the minimal such plan — the
+    // window's partial ordering spills, never collects.
+    Q(
+      "q_cap_per_source",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select("doc_id", "source", "lang", "n_chars")
+      },
+      Some("""SELECT doc_id, source, lang, n_chars FROM (
+             |  SELECT doc_id, source, lang, n_chars,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 10""".stripMargin)
+    ),
+
+    // Language-balanced rate sampling — downsample the dominant language
+    // instead of capping it, preserving within-language distribution. Pure
+    // deterministic hash-threshold filter: ZERO shuffles, trivially
+    // parallel at any scale, reproducible across engines (md5 prefix
+    // ordering is engine-portable, same device as q_deterministic_sample).
+    Q(
+      "q_balanced_sample",
+      (s, d) => {
+        val threshold = when(col("lang") === "en", lit("4"))  // ~25% of en
+          .otherwise(lit("c"))                                // ~75% of the rest
+        documents(s, d)
+          .filter(md5(concat(col("doc_id").cast("string"), lit("_bal"))) < threshold)
+          .select("doc_id", "lang", "source", "n_chars")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars
+             |FROM documents
+             |WHERE md5(CAST(doc_id AS VARCHAR) || '_bal') <
+             |  CASE WHEN lang = 'en' THEN '4' ELSE 'c' END""".stripMargin)
     )
   )
 }
