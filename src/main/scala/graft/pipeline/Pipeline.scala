@@ -128,7 +128,12 @@ final class Pipeline private (
       alerts += msg
       try alertHook(msg)
       catch {
-        case e: Exception =>
+        // An interrupt delivered during alert delivery (run cancellation)
+        // must keep its flag so the retry loop's sleep sees it.
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt()
+          System.err.println(s"[pipeline] alert hook interrupted for '$msg': $ie")
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[pipeline] alert hook failed for '$msg': $e")
       }
     }
@@ -155,11 +160,19 @@ final class Pipeline private (
           val t0 = System.nanoTime()
           var attempt = 0
           var done = false
+          var aborted = false
           var lastError: Throwable = null
-          while (!done && attempt <= retries) {
+          while (!done && !aborted && attempt <= retries) {
             attempt += 1
             try { body(); done = true }
             catch {
+              // Cancellation is not a retryable failure: restore the
+              // interrupt flag and fail the run immediately.
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt()
+                lastError = ie
+                aborted = true
+                alert(s"[$name] step '$stepName' interrupted on attempt $attempt")
               case e: Exception =>
                 lastError = e
                 alert(s"[$name] step '$stepName' attempt $attempt failed: ${e.getMessage}")
@@ -179,8 +192,12 @@ object Pipeline {
 
   // One lock per pipeline NAME, JVM-wide: rebuilding the chain each
   // scheduled tick (the natural use of the builder) must still serialize
-  // runs of the same pipeline.
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // runs of the same pipeline. The canonical interned string is the lock
+  // object — unlike a grow-only map, interned strings are GC-eligible, so
+  // dynamically-stamped names (backfill-2026-08-12, …) don't accumulate
+  // forever. The name is namespaced first so no unrelated code could be
+  // synchronizing on the same interned literal.
+  private def lockFor(name: String): Object = ("graft.pipeline.lock:" + name).intern()
 
   def apply(name: String): Pipeline =
     new Pipeline(
@@ -190,6 +207,6 @@ object Pipeline {
       retries = 0,
       backoffMs = 1000L,
       alertHook = m => System.err.println(s"[pipeline] $m"),
-      runLock = locks.computeIfAbsent(name, _ => new Object)
+      runLock = lockFor(name)
     )
 }

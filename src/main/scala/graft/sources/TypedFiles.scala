@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types._
 
 /** Explicit-schema CSV/JSON readers (SURVEY.md §2.5).
   *
@@ -34,6 +34,21 @@ object TypedFiles {
     if (schema.fieldNames.contains(CorruptCol)) schema
     else StructType(schema.fields :+ StructField(CorruptCol, StringType))
 
+  /** True when a column NAME could itself parse as the column's declared
+    * type — i.e. a header line might survive the typed parse of that
+    * field. Conservative: anything not provably unparseable returns true.
+    */
+  private def nameParsesAsType(f: StructField): Boolean = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+        _: DecimalType =>
+      scala.util.Try(java.lang.Double.parseDouble(f.name.trim)).isSuccess
+    case BooleanType => Set("true", "false").contains(f.name.trim.toLowerCase)
+    case DateType => scala.util.Try(java.time.LocalDate.parse(f.name.trim)).isSuccess
+    case TimestampType =>
+      scala.util.Try(java.sql.Timestamp.valueOf(f.name.trim)).isSuccess
+    case _ => true // StringType and anything exotic: assume parseable
+  }
+
   /** Typed CSV read. Returns (good rows in `schema`, quarantined raw lines).
     *
     * Header handling is CONTENT-based, not position-based: with
@@ -45,11 +60,14 @@ object TypedFiles {
     * the header text in every column is indistinguishable from a header
     * (dropped), and a header whose labels differ from the schema's field
     * names is not recognized (it quarantines, which surfaces the
-    * mismatch rather than hiding it). The check costs no second parse on
-    * the hot path: with any non-string field a header line always fails
-    * the typed parse, so the string-schema re-parse only evaluates on
-    * corrupt rows; with an all-string schema the typed parse itself is
-    * the string parse and is reused.
+    * mismatch rather than hiding it). Cost: when any column name cannot
+    * parse as its declared type (the overwhelmingly common case — e.g.
+    * "score" is not a DOUBLE), a header line always fails the typed
+    * parse, so the string-schema re-parse behind the check only evaluates
+    * on corrupt rows, never on the good-row hot path. Only a schema whose
+    * EVERY column name parses as its own type (all-string schemas, or
+    * year-named int columns like "2021") needs the check on every row —
+    * decided per-schema at plan time, not per row.
     */
   def csv(
       spark: SparkSession,
@@ -62,20 +80,20 @@ object TypedFiles {
     val rows = spark.read.text(path)
       .where(length(trim(col("value"))) > 0) // csv reader skips blank lines too
       .withColumn(ParsedCol, from_csv(col("value"), withCorrupt(schema), opts))
-    val corrupt = col(ParsedCol).isNull || col(ParsedCol).getField(CorruptCol).isNotNull
     def matchesHeader(p: Column): Column = schema.fieldNames.toIndexedSeq
       .map(n => lower(trim(p.getField(n))) <=> lit(n.toLowerCase))
       .reduce(_ && _)
+    val headerCanParse = schema.fields.forall(nameParsesAsType)
     val allString = schema.fields.forall(_.dataType == StringType)
     val isHeader: Column =
       if (!header) lit(false)
-      else if (allString) matchesHeader(col(ParsedCol))
-      else when(corrupt, matchesHeader(from_csv(col("value"), strSchema, opts))).otherwise(lit(false))
-    val good = rows
-      .where(!corrupt && !isHeader)
-      .select(schema.fieldNames.toIndexedSeq.map(n => col(ParsedCol).getField(n).as(n)): _*)
-    val bad = rows.where(corrupt && !isHeader).select(col("value").as(CorruptCol))
-    (good, bad)
+      else if (allString) matchesHeader(col(ParsedCol)) // typed parse IS the string parse
+      else if (!headerCanParse) // header always corrupt: check only corrupt rows
+        when(corruptExpr, matchesHeader(from_csv(col("value"), strSchema, opts)))
+          .otherwise(lit(false))
+      else // pathological schema (every name parses as its type): check every row
+        matchesHeader(from_csv(col("value"), strSchema, opts))
+    splitParsed(rows, schema, dropFromBoth = isHeader)
   }
 
   /** Typed JSON-lines read. Returns (good rows, quarantined raw lines). */
@@ -88,13 +106,24 @@ object TypedFiles {
     val rows = spark.read.text(path)
       .where(length(trim(col("value"))) > 0)
       .withColumn(ParsedCol, from_json(col("value"), withCorrupt(schema), opts))
-    // A malformed line sets the corrupt field; a line the parser rejects
-    // outright yields a null struct — both quarantine.
-    val corrupt = col(ParsedCol).isNull || col(ParsedCol).getField(CorruptCol).isNotNull
+    splitParsed(rows, schema, dropFromBoth = lit(false))
+  }
+
+  /** A malformed line sets the corrupt field; a line the parser rejects
+    * outright yields a null struct — both quarantine.
+    */
+  private def corruptExpr: Column =
+    col(ParsedCol).isNull || col(ParsedCol).getField(CorruptCol).isNotNull
+
+  private def splitParsed(
+      rows: DataFrame,
+      schema: StructType,
+      dropFromBoth: Column
+  ): (DataFrame, DataFrame) = {
     val good = rows
-      .where(!corrupt)
+      .where(!corruptExpr && !dropFromBoth)
       .select(schema.fieldNames.toIndexedSeq.map(n => col(ParsedCol).getField(n).as(n)): _*)
-    val bad = rows.where(corrupt).select(col("value").as(CorruptCol))
+    val bad = rows.where(corruptExpr && !dropFromBoth).select(col("value").as(CorruptCol))
     (good, bad)
   }
 }

@@ -96,6 +96,22 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     // "word,other" shares one field with the header but not all — kept.
     assert(sgood.count() == 2 && sbad.count() == 0)
     assert(sgood.orderBy("label").collect().map(_.getString(0)).toSeq == Seq("foo", "word"))
+
+    // Pathological schema whose every column NAME parses as its own type
+    // (year-named int columns): the header line survives the typed parse,
+    // so only the every-row content check can catch it.
+    val ydir = Files.createTempDirectory("typedy").toString
+    Files.writeString(
+      java.nio.file.Paths.get(ydir, "y.csv"),
+      "2021,2022\n10,20\n30,40\n"
+    )
+    val yschema = StructType(
+      Seq(StructField("2021", IntegerType), StructField("2022", IntegerType))
+    )
+    val (ygood, ybad) = TypedFiles.csv(spark, s"$ydir/y.csv", yschema)
+    assert(ygood.count() == 2 && ybad.count() == 0,
+      "a type-parseable header line must still be recognized and dropped")
+    assert(ygood.collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 30))
   }
 
   test("partitioned main: watermark predicates prune whole date partitions at planning time") {
