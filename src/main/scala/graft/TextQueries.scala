@@ -148,6 +148,50 @@ object TextQueries {
              |GROUP BY g.doc_id""".stripMargin)
     ),
 
+    // Decontamination, the broadcast-membership form: at 100 TB the corpus
+    // side should NEVER shuffle for a membership probe against a small
+    // benchmark set — eval sets are MBs while the corpus is the 100 TB.
+    // The benchmark grams aggregate into one Bloom filter (distributed
+    // treeAggregate via df.stat.bloomFilter; ~36 KB here, a few MB for
+    // real eval suites — bounded driver state, same contract as the IVF
+    // centroids), which ships to executors as a plan literal; membership
+    // is Spark's codegen'd BloomFilterMightContain over the 8-byte gram
+    // hashes, a pure map-side filter. The only shuffle left is the final
+    // per-doc count (map-side partial agg). Probabilistic: zero false
+    // NEGATIVES by construction (every truly contaminated gram is
+    // flagged) with fpp 0.1% false positives — the safe direction for
+    // decontamination (overscrub, never leak), gated by the superset
+    // spec against the exact join form.
+    Q(
+      "q_decontaminate_bloom",
+      (s, d) => {
+        val grams = SimilarityQueries
+          .corpusWithDups(s, d)
+          .select(col("doc_id"), explode(hashedShingles(lower(col("text")), n = 13)).as("gram"))
+        val bf = grams.filter(col("doc_id") < 20).select("gram")
+          .stat.bloomFilter("gram", expectedNumItems = 20000L, fpp = 0.001)
+        val bytes = {
+          val baos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(baos)
+          baos.toByteArray
+        }
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+        val mightContain = toCol(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            toExpr(lit(bytes)),
+            toExpr(col("gram"))
+          )
+        )
+        grams
+          .filter(col("doc_id") >= 20)
+          .filter(mightContain)
+          .groupBy("doc_id")
+          .agg(countDistinct(col("gram")).as("n_flagged_grams"))
+          .orderBy("doc_id")
+      },
+      None
+    ),
+
     // Language ID via marker-word argmax (first-listed wins ties; 'und' if none).
     Q(
       "q_lang_id",

@@ -85,6 +85,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_decontaminate_bloom probes membership map-side — no join in the plan") {
+    // The broadcast-membership decontamination must not shuffle corpus
+    // grams into any join: the bloom filter is a plan literal and the
+    // probe is a local filter; only the per-doc aggregate may exchange.
+    val p = plan("q_decontaminate_bloom")
+    assert(!p.contains("Join"), s"bloom membership must not plan a join:\n$p")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain") || p.contains("bloom"),
+      s"bloom probe missing from plan:\n$p")
+  }
+
   test("q_funnel is a single-shuffle window funnel (one exchange, one scan)") {
     val p = plan("q_funnel")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,

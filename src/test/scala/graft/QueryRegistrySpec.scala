@@ -24,6 +24,31 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("bloom decontamination flags a superset of the exact overlap, with few false positives") {
+    import org.apache.spark.sql.functions.col
+    def byDoc(name: String, cnt: String): Map[Long, Long] =
+      QueryRegistry.queries(name)(spark, sfDir)
+        .select(col("doc_id"), col(cnt))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+    val exact = byDoc("q_decontaminate", "n_contaminated_grams")
+    val bloom = byDoc("q_decontaminate_bloom", "n_flagged_grams")
+    // Zero false negatives: every contaminated doc is flagged, with at
+    // least as many flagged grams as truly contaminated ones.
+    for ((doc, n) <- exact) {
+      assert(bloom.contains(doc), s"doc $doc contaminated but not bloom-flagged")
+      assert(bloom(doc) >= n, s"doc $doc: bloom ${bloom(doc)} < exact $n grams")
+    }
+    // Few false positives: flagged-but-clean docs stay a small fraction
+    // of the corpus (fpp 0.1% per gram; a doc needs just one FP gram to
+    // appear here, so the bound is loose but still must be tiny).
+    val corpus = Tables.documents(spark, sfDir).count() * 2 // base + planted
+    val fpDocs = (bloom.keySet -- exact.keySet).size
+    assert(fpDocs <= math.max(2L, corpus / 100),
+      s"$fpDocs of $corpus docs false-positive flagged")
+  }
+
   test("approx quantiles hit the requested rank within tolerance per group") {
     // approx_percentile's guarantee is on RANK, not value (it returns an
     // actual element, no interpolation — in a sparse tail the nearest
