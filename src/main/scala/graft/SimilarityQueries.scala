@@ -186,25 +186,44 @@ object SimilarityQueries {
     * handful of variants of one document), so convergence takes a couple
     * of rounds — the loop runs Spark JOBS per round (a convergence count,
     * exactly like Pregel supersteps), never row-level driver work, and
-    * `localCheckpoint` truncates the growing lineage each round (at
-    * cluster scale: checkpoint to durable storage instead).
+    * the growing lineage truncates each round: to DURABLE storage when
+    * the session has a checkpoint dir configured
+    * (`sc.setCheckpointDir(...)` — the cluster deployment, where a lost
+    * executor must not re-derive round k from round 0), else
+    * `localCheckpoint` (the single-JVM test/bench shape). The durable
+    * write persists the round first so the reliable-checkpoint write job
+    * reads the cache instead of recomputing the round's lineage (the
+    * standard persist-then-checkpoint pattern). Superseded rounds' files
+    * remain on storage until context shutdown unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; a
+    * long-lived driver should enable that or prune round k−1 after
+    * round k materializes (GraphX's PeriodicCheckpointer shape).
     */
   private[graft] def connectedComponents(
       nodes: DataFrame, // one column: id
       edges: DataFrame, // columns: src, dst
       maxIters: Int = 20
   ): DataFrame = {
-    val bi = edges
-      .select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val durable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (durable) {
+        df.persist()
+        val out = df.checkpoint() // eager: safe to drop the cache after
+        df.unpersist()
+        out
+      } else df.localCheckpoint()
+    val bi = truncate(
+      edges
+        .select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    )
     // Only nodes that touch an edge can ever change label — in a dedup
     // graph that is a small fraction of the corpus, so the iteration works
     // on the edge-connected subset and the (dominant) singleton mass joins
     // back untouched at the end. At 100 TB this is the difference between
     // iterating over near-dup clusters and iterating over the internet.
     val connected = bi.select(col("src").as("id")).distinct()
-    var labels = connected.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var labels = truncate(connected.select(col("id"), col("id").as("comp")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -215,7 +234,7 @@ object SimilarityQueries {
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .transform(truncate)
       converged = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") < col("prev"))

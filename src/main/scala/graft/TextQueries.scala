@@ -31,6 +31,22 @@ object TextQueries {
     s"CASE $whens ELSE 'und' END"
   }
 
+  /** The decontamination contract, defined ONCE for both the exact-join
+    * and Bloom forms (and mirrored in the exact form's DuckDB oracle):
+    * 13-word grams over the lowercased planted-duplicate corpus, hashed
+    * by the shingle kernel; docs 0-19 are the benchmark set. Returns
+    * (corpus-side grams, benchmark-side grams).
+    */
+  private def contaminationGrams(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val grams = SimilarityQueries
+      .corpusWithDups(s, d)
+      .select(col("doc_id"), explode(hashedShingles(lower(col("text")), n = 13)).as("gram"))
+    (grams.filter(col("doc_id") >= 20), grams.filter(col("doc_id") < 20).select("gram"))
+  }
+
   val all: Seq[Q] = Seq(
     // Token counting: whitespace + BPE-ish regex pre-tokenizer.
     Q(
@@ -119,13 +135,9 @@ object TextQueries {
     Q(
       "q_decontaminate",
       (s, d) => {
-        val grams = SimilarityQueries
-          .corpusWithDups(s, d)
-          .select(col("doc_id"), explode(hashedShingles(lower(col("text")), n = 13)).as("gram"))
-        val bench = grams.filter(col("doc_id") < 20).select("gram").distinct()
-        grams
-          .filter(col("doc_id") >= 20)
-          .join(bench, "gram")
+        val (corpus, bench) = contaminationGrams(s, d)
+        corpus
+          .join(bench.distinct(), "gram")
           .groupBy("doc_id")
           .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
           .orderBy("doc_id")
@@ -165,11 +177,8 @@ object TextQueries {
     Q(
       "q_decontaminate_bloom",
       (s, d) => {
-        val grams = SimilarityQueries
-          .corpusWithDups(s, d)
-          .select(col("doc_id"), explode(hashedShingles(lower(col("text")), n = 13)).as("gram"))
-        val bf = grams.filter(col("doc_id") < 20).select("gram")
-          .stat.bloomFilter("gram", expectedNumItems = 20000L, fpp = 0.001)
+        val (corpus, bench) = contaminationGrams(s, d)
+        val bf = bench.stat.bloomFilter("gram", expectedNumItems = 20000L, fpp = 0.001)
         val bytes = {
           val baos = new java.io.ByteArrayOutputStream()
           bf.writeTo(baos)
@@ -182,8 +191,7 @@ object TextQueries {
             toExpr(col("gram"))
           )
         )
-        grams
-          .filter(col("doc_id") >= 20)
+        corpus
           .filter(mightContain)
           .groupBy("doc_id")
           .agg(countDistinct(col("gram")).as("n_flagged_grams"))

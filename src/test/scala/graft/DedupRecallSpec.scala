@@ -138,4 +138,30 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
       assert(ratios.sum / ratios.size > meanFloor, s"$ann mean quality ratio ${ratios.sum / ratios.size}")
     }
   }
+
+  test("connected components switches to durable checkpoints when a checkpoint dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    // The checkpoint dir is session-global: restore the unset state after
+    // (setCheckpointDir(null) clears it) so every other suite keeps
+    // exercising the localCheckpoint path the bench uses.
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+      val comp = SimilarityQueries
+        .connectedComponents(nodes, edges)
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+      // The cluster-scale lineage truncation must actually have written
+      // durable checkpoint data, not fallen back to localCheckpoint.
+      def files(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(files).sum else 1
+      assert(files(new java.io.File(dir)) > 0, "no durable checkpoint files written")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

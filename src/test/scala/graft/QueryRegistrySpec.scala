@@ -40,13 +40,18 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
       assert(bloom.contains(doc), s"doc $doc contaminated but not bloom-flagged")
       assert(bloom(doc) >= n, s"doc $doc: bloom ${bloom(doc)} < exact $n grams")
     }
-    // Few false positives: flagged-but-clean docs stay a small fraction
-    // of the corpus (fpp 0.1% per gram; a doc needs just one FP gram to
-    // appear here, so the bound is loose but still must be tiny).
+    // Few false positives: the filter's contract is fpp ≤ 0.1% PER GRAM
+    // (it holds whenever ≤ expectedNumItems grams were inserted), and a
+    // doc is FP-flagged if ANY of its probed grams false-positives — so
+    // the contract-faithful per-DOC bound is
+    // 1 − (1 − fpp)^gramsPerDoc ≈ 6% at this corpus's ≤64 grams/doc,
+    // regardless of how oversized the filter happens to be for the
+    // actual benchmark gram count.
     val corpus = Tables.documents(spark, sfDir).count() * 2 // base + planted
+    val perDocFp = 1.0 - math.pow(1.0 - 0.001, 64)
     val fpDocs = (bloom.keySet -- exact.keySet).size
-    assert(fpDocs <= math.max(2L, corpus / 100),
-      s"$fpDocs of $corpus docs false-positive flagged")
+    assert(fpDocs <= math.max(2L, math.ceil(corpus * perDocFp * 1.5).toLong),
+      s"$fpDocs of $corpus docs false-positive flagged (bound ${corpus * perDocFp})")
   }
 
   test("approx quantiles hit the requested rank within tolerance per group") {
