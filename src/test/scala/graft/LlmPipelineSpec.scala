@@ -49,29 +49,46 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(dedup.count() <= exact.count())
 
     // 6. Decontamination: drop docs sharing 13-grams with the benchmark
-    //    slice (q_decontaminate reports contaminated ids; anti-join them).
+    //    slice. At scale the Bloom-broadcast form probes membership
+    //    map-side; it can only over-scrub (zero false negatives), so the
+    //    pipeline uses it and the exact form bounds it from below.
     val contaminated = QueryRegistry
       .queries("q_decontaminate")(spark, sfDir)
       .select("doc_id")
-    val clean = dedup.join(contaminated, Seq("doc_id"), "left_anti")
-    assert(clean.count() == dedup.count() -
-      dedup.join(contaminated, Seq("doc_id")).count())
+    val bloomFlagged = QueryRegistry
+      .queries("q_decontaminate_bloom")(spark, sfDir)
+      .select("doc_id")
+    val clean = dedup.join(bloomFlagged, Seq("doc_id"), "left_anti")
+    val cleanExact = dedup.join(contaminated, Seq("doc_id"), "left_anti")
+    assert(clean.count() <= cleanExact.count(),
+      "bloom scrub may only remove MORE than the exact scrub, never less")
+    assert(cleanExact.join(clean, Seq("doc_id"), "left_anti").count() ==
+      cleanExact.count() - clean.count())
 
-    // 7. Deterministic sample: md5-prefix threshold (the same idiom as
+    // 7. Source cap + language balance: the mix-shaping stages every
+    //    pretraining corpus applies before sampling.
+    val capped = clean.join(
+      QueryRegistry.queries("q_cap_per_source")(spark, sfDir).select("doc_id"), "doc_id")
+    val balanced = capped.join(
+      QueryRegistry.queries("q_balanced_sample")(spark, sfDir).select("doc_id"), "doc_id")
+    assert(balanced.count() <= capped.count() && capped.count() <= clean.count())
+
+    // 8. Deterministic sample: md5-prefix threshold (the same idiom as
     //    q_deterministic_sample), reproducible across runs. '8' keeps
     //    hashes starting 0-7 ≈ half the corpus.
     def half(df: org.apache.spark.sql.DataFrame) =
       df.filter(md5(col("doc_id").cast("string")) < "8")
-    val sampled = half(clean)
-    val again = half(clean)
+    val sampled = half(balanced)
+    val again = half(balanced)
     assert(sampled.count() == again.count())
     assert(sampled.exceptAll(again).isEmpty, "sampling must be deterministic")
 
-    // 8. Token accounting: the number a training run actually budgets by.
+    // 9. Token accounting: the number a training run actually budgets by.
     val tokens = sampled.agg(sum(tokenCount(col("text")))).as[Long].head()
     assert(sampled.count() > 0 && tokens > 0)
     info(s"pipeline: $total docs → ${langed.count()} lang → ${quality.count()} quality → " +
       s"${rep.count()} rep → ${exact.count()} exact → ${dedup.count()} canon → " +
-      s"${clean.count()} clean → ${sampled.count()} sampled → $tokens tokens")
+      s"${clean.count()} clean → ${capped.count()} capped → ${balanced.count()} balanced → " +
+      s"${sampled.count()} sampled → $tokens tokens")
   }
 }
