@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "minhash_bands", es => MinHashBands(one(es, "minhash_bands"), 64, 16, 4))
     register(ext, "cosine_sim", es => CosineSim(two(es, "cosine_sim")._1, two(es, "cosine_sim")._2))
     register(ext, "word_rep_stats", es => WordRepStats(one(es, "word_rep_stats")))
+    register(ext, "normalize_text", es => NormalizeText(one(es, "normalize_text")))
   }
 }
 

@@ -200,6 +200,24 @@ object TextQueries {
       None
     ),
 
+    // Canonical text normalization — the cleanup pass run before any
+    // hashing/shingling so composed and decomposed Unicode spellings (and
+    // ragged whitespace) dedup and tokenize identically. One compiled
+    // kernel call per row (NFC with an isNormalized fast path, whitespace
+    // collapse, trim); zero shuffles. Oracled against DuckDB's
+    // nfc_normalize + regexp_replace over the same rows.
+    Q(
+      "q_text_normalize",
+      (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          TextFunctions.normalizeText(col("text")).as("norm_text")
+        ),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(nfc_normalize(text), '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+             |FROM documents""".stripMargin)
+    ),
+
     // Language ID via marker-word argmax (first-listed wins ties; 'und' if none).
     Q(
       "q_lang_id",

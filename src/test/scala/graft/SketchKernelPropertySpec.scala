@@ -188,6 +188,25 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeText: NFC composition, whitespace collapse, trim, idempotence") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def norm(s: String): String = SketchImpl.normalizeText(UTF8String.fromString(s)).toString
+    // Decomposed e + combining acute composes to the single codepoint é.
+    assert(norm("café") == "café")
+    // Already-composed text is untouched (the isNormalized fast path).
+    assert(norm("café") == "café")
+    // Whitespace runs collapse, leading/trailing trim, all ASCII ws kinds.
+    assert(norm("  a\t\tb\r\nc \f d  ") == "a b c d")
+    assert(norm("") == "" && norm(" \t\n ") == "")
+    // Idempotence over generated whitespace-ragged texts, and parity with
+    // the token stream: tokenization sees identical words before/after.
+    for (s <- samples(textGen, 200)) {
+      val once = norm(s)
+      assert(norm(once) == once, s"not idempotent on ${s.take(40)}")
+      assert(refTokens(once).toSeq == refTokens(s).toSeq, "tokens must survive normalization")
+    }
+  }
+
   test("cosine throws loudly on dimension mismatch") {
     val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
     val b = ArrayData.toArrayData(Array(1.0, 2.0))
