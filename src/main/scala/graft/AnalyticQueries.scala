@@ -376,6 +376,40 @@ object AnalyticQueries {
              |FROM events""".stripMargin)
     ),
 
+    // The 100 TB profile: countDistinct is the scale problem in q_profile —
+    // each exact distinct expands the single aggregate into per-column
+    // distinct shuffles of the FULL column values. HyperLogLog++ sketches
+    // (approx_count_distinct) are mergeable partial aggregates, so the
+    // whole profile collapses back to one scan + one tiny exchange of
+    // fixed-size sketches regardless of cardinality. Rows-only at the
+    // driver gate (sketch estimates aren't bit-reproducible in DuckDB);
+    // correctness is the tolerance spec pinning each estimate within
+    // HLL's published error (~2.3% at default precision) of the exact
+    // twin's count.
+    Q(
+      "q_profile_approx",
+      (s, d) => {
+        val cols = Seq("event_id", "user_id", "event_type")
+        val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+            approx_count_distinct(col(c)).as(s"dist_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c")
+          )
+        }
+        val branches = cols
+          .map(c => s"'$c', n, null_$c, dist_$c, min_$c, max_$c")
+          .mkString(", ")
+        events(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(
+            s"stack(${cols.length}, $branches) AS (col_name, n, n_null, n_distinct, min_v, max_v)"
+          )
+      },
+      None
+    ),
+
     // Funnel analysis: users progressing view → click (after their first
     // view) → purchase (after that click). ONE shuffle on user_id: three
     // chained per-user window minimums (each stage's cutoff feeds the

@@ -54,6 +54,27 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
       s"$fpDocs of $corpus docs false-positive flagged (bound ${corpus * perDocFp})")
   }
 
+  test("approx profile matches the exact profile within HLL tolerance") {
+    import org.apache.spark.sql.functions.col
+    def profile(name: String): Map[String, (Long, Long, Long, String, String)] =
+      QueryRegistry.queries(name)(spark, sfDir)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+        .toMap
+    val exact = profile("q_profile")
+    val approx = profile("q_profile_approx")
+    assert(exact.keySet == approx.keySet)
+    for ((c, (n, nNull, dist, minV, maxV)) <- exact) {
+      val (an, aNull, aDist, aMin, aMax) = approx(c)
+      // Everything except the distinct count is computed exactly.
+      assert((an, aNull, aMin, aMax) == (n, nNull, minV, maxV), s"$c non-sketch fields differ")
+      // HLL++ at default relativeSD 0.05 — allow 3 sigma plus integer slack.
+      assert(math.abs(aDist - dist) <= math.max(2L, math.ceil(dist * 0.15).toLong),
+        s"$c approx distinct $aDist vs exact $dist")
+    }
+  }
+
   test("approx quantiles hit the requested rank within tolerance per group") {
     // approx_percentile's guarantee is on RANK, not value (it returns an
     // actual element, no interpolation — in a sparse tail the nearest
