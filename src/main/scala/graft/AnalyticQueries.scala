@@ -488,6 +488,51 @@ object AnalyticQueries {
       Some("""SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS BIGINT) AS bucket,
              |  COUNT(*) AS n
              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
+
+    // Multi-level subtotals in ONE pass: ROLLUP computes (status, priority),
+    // per-status, and grand-total aggregates from a single scan with
+    // partial aggregation — the report-cube surface every BI layer needs.
+    // At scale this beats three separate groupBys: one shuffle, the
+    // higher levels re-aggregate the lower's partial state. grouping_id
+    // disambiguates a NULL subtotal key from a (hypothetical) NULL data
+    // key; sums go through DECIMAL(25,10) for order-independent parity.
+    Q(
+      "q_rollup_sales",
+      (s, d) =>
+        orders(s, d)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("total_price")
+          )
+          .select("o_orderstatus", "o_orderpriority", "gid", "n", "total_price"),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE) AS total_price
+             |FROM orders
+             |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)
+    ),
+
+    // Inter-event gaps (churn/latency staple): per-user lag over event
+    // time — the window's (user_id) partitioning is the natural shuffle
+    // key and user cardinality grows with the data, so no hot key. Gap in
+    // microseconds keeps the arithmetic integer-exact across engines.
+    Q(
+      "q_user_gaps",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      },
+      Some("""SELECT user_id, event_id, ts,
+             |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |FROM events""".stripMargin)
     )
   )
 }

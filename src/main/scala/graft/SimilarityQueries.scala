@@ -64,21 +64,42 @@ object SimilarityQueries {
     * the merge hint forces a sort-merge self-join whose two shuffle
     * subtrees are identical, so ReuseExchange computes the sketch+explode
     * once (a broadcast self-join would rebuild it per side).
+    *
+    * HOT-BUCKET GUARD: a pathological corpus (thousands of byte-identical
+    * docs that exact-dedup should have removed first — the composed
+    * pipeline orders it so, see LlmPipelineSpec) puts k copies into ONE
+    * band bucket, and all-pairs enumeration there is O(k²) no matter how
+    * well the LSH is sized. Buckets above `maxBucket` occupancy therefore
+    * switch to STAR linking — every member pairs with the bucket's minimum
+    * doc_id, O(k) — which preserves exactly what a dedup/clustering
+    * consumer needs (connectivity: all members reach one representative,
+    * and the verify stage still scores each star pair exactly). Occupancy
+    * comes from a count-over-window on the join keys, so its hash
+    * partitioning is the one the self-join reuses — no extra shuffle. The
+    * default cap (4096) is 16-64× the target bucket occupancy of every
+    * caller: it can only fire on pathology, never on a healthy corpus.
     */
-  private def bandedPairs(withBands: DataFrame): DataFrame = {
+  private[graft] def bandedPairs(withBands: DataFrame, maxBucket: Int = 4096): DataFrame = {
+    val wb = Window.partitionBy(col("band_idx"), col("band_hash"))
     val exploded = withBands
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    exploded
+      .withColumn("occ", count(lit(1)).over(wb))
+      .withColumn("mn", min(col("doc_id")).over(wb))
+    val cold = exploded.filter(col("occ") <= maxBucket).select("doc_id", "band_idx", "band_hash")
+    val allPairs = cold
       .as("a")
       .hint("merge")
       .join(
-        exploded.as("b").hint("merge"),
+        cold.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id")
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val starPairs = exploded
+      .filter(col("occ") > maxBucket && col("doc_id") =!= col("mn"))
+      .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.unionAll(starPairs).distinct()
   }
 
   /** Spherical k-means coarse quantizer for IVF: a few Lloyd iterations run
@@ -474,7 +495,44 @@ object SimilarityQueries {
           .filter(col("jaccard") >= 0.4)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None
+      // The whole pipeline is deterministic and SQL-expressible on STRING
+      // shingles (the hashed-long form differs only by ~n²/2⁶⁴ xxhash
+      // collisions): same df≤50 index cap, same ≥3-common-low-df-shingle
+      // candidate rule, same exact full-set Jaccard — so the flagship
+      // similarity query is driver-hash-checked end to end, not just
+      // recall-gated.
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
+             |  FROM documents),
+             |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+             |g AS (
+             |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+             |  FROM w, unnest(range(1, len(w) - 1)) AS t(i)
+             |  WHERE len(w) >= 3),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+             |idx AS (
+             |  SELECT doc_id, gram FROM g
+             |  QUALIFY COUNT(*) OVER (PARTITION BY gram) <= 50),
+             |cand AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM idx a JOIN idx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |common AS (
+             |  SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+             |  FROM cand c
+             |  JOIN g ga ON ga.doc_id = c.doc_a
+             |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+             |FROM common
+             |JOIN sz sa ON sa.doc_id = doc_a
+             |JOIN sz sb ON sb.doc_id = doc_b
+             |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.4
+             |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // Brute-force cosine top-k (the ANN baseline): small query set broadcast

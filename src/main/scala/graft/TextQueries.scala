@@ -328,19 +328,47 @@ object TextQueries {
     // Per-source document cap — the "at most N pages per domain" rule every
     // pretraining mix applies so one boilerplate-heavy domain can't dominate
     // the corpus. Deterministic keep-order (lowest doc_id wins) makes the
-    // cut reproducible. Plan: ONE shuffle on source for the running rank;
-    // at 100 TB a mega-domain makes that key hot, but a cap needs a global
-    // per-key rank, and rank-then-filter is the minimal such plan — the
-    // window's partial ordering spills, never collects.
+    // cut reproducible. TWO-STAGE plan: a single global rank-then-filter
+    // window is a hot-key scale-killer — one shuffle on `source` sends a
+    // mega-domain's ENTIRE row set to one reducer, and AQE cannot split a
+    // window partition. The pre-cap is sound for row_number ordered by
+    // doc_id: a row with ≥N smaller-doc_id same-source rows in its own
+    // INPUT partition can never reach the global top-N, so stage 1 keeps
+    // only each partition's N smallest doc_ids per source — a shuffle-FREE
+    // mapPartitions top-N (bounded heaps: N × distinct sources per
+    // partition). The global window then shuffles ≤ N rows per input
+    // partition per source — the hot key sees N×numPartitions rows instead
+    // of its whole corpus. Output is identical to the one-stage plan
+    // (stage 1 only drops provable non-members), so the oracle stays the
+    // plain windowed SQL.
     Q(
       "q_cap_per_source",
       (s, d) => {
+        import s.implicits._
+        val n = 10
+        val pre = documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .mapPartitions { it =>
+            val best = scala.collection.mutable.HashMap
+              .empty[String, scala.collection.mutable.PriorityQueue[(Long, String, String, Long)]]
+            it.foreach { r =>
+              val q = best.getOrElseUpdate(
+                r._2,
+                scala.collection.mutable.PriorityQueue
+                  .empty(Ordering.by[(Long, String, String, Long), Long](_._1))
+              )
+              if (q.size < n) q.enqueue(r)
+              else if (r._1 < q.head._1) { q.dequeue(); q.enqueue(r) } // max-heap: evict largest kept doc_id
+            }
+            best.valuesIterator.flatMap(_.iterator)
+          }
+          .toDF("doc_id", "source", "lang", "n_chars")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("source")).orderBy(col("doc_id"))
-        documents(s, d)
-          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        pre
           .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 10)
+          .filter(col("rk") <= n)
           .select("doc_id", "source", "lang", "n_chars")
       },
       Some("""SELECT doc_id, source, lang, n_chars FROM (
@@ -351,23 +379,103 @@ object TextQueries {
     ),
 
     // Language-balanced rate sampling — downsample the dominant language
-    // instead of capping it, preserving within-language distribution. Pure
-    // deterministic hash-threshold filter: ZERO shuffles, trivially
-    // parallel at any scale, reproducible across engines (md5 prefix
-    // ordering is engine-portable, same device as q_deterministic_sample).
+    // instead of capping it, preserving within-language distribution. The
+    // keep rates are DERIVED from the observed language counts (uniform
+    // target mix: every language downsampled to ≈ the smallest language's
+    // count) by EtlOps.balancedSample — one K-row aggregate broadcast back
+    // as literal thresholds; the filter itself is a zero-shuffle
+    // deterministic md5-threshold, reproducible across engines (same
+    // device as q_deterministic_sample). The oracle re-derives the same
+    // rates in SQL, so the data-driven policy is hash-checked end to end.
     Q(
       "q_balanced_sample",
+      (s, d) =>
+        graft.operators.EtlOps
+          .balancedSample(documents(s, d), by = "lang", idCol = "doc_id")
+          .select("doc_id", "lang", "source", "n_chars"),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+             |m AS (SELECT MIN(cnt) AS mn FROM c),
+             |thr AS (
+             |  SELECT lang,
+             |    CASE WHEN cnt <= mn THEN 'g'
+             |         ELSE printf('%08x', CAST(floor(4294967296.0 * mn / cnt) AS BIGINT)) END AS t
+             |  FROM c, m)
+             |SELECT d.doc_id, d.lang, d.source, d.n_chars
+             |FROM documents d JOIN thr USING (lang)
+             |WHERE md5(CAST(d.doc_id AS VARCHAR) || '_bal') < thr.t""".stripMargin)
+    ),
+
+    // Deterministic train/val/test split (~80/10/10) by hash prefix — the
+    // assignment is a pure function of doc_id, so it is reproducible run
+    // to run, engine to engine, and stable under corpus growth (a doc
+    // never migrates between splits when new docs arrive — the property
+    // random splits lose). Keyed on the first md5 byte: 00-cb train
+    // (204/256), cc-e5 val (26/256), e6-ff test. Zero shuffles.
+    Q(
+      "q_train_test_split",
       (s, d) => {
-        val threshold = when(col("lang") === "en", lit("4"))  // ~25% of en
-          .otherwise(lit("c"))                                // ~75% of the rest
-        documents(s, d)
-          .filter(md5(concat(col("doc_id").cast("string"), lit("_bal"))) < threshold)
-          .select("doc_id", "lang", "source", "n_chars")
+        val h = substring(md5(concat(col("doc_id").cast("string"), lit("_split"))), 1, 2)
+        documents(s, d).select(
+          col("doc_id"),
+          col("lang"),
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split")
+        )
       },
-      Some("""SELECT doc_id, lang, source, n_chars
-             |FROM documents
-             |WHERE md5(CAST(doc_id AS VARCHAR) || '_bal') <
-             |  CASE WHEN lang = 'en' THEN '4' ELSE 'c' END""".stripMargin)
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 2) < 'cc' THEN 'train'
+             |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents""".stripMargin)
+    ),
+
+    // Sequence packing: assign docs to fixed token-budget shards (the
+    // pretraining batch-assembly step) by exclusive running token count
+    // within (lang, source), greedy in doc_id order. Packing is inherently
+    // sequential, so the running sum is windowed over the SAME (lang,
+    // source) streams a production packer would process independently —
+    // each partition's prefix sum is one pass, no global order, no hot key
+    // beyond the stream's own size (at 100 TB the stream key gains a date
+    // component, same plan). Token count is the n_chars/4 heuristic to
+    // keep the oracle engine-portable.
+    Q(
+      "q_pack_context",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        documents(s, d)
+          .select(
+            col("doc_id"), col("lang"), col("source"),
+            floor(col("n_chars") / 4.0).cast("long").as("n_tok")
+          )
+          .withColumn("shard_id",
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / 8192.0).cast("long"))
+      },
+      Some("""SELECT doc_id, lang, source,
+             |  CAST(floor(n_chars / 4.0) AS BIGINT) AS n_tok,
+             |  CAST(floor((SUM(CAST(floor(n_chars / 4.0) AS BIGINT)) OVER (
+             |      PARTITION BY lang, source ORDER BY doc_id)
+             |    - CAST(floor(n_chars / 4.0) AS BIGINT)) / 8192.0) AS BIGINT) AS shard_id
+             |FROM documents""".stripMargin)
+    ),
+
+    // Inverse-frequency sampling weights — the per-language multiplier a
+    // temperature-style mix applies so rare languages are upweighted:
+    // weight_l = N / (K · count_l) (weights average to 1 across the
+    // corpus). One K-row aggregate joined to a 1-row broadcast total;
+    // integer counts divide as doubles identically in both engines.
+    Q(
+      "q_sampling_weights",
+      (s, d) => {
+        val docs = documents(s, d)
+        val totals = docs.agg(count(lit(1)).as("n_total"), countDistinct(col("lang")).as("k"))
+        docs.groupBy("lang")
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(totals))
+          .select(col("lang"), col("cnt"), (col("n_total") / (col("k") * col("cnt"))).as("weight"))
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+             |t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS k FROM documents)
+             |SELECT lang, cnt, n_total / (k * cnt) AS weight FROM c, t""".stripMargin)
     )
   )
 }

@@ -263,4 +263,51 @@ object EtlOps {
     */
   def castColumns(df: DataFrame, types: Map[String, String]): DataFrame =
     df.select(df.columns.map(c => types.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+
+  /** Deterministic group-balanced downsampling: derive each group's keep
+    * rate from the OBSERVED distribution vs a target mix, then keep rows by
+    * a portable md5-threshold — a rate policy computed from data, not a
+    * hardcoded constant.
+    *
+    *   - `target` empty (default): uniform mix — every group is downsampled
+    *     to ≈ the smallest group's count (rate = minCount/count).
+    *   - `target` given: shares t_g; the output is the largest corpus
+    *     achievable at exactly that mix without upsampling
+    *     (S = min_g count_g/t_g rows, n_g = t_g·S). Groups absent from the
+    *     target are dropped.
+    *
+    * Scale shape: ONE K-row aggregate to the driver (K = distinct groups —
+    * bounded state, same contract as the IVF centroids), broadcast back as
+    * a literal when-chain; the filter itself is zero-shuffle, trivially
+    * parallel, and reproducible across engines (md5 hex ordering is
+    * portable — rates quantize to 2⁻³² as an 8-hex-char threshold, and a
+    * rate ≥ 1 uses 'g', which every hex digest sorts below). The threshold
+    * arithmetic (`floor(2³² · mn / cnt)`) is kept textually identical to
+    * the DuckDB oracle so the driver hash-check covers the derived rates.
+    */
+  def balancedSample(
+      df: DataFrame,
+      by: String,
+      idCol: String,
+      target: Map[String, Double] = Map.empty
+  ): DataFrame = {
+    val counts = df.groupBy(by).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, s"balancedSample: no groups in '$by'")
+    def hex(v: Long): String = f"$v%08x"
+    val thrFor: String => String =
+      if (target.isEmpty) {
+        val mn = counts.values.min
+        l => if (counts(l) <= mn) "g" else hex(math.floor(4294967296.0 * mn / counts(l)).toLong)
+      } else {
+        val scale = target.collect { case (l, t) if t > 0 && counts.contains(l) => counts(l) / t }.min
+        l => {
+          val rate = target.getOrElse(l, 0.0) * scale / counts(l)
+          if (rate >= 1.0) "g" else hex(math.floor(rate * 4294967296.0).toLong)
+        }
+      }
+    val thrCol = counts.keys.toSeq.sorted.foldLeft(lit("0")) { case (acc, l) =>
+      when(col(by) === l, lit(thrFor(l))).otherwise(acc)
+    }
+    df.filter(md5(concat(col(idCol).cast("string"), lit("_bal"))) < thrCol)
+  }
 }

@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * analogue of `mapInPandas`) — one codec context per partition, streaming
   * row-by-row, no driver collect, no shuffle.
   *
-  * The codec itself is a clearly-marked deterministic STUB
-  * ([[decodeStub]]): this container ships no image/audio libraries, so the
-  * stub derives frame geometry and pixel bytes from the payload
-  * deterministically. Everything around it — schema, partitioning, batch
-  * shape, feature extraction — is the real pipeline and is what
-  * MultimodalOpsSpec pins.
+  * Still images decode for REAL through the JDK's own codec
+  * ([[decodeImage]]: `javax.imageio` — PNG/BMP/GIF/JPEG, no external
+  * dependency); payloads ImageIO cannot parse (exotic codecs, audio,
+  * video — no decoders in this container) fall back to the clearly-marked
+  * deterministic STUB ([[decodeStub]]), which derives frame geometry and
+  * pixel bytes from the payload deterministically. Everything around the
+  * codec seam — schema, partitioning, batch shape, feature extraction —
+  * is the same real pipeline either way.
   */
 object MultimodalOps {
 
@@ -48,9 +50,39 @@ object MultimodalOps {
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")
     )
 
-  /** STUB CODEC — deterministic fake decode standing in for a real
-    * image/audio library (none available in this container). Geometry is a
-    * pure function of the payload; "pixels" are the payload bytes tiled to
+  /** REAL CODEC — decode a still image through the JDK's `javax.imageio`
+    * (PNG, BMP, GIF, JPEG out of the box; headless-safe) to a row-major
+    * grayscale buffer via the ITU-R BT.601 integer luma. Returns None for
+    * payloads ImageIO has no reader for — the caller falls back to
+    * [[decodeStub]], which is also where audio/video land in this
+    * container. Deterministic: integer arithmetic only.
+    */
+  def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            px(y * w + x) =
+              (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB CODEC — deterministic fake decode standing in for the codecs the
+    * JDK lacks (audio/video; exotic image formats). Geometry is a pure
+    * function of the payload; "pixels" are the payload bytes tiled to
     * width×height. A real deployment swaps only this function.
     */
   def decodeStub(media: Array[Byte], frameIdx: Int): (Int, Int, Array[Byte]) = {
@@ -118,6 +150,11 @@ object MultimodalOps {
   /** Decode every `frameStride`-th frame of each document, resize to a
     * fixed geometry, and extract features. One pass, partition-preserving
     * (narrow), executor-only. `targetSize <= 0` skips the resize.
+    *
+    * Image payloads go through the REAL JDK codec first ([[decodeImage]]) —
+    * a decodable still image is exactly one frame; anything ImageIO can't
+    * read (and all audio/video in this container) takes the stub's
+    * deterministic multi-frame path.
     */
   def decodeFrames(
       media: Dataset[MediaDoc],
@@ -126,14 +163,23 @@ object MultimodalOps {
   ): Dataset[FrameFeatures] = {
     implicit val enc = Encoders.product[FrameFeatures]
     media.mapPartitions { docs =>
-      // Per-partition setup would open the real codec context here.
+      // Per-partition setup would open heavier codec contexts here.
+      def emit(docId: Long, fi: Int, w: Int, h: Int, px: Array[Byte]): FrameFeatures = {
+        val (ow, oh, opx) =
+          if (targetSize > 0) (targetSize, targetSize, resize(px, w, h, targetSize, targetSize))
+          else (w, h, px)
+        FrameFeatures(docId, fi, ow, oh, featureHistogram(opx))
+      }
       docs.flatMap { doc =>
-        (0 until frameCount(doc.n_bytes) by frameStride).iterator.map { fi =>
-          val (w, h, px) = decodeStub(doc.media, fi)
-          val (ow, oh, opx) =
-            if (targetSize > 0) (targetSize, targetSize, resize(px, w, h, targetSize, targetSize))
-            else (w, h, px)
-          FrameFeatures(doc.doc_id, fi, ow, oh, featureHistogram(opx))
+        val still =
+          if (doc.mime != null && doc.mime.startsWith("image/")) decodeImage(doc.media) else None
+        still match {
+          case Some((w, h, px)) => Iterator.single(emit(doc.doc_id, 0, w, h, px))
+          case None =>
+            (0 until frameCount(doc.n_bytes) by frameStride).iterator.map { fi =>
+              val (w, h, px) = decodeStub(doc.media, fi)
+              emit(doc.doc_id, fi, w, h, px)
+            }
         }
       }
     }

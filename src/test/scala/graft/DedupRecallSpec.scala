@@ -164,4 +164,35 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
       new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("bandedPairs hot-bucket guard: 1,000 identical docs link in O(k), not O(k²)") {
+    // Pathology the composed pipeline normally prevents by running exact
+    // dedup FIRST (LlmPipelineSpec): k byte-identical docs share every band
+    // bucket, and all-pairs there is C(1000,2) = 499,500 candidates. Above
+    // the occupancy cap the bucket must switch to star linking — every
+    // member pairs with the bucket minimum, 999 candidates — while a
+    // healthy (under-cap) bucket keeps exact all-pairs enumeration.
+    val hot = spark.range(1000).select(col("id").as("doc_id"), array(lit(42L), lit(7L)).as("bands"))
+    val cold = spark
+      .range(2000, 2005)
+      .select(col("id").as("doc_id"), array(lit(99L), col("id") + 100L).as("bands"))
+    val pairs = SimilarityQueries
+      .bandedPairs(hot.unionAll(cold), maxBucket = 8)
+      .as[(Long, Long)]
+      .collect()
+    val hotPairs = pairs.filter(_._2 < 1000L)
+    val coldPairs = pairs.filter(_._2 >= 2000L)
+    assert(hotPairs.length == 999, s"hot bucket must star-link, got ${hotPairs.length} pairs")
+    assert(hotPairs.forall(_._1 == 0L), "star pairs must anchor at the bucket minimum")
+    assert(coldPairs.length == 10, s"healthy bucket must stay all-pairs C(5,2), got ${coldPairs.length}")
+    // Connectivity is preserved: every duplicate reaches the representative.
+    assert(hotPairs.map(_._2).toSet == (1L until 1000L).toSet)
+  }
+
+  test("bandedPairs default cap never fires on healthy occupancy") {
+    // 100 docs in one bucket is far under the 4096 default: output must be
+    // the exact all-pairs set.
+    val df = spark.range(100).select(col("id").as("doc_id"), array(lit(5L)).as("bands"))
+    assert(SimilarityQueries.bandedPairs(df).count() == 100L * 99 / 2)
+  }
 }

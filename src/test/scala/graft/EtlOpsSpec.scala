@@ -182,4 +182,36 @@ class EtlOpsSpec extends AnyFunSuite with SparkSpec {
       .toSet
     assert(out == Set((1L, "w1"), (2L, "w1"), (2L, "w2")))
   }
+
+  // Heavily skewed corpus for the data-derived sampler: 4000 en / 800 de /
+  // 200 fr. Rates must come from these observed counts, not constants.
+  private def skewedDocs = {
+    val rows = (0L until 4000L).map(i => (i, "en")) ++
+      (4000L until 4800L).map(i => (i, "de")) ++
+      (4800L until 5000L).map(i => (i, "fr"))
+    rows.toDF("doc_id", "lang")
+  }
+
+  test("balancedSample (uniform target) levels a skewed mix to ~the smallest group") {
+    val kept = EtlOps.balancedSample(skewedDocs, by = "lang", idCol = "doc_id")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // Smallest group (fr, 200) keeps everything; the others downsample to
+    // ≈200 each — md5-threshold selection is binomial, so allow ±30%.
+    assert(kept("fr") == 200L, s"min group must be kept whole, got $kept")
+    for (l <- Seq("en", "de"))
+      assert(kept(l) >= 140 && kept(l) <= 260, s"$l not leveled to ~200: $kept")
+  }
+
+  test("balancedSample honors an explicit target mix and drops untargeted groups") {
+    val kept = EtlOps
+      .balancedSample(skewedDocs, by = "lang", idCol = "doc_id", target = Map("en" -> 0.8, "de" -> 0.2))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // S = min(4000/0.8, 800/0.2) = 4000 → en ≈ 3200 (rate 0.8), de = 800
+    // (rate 1.0, kept whole), fr absent from the target → dropped.
+    assert(!kept.contains("fr"), s"untargeted group must be dropped: $kept")
+    assert(kept("de") == 800L, s"rate-1.0 group must be kept whole: $kept")
+    assert(kept("en") >= 2880 && kept("en") <= 3520, s"en not at ~3200: $kept")
+    val share = kept("en").toDouble / (kept("en") + kept("de"))
+    assert(share > 0.75 && share < 0.85, s"achieved mix off target 0.8: $share")
+  }
 }

@@ -33,7 +33,11 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     val rep = quality.filter(element_at(wordRepStats(col("text")), 1) <= 0.2)
     assert(rep.count() <= quality.count() && quality.count() <= langed.count())
 
-    // 4. Exact dedup: content hash, min doc_id canonical.
+    // 4. Exact dedup: content hash, min doc_id canonical. ORDERING MATTERS:
+    //    exact dedup runs BEFORE any banded near-dup stage so byte-identical
+    //    copies can never pile k docs into one LSH bucket (the O(k²)
+    //    pathology bandedPairs' hot-bucket guard exists for — see
+    //    DedupRecallSpec's 1,000-copy test for the guard itself).
     val exact = EtlOps.dedupByKey(rep.withColumn("h", md5(col("text"))), Seq("h"), "doc_id").drop("h")
     val distinctTexts = rep.select(md5(col("text"))).distinct().count()
     assert(exact.count() == distinctTexts, "exact dedup must keep exactly one doc per distinct text")

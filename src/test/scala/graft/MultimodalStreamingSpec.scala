@@ -78,6 +78,56 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(main).count() == 3)
   }
 
+  test("real JDK codec decodes actual PNG/BMP pixels; stub stays the fallback") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    // Deterministic gradient fixtures rendered in-memory — real image
+    // bytes, no external files or libraries.
+    def rgbAt(x: Int, y: Int): Int = ((x * 8) << 16) | ((y * 16) << 8) | ((x + y) * 4)
+    def fixture(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, baos), s"JDK must ship a $fmt writer")
+      baos.toByteArray
+    }
+    def luma(rgb: Int): Byte =
+      (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000).toByte
+
+    // Unit level: exact geometry and the exact BT.601 pixel buffer.
+    val png = fixture("png", 20, 12)
+    val Some((w, h, px)) = MultimodalOps.decodeImage(png)
+    assert(w == 20 && h == 12, s"decoded geometry ($w,$h)")
+    val expectedPx = for (y <- 0 until 12; x <- 0 until 20) yield luma(rgbAt(x, y))
+    assert(px.toSeq == expectedPx, "decoded pixels must match the rendered gradient exactly")
+    // Garbage bytes: no reader → fallback signal, not an exception.
+    assert(MultimodalOps.decodeImage("definitely not an image".getBytes("UTF-8")).isEmpty)
+
+    // End to end through the Spark pipeline: real images are one frame with
+    // true dimensions and features computed from TRUE pixels; a bogus
+    // payload under an image mime takes the stub path.
+    val bmp = fixture("bmp", 9, 7)
+    val bogus = "not an image at all".getBytes("UTF-8")
+    val media = Seq(
+      MediaDoc(1L, png, "image/png", png.length.toLong),
+      MediaDoc(2L, bmp, "image/bmp", bmp.length.toLong),
+      MediaDoc(3L, bogus, "image/png", bogus.length.toLong)
+    ).toDS()
+    val frames = MultimodalOps
+      .decodeFrames(media, frameStride = 1, targetSize = 0)
+      .collect()
+      .groupBy(_.doc_id)
+    assert(frames(1L).length == 1 && frames(1L).head.width == 20 && frames(1L).head.height == 12)
+    assert(frames(2L).length == 1 && frames(2L).head.width == 9 && frames(2L).head.height == 7)
+    assert(frames(1L).head.features.toSeq ==
+      MultimodalOps.featureHistogram(px).toSeq,
+      "features must derive from the REAL decoded pixels")
+    // Stub fallback: geometry from the stub's deterministic function.
+    val (sw, sh, _) = MultimodalOps.decodeStub(bogus, 0)
+    assert(frames(3L).length == MultimodalOps.frameCount(bogus.length.toLong))
+    assert(frames(3L).head.width == sw && frames(3L).head.height == sh)
+  }
+
   test("resize preserves constant images and is exact on integer scale factors") {
     val flat = Array.fill(24 * 24)(7.toByte)
     val r = MultimodalOps.resize(flat, 24, 24, 32, 32)

@@ -146,6 +146,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
 
+  test("q_cap_per_source: two-stage cap — map-side pre-cap before the one hot-key shuffle") {
+    // A mega-domain must shuffle ≤ N rows per input partition, not its
+    // whole corpus: stage 1 is a shuffle-free mapPartitions top-N, so the
+    // plan has the object pipeline BELOW its single window exchange and no
+    // second exchange anywhere.
+    val p = plan("q_cap_per_source")
+    assert(p.contains("MapPartitions"), s"map-side pre-cap missing:\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"expected exactly one (window) exchange, saw $exchanges:\n$p")
+    val lines = p.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange"))
+    val mpIdx = lines.indexWhere(_.contains("MapPartitions"))
+    assert(mpIdx > exIdx, s"pre-cap must run below (before) the shuffle:\n$p")
+  }
+
   test("q_incremental_watermark: watermark predicate is pushed (partition-prunable at scale)") {
     val pf = pushedFilters("q_incremental_watermark").mkString("; ")
     assert(pf.contains("GreaterThan(ts"), s"watermark not pushed, got: $pf")
