@@ -20,8 +20,8 @@ object Bench {
     // round-over-round. Queries whose min-of-3 exceeds 1.5s get two more
     // runs and report the MEDIAN of 5 (heavies are shuffle/state-store
     // bound where the min is a lucky outlier, not the steady state). The
-    // per-query spread (max-min of the used runs) is emitted so a reader
-    // can tell a regression from jitter.
+    // per-query spread (max-min AFTER dropping the slowest run — see
+    // below) is emitted so a reader can tell a regression from jitter.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {

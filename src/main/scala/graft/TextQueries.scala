@@ -33,9 +33,13 @@ object TextQueries {
 
   /** The decontamination contract, defined ONCE for both the exact-join
     * and Bloom forms (and mirrored in the exact form's DuckDB oracle):
-    * 13-word grams over the lowercased planted-duplicate corpus, hashed
-    * by the shingle kernel; docs 0-19 are the benchmark set. Returns
-    * (corpus-side grams, benchmark-side grams).
+    * distinct 13-word grams over the lowercased planted-duplicate corpus,
+    * hashed to FULL 64-bit xxhash64 (computed before any exchange, so the
+    * membership join still shuffles 8-byte longs, but the per-doc distinct
+    * counts agree with the string oracle up to genuine ~n²/2⁶⁴ collisions
+    * — the shingle kernel's mod-P form would be ~n²/2·10⁹, enough to
+    * eventually flip a count at scale); docs 0-19 are the benchmark set.
+    * Returns (corpus-side grams, benchmark-side grams).
     */
   private def contaminationGrams(
       s: org.apache.spark.sql.SparkSession,
@@ -43,7 +47,11 @@ object TextQueries {
   ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val grams = SimilarityQueries
       .corpusWithDups(s, d)
-      .select(col("doc_id"), explode(hashedShingles(lower(col("text")), n = 13)).as("gram"))
+      .select(
+        col("doc_id"),
+        explode(graft.functions.SimilarityFunctions.shingles(lower(col("text")), n = 13)).as("gram_s")
+      )
+      .select(col("doc_id"), xxhash64(col("gram_s")).as("gram"))
     (grams.filter(col("doc_id") >= 20), grams.filter(col("doc_id") < 20).select("gram"))
   }
 
@@ -122,12 +130,11 @@ object TextQueries {
     // Benchmark decontamination: flag corpus documents sharing any 13-word
     // gram with a benchmark set (docs 0-19 stand in for the eval set; in
     // production the benchmark side is a provided table) — the GPT-3-style
-    // 13-gram overlap rule. Grams come from the hashedShingles native
-    // kernel (n = 13): one compiled pass per row, already deduplicated,
-    // and the membership join shuffles 8-byte longs instead of ~100-byte
-    // gram strings. Distinct-gram counts agree with the string oracle up
-    // to 64-bit hash collisions (~n²/2⁶⁴ — the same tolerance every
-    // hashed-shingle operator here documents). Runs over the
+    // 13-gram overlap rule. Grams come from the shingle kernel (n = 13):
+    // one compiled pass per row, already deduplicated, xxhash64'd BEFORE
+    // the exchange so the membership join shuffles 8-byte longs instead
+    // of ~100-byte gram strings. Distinct-gram counts agree with the
+    // string oracle up to genuine 64-bit collisions (~n²/2⁶⁴). Runs over the
     // planted-duplicate corpus so the operator demonstrably catches the
     // truncated near-copies of the benchmark docs (the exact leak pattern
     // decontamination exists for) — and the oracle replicates the

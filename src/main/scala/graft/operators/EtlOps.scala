@@ -299,7 +299,13 @@ object EtlOps {
         val mn = counts.values.min
         l => if (counts(l) <= mn) "g" else hex(math.floor(4294967296.0 * mn / counts(l)).toLong)
       } else {
-        val scale = target.collect { case (l, t) if t > 0 && counts.contains(l) => counts(l) / t }.min
+        val applicable = target.collect { case (l, t) if t > 0 && counts.contains(l) => counts(l) / t }
+        require(
+          applicable.nonEmpty,
+          s"balancedSample: no positive-share target group matches the observed '$by' values " +
+            s"(observed: ${counts.keys.toSeq.sorted.mkString(",")}; target: ${target.keys.toSeq.sorted.mkString(",")})"
+        )
+        val scale = applicable.min
         l => {
           val rate = target.getOrElse(l, 0.0) * scale / counts(l)
           if (rate >= 1.0) "g" else hex(math.floor(rate * 4294967296.0).toLong)

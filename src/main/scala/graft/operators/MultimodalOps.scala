@@ -64,17 +64,17 @@ object MultimodalOps {
       else {
         val w = img.getWidth
         val h = img.getHeight
+        // Bulk getRGB: one color-model conversion pass for the whole frame
+        // (per-pixel getRGB(x,y) costs a conversion + bounds check per
+        // call — 10-50x slower on the executor hot path, same output).
+        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
         val px = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            px(y * w + x) =
-              (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000).toByte
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = rgbs(i)
+          px(i) =
+            (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000).toByte
+          i += 1
         }
         Some((w, h, px))
       }

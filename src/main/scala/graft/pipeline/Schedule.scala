@@ -36,12 +36,13 @@ final case class CronExpr(
 ) {
 
   def matches(t: ZonedDateTime): Boolean = {
-    val dayOk = (domRestricted, dowRestricted) match {
-      case (true, true)   => doms(t.getDayOfMonth) || dows(t.getDayOfWeek.getValue % 7)
-      case (true, false)  => doms(t.getDayOfMonth)
-      case (false, true)  => dows(t.getDayOfWeek.getValue % 7)
-      case (false, false) => true
-    }
+    // Vixie day rule: OR of the two day fields only when BOTH are
+    // explicitly restricted (no leading '*'); otherwise AND — a
+    // star-with-step field ('*/2') still constrains through its value
+    // set, it just doesn't trigger the OR.
+    val domOk = doms(t.getDayOfMonth)
+    val dowOk = dows(t.getDayOfWeek.getValue % 7)
+    val dayOk = if (domRestricted && dowRestricted) domOk || dowOk else domOk && dowOk
     minutes(t.getMinute) && hours(t.getHour) && months(t.getMonthValue) && dayOk
   }
 
@@ -56,6 +57,20 @@ final case class CronExpr(
       if (!z.isBefore(limit)) throw new IllegalArgumentException(s"no tick within 4 years of $t")
     }
     z.toInstant
+  }
+
+  /** Latest matching tick at or before `t`, if any exists within 4 years —
+    * the anchor a first-ever `runDue` needs so a weekly/monthly schedule
+    * still fires regardless of when the host happens to invoke it.
+    */
+  def prevAtOrBefore(t: Instant): Option[Instant] = {
+    var z = t.atZone(ZoneOffset.UTC).withSecond(0).withNano(0)
+    val limit = z.minusYears(4)
+    while (!matches(z)) {
+      z = z.minusMinutes(1)
+      if (z.isBefore(limit)) return None
+    }
+    Some(z.toInstant)
   }
 
   /** Every tick in `(afterExclusive, untilInclusive]`, oldest first. */
@@ -85,30 +100,41 @@ object CronExpr {
     val s = aliases.getOrElse(expr.trim, expr.trim)
     val fields = s.split("\\s+")
     require(fields.length == 5, s"cron needs 5 fields, got '$expr'")
-    def field(f: String, lo: Int, hi: Int): Set[Int] =
+    def field(name: String, f: String, lo: Int, hi: Int): Set[Int] =
       f.split(",").flatMap { part =>
         val (body, step) = part.split("/") match {
           case Array(b)     => (b, 1)
           case Array(b, st) => (b, st.toInt)
-          case _            => throw new IllegalArgumentException(s"bad cron field '$part'")
+          case _            => throw new IllegalArgumentException(s"bad cron $name field '$part'")
         }
+        require(step >= 1, s"cron $name step must be >= 1 in '$part'")
+        val hasStep = part.contains("/")
         val range = body match {
           case "*" => lo to hi
           case b if b.contains("-") =>
             val Array(a, z) = b.split("-"); a.toInt to z.toInt
-          case b => b.toInt to b.toInt
+          // Vixie/Quartz: a single value WITH a step extends to the end of
+          // the field's range ('30/10' over minutes = 30,40,50).
+          case b if hasStep => b.toInt to hi
+          case b            => b.toInt to b.toInt
         }
+        require(
+          range.nonEmpty && range.head >= lo && range.last <= hi,
+          s"cron $name value out of [$lo,$hi] in '$part'"
+        )
         range.filter(v => (v - range.head) % step == 0)
       }.toSet
-    val dows = field(fields(4), 0, 7).map(_ % 7) // 7 = Sunday = 0
+    val dows = field("day-of-week", fields(4), 0, 7).map(_ % 7) // 7 = Sunday = 0
     CronExpr(
-      minutes = field(fields(0), 0, 59),
-      hours = field(fields(1), 0, 23),
-      doms = field(fields(2), 1, 31),
-      months = field(fields(3), 1, 12),
+      minutes = field("minute", fields(0), 0, 59),
+      hours = field("hour", fields(1), 0, 23),
+      doms = field("day-of-month", fields(2), 1, 31),
+      months = field("month", fields(3), 1, 12),
       dows = dows,
-      domRestricted = fields(2) != "*",
-      dowRestricted = fields(4) != "*"
+      // Vixie semantics: a field is "restricted" for the dom/dow OR rule
+      // only when it does not START with '*' ('*/2' counts as star).
+      domRestricted = !fields(2).startsWith("*"),
+      dowRestricted = !fields(4).startsWith("*")
     )
   }
 }
@@ -131,7 +157,12 @@ object Scheduler {
       now: Instant,
       catchup: Boolean = false
   ): Seq[(Instant, PipelineRun)] = {
-    val from = lastRun.getOrElse(now.atZone(ZoneOffset.UTC).minusDays(1).toInstant)
+    // First-ever invocation: anchor just before the most recent past tick
+    // so exactly that tick is due — a monthly schedule fires no matter
+    // when in the month the host first calls (a fixed short lookback would
+    // silently never fire schedules whose period exceeds it). There is no
+    // unbounded backfill without a recorded lastRun, even in catchup mode.
+    val from = lastRun.orElse(cron.prevAtOrBefore(now).map(_.minusMillis(1))).getOrElse(now)
     val due = cron.ticksBetween(from, now)
     val toRun = if (catchup) due else due.takeRight(1)
     toRun.map(t => t -> pipeline.run())

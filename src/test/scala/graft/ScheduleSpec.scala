@@ -34,6 +34,46 @@ class ScheduleSpec extends AnyFunSuite with SparkSpec {
     assert(CronExpr.parse("0 0 * * 7").nextAfter(i("2026-01-01T00:00:00Z")) == i("2026-01-04T00:00:00Z"))
   }
 
+  test("cron edge semantics: value/step extension, star-flag OR rule, parse validation, prev tick") {
+    // Vixie: a single value with a step extends to the end of the range.
+    assert(CronExpr.parse("30/10 2 * * *").ticksBetween(i("2026-01-01T00:00:00Z"), i("2026-01-01T23:00:00Z")) ==
+      Seq(i("2026-01-01T02:30:00Z"), i("2026-01-01T02:40:00Z"), i("2026-01-01T02:50:00Z")))
+    // dom '*/2' starts with '*' → unrestricted for the dom/dow OR rule:
+    // '0 0 */2 * 1' fires only on Mondays that are odd days (AND), never
+    // on a non-Monday odd day. Jan 2 2026 (odd, Friday) must NOT match;
+    // Jan 5 (Monday, odd) must.
+    val mixed = CronExpr.parse("0 0 */2 * 1")
+    assert(mixed.nextAfter(i("2026-01-01T00:00:00Z")) == i("2026-01-05T00:00:00Z"))
+    // Jan 12 2026 is a Monday on an EVEN day: the AND rule must skip it
+    // and land on Jan 19 (odd Monday).
+    assert(mixed.nextAfter(i("2026-01-11T00:00:00Z")) == i("2026-01-19T00:00:00Z"))
+    // Both dom and dow explicitly restricted → Vixie OR: fires on day 15
+    // OR on Mondays.
+    val orRule = CronExpr.parse("0 0 15 * 1")
+    assert(orRule.nextAfter(i("2026-01-01T00:00:00Z")) == i("2026-01-05T00:00:00Z"))
+    assert(orRule.nextAfter(i("2026-01-12T00:00:00Z")) == i("2026-01-15T00:00:00Z"))
+    // Out-of-range values fail at PARSE time with the field named, not
+    // after a 4-year minute scan at schedule time.
+    for (bad <- Seq("0 25 * * *", "61 * * * *", "0 0 0 * *", "0 0 * 13 *"))
+      assert(intercept[IllegalArgumentException](CronExpr.parse(bad)).getMessage.contains("cron"))
+    // prevAtOrBefore finds the anchor tick for long-period schedules.
+    assert(CronExpr.parse("@monthly").prevAtOrBefore(i("2026-03-15T12:00:00Z")) ==
+      Some(i("2026-03-01T00:00:00Z")))
+  }
+
+  test("first-ever runDue fires long-period schedules regardless of invocation time") {
+    var runs = 0
+    val p = Pipeline("sched_monthly").step("inc") { runs += 1 }
+    // lastRun = None mid-month: the most recent monthly tick (the 1st) is
+    // due — a fixed short lookback would silently never fire this.
+    val out = Scheduler.runDue(p, CronExpr.parse("@monthly"), None, i("2026-03-15T12:00:00Z"))
+    assert(out.map(_._1) == Seq(i("2026-03-01T00:00:00Z")) && runs == 1)
+    // And no unbounded backfill on first run even in catchup mode.
+    val out2 = Scheduler.runDue(p, CronExpr.parse("@monthly"), None, i("2026-03-15T12:00:00Z"),
+      catchup = true)
+    assert(out2.size == 1 && runs == 2)
+  }
+
   test("catchup=false runs the latest missed tick only; catchup=true backfills all") {
     var runs = 0
     val p = Pipeline("sched_count").step("inc") { runs += 1 }
