@@ -469,20 +469,19 @@ object SimilarityQueries {
     Q(
       "q_ngram_jaccard",
       (s, d) => {
-        val corpus = corpusWithDups(s, d)
-        val withSh = corpus
-          .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
-        // Verify side carries STRING shingle sets: the index's hashed longs
-        // are mod P = 1e9+7 (the minhash domain), whose ~n²/2·10⁹ pair
-        // collisions would eventually perturb an output jaccard value as
-        // the corpus grows; string sets make every EMITTED value
-        // collision-free, so the driver hash-check is stable at any sf.
-        // Only candidate GENERATION (df cap + ≥3-common prefilter) still
-        // runs on the hashed index — where a rare collision can only nudge
-        // a candidate margin, never a reported similarity.
-        val strSh = corpus.select(col("doc_id"), shingles(col("text")).as("sh"))
+        // FULL-64-bit hashed shingle sets (hashedShingles64, no mod-P)
+        // throughout: this query never touches the minhash [0, P) domain,
+        // and the mod-P form's ~n²/2·10⁹ pair collisions would eventually
+        // perturb an output jaccard value as the corpus grows — 64-bit
+        // pushes that to ~n²/2⁶⁴, negligible at any realistic sf, while
+        // the index and verify still shuffle 8-byte longs instead of
+        // ~30-byte gram strings (a string-set verify was measured 0.9 s
+        // slower at sf0.1). One projection feeds index AND verify, so the
+        // sketch computes once.
+        val sh64 = corpusWithDups(s, d)
+          .select(col("doc_id"), hashedShingles64(col("text")).as("sh"))
         val w = Window.partitionBy(col("sh_key"))
-        val idx = withSh
+        val idx = sh64
           .select(col("doc_id"), explode(col("sh")).as("sh_key"))
           .withColumn("df", count(lit(1)).over(w))
           .filter(col("df") <= 50)
@@ -499,20 +498,18 @@ object SimilarityQueries {
           .filter(col("n_common_lowdf") >= 3)
           .select("doc_a", "doc_b")
         cand
-          .join(strSh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(strSh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .join(sh64.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh64.as("sb"), col("doc_b") === col("sb.doc_id"))
           .select(col("doc_a"), col("doc_b"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.4)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       // The whole pipeline is deterministic and SQL-expressible on STRING
       // shingles: same df≤50 index cap, same ≥3-common-low-df-shingle
-      // candidate rule, and the verify stage scores the SAME string sets —
-      // so the flagship similarity query is driver-hash-checked end to
-      // end, not just recall-gated. (The hashed index's mod-P margins can
-      // in principle flip a candidate whose jaccard is borderline-below
-      // 0.4 — a ~1/2·10⁹-per-pair event on pairs that are overwhelmingly
-      // filtered anyway.)
+      // candidate rule, same exact full-set Jaccard — the 64-bit hashed
+      // form differs only by genuine ~n²/2⁶⁴ collisions — so the flagship
+      // similarity query is driver-hash-checked end to end, not just
+      // recall-gated.
       Some("""WITH corpus AS (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL

@@ -49,9 +49,8 @@ object TextQueries {
       .corpusWithDups(s, d)
       .select(
         col("doc_id"),
-        explode(graft.functions.SimilarityFunctions.shingles(lower(col("text")), n = 13)).as("gram_s")
+        explode(graft.functions.SimilarityFunctions.hashedShingles64(lower(col("text")), n = 13)).as("gram")
       )
-      .select(col("doc_id"), xxhash64(col("gram_s")).as("gram"))
     (grams.filter(col("doc_id") >= 20), grams.filter(col("doc_id") < 20).select("gram"))
   }
 

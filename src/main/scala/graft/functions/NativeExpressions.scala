@@ -67,6 +67,24 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): HashedShingles = copy(child = newChild)
 }
 
+/** `hashed_shingles64(text, n)` → distinct full-64-bit `xxhash64(shingle)`
+  * longs (no mod-P) — the set-identity form of [[HashedShingles]]:
+  * collision bound ~n²/2⁶⁴, for exact-intersection verifies and membership
+  * joins where the minhash [0, P) domain is not needed.
+  */
+case class HashedShingles64(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"hashed_shingles64 requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.hashedShingles64(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.hashedShingles64($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles64 = copy(child = newChild)
+}
+
 /** `minhash_signature(hashedShingles, k)` → k-seat MinHash signature. */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -46,6 +46,12 @@ object SimilarityFunctions {
   def hashedShingles(text: Column, n: Int = 3): Column =
     toCol(HashedShingles(toExpr(text), n))
 
+  /** Full-64-bit hashed shingles (no mod-P): the set-identity form for
+    * exact-intersection verifies and membership joins (~n²/2⁶⁴ collisions).
+    */
+  def hashedShingles64(text: Column, n: Int = 3): Column =
+    toCol(HashedShingles64(toExpr(text), n))
+
   /** MinHash signature (array<long> of length k) over pre-hashed shingles.
     * Hash family: h_j(x) = ((2j+1)·x + j·12582917) mod P — deterministic and
     * integer-exact.

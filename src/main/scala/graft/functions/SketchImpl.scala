@@ -144,6 +144,31 @@ object SketchImpl {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Distinct FULL-64-bit hashed n-gram shingles (`xxhash64(shingle)`, no
+    * mod-P reduction) — the set-identity form: ~n²/2⁶⁴ pair collisions, so
+    * intersections/counts over these agree with the string sets for any
+    * realistic corpus. Use [[hashedShingles]] (mod P) only where minhash
+    * needs the [0, P) domain.
+    */
+  def hashedShingles64(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val w = bounds.length / 2
+    if (w < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val seen = new JLinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= w) {
+      val sh = joinShingle(b, bounds, i, n)
+      seen.add(XXH64.hashUnsafeBytes(sh, Platform.BYTE_ARRAY_OFFSET, sh.length, SEED))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   private def minhashSigArray(hs: ArrayData, k: Int): Array[Long] = {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, P)

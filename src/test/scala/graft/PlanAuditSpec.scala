@@ -129,6 +129,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
           simhash64(col("text")).as("sig"),
           minhashBands(hashedShingles(col("text"))).as("bands"),
           shingles(col("text")).as("sh"),
+          hashedShingles64(col("text")).as("sh64"),
           graft.functions.TextFunctions.wordRepStats(col("text")).as("rep")
         )
       assert(df.queryExecution.executedPlan.toString.contains("*("), "projection not codegen'd")

@@ -60,6 +60,20 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hashedShingles64: deduplicated, full 64-bit range, mod-P of it equals hashedShingles") {
+    for (s <- samples(textGen, 300)) {
+      val h64 = SketchImpl.hashedShingles64(UTF8String.fromString(s), 3)
+      val arr64 = (0 until h64.numElements()).map(h64.getLong)
+      assert(arr64.distinct.length == arr64.length, "64-bit shingles must be de-duplicated")
+      assert(arr64.length == refShingles(s, 3).length)
+      // Same underlying xxhash64 stream: reducing mod P reproduces the
+      // minhash-domain form (up to its own mod-P dedup collapsing).
+      val hp = SketchImpl.hashedShingles(UTF8String.fromString(s), 3)
+      val arrP = (0 until hp.numElements()).map(hp.getLong)
+      assert(arr64.map(v => ((v % SketchImpl.P) + SketchImpl.P) % SketchImpl.P).distinct.sorted == arrP.sorted)
+    }
+  }
+
   test("simhash64 ignores vote magnitude: tripling every token leaves the sketch unchanged") {
     for (words <- samples(Gen.nonEmptyListOf(wordGen), 200)) {
       val base = words.mkString(" ")
