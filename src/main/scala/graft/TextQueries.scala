@@ -482,6 +482,85 @@ object TextQueries {
       Some("""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
              |t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS k FROM documents)
              |SELECT lang, cnt, n_total / (k * cnt) AS weight FROM c, t""".stripMargin)
+    ),
+
+    // PMI collocations — document-level pointwise mutual information for
+    // word bigrams: pmi = ln(N·df_ab / (df_a·df_b)) over DOCUMENT
+    // frequencies, the classic collocation/phrase-mining signal (and the
+    // boilerplate detector: templated word pairs score extreme PMI). All
+    // counting runs on the distinct-shingle kernel (unigrams = 1-gram
+    // shingles, bigrams = 2-gram), two partial-agg'd shuffles + two
+    // vocabulary joins (vocab is bounded — broadcastable at any corpus
+    // size). Emits the full df≥10 set rather than a float-ordered top-k so
+    // the output row set is engine-exact (ln ulp differences stay inside
+    // the driver's float rounding; an ORDER BY pmi LIMIT could flip ranks
+    // on near-ties).
+    Q(
+      "q_collocations",
+      (s, d) => {
+        val docs = documents(s, d)
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val uni = docs
+          .select(col("doc_id"), explode(graft.functions.SimilarityFunctions.shingles(lower(col("text")), n = 1)).as("w"))
+        val dfu = uni.groupBy("w").agg(count(lit(1)).as("df_w"))
+        val dfb = docs
+          .select(col("doc_id"), explode(graft.functions.SimilarityFunctions.shingles(lower(col("text")), n = 2)).as("bg"))
+          .groupBy("bg")
+          .agg(count(lit(1)).as("df_bg"))
+          .filter(col("df_bg") >= 10)
+        dfb
+          .withColumn("w1", element_at(split(col("bg"), " "), 1))
+          .withColumn("w2", element_at(split(col("bg"), " "), 2))
+          .join(dfu.as("u1"), col("w1") === col("u1.w"))
+          .join(dfu.as("u2"), col("w2") === col("u2.w"))
+          .crossJoin(broadcast(nDocs))
+          .select(
+            col("bg"), col("df_bg"),
+            log(col("n_docs") * col("df_bg") / (col("u1.df_w") * col("u2.df_w"))).as("pmi")
+          )
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+             |uni AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM w),
+             |dfu AS (SELECT w, COUNT(*) AS df_w FROM uni GROUP BY 1),
+             |big AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+             |        FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+             |dfb AS (SELECT bg, COUNT(*) AS df_bg FROM big GROUP BY 1 HAVING COUNT(*) >= 10),
+             |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+             |SELECT bg, df_bg,
+             |  ln(n_docs * df_bg / (u1.df_w * u2.df_w)) AS pmi
+             |FROM dfb, n
+             |JOIN dfu u1 ON u1.w = string_split(bg, ' ')[1]
+             |JOIN dfu u2 ON u2.w = string_split(bg, ' ')[2]""".stripMargin)
+    ),
+
+    // Corpus mix report — the per-(lang, source) composition table every
+    // curation run publishes: doc count, share of corpus, token volume.
+    // One partial-agg'd shuffle + a broadcast 1-row total; share divides
+    // exact longs as doubles, identical across engines.
+    Q(
+      "q_mix_report",
+      (s, d) => {
+        val docs = documents(s, d)
+        val total = docs.agg(count(lit(1)).as("n_total"))
+        docs
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(floor(col("n_chars") / 4.0).cast("long")).as("n_tokens")
+          )
+          .crossJoin(broadcast(total))
+          .select(
+            col("lang"), col("source"), col("n_docs"),
+            (col("n_docs") / col("n_total")).as("share"),
+            col("n_tokens")
+          )
+      },
+      Some("""WITH t AS (SELECT COUNT(*) AS n_total FROM documents)
+             |SELECT lang, source, COUNT(*) AS n_docs,
+             |  COUNT(*) / n_total AS share,
+             |  CAST(SUM(CAST(floor(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens
+             |FROM documents, t
+             |GROUP BY lang, source, n_total""".stripMargin)
     )
   )
 }
