@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.functions.SimilarityFunctions.hashedShingles
 
 /** §2.3 text-analysis operators over `documents` — language ID, quality
   * scoring, token counting, fingerprinting. All pure column expressions
@@ -516,7 +515,10 @@ object TextQueries {
           .crossJoin(broadcast(nDocs))
           .select(
             col("bg"), col("df_bg"),
-            log(col("n_docs") * col("df_bg") / (col("u1.df_w") * col("u2.df_w"))).as("pmi")
+            // df_w products widen to double BEFORE multiplying: two
+            // stopword dfs at 100 TB scale (~1e10 each) overflow long.
+            log(col("n_docs") * col("df_bg") /
+              (col("u1.df_w").cast("double") * col("u2.df_w").cast("double"))).as("pmi")
           )
       },
       Some("""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -527,7 +529,7 @@ object TextQueries {
              |dfb AS (SELECT bg, COUNT(*) AS df_bg FROM big GROUP BY 1 HAVING COUNT(*) >= 10),
              |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
              |SELECT bg, df_bg,
-             |  ln(n_docs * df_bg / (u1.df_w * u2.df_w)) AS pmi
+             |  ln(n_docs * df_bg / (CAST(u1.df_w AS DOUBLE) * CAST(u2.df_w AS DOUBLE))) AS pmi
              |FROM dfb, n
              |JOIN dfu u1 ON u1.w = string_split(bg, ' ')[1]
              |JOIN dfu u2 ON u2.w = string_split(bg, ' ')[2]""".stripMargin)

@@ -101,27 +101,35 @@ object CronExpr {
     val fields = s.split("\\s+")
     require(fields.length == 5, s"cron needs 5 fields, got '$expr'")
     def field(name: String, f: String, lo: Int, hi: Int): Set[Int] =
-      f.split(",").flatMap { part =>
-        val (body, step) = part.split("/") match {
+      f.split(",", -1).flatMap { part =>
+        def bad(why: String): Nothing =
+          throw new IllegalArgumentException(s"bad cron $name field '$part': $why")
+        def num(v: String): Int =
+          try v.toInt
+          catch { case _: NumberFormatException => bad(s"'$v' is not a number") }
+        // split with limit -1 keeps trailing empties, so '5/' and '*/'
+        // fail loudly instead of silently parsing as step 1.
+        val (body, step) = part.split("/", -1) match {
           case Array(b)     => (b, 1)
-          case Array(b, st) => (b, st.toInt)
-          case _            => throw new IllegalArgumentException(s"bad cron $name field '$part'")
+          case Array(b, st) => (b, num(st))
+          case _            => bad("more than one '/'")
         }
-        require(step >= 1, s"cron $name step must be >= 1 in '$part'")
+        if (step < 1) bad("step must be >= 1")
         val hasStep = part.contains("/")
         val range = body match {
           case "*" => lo to hi
           case b if b.contains("-") =>
-            val Array(a, z) = b.split("-"); a.toInt to z.toInt
+            b.split("-", -1) match {
+              case Array(a, z) => num(a) to num(z)
+              case _           => bad("malformed range")
+            }
           // Vixie/Quartz: a single value WITH a step extends to the end of
           // the field's range ('30/10' over minutes = 30,40,50).
-          case b if hasStep => b.toInt to hi
-          case b            => b.toInt to b.toInt
+          case b if hasStep => num(b) to hi
+          case b            => num(b) to num(b)
         }
-        require(
-          range.nonEmpty && range.head >= lo && range.last <= hi,
-          s"cron $name value out of [$lo,$hi] in '$part'"
-        )
+        if (range.isEmpty || range.head < lo || range.last > hi)
+          bad(s"value out of [$lo,$hi]")
         range.filter(v => (v - range.head) % step == 0)
       }.toSet
     val dows = field("day-of-week", fields(4), 0, 7).map(_ % 7) // 7 = Sunday = 0
@@ -157,13 +165,15 @@ object Scheduler {
       now: Instant,
       catchup: Boolean = false
   ): Seq[(Instant, PipelineRun)] = {
-    // First-ever invocation: anchor just before the most recent past tick
-    // so exactly that tick is due — a monthly schedule fires no matter
-    // when in the month the host first calls (a fixed short lookback would
-    // silently never fire schedules whose period exceeds it). There is no
-    // unbounded backfill without a recorded lastRun, even in catchup mode.
-    val from = lastRun.orElse(cron.prevAtOrBefore(now).map(_.minusMillis(1))).getOrElse(now)
-    val due = cron.ticksBetween(from, now)
+    // First-ever invocation: the most recent past tick IS the due list —
+    // a monthly schedule fires no matter when in the month the host first
+    // calls (a fixed short lookback would silently never fire schedules
+    // whose period exceeds it), and there is no unbounded backfill without
+    // a recorded lastRun, even in catchup mode.
+    val due = lastRun match {
+      case Some(from) => cron.ticksBetween(from, now)
+      case None       => cron.prevAtOrBefore(now).toSeq
+    }
     val toRun = if (catchup) due else due.takeRight(1)
     toRun.map(t => t -> pipeline.run())
   }

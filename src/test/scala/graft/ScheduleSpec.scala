@@ -54,8 +54,10 @@ class ScheduleSpec extends AnyFunSuite with SparkSpec {
     assert(orRule.nextAfter(i("2026-01-12T00:00:00Z")) == i("2026-01-15T00:00:00Z"))
     // Out-of-range values fail at PARSE time with the field named, not
     // after a 4-year minute scan at schedule time.
-    for (bad <- Seq("0 25 * * *", "61 * * * *", "0 0 0 * *", "0 0 * 13 *"))
-      assert(intercept[IllegalArgumentException](CronExpr.parse(bad)).getMessage.contains("cron"))
+    for (bad <- Seq("0 25 * * *", "61 * * * *", "0 0 0 * *", "0 0 * 13 *",
+        "5/ * * * *", "*/ * * * *", "0 0 1- * *", "0 0 1-2-3 * *", "x * * * *", "0 */0 * * *"))
+      assert(intercept[IllegalArgumentException](CronExpr.parse(bad)).getMessage.contains("cron"),
+        s"'$bad' must fail loudly at parse time")
     // prevAtOrBefore finds the anchor tick for long-period schedules.
     assert(CronExpr.parse("@monthly").prevAtOrBefore(i("2026-03-15T12:00:00Z")) ==
       Some(i("2026-03-01T00:00:00Z")))
