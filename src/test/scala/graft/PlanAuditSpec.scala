@@ -162,6 +162,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(mpIdx > exIdx, s"pre-cap must run below (before) the shuffle:\n$p")
   }
 
+  test("q_rollup_sales: one scan, one shuffle — ROLLUP levels share partial-agg state") {
+    val p = plan("q_rollup_sales")
+    assert(p.contains("Expand"), s"rollup must use Expand, not per-level re-scans:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, s"rollup must read orders once:\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"rollup needs exactly one exchange, saw $exchanges:\n$p")
+  }
+
+  test("q_train_test_split is a zero-shuffle deterministic projection") {
+    val p = plan("q_train_test_split")
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+  }
+
+  test("q_pack_context: one per-stream window exchange, no global sort") {
+    val p = plan("q_pack_context")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"packing must shuffle once on (lang, source), saw $exchanges:\n$p")
+    assert(!p.contains("rangepartitioning"), s"packing must not global-sort:\n$p")
+  }
+
+  test("q_mix_report and q_sampling_weights join their 1-row totals by broadcast") {
+    for (name <- Seq("q_mix_report", "q_sampling_weights")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"), s"$name must broadcast the total, not sort-merge:\n$p")
+      assert(p.contains("Broadcast"), s"$name total must broadcast:\n$p")
+    }
+  }
+
   test("q_incremental_watermark: watermark predicate is pushed (partition-prunable at scale)") {
     val pf = pushedFilters("q_incremental_watermark").mkString("; ")
     assert(pf.contains("GreaterThan(ts"), s"watermark not pushed, got: $pf")
