@@ -100,4 +100,40 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
       assert(r95 >= 0.93 && r95 <= 0.97, s"$g p95 rank $r95")
     }
   }
+
+  test("pack_context shards respect the budget and are contiguous per stream") {
+    // Greedy exclusive-prefix packing invariants: within every (lang,
+    // source) stream, shard ids start at 0 and never decrease in doc_id
+    // order, and a shard's token total exceeds the 8192 budget by at most
+    // its final (overflow) document — the property that makes the shards
+    // usable as fixed-budget training batches.
+    val out = QueryRegistry.queries("q_pack_context")(spark, sfDir).collect()
+    val streams = out.groupBy(r => (r.getString(1), r.getString(2)))
+    for (((lang, source), rows) <- streams) {
+      val ordered = rows.sortBy(_.getLong(0))
+      val shards = ordered.map(_.getLong(4))
+      assert(shards.head == 0L, s"$lang/$source must start at shard 0")
+      assert(shards.zip(shards.tail).forall { case (a, b) => a <= b },
+        s"$lang/$source shard ids must be nondecreasing in doc_id order")
+      for ((shard, docs) <- ordered.groupBy(_.getLong(4))) {
+        val toks = docs.map(_.getLong(3))
+        assert(toks.sum <= 8192L + toks.last,
+          s"$lang/$source shard $shard total ${toks.sum} exceeds budget + overflow doc")
+      }
+    }
+  }
+
+  test("train/test split proportions land near 80/10/10 and are doc_id-stable") {
+    val out = QueryRegistry.queries("q_train_test_split")(spark, sfDir)
+    val n = out.count().toDouble
+    val shares = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(math.abs(shares("train") - 204.0 / 256) < 0.06, s"train share ${shares("train")}")
+    assert(math.abs(shares("val") - 26.0 / 256) < 0.04, s"val share ${shares("val")}")
+    assert(math.abs(shares("test") - 26.0 / 256) < 0.04, s"test share ${shares("test")}")
+    // Stability: the assignment is a pure function of doc_id — rerunning
+    // yields the identical mapping (no RNG, no partitioning dependence).
+    val again = QueryRegistry.queries("q_train_test_split")(spark, sfDir)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }
