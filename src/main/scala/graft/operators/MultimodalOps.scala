@@ -50,35 +50,56 @@ object MultimodalOps {
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")
     )
 
-  /** REAL CODEC — decode a still image through the JDK's `javax.imageio`
-    * (PNG, BMP, GIF, JPEG out of the box; headless-safe) to a row-major
-    * grayscale buffer via the ITU-R BT.601 integer luma. Returns None for
-    * payloads ImageIO has no reader for — the caller falls back to
-    * [[decodeStub]], which is also where audio/video land in this
-    * container. Deterministic: integer arithmetic only.
+  private def toLuma(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    // Bulk getRGB: one color-model conversion pass for the whole frame
+    // (per-pixel getRGB(x,y) costs a conversion + bounds check per
+    // call — 10-50x slower on the executor hot path, same output).
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      val rgb = rgbs(i)
+      px(i) = (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000).toByte
+      i += 1
+    }
+    (w, h, px)
+  }
+
+  /** REAL CODEC, multi-frame — decode every frame of an image payload
+    * through the JDK's `javax.imageio` sequence reader (PNG/BMP/JPEG = one
+    * frame; animated GIF = its real frame sequence) to row-major grayscale
+    * buffers via the ITU-R BT.601 integer luma. Frames are decoded
+    * independently (GIF disposal/compositing is out of scope — feature
+    * extraction treats frames as samples, not a playback surface) and
+    * capped at 1024 per document so a malicious payload can't balloon one
+    * row. Returns None for payloads ImageIO has no reader for — the caller
+    * falls back to [[decodeStub]], which is also where audio/video land in
+    * this container. Deterministic: integer arithmetic only.
     */
-  def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+  def decodeImageFrames(media: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Byte])]] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
-      if (img == null) None
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(media))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
       else {
-        val w = img.getWidth
-        val h = img.getHeight
-        // Bulk getRGB: one color-model conversion pass for the whole frame
-        // (per-pixel getRGB(x,y) costs a conversion + bounds check per
-        // call — 10-50x slower on the executor hot path, same output).
-        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
-        val px = new Array[Byte](w * h)
-        var i = 0
-        while (i < px.length) {
-          val rgb = rgbs(i)
-          px(i) =
-            (((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000).toByte
-          i += 1
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = math.min(r.getNumImages(true), 1024)
+          if (n <= 0) None
+          else Some(Vector.tabulate(n)(i => toLuma(r.read(i))))
+        } finally {
+          r.dispose()
+          iis.close()
         }
-        Some((w, h, px))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** First real frame of an image payload (see [[decodeImageFrames]]). */
+  def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeImageFrames(media).map(_.head)
 
   /** STUB CODEC — deterministic fake decode standing in for the codecs the
     * JDK lacks (audio/video; exotic image formats). Geometry is a pure
@@ -151,9 +172,10 @@ object MultimodalOps {
     * fixed geometry, and extract features. One pass, partition-preserving
     * (narrow), executor-only. `targetSize <= 0` skips the resize.
     *
-    * Image payloads go through the REAL JDK codec first ([[decodeImage]]) —
-    * a decodable still image is exactly one frame; anything ImageIO can't
-    * read (and all audio/video in this container) takes the stub's
+    * Image payloads go through the REAL JDK codec first
+    * ([[decodeImageFrames]]) — a still image is one frame, an animated GIF
+    * is its true frame sequence sampled at `frameStride`; anything ImageIO
+    * can't read (and all audio/video in this container) takes the stub's
     * deterministic multi-frame path.
     */
   def decodeFrames(
@@ -171,10 +193,15 @@ object MultimodalOps {
         FrameFeatures(docId, fi, ow, oh, featureHistogram(opx))
       }
       docs.flatMap { doc =>
-        val still =
-          if (doc.mime != null && doc.mime.startsWith("image/")) decodeImage(doc.media) else None
-        still match {
-          case Some((w, h, px)) => Iterator.single(emit(doc.doc_id, 0, w, h, px))
+        val real =
+          if (doc.mime != null && doc.mime.startsWith("image/")) decodeImageFrames(doc.media)
+          else None
+        real match {
+          case Some(frames) =>
+            (0 until frames.length by frameStride).iterator.map { fi =>
+              val (w, h, px) = frames(fi)
+              emit(doc.doc_id, fi, w, h, px)
+            }
           case None =>
             (0 until frameCount(doc.n_bytes) by frameStride).iterator.map { fi =>
               val (w, h, px) = decodeStub(doc.media, fi)

@@ -128,6 +128,47 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(frames(3L).head.width == sw && frames(3L).head.height == sh)
   }
 
+  test("animated GIF: the real frame sequence decodes and frameStride samples it") {
+    import javax.imageio.{IIOImage, ImageIO}
+    import java.awt.image.BufferedImage
+    // 4-frame animated GIF rendered in-memory: frame f is a constant gray
+    // level 40·(f+1) — grayscale survives GIF palette quantization exactly,
+    // so per-frame pixels are assertable.
+    val (w, h, nFrames) = (8, 6, 4)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until nFrames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = 40 * (f + 1)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = baos.toByteArray
+
+    val frames = MultimodalOps.decodeImageFrames(gif)
+    assert(frames.isDefined && frames.get.length == nFrames, s"expected $nFrames real frames")
+    for ((f, i) <- frames.get.zipWithIndex) {
+      val (fw, fh, px) = f
+      assert(fw == w && fh == h)
+      // BT.601 luma of gray g is g itself.
+      assert(px.forall(_ == (40 * (i + 1)).toByte), s"frame $i pixels must be gray ${40 * (i + 1)}")
+    }
+
+    // Through the Spark pipeline with stride 2: frames 0 and 2 only.
+    val ds = Seq(MediaDoc(7L, gif, "image/gif", gif.length.toLong)).toDS()
+    val out = MultimodalOps.decodeFrames(ds, frameStride = 2, targetSize = 0)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2), "stride must sample the REAL frame sequence")
+    assert(out.forall(f => f.width == w && f.height == h))
+    // Constant-gray frames put all histogram mass in one bin; frames 0 (40)
+    // and 2 (120) land in bins 2 and 7.
+    assert(out(0).features(40 >> 4) == 1.0 && out(1).features(120 >> 4) == 1.0)
+  }
+
   test("resize preserves constant images and is exact on integer scale factors") {
     val flat = Array.fill(24 * 24)(7.toByte)
     val r = MultimodalOps.resize(flat, 24, 24, 32, 32)
