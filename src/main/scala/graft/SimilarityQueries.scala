@@ -78,6 +78,16 @@ object SimilarityQueries {
     * partitioning is the one the self-join reuses — no extra shuffle. The
     * default cap (4096) is 16-64× the target bucket occupancy of every
     * caller: it can only fire on pathology, never on a healthy corpus.
+    *
+    * RECALL CAVEAT: star linking only emits (bucket-min, member) pairs. If
+    * an over-cap bucket ever held docs that are mutually similar but
+    * DISSIMILAR to the bucket minimum, those pairs fail downstream verify
+    * and that connectivity is lost — a broader loss than the
+    * byte-identical pathology the guard targets. That shape requires a
+    * bucket where >4096 docs collide on a band without sharing similarity
+    * to its min (i.e., a badly undersized LSH, not a duplicate burst);
+    * recall-sensitive callers should raise `maxBucket` (it is a parameter,
+    * not a constant) or resize the banding instead.
     */
   private[graft] def bandedPairs(withBands: DataFrame, maxBucket: Int = 4096): DataFrame = {
     val wb = Window.partitionBy(col("band_idx"), col("band_hash"))

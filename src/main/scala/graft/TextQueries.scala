@@ -436,25 +436,29 @@ object TextQueries {
     // Sequence packing: assign docs to fixed token-budget shards (the
     // pretraining batch-assembly step) by exclusive running token count
     // within (lang, source), greedy in doc_id order. Packing is inherently
-    // sequential, so the running sum is windowed over the SAME (lang,
-    // source) streams a production packer would process independently —
-    // each partition's prefix sum is one pass, no global order, no hot key
-    // beyond the stream's own size (at 100 TB the stream key gains a date
-    // component, same plan). Token count is the n_chars/4 heuristic to
-    // keep the oracle engine-portable.
+    // sequential, but (lang, source) cardinality is O(100) at ANY corpus
+    // size, so a bare per-stream window would push ~1 TB through one
+    // reducer at 100 TB. EtlOps.packShards runs the hierarchical prefix
+    // sum instead: per-(stream, block) local window (partitions bounded by
+    // blockSize rows), broadcast per-block offsets, local re-base — bit-
+    // identical to the naive definition the oracle states. blockSize=128
+    // here so the block hierarchy is actually exercised at sf0.01/sf0.1
+    // (production default is 2²⁶). Token count is the n_chars/4 heuristic
+    // to keep the oracle engine-portable.
     Q(
       "q_pack_context",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-        documents(s, d)
-          .select(
+      (s, d) =>
+        graft.operators.EtlOps.packShards(
+          documents(s, d).select(
             col("doc_id"), col("lang"), col("source"),
             floor(col("n_chars") / 4.0).cast("long").as("n_tok")
-          )
-          .withColumn("shard_id",
-            floor((sum(col("n_tok")).over(w) - col("n_tok")) / 8192.0).cast("long"))
-      },
+          ),
+          streamCols = Seq("lang", "source"),
+          orderCol = "doc_id",
+          tokCol = "n_tok",
+          budget = 8192L,
+          blockSize = 128L
+        ).select("doc_id", "lang", "source", "n_tok", "shard_id"),
       Some("""SELECT doc_id, lang, source,
              |  CAST(floor(n_chars / 4.0) AS BIGINT) AS n_tok,
              |  CAST(floor((SUM(CAST(floor(n_chars / 4.0) AS BIGINT)) OVER (
@@ -489,8 +493,13 @@ object TextQueries {
     // boilerplate detector: templated word pairs score extreme PMI). All
     // counting runs on the distinct-shingle kernel (unigrams = 1-gram
     // shingles, bigrams = 2-gram), two partial-agg'd shuffles + two
-    // vocabulary joins (vocab is bounded — broadcastable at any corpus
-    // size). Emits the full df≥10 set rather than a float-ordered top-k so
+    // vocabulary joins. The unigram-df table is the full distinct-word
+    // vocabulary — corpus-DEPENDENT (web-scale noise pushes it to 1e8-1e9
+    // keys, NOT broadcastable), so the joins are left unhinted: AQE
+    // broadcasts when the measured build side fits under the threshold and
+    // otherwise shuffle-joins on the well-distributed word key; the
+    // df_bg >= 10 filter bounds the probe side either way. Emits the full
+    // df≥10 set rather than a float-ordered top-k so
     // the output row set is engine-exact (ln ulp differences stay inside
     // the driver's float rounding; an ORDER BY pmi LIMIT could flip ranks
     // on near-ties).

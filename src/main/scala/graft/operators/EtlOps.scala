@@ -274,7 +274,13 @@ object EtlOps {
     *   - `target` given: shares t_g; the output is the largest corpus
     *     achievable at exactly that mix without upsampling
     *     (S = min_g count_g/t_g rows, n_g = t_g·S). Groups absent from the
-    *     target are dropped.
+    *     target are dropped. A target group with positive share but ZERO
+    *     observed rows cannot constrain S (there is nothing to upsample),
+    *     so it is excluded from the scale computation and the remaining
+    *     groups' shares are effectively renormalized — the achieved mix
+    *     then deviates from the requested one exactly by the missing
+    *     groups' mass. Callers that need the strict mix should
+    *     `require` presence of every positive-share group up front.
     *
     * Scale shape: ONE K-row aggregate to the driver (K = distinct groups —
     * bounded state, same contract as the IVF centroids), broadcast back as
@@ -315,5 +321,57 @@ object EtlOps {
       when(col(by) === l, lit(thrFor(l))).otherwise(acc)
     }
     df.filter(md5(concat(col(idCol).cast("string"), lit("_bal"))) < thrCol)
+  }
+
+  /** Sequence packing by hierarchical prefix sum — assign each row the shard
+    * whose fixed token budget its exclusive running token count lands in,
+    * greedy in `orderCol` order within each `streamCols` stream.
+    *
+    * A bare window over `streamCols` is a scale-killer: stream cardinality is
+    * O(100) at any corpus size, so at 100 TB each stream (~1 TB of rows) would
+    * sort through ONE reducer, and AQE cannot split a window partition. This
+    * is the classic hierarchical (two-level) prefix sum instead:
+    *
+    *   1. block = floor(orderCol / blockSize) splits every stream into
+    *      bounded sub-streams; the heavy window runs per (stream, block), so
+    *      no window partition ever exceeds `blockSize` rows no matter how
+    *      skewed the stream mix is.
+    *   2. per-(stream, block) token subtotals (map-side-combined aggregate,
+    *      tiny shuffle) get their own exclusive prefix sum over blocks — the
+    *      offsets table has corpus_rows / blockSize rows total, broadcastable
+    *      for any sane blockSize (1e12 rows / 2²⁶ ≈ 15 k rows).
+    *   3. a broadcast join re-bases each local prefix: global = offset +
+    *      local. floor(global / budget) is bit-identical to the single-window
+    *      form, so the DuckDB oracle (which states the naive definition) is
+    *      unchanged.
+    *
+    * The per-block window and the subtotal aggregate hash-partition on the
+    * same (streamCols, block) key; the big side shuffles exactly once and is
+    * never range-partitioned (no global sort).
+    */
+  def packShards(
+      df: DataFrame,
+      streamCols: Seq[String],
+      orderCol: String,
+      tokCol: String,
+      budget: Long,
+      blockSize: Long = 1L << 26
+  ): DataFrame = {
+    require(blockSize > 0 && budget > 0, "packShards: blockSize and budget must be positive")
+    val keys = streamCols.map(col)
+    val withBlk =
+      df.withColumn("__blk", floor(col(orderCol) / lit(blockSize.toDouble)).cast("long"))
+    val wLocal = Window.partitionBy(keys :+ col("__blk"): _*).orderBy(col(orderCol))
+    val local = withBlk.withColumn("__lp", sum(col(tokCol)).over(wLocal) - col(tokCol))
+    val wOff = Window.partitionBy(keys: _*).orderBy(col("__blk"))
+    val offsets = withBlk
+      .groupBy(keys :+ col("__blk"): _*)
+      .agg(sum(col(tokCol)).as("__bt"))
+      .withColumn("__off", sum(col("__bt")).over(wOff) - col("__bt"))
+      .select(streamCols.map(col) :+ col("__blk") :+ col("__off"): _*)
+    local
+      .join(broadcast(offsets), streamCols :+ "__blk")
+      .withColumn("shard_id", floor((col("__off") + col("__lp")) / lit(budget.toDouble)).cast("long"))
+      .drop("__blk", "__lp", "__off")
   }
 }

@@ -214,4 +214,37 @@ class EtlOpsSpec extends AnyFunSuite with SparkSpec {
     val share = kept("en").toDouble / (kept("en") + kept("de"))
     assert(share > 0.75 && share < 0.85, s"achieved mix off target 0.8: $share")
   }
+
+  test("packShards equals the naive single-window prefix sum on a skewed corpus") {
+    // One stream holds 20k of 20.05k rows — exactly the skew that makes a
+    // bare (stream) window a one-reducer bottleneck. The hierarchical form
+    // must still be BIT-identical to the naive definition.
+    val rows = (0L until 20000L).map(i => (i, "en", "web", 100L + (i % 7) * 31L)) ++
+      (0L until 50L).map(i => (i * 400L + 3L, "fr", "web", 900L + i))
+    val df = rows.toDF("doc_id", "lang", "source", "n_tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    val naive = df
+      .withColumn("shard_id", floor((sum(col("n_tok")).over(w) - col("n_tok")) / 4096.0).cast("long"))
+      .select("doc_id", "lang", "shard_id")
+    val packed = EtlOps
+      .packShards(df, Seq("lang", "source"), "doc_id", "n_tok", budget = 4096L, blockSize = 256L)
+      .select("doc_id", "lang", "shard_id")
+    assert(packed.exceptAll(naive).isEmpty && naive.exceptAll(packed).isEmpty,
+      "hierarchical packing diverged from the naive prefix sum")
+  }
+
+  test("packShards bounds every window partition by blockSize regardless of stream skew") {
+    val df = (0L until 10000L).map(i => (i, "en", "web", 10L)).toDF("doc_id", "lang", "source", "n_tok")
+    val maxPart = df
+      .withColumn("__blk", floor(col("doc_id") / 256.0).cast("long"))
+      .groupBy("lang", "source", "__blk").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxPart <= 256L, s"window partition exceeded blockSize: $maxPart")
+    // And the operator's own output stays correct at that bound.
+    val out = EtlOps.packShards(df, Seq("lang", "source"), "doc_id", "n_tok", 4096L, 256L)
+    assert(out.count() == 10000L)
+    // 10000 rows x 10 tok / 4096 budget → shards 0..24, monotone in doc_id.
+    assert(out.agg(max("shard_id")).as[Long].head() == 24L)
+  }
 }

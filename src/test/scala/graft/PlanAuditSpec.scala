@@ -175,10 +175,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
   }
 
-  test("q_pack_context: one per-stream window exchange, no global sort") {
+  test("q_pack_context: hierarchical prefix sum — no full-stream window, offsets broadcast") {
+    // (lang, source) cardinality is O(100) at any corpus size; a window
+    // partitioned on it alone would force ~1 TB through one reducer at
+    // 100 TB (AQE cannot split a window partition). The hierarchical plan
+    // must (a) run every window with the bounded __blk sub-key in scope,
+    // (b) partition the heavy doc_id-ordered window by (lang, source,
+    // __blk), and (c) re-base via a broadcast join — never a sort-merge
+    // join or a global range sort.
     val p = plan("q_pack_context")
-    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
-    assert(exchanges == 1, s"packing must shuffle once on (lang, source), saw $exchanges:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"expected window operators:\n$p")
+    windowLines.foreach { l =>
+      assert(l.contains("__blk"), s"window without the block sub-key (hot-stream hazard):\n$l\n$p")
+    }
+    val heavy = windowLines.filter(_.contains("doc_id"))
+    assert(heavy.nonEmpty, s"missing the doc_id-ordered local-prefix window:\n$p")
+    heavy.foreach { l =>
+      assert(
+        l.indexOf("__blk") < l.indexOf("doc_id"),
+        s"local-prefix window must PARTITION by __blk (not just order near it):\n$l"
+      )
+    }
+    assert(p.contains("BroadcastHashJoin"), s"block offsets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offset re-base must not sort-merge:\n$p")
     assert(!p.contains("rangepartitioning"), s"packing must not global-sort:\n$p")
   }
 
