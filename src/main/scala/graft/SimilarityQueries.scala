@@ -209,6 +209,87 @@ object SimilarityQueries {
     verifiedJaccardPairs(s, d, keepFrac = 0.85, b = 16, r = 4, jaccardMin = 0.5)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Exact n-gram Jaccard pairs (doc_a < doc_b, J ≥ 0.4) over the planted-
+    * duplicate corpus — the pair generator behind q_ngram_jaccard AND the
+    * clustering query. Unlike the minhash pipeline, every step here is
+    * deterministic AND SQL-expressible (df≤50 inverted index, ≥3 common
+    * low-df shingles, exact full-set Jaccard), so consumers of this pair
+    * set can be driver-hash-checked end to end.
+    *
+    * FULL-64-bit hashed shingle sets (hashedShingles64, no mod-P)
+    * throughout: this pipeline never touches the minhash [0, P) domain,
+    * and the mod-P form's ~n²/2·10⁹ pair collisions would eventually
+    * perturb an output jaccard value as the corpus grows — 64-bit pushes
+    * that to ~n²/2⁶⁴, negligible at any realistic sf, while the index and
+    * verify still shuffle 8-byte longs instead of ~30-byte gram strings (a
+    * string-set verify was measured 0.9 s slower at sf0.1). One projection
+    * feeds index AND verify, so the sketch computes once.
+    */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh64 = corpusWithDups(s, d)
+      .select(col("doc_id"), hashedShingles64(col("text")).as("sh"))
+    val w = Window.partitionBy(col("sh_key"))
+    val idx = sh64
+      .select(col("doc_id"), explode(col("sh")).as("sh_key"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= 50)
+      .select("doc_id", "sh_key")
+    val cand = idx
+      .as("a")
+      .hint("merge")
+      .join(
+        idx.as("b").hint("merge"),
+        col("a.sh_key") === col("b.sh_key") && col("a.doc_id") < col("b.doc_id")
+      )
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common_lowdf"))
+      .filter(col("n_common_lowdf") >= 3)
+      .select("doc_a", "doc_b")
+    cand
+      .join(sh64.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh64.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.4)
+  }
+
+  /** The DuckDB replica of [[ngramJaccardPairs]] as named CTEs ending in
+    * `pairs(doc_a, doc_b, jaccard)` — shared verbatim by the
+    * q_ngram_jaccard oracle and the recursive-CTE clustering oracle so the
+    * two can never drift apart.
+    */
+  private val ngramPairsSqlCtes: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
+      |  FROM documents),
+      |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+      |  FROM w, unnest(range(1, len(w) - 1)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+      |idx AS (
+      |  SELECT doc_id, gram FROM g
+      |  QUALIFY COUNT(*) OVER (PARTITION BY gram) <= 50),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM idx a JOIN idx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+      |  FROM cand c
+      |  JOIN g ga ON ga.doc_id = c.doc_a
+      |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+      |  FROM common
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.4)""".stripMargin
+
   /** Connected components by min-label propagation over an undirected edge
     * set — the canonical "fuzzy dedup" clustering step: every document gets
     * the smallest doc_id reachable through the near-dup graph as its
@@ -392,15 +473,21 @@ object SimilarityQueries {
     ),
 
     // Fuzzy-dedup clustering: connected components over the verified
-    // MinHash pair graph. Output is one row per document with its cluster
-    // id (min reachable doc_id) and a canonical flag — the exact shape a
-    // pre-training dedup pass consumes ("keep one doc per cluster").
-    // Gate: DedupRecallSpec checks the partition equals a union-find over
-    // the same pairs and that planted dups share their source's cluster.
+    // exact-Jaccard pair graph (ngramJaccardPairs — the SQL-expressible
+    // pair generator, so the WHOLE query is driver-hash-checked: pair
+    // enumeration, min-label propagation, and the canonical flag, against
+    // a DuckDB recursive-CTE reachability oracle). Output is one row per
+    // document with its cluster id (min reachable doc_id) and a canonical
+    // flag — the exact shape a pre-training dedup pass consumes ("keep one
+    // doc per cluster"). DedupRecallSpec additionally checks the partition
+    // equals a union-find over the same pairs; connectedComponents itself
+    // is pair-source-agnostic (any edge set — minhash, simhash, embedding —
+    // feeds it identically; the union-find and durable-checkpoint specs
+    // pin it on arbitrary graphs).
     Q(
       "q_dedup_clusters",
       (s, d) => {
-        val pairs = minhashPairs(s, d)
+        val pairs = ngramJaccardPairs(s, d)
         val nodes = corpusWithDups(s, d).select(col("doc_id").as("id"))
         connectedComponents(nodes, pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
           .select(
@@ -410,7 +497,22 @@ object SimilarityQueries {
           )
           .orderBy(col("doc_id"))
       },
-      None
+      // Connected components in SQL: symmetric edge closure, then
+      // recursive reachability (UNION-distinct terminates the fixpoint),
+      // then min reachable id per node — the same min-label partition the
+      // Pregel-style loop converges to.
+      Some(s"""WITH RECURSIVE $ngramPairsSqlCtes,
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION ALL
+              |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT doc_id, doc_id FROM corpus
+              |  UNION
+              |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+              |SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) = id AS is_canonical
+              |FROM reach GROUP BY id
+              |ORDER BY doc_id""".stripMargin)
     ),
 
     // SimHash near-dup: packed 64-bit sketch (native kernel), 8 byte-bands
@@ -478,80 +580,16 @@ object SimilarityQueries {
     // dominates those shuffles (very large corpora with heavy boilerplate).
     Q(
       "q_ngram_jaccard",
-      (s, d) => {
-        // FULL-64-bit hashed shingle sets (hashedShingles64, no mod-P)
-        // throughout: this query never touches the minhash [0, P) domain,
-        // and the mod-P form's ~n²/2·10⁹ pair collisions would eventually
-        // perturb an output jaccard value as the corpus grows — 64-bit
-        // pushes that to ~n²/2⁶⁴, negligible at any realistic sf, while
-        // the index and verify still shuffle 8-byte longs instead of
-        // ~30-byte gram strings (a string-set verify was measured 0.9 s
-        // slower at sf0.1). One projection feeds index AND verify, so the
-        // sketch computes once.
-        val sh64 = corpusWithDups(s, d)
-          .select(col("doc_id"), hashedShingles64(col("text")).as("sh"))
-        val w = Window.partitionBy(col("sh_key"))
-        val idx = sh64
-          .select(col("doc_id"), explode(col("sh")).as("sh_key"))
-          .withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= 50)
-          .select("doc_id", "sh_key")
-        val cand = idx
-          .as("a")
-          .hint("merge")
-          .join(
-            idx.as("b").hint("merge"),
-            col("a.sh_key") === col("b.sh_key") && col("a.doc_id") < col("b.doc_id")
-          )
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_common_lowdf"))
-          .filter(col("n_common_lowdf") >= 3)
-          .select("doc_a", "doc_b")
-        cand
-          .join(sh64.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh64.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
-          .filter(col("jaccard") >= 0.4)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => ngramJaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       // The whole pipeline is deterministic and SQL-expressible on STRING
       // shingles: same df≤50 index cap, same ≥3-common-low-df-shingle
       // candidate rule, same exact full-set Jaccard — the 64-bit hashed
       // form differs only by genuine ~n²/2⁶⁴ collisions — so the flagship
       // similarity query is driver-hash-checked end to end, not just
       // recall-gated.
-      Some("""WITH corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000 AS doc_id,
-             |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
-             |  FROM documents),
-             |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
-             |g AS (
-             |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
-             |  FROM w, unnest(range(1, len(w) - 1)) AS t(i)
-             |  WHERE len(w) >= 3),
-             |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
-             |idx AS (
-             |  SELECT doc_id, gram FROM g
-             |  QUALIFY COUNT(*) OVER (PARTITION BY gram) <= 50),
-             |cand AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM idx a JOIN idx b ON a.gram = b.gram AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-             |common AS (
-             |  SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
-             |  FROM cand c
-             |  JOIN g ga ON ga.doc_id = c.doc_a
-             |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
-             |  GROUP BY 1, 2)
-             |SELECT doc_a, doc_b,
-             |  CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
-             |FROM common
-             |JOIN sz sa ON sa.doc_id = doc_a
-             |JOIN sz sb ON sb.doc_id = doc_b
-             |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.4
-             |ORDER BY doc_a, doc_b""".stripMargin)
+      Some(s"""WITH $ngramPairsSqlCtes
+              |SELECT doc_a, doc_b, jaccard FROM pairs
+              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // Brute-force cosine top-k (the ANN baseline): small query set broadcast

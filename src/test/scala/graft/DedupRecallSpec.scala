@@ -81,8 +81,10 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)]
       .collect()
       .toMap
+    // The same pair graph the clustering query consumes (exact n-gram
+    // Jaccard — SQL-expressible, so the registry query is also oracled).
     val pairs = QueryRegistry
-      .queries("q_dedup_minhash")(spark, sfDir)
+      .queries("q_ngram_jaccard")(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
       .as[(Long, Long)]
       .collect()
