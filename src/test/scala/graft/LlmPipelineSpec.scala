@@ -90,9 +90,65 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     // 9. Token accounting: the number a training run actually budgets by.
     val tokens = sampled.agg(sum(tokenCount(col("text")))).as[Long].head()
     assert(sampled.count() > 0 && tokens > 0)
+
+    // 10. Train/val/test split: the registry assignment restricted to the
+    //     surviving docs — every doc lands in exactly one split, and the
+    //     md5-prefix shares stay near 80/10/10 (binomial tolerance; the
+    //     same assignment is growth-stable per QueryRegistrySpec).
+    val split = QueryRegistry
+      .queries("q_train_test_split")(spark, sfDir)
+      .select("doc_id", "split")
+    val withSplit = sampled.join(split, "doc_id")
+    val nSampled = sampled.count()
+    assert(withSplit.count() == nSampled, "every sampled doc must get exactly one split")
+    val shares = withSplit.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(shares.values.sum == nSampled)
+    val trainShare = shares.getOrElse("train", 0L).toDouble / nSampled
+    assert(trainShare > 0.65 && trainShare < 0.92, s"train share off 0.8: $trainShare ($shares)")
+
+    // 11. Pack the train split into fixed 8192-token contexts with the
+    //     hierarchical prefix sum. Budget invariant downstream of EVERY
+    //     prior stage: no shard exceeds the budget before its final doc
+    //     (sum − max < budget ⇒ the packer only ever overflows by the one
+    //     doc that closes the shard).
+    val train = withSplit
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 4.0).cast("long").as("n_tok"))
+    val packed = EtlOps.packShards(train, Seq("lang", "source"), "doc_id", "n_tok", 8192L, 128L)
+    assert(packed.count() == train.count(), "packing must assign every train doc a shard")
+    val burst = packed
+      .groupBy("lang", "source", "shard_id")
+      .agg(sum("n_tok").as("tok"), max("n_tok").as("mx"))
+      .filter(col("tok") - col("mx") >= 8192L)
+      .count()
+    assert(burst == 0L, "a shard exceeded the token budget before its closing doc")
+
+    // 12. Sampling weights over the packed train corpus (N/(K·cnt)): the
+    //     weighted token mass must reproduce the corpus total exactly —
+    //     the invariant that makes temperature-style reweighting unbiased.
+    val nTrain = train.count()
+    val k = train.select("lang").distinct().count()
+    val weighted = train
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .select(sum(col("cnt") * (lit(nTrain) / (lit(k) * col("cnt")))).as("m"))
+      .as[Double].head()
+    assert(math.abs(weighted - nTrain.toDouble) < 1e-6 * nTrain,
+      s"weights must be mass-preserving: $weighted vs $nTrain")
+
+    // 13. Mix report over the final corpus: shares partition the corpus
+    //     (sum to 1) and every surviving (lang, source) stream appears.
+    val mix = train
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", col("n_docs") / lit(nTrain.toDouble))
+    val shareSum = mix.agg(sum("share")).as[Double].head()
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"mix shares must sum to 1: $shareSum")
+    assert(mix.count() == train.select("lang", "source").distinct().count())
+
     info(s"pipeline: $total docs → ${langed.count()} lang → ${quality.count()} quality → " +
       s"${rep.count()} rep → ${exact.count()} exact → ${dedup.count()} canon → " +
       s"${clean.count()} clean → ${capped.count()} capped → ${balanced.count()} balanced → " +
-      s"${sampled.count()} sampled → $tokens tokens")
+      s"$nSampled sampled ($shares) → ${packed.agg(max("shard_id")).as[Long].head() + 1} max shards/stream → " +
+      s"$tokens tokens")
   }
 }
