@@ -81,7 +81,8 @@ final class Pipeline private (
     retries: Int,
     backoffMs: Long,
     alertHook: String => Unit,
-    runLock: Object
+    runLock: Object,
+    val cron: Option[CronExpr] = None
 ) {
 
   private def copy(
@@ -89,8 +90,16 @@ final class Pipeline private (
       steps: Vector[(String, () => Unit)] = steps,
       retries: Int = retries,
       backoffMs: Long = backoffMs,
-      alertHook: String => Unit = alertHook
-  ): Pipeline = new Pipeline(name, preflights, steps, retries, backoffMs, alertHook, runLock)
+      alertHook: String => Unit = alertHook,
+      cron: Option[CronExpr] = cron
+  ): Pipeline = new Pipeline(name, preflights, steps, retries, backoffMs, alertHook, runLock, cron)
+
+  /** Declare the pipeline's cadence — the reference DAG's
+    * `schedule_interval` (uscrn_dag.py:271-289 `'0 10 * * *'`,
+    * nws_dag.py:224-236 hourly) carried ON the pipeline object, so the
+    * host invokes [[Scheduler.runDue]] without re-stating the cron.
+    */
+  def schedule(expr: String): Pipeline = copy(cron = Some(CronExpr.parse(expr)))
 
   /** Add a preflight check (reference check_domain): `Left(reason)` alerts
     * and skips the whole run.

@@ -177,4 +177,20 @@ object Scheduler {
     val toRun = if (catchup) due else due.takeRight(1)
     toRun.map(t => t -> pipeline.run())
   }
+
+  /** [[runDue]] against the cadence declared on the pipeline itself via
+    * [[Pipeline.schedule]] — the host's loop needs only (pipeline,
+    * lastRun, now).
+    */
+  def runDue(
+      pipeline: Pipeline,
+      lastRun: Option[Instant],
+      now: Instant,
+      catchup: Boolean
+  ): Seq[(Instant, PipelineRun)] = {
+    val cron = pipeline.cron.getOrElse(
+      throw new IllegalStateException(s"pipeline '${pipeline.name}' declares no schedule")
+    )
+    runDue(pipeline, cron, lastRun, now, catchup)
+  }
 }

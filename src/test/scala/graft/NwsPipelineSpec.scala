@@ -22,13 +22,15 @@ import graft.sources.StagingSink
   */
 class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
 
-  test("the full NWS flow as a pipeline: extract, transform, staged load, merge") {
-    val base = java.nio.file.Files.createTempDirectory("nws").toString
+  private def nwsPipeline(base: String): Pipeline = {
     val extracted = s"$base/extracted"
     val staging = s"$base/staging"
     val main = s"$base/main"
 
-    val run = Pipeline("nws")
+    Pipeline("nws")
+      // The reference DAG's cadence (nws_dag.py:224-236: hourly,
+      // catchup=False) declared on the pipeline object.
+      .schedule("0 * * * *")
       .preflight("check_pages") {
         if (getClass.getResource("/nws") != null) Right(()) else Left("no fetched pages")
       }
@@ -85,7 +87,15 @@ class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
           clock = lit("2026-01-01 00:00:00").cast("timestamp")
         )
       }
-      .run()
+  }
+
+  test("the full NWS flow as a pipeline: extract, transform, staged load, merge") {
+    val base = java.nio.file.Files.createTempDirectory("nws").toString
+    val extracted = s"$base/extracted"
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+
+    val run = nwsPipeline(base).run()
 
     assert(run.succeeded, s"pipeline run failed: ${run.status} ${run.alerts}")
     assert(run.steps.map(_.name) == Seq("extract_pages", "transform_stage", "merge_to_main"))
@@ -128,5 +138,43 @@ class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
       .run()
     assert(run2.succeeded)
     assert(spark.read.parquet(main).count() == 4, "replayed merge must not duplicate")
+  }
+
+  test("scheduled NWS over a simulated day: hourly cadence, outage collapses, data lands once") {
+    val base = java.nio.file.Files.createTempDirectory("nws_sched").toString
+    val pipe = nwsPipeline(base)
+    assert(pipe.cron.isDefined)
+
+    var lastRun: Option[java.time.Instant] = None
+    var totalRuns = 0
+    def host(now: String): Int = {
+      val runs = graft.pipeline.Scheduler
+        .runDue(pipe, lastRun, java.time.Instant.parse(now), catchup = false)
+      runs.foreach { case (tick, r) =>
+        assert(r.succeeded, s"tick $tick failed: ${r.status} ${r.alerts}")
+        lastRun = Some(tick)
+      }
+      totalRuns += runs.size
+      runs.size
+    }
+
+    // First-ever poll 00:30 anchors at the 00:00 tick.
+    assert(host("2026-01-05T00:30:00Z") == 1)
+    // Steady hourly polls: one run each.
+    assert(host("2026-01-05T01:05:00Z") == 1)
+    assert(host("2026-01-05T01:45:00Z") == 0)
+    assert(host("2026-01-05T02:02:00Z") == 1)
+    // 7-hour outage: 09:10 sees 7 missed hourly ticks, catchup=false runs
+    // the latest only.
+    assert(pipe.cron.get
+      .ticksBetween(lastRun.get, java.time.Instant.parse("2026-01-05T09:10:00Z")).size == 7)
+    assert(host("2026-01-05T09:10:00Z") == 1)
+    assert(lastRun.contains(java.time.Instant.parse("2026-01-05T09:00:00Z")))
+
+    assert(totalRuns == 4)
+    // Four full pipeline executions over the same forecast pages; the
+    // keyed staging→main merge keeps the landed data exactly-once.
+    assert(spark.read.parquet(s"$base/main").count() == 4,
+      "hourly re-runs must not duplicate forecast rows")
   }
 }

@@ -39,6 +39,10 @@ class UscrnPipelineSpec extends AnyFunSuite with SparkSpec {
       .toDF("wbanno", "station_location")
 
     Pipeline("uscrn")
+      // The reference DAG's cadence (uscrn_dag.py:271-289:
+      // schedule_interval='0 10 * * *', catchup=False) declared on the
+      // pipeline object.
+      .schedule("0 10 * * *")
       // The reference pings its source domain before running (check_domain,
       // uscrn_dag.py:90); here the "domain" is the raw landing dir.
       .preflight("check_source") {
@@ -127,6 +131,59 @@ class UscrnPipelineSpec extends AnyFunSuite with SparkSpec {
     // Third run of the identical batch: a strict no-op.
     runBatch(raw2, staging, main)
     assert(spark.read.parquet(main).count() == 4)
+  }
+
+  test("scheduled USCRN over a simulated week: missed days collapse to one run, data lands once") {
+    val base = Files.createTempDirectory("uscrn_sched").toString
+    val raw = s"$base/raw"
+    Files.createDirectories(Paths.get(raw))
+    Files.writeString(
+      Paths.get(raw, "CRNH0203-2024-AK_Fairbanks.txt"),
+      """23583 20240101 0100 -3.5
+        |25380 20240101 0100 2.0
+        |""".stripMargin
+    )
+    val pipe = uscrnPipeline(raw, s"$base/staging", s"$base/main")
+    assert(pipe.cron.isDefined, "the reference cadence must be declared on the pipeline")
+
+    // The host loop: each invocation passes (lastRun, now); catchup=false
+    // is the reference DAG's setting.
+    var lastRun: Option[java.time.Instant] = None
+    var totalRuns = 0
+    def host(now: String): Int = {
+      val runs = graft.pipeline.Scheduler
+        .runDue(pipe, lastRun, java.time.Instant.parse(now), catchup = false)
+      runs.foreach { case (tick, r) =>
+        assert(r.succeeded, s"tick $tick failed: ${r.status}")
+        lastRun = Some(tick)
+      }
+      totalRuns += runs.size
+      runs.size
+    }
+
+    // First-ever invocation Monday 09:00 — before today's tick, so it
+    // anchors at SUNDAY 10:00 and fires exactly once (a fixed lookback
+    // would have fired zero times).
+    assert(host("2026-01-05T09:00:00Z") == 1)
+    assert(lastRun.contains(java.time.Instant.parse("2026-01-04T10:00:00Z")))
+    // Monday afternoon: Monday's 10:00 tick is now due.
+    assert(host("2026-01-05T12:30:00Z") == 1)
+    // A second Monday poll: nothing new.
+    assert(host("2026-01-05T23:55:00Z") == 0)
+    // Host down Tue-Thu. Friday 11:00 sees 4 missed ticks (Tue, Wed, Thu,
+    // Fri) but catchup=false runs ONLY the latest — a DAG paused for days
+    // runs once, not four times.
+    val missed = pipe.cron.get.ticksBetween(
+      lastRun.get, java.time.Instant.parse("2026-01-09T11:00:00Z"))
+    assert(missed.size == 4, s"expected 4 missed daily ticks, got $missed")
+    assert(host("2026-01-09T11:00:00Z") == 1)
+    assert(lastRun.contains(java.time.Instant.parse("2026-01-09T10:00:00Z")))
+
+    assert(totalRuns == 3, s"simulated week must execute exactly 3 runs, got $totalRuns")
+    // Three executions of the same batch, but the staging→main merge is
+    // the idempotency boundary: the data landed exactly once.
+    assert(spark.read.parquet(s"$base/main").count() == 2,
+      "re-run ticks must not duplicate rows through StagingSink")
   }
 
   test("unreachable source: preflight alerts and skips, main is never touched") {
