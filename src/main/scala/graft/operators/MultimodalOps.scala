@@ -67,39 +67,149 @@ object MultimodalOps {
     (w, h, px)
   }
 
-  /** REAL CODEC, multi-frame — decode every frame of an image payload
-    * through the JDK's `javax.imageio` sequence reader (PNG/BMP/JPEG = one
-    * frame; animated GIF = its real frame sequence) to row-major grayscale
-    * buffers via the ITU-R BT.601 integer luma. Frames are decoded
-    * independently (GIF disposal/compositing is out of scope — feature
-    * extraction treats frames as samples, not a playback surface) and
-    * capped at 1024 per document so a malicious payload can't balloon one
-    * row. Returns None for payloads ImageIO has no reader for — the caller
-    * falls back to [[decodeStub]], which is also where audio/video land in
-    * this container. Deterministic: integer arithmetic only.
+  /** Open an ImageIO reader over the payload, or None if the JDK has no
+    * codec for it; releases the reader and stream either way.
     */
-  def decodeImageFrames(media: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Byte])]] =
+  private def withImageReader[T](media: Array[Byte])(f: javax.imageio.ImageReader => Option[T]): Option[T] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(media))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) { iis.close(); None }
       else {
         val r = readers.next()
-        try {
-          r.setInput(iis)
-          val n = math.min(r.getNumImages(true), 1024)
-          if (n <= 0) None
-          else Some(Vector.tabulate(n)(i => toLuma(r.read(i))))
-        } finally {
-          r.dispose()
-          iis.close()
-        }
+        try { r.setInput(iis); f(r) }
+        finally { r.dispose(); iis.close() }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** First real frame of an image payload (see [[decodeImageFrames]]). */
+  /** Per-frame GIF placement + disposal from the frame's native metadata;
+    * (0, 0, "none") for formats without it (still formats, or a reader
+    * that refuses the tree).
+    */
+  private def gifFrameMeta(r: javax.imageio.ImageReader, i: Int): (Int, Int, String) =
+    try {
+      val tree = r.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+      var left = 0; var top = 0; var disposal = "none"
+      val kids = tree.getChildNodes
+      var j = 0
+      while (j < kids.getLength) {
+        kids.item(j) match {
+          case e: org.w3c.dom.Element if e.getNodeName == "ImageDescriptor" =>
+            left = e.getAttribute("imageLeftPosition").toInt
+            top = e.getAttribute("imageTopPosition").toInt
+          case e: org.w3c.dom.Element if e.getNodeName == "GraphicControlExtension" =>
+            disposal = e.getAttribute("disposalMethod")
+          case _ => ()
+        }
+        j += 1
+      }
+      (left, top, disposal)
+    } catch { case scala.util.control.NonFatal(_) => (0, 0, "none") }
+
+  /** GIF logical screen size from the stream metadata, if present. */
+  private def logicalScreen(r: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val tree = r.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+      val kids = tree.getChildNodes
+      var out: Option[(Int, Int)] = None
+      var j = 0
+      while (j < kids.getLength) {
+        kids.item(j) match {
+          case e: org.w3c.dom.Element if e.getNodeName == "LogicalScreenDescriptor" =>
+            out = Some((e.getAttribute("logicalScreenWidth").toInt,
+              e.getAttribute("logicalScreenHeight").toInt))
+          case _ => ()
+        }
+        j += 1
+      }
+      out
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL CODEC, multi-frame, LAZY — decode only every `frameStride`-th
+    * frame of an image payload through the JDK's `javax.imageio` reader
+    * (PNG/BMP/JPEG = one frame; animated GIF = its real frame sequence) to
+    * `(frameIdx, width, height, luma)` with the ITU-R BT.601 integer luma.
+    * Unsampled frames are never decoded and at most ONE decoded frame is
+    * held at a time (`r.read(i)` per sampled index), so memory is bounded
+    * by a frame, not the sequence; the sequence is capped at 1024 frames
+    * so a malicious payload can't balloon one row.
+    *
+    * `composite = false` (default) decodes frames independently — feature
+    * extraction treats frames as samples. Delta-encoded GIFs (frames that
+    * paint a sub-rectangle of the logical screen) yield misleading
+    * per-frame luma that way, so `composite = true` instead plays the
+    * sequence against a persistent canvas: each frame draws at its
+    * ImageDescriptor offset, the sampled snapshot is the canvas, and the
+    * frame's disposal method is applied before the next
+    * (doNotDispose keeps, restoreToBackgroundColor clears the frame's
+    * rect — GIF background renders as black luma 0 — restoreToPrevious
+    * reverts the draw). Compositing must still DECODE every frame (deltas
+    * depend on priors) but only materializes luma for sampled indices.
+    * Returns None for payloads ImageIO has no reader for — the caller
+    * falls back to [[decodeStub]]. Deterministic: integer arithmetic only.
+    */
+  def decodeImageFramesSampled(
+      media: Array[Byte],
+      frameStride: Int = 1,
+      composite: Boolean = false
+  ): Option[IndexedSeq[(Int, Int, Int, Array[Byte])]] =
+    withImageReader(media) { r =>
+      val n = math.min(r.getNumImages(true), 1024)
+      if (n <= 0) None
+      else if (!composite) {
+        Some((0 until n by frameStride).toVector.map { i =>
+          val (w, h, px) = toLuma(r.read(i))
+          (i, w, h, px)
+        })
+      } else {
+        import java.awt.image.BufferedImage
+        val out = Vector.newBuilder[(Int, Int, Int, Array[Byte])]
+        var canvas: BufferedImage = null
+        var i = 0
+        while (i < n) {
+          val frame = r.read(i)
+          val (left, top, disposal) = gifFrameMeta(r, i)
+          if (canvas == null) {
+            val (cw, ch) = logicalScreen(r).getOrElse((left + frame.getWidth, top + frame.getHeight))
+            canvas = new BufferedImage(cw max (left + frame.getWidth), ch max (top + frame.getHeight),
+              BufferedImage.TYPE_INT_RGB)
+          }
+          val prev =
+            if (disposal == "restoreToPrevious")
+              canvas.getRGB(0, 0, canvas.getWidth, canvas.getHeight, null, 0, canvas.getWidth)
+            else null
+          val g = canvas.createGraphics()
+          g.drawImage(frame, left, top, null)
+          g.dispose()
+          if (i % frameStride == 0) {
+            val (w, h, px) = toLuma(canvas)
+            out += ((i, w, h, px))
+          }
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              val g2 = canvas.createGraphics()
+              g2.setColor(java.awt.Color.BLACK)
+              g2.fillRect(left, top, frame.getWidth, frame.getHeight)
+              g2.dispose()
+            case "restoreToPrevious" =>
+              canvas.setRGB(0, 0, canvas.getWidth, canvas.getHeight, prev, 0, canvas.getWidth)
+            case _ => ()
+          }
+          i += 1
+        }
+        Some(out.result())
+      }
+    }
+
+  /** Every frame, decoded independently (see [[decodeImageFramesSampled]]). */
+  def decodeImageFrames(media: Array[Byte]): Option[IndexedSeq[(Int, Int, Array[Byte])]] =
+    decodeImageFramesSampled(media).map(_.map { case (_, w, h, px) => (w, h, px) })
+
+  /** First real frame of an image payload — reads frame 0 directly (no
+    * sequence scan, no other frame ever decoded).
+    */
   def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    decodeImageFrames(media).map(_.head)
+    withImageReader(media)(r => Some(toLuma(r.read(0))))
 
   /** STUB CODEC — deterministic fake decode standing in for the codecs the
     * JDK lacks (audio/video; exotic image formats). Geometry is a pure
@@ -173,15 +283,17 @@ object MultimodalOps {
     * (narrow), executor-only. `targetSize <= 0` skips the resize.
     *
     * Image payloads go through the REAL JDK codec first
-    * ([[decodeImageFrames]]) — a still image is one frame, an animated GIF
-    * is its true frame sequence sampled at `frameStride`; anything ImageIO
-    * can't read (and all audio/video in this container) takes the stub's
-    * deterministic multi-frame path.
+    * ([[decodeImageFramesSampled]] — only the sampled frames decode) — a
+    * still image is one frame, an animated GIF is its true frame sequence
+    * sampled at `frameStride` (composited against the playback canvas when
+    * `composite = true`); anything ImageIO can't read (and all audio/video
+    * in this container) takes the stub's deterministic multi-frame path.
     */
   def decodeFrames(
       media: Dataset[MediaDoc],
       frameStride: Int = 1,
-      targetSize: Int = 32
+      targetSize: Int = 32,
+      composite: Boolean = false
   ): Dataset[FrameFeatures] = {
     implicit val enc = Encoders.product[FrameFeatures]
     media.mapPartitions { docs =>
@@ -194,14 +306,12 @@ object MultimodalOps {
       }
       docs.flatMap { doc =>
         val real =
-          if (doc.mime != null && doc.mime.startsWith("image/")) decodeImageFrames(doc.media)
+          if (doc.mime != null && doc.mime.startsWith("image/"))
+            decodeImageFramesSampled(doc.media, frameStride, composite)
           else None
         real match {
           case Some(frames) =>
-            (0 until frames.length by frameStride).iterator.map { fi =>
-              val (w, h, px) = frames(fi)
-              emit(doc.doc_id, fi, w, h, px)
-            }
+            frames.iterator.map { case (fi, w, h, px) => emit(doc.doc_id, fi, w, h, px) }
           case None =>
             (0 until frameCount(doc.n_bytes) by frameStride).iterator.map { fi =>
               val (w, h, px) = decodeStub(doc.media, fi)

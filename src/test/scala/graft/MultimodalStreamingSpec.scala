@@ -169,6 +169,102 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out(0).features(40 >> 4) == 1.0 && out(1).features(120 >> 4) == 1.0)
   }
 
+  test("delta-encoded GIF: composite mode plays disposal semantics, independent mode does not") {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    import java.awt.image.BufferedImage
+
+    def gray(w: Int, h: Int, g: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      img
+    }
+
+    // Write a GIF whose frames paint SUB-RECTANGLES of the logical screen
+    // at explicit offsets with explicit disposal methods — the shape real
+    // animated GIFs use for delta encoding.
+    def gifWithMeta(frames: Seq[(BufferedImage, Int, Int, String)]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(baos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for ((img, left, top, disposal) <- frames) {
+        val fmt = "javax_imageio_gif_image_1.0"
+        val md = writer.getDefaultImageMetadata(
+          ImageTypeSpecifier.createFromBufferedImageType(BufferedImage.TYPE_INT_RGB), null)
+        val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def child(name: String): IIOMetadataNode = {
+          val kids = tree.getChildNodes
+          (0 until kids.getLength).map(kids.item).collectFirst {
+            case n: IIOMetadataNode if n.getNodeName == name => n
+          }.getOrElse { val n = new IIOMetadataNode(name); tree.appendChild(n); n }
+        }
+        val gce = child("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        val desc = child("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(new IIOImage(img, null, md), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+
+    val (wd, ht) = (8, 6)
+    val gif = gifWithMeta(Seq(
+      (gray(wd, ht, 40), 0, 0, "doNotDispose"),          // full base frame
+      (gray(4, 2, 120), 2, 1, "doNotDispose"),           // delta patch
+      (gray(2, 2, 200), 0, 0, "restoreToBackgroundColor"), // patch, then cleared
+      (gray(1, 1, 80), 7, 5, "none")                     // corner dot
+    ))
+
+    // Independent mode: frame 1 is just its own 4x2 patch — the
+    // misleading-luma shape the composite flag exists for.
+    val indep = MultimodalOps.decodeImageFramesSampled(gif, 1, composite = false).get
+    assert(indep.length == 4)
+    assert(indep(1)._2 == 4 && indep(1)._3 == 2, "independent decode keeps the raw patch geometry")
+    assert(indep(1)._4.forall(_ == 120.toByte))
+
+    // Composite mode: every snapshot is the 8x6 canvas with playback
+    // semantics applied. Expected canvases simulated directly.
+    val comp = MultimodalOps.decodeImageFramesSampled(gif, 1, composite = true).get
+    assert(comp.length == 4 && comp.forall(f => f._2 == wd && f._3 == ht),
+      "composited frames must all be logical-screen sized")
+    val canvas = Array.fill[Byte](wd * ht)(0)
+    def paint(l: Int, t: Int, w: Int, h: Int, v: Int): Unit =
+      for (y <- t until t + h; x <- l until l + w) canvas(y * wd + x) = v.toByte
+    paint(0, 0, 8, 6, 40)
+    assert(comp(0)._4.toSeq == canvas.toSeq, "frame 0: full base")
+    paint(2, 1, 4, 2, 120)
+    assert(comp(1)._4.toSeq == canvas.toSeq, "frame 1: delta composited over base")
+    paint(0, 0, 2, 2, 200)
+    assert(comp(2)._4.toSeq == canvas.toSeq, "frame 2: patch visible in its own snapshot")
+    paint(0, 0, 2, 2, 0) // restoreToBackgroundColor clears frame 2's rect
+    paint(7, 5, 1, 1, 80)
+    assert(comp(3)._4.toSeq == canvas.toSeq, "frame 3: frame 2's rect disposed to background")
+
+    // Stride still samples the composited sequence by original index.
+    val strided = MultimodalOps.decodeImageFramesSampled(gif, 2, composite = true).get
+    assert(strided.map(_._1) == Vector(0, 2))
+    assert(strided(1)._4.toSeq == comp(2)._4.toSeq)
+
+    // And through the Spark pipeline with composite on: geometry is the
+    // canvas for every frame.
+    val ds = Seq(MediaDoc(9L, gif, "image/gif", gif.length.toLong)).toDS()
+    val out = MultimodalOps.decodeFrames(ds, frameStride = 1, targetSize = 0, composite = true)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length == 4 && out.forall(f => f.width == wd && f.height == ht))
+  }
+
   test("resize preserves constant images and is exact on integer scale factors") {
     val flat = Array.fill(24 * 24)(7.toByte)
     val r = MultimodalOps.resize(flat, 24, 24, 32, 32)
