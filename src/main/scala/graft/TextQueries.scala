@@ -53,6 +53,21 @@ object TextQueries {
     (grams.filter(col("doc_id") >= 20), grams.filter(col("doc_id") < 20).select("gram"))
   }
 
+  /** The deterministic train/val/test assignment (md5 2-hex prefix on a
+    * salted doc_id: < 'cc' ≈ 80% train, < 'e6' ≈ 10% val, else test),
+    * defined ONCE for q_train_test_split and the cross-split leakage
+    * check, with [[splitAssignSql]] its textual DuckDB twin.
+    */
+  private val splitAssign: org.apache.spark.sql.Column = {
+    val h = substring(md5(concat(col("doc_id").cast("string"), lit("_split"))), 1, 2)
+    when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  private val splitAssignSql: String =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Token counting: whitespace + BPE-ish regex pre-tokenizer.
     Q(
@@ -418,19 +433,51 @@ object TextQueries {
     // (204/256), cc-e5 val (26/256), e6-ff test. Zero shuffles.
     Q(
       "q_train_test_split",
+      (s, d) => documents(s, d).select(col("doc_id"), col("lang"), splitAssign.as("split")),
+      Some(s"""SELECT doc_id, lang, $splitAssignSql AS split
+              |FROM documents""".stripMargin)
+    ),
+
+    // Cross-split leakage detector — the dedup family's missing boundary
+    // check: a benchmark decontamination pass guards corpus-vs-benchmark,
+    // but a split assignment can still leak near-identical CONTENT from
+    // train into val/test (the overlap that silently inflates eval
+    // scores). For every non-train doc, count its distinct 4-word grams
+    // that appear in ANY train doc. Shape at scale: grams hash to 8-byte
+    // longs BEFORE the exchange; the train side collapses to a DISTINCT
+    // gram set, so the gram-key join is a semi-join probe with no
+    // multiplicity blowup (each probe row matches at most one build row
+    // no matter how many train docs share the gram), well-distributed on
+    // the gram key; partial aggregation then reduces per (doc, split).
+    // Same 64-bit honesty contract as decontamination (~n²/2⁶⁴ collisions
+    // vs the string-gram oracle).
+    Q(
+      "q_cross_split_leakage",
       (s, d) => {
-        val h = substring(md5(concat(col("doc_id").cast("string"), lit("_split"))), 1, 2)
-        documents(s, d).select(
-          col("doc_id"),
-          col("lang"),
-          when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split")
-        )
+        val grams = documents(s, d)
+          .select(
+            col("doc_id"),
+            splitAssign.as("split"),
+            explode(graft.functions.SimilarityFunctions.hashedShingles64(lower(col("text")), n = 4)).as("gram")
+          )
+        val trainGrams = grams.filter(col("split") === "train").select("gram").distinct()
+        grams
+          .filter(col("split") =!= "train")
+          .join(trainGrams, "gram")
+          .groupBy("doc_id", "split")
+          .agg(count(lit(1)).as("n_leaked_grams"))
+          .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, lang,
-             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 2) < 'cc' THEN 'train'
-             |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 2) < 'e6' THEN 'val'
-             |       ELSE 'test' END AS split
-             |FROM documents""".stripMargin)
+      Some(s"""WITH w AS (SELECT doc_id, $splitAssignSql AS split,
+              |  string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+              |g AS (SELECT DISTINCT doc_id, split, array_to_string(ws[i:i+3], ' ') AS gram
+              |      FROM w, unnest(range(1, len(ws) - 2)) AS t(i) WHERE len(ws) >= 4),
+              |tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+              |SELECT g.doc_id, g.split, COUNT(*) AS n_leaked_grams
+              |FROM g JOIN tg USING (gram)
+              |WHERE g.split <> 'train'
+              |GROUP BY 1, 2
+              |ORDER BY doc_id""".stripMargin)
     ),
 
     // Sequence packing: assign docs to fixed token-budget shards (the
@@ -465,6 +512,47 @@ object TextQueries {
              |      PARTITION BY lang, source ORDER BY doc_id)
              |    - CAST(floor(n_chars / 4.0) AS BIGINT)) / 8192.0) AS BIGINT) AS shard_id
              |FROM documents""".stripMargin)
+    ),
+
+    // Packing efficiency report — the observability table a packing run
+    // publishes next to its shards: per stream, how many shards were cut,
+    // the token mass, and the fill rate against the 8192 budget (1 − fill
+    // is the padding waste a training run pays). Rides the same
+    // hierarchical packShards plan, then one K-row aggregate; fill_rate
+    // divides exact longs as doubles, identical in both engines.
+    Q(
+      "q_pack_stats",
+      (s, d) =>
+        graft.operators.EtlOps.packShards(
+          documents(s, d).select(
+            col("doc_id"), col("lang"), col("source"),
+            floor(col("n_chars") / 4.0).cast("long").as("n_tok")
+          ),
+          streamCols = Seq("lang", "source"),
+          orderCol = "doc_id",
+          tokCol = "n_tok",
+          budget = 8192L,
+          blockSize = 128L
+        )
+          .groupBy("lang", "source")
+          .agg((max(col("shard_id")) + 1).as("n_shards"), sum(col("n_tok")).as("n_tokens"))
+          .select(
+            col("lang"), col("source"), col("n_shards"), col("n_tokens"),
+            (col("n_tokens") / (col("n_shards") * 8192.0)).as("fill_rate")
+          )
+          .orderBy("lang", "source"),
+      Some("""WITH p AS (
+             |  SELECT lang, source, CAST(floor(n_chars / 4.0) AS BIGINT) AS n_tok,
+             |    CAST(floor((SUM(CAST(floor(n_chars / 4.0) AS BIGINT)) OVER (
+             |        PARTITION BY lang, source ORDER BY doc_id)
+             |      - CAST(floor(n_chars / 4.0) AS BIGINT)) / 8192.0) AS BIGINT) AS shard_id
+             |  FROM documents)
+             |SELECT lang, source,
+             |  MAX(shard_id) + 1 AS n_shards,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_tok) AS BIGINT) / ((MAX(shard_id) + 1) * 8192.0) AS fill_rate
+             |FROM p GROUP BY 1, 2
+             |ORDER BY lang, source""".stripMargin)
     ),
 
     // Inverse-frequency sampling weights — the per-language multiplier a

@@ -136,4 +136,39 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     val again = QueryRegistry.queries("q_train_test_split")(spark, sfDir)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  test("cross-split leakage flags only non-train docs, consistent with the split assignment") {
+    import org.apache.spark.sql.functions.col
+    val leak = QueryRegistry.queries("q_cross_split_leakage")(spark, sfDir)
+    val split = QueryRegistry.queries("q_train_test_split")(spark, sfDir)
+      .select(col("doc_id"), col("split").as("assigned"))
+    assert(leak.filter(col("split") === "train").count() == 0,
+      "train docs cannot leak INTO train")
+    // Every flagged doc carries its true split label and a positive count.
+    val joined = leak.join(split, "doc_id")
+    assert(joined.filter(col("split") =!= col("assigned")).count() == 0)
+    assert(leak.filter(col("n_leaked_grams") <= 0).count() == 0)
+  }
+
+  test("pack_stats fill rates are consistent with the packed shards") {
+    import org.apache.spark.sql.functions.col
+    val stats = QueryRegistry.queries("q_pack_stats")(spark, sfDir).collect()
+    assert(stats.nonEmpty)
+    for (r <- stats) {
+      val (nShards, nTokens, fill) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nShards >= 1, "every stream cuts at least one shard")
+      // A stream's final doc may overflow the last shard's budget (the
+      // packer closes the shard on it), so fill can nose above 1 by at
+      // most one doc's tokens (~125/8192 here).
+      assert(fill > 0.0 && fill <= 1.1, s"fill rate out of range: $fill")
+      assert(math.abs(fill - nTokens.toDouble / (nShards * 8192.0)) < 1e-12)
+    }
+    // Shard counts agree with the packing query itself.
+    val packed = QueryRegistry.queries("q_pack_context")(spark, sfDir)
+      .groupBy("lang", "source")
+      .agg(org.apache.spark.sql.functions.max("shard_id").as("mx"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2) + 1)).toMap
+    for (r <- stats)
+      assert(packed((r.getString(0), r.getString(1))) == r.getLong(2))
+  }
 }
