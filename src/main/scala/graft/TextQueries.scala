@@ -632,6 +632,136 @@ object TextQueries {
              |JOIN dfu u2 ON u2.w = string_split(bg, ' ')[2]""".stripMargin)
     ),
 
+    // Paragraph-level exact dedup (the RefinedWeb/CCNet "line dedup" pass):
+    // chunk every document into consecutive 20-word blocks, keep each
+    // distinct chunk's GLOBAL first occurrence only (min (doc_id, pos)),
+    // and reassemble documents from their kept chunks — documents whose
+    // every chunk already appeared elsewhere vanish entirely (pure
+    // boilerplate). Runs over the planted-duplicate corpus so the pass
+    // demonstrably fires: a truncated copy's word-aligned prefix chunks
+    // are byte-identical to the original's and are all dropped. Scale
+    // shape: the chunk explode is map-side; first-occurrence is ONE
+    // partial-agg'd groupBy on the chunk string (min(struct) combines
+    // map-side, so a boilerplate chunk repeated in millions of docs
+    // collapses to one row per input partition BEFORE the exchange — no
+    // hot-key window, the hazard that made cap_per_source's first form
+    // weak); reassembly is a second partial-agg'd groupBy on doc_id. The
+    // synthetic corpus has no newlines, so the chunking rule is the
+    // fixed-width word-block stand-in for the reference's real paragraph
+    // boundaries — the dedup semantics are delimiter-independent.
+    Q(
+      "q_dedup_paragraphs",
+      (s, d) => {
+        val chunkWords = 20
+        // bind: the split evaluates ONCE per row — referencing `ws` free
+        // inside the transform lambda would re-split the text per chunk.
+        val chunks = graft.functions.SimilarityFunctions.bind(split(trim(col("text")), "\\s+")) { w =>
+          transform(
+            sequence(lit(0), ceil(size(w) / lit(chunkWords.toDouble)).cast("int") - 1),
+            i => array_join(slice(w, i * chunkWords + 1, lit(chunkWords)), " ")
+          )
+        }
+        SimilarityQueries
+          .corpusWithDups(s, d)
+          .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+          .groupBy(col("chunk"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+          .select(col("first.doc_id").as("doc_id"), col("first.pos").as("pos"), col("chunk"))
+          .groupBy(col("doc_id"))
+          .agg(
+            array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("chunk")))), x => x("chunk")),
+              " "
+            ).as("text_dedup"),
+            count(lit(1)).as("n_kept_chunks")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
+             |  FROM documents),
+             |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM corpus),
+             |ch AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos,
+             |         array_to_string(ws[i*20+1:i*20+20], ' ') AS chunk
+             |  FROM w, unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS t(i)),
+             |k AS (
+             |  SELECT doc_id, pos, chunk FROM (
+             |    SELECT doc_id, pos, chunk,
+             |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+             |    FROM ch) x
+             |  WHERE rn = 1)
+             |SELECT doc_id,
+             |  string_agg(chunk, ' ' ORDER BY pos) AS text_dedup,
+             |  COUNT(*) AS n_kept_chunks
+             |FROM k GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Corpus-LM quality score (the CCNet idea with the corpus itself as the
+    // language model): score every document by the mean negative log
+    // probability of its word bigrams under corpus-level MLE counts,
+    // p̂(w₂|w₁) = c(w₁w₂) / c(w₁) — gibberish and word-salad score high
+    // cross-entropy, templated boilerplate scores near zero, and the score
+    // needs no external model artifact. c(w₁) is the FULL unigram
+    // occurrence count (so p̂ ≤ 1 and the per-bigram surprisal is ≥ 0 by
+    // construction). Bigrams keep their multiplicity (explode, not the
+    // distinct-shingle kernel — a doc repeating one bigram 50× must pay it
+    // 50×). Scale shape mirrors q_collocations: two partial-agg'd count
+    // shuffles build the count tables; the per-doc scoring joins are on
+    // well-distributed word/bigram keys and corpus-DEPENDENT (web-scale
+    // vocabularies are NOT broadcastable — AQE broadcasts only when the
+    // measured side fits), then one partial-agg'd per-doc mean. Mean
+    // rounded to 3 decimals (q_hourly_rollup precedent) so engine
+    // summation order can't flip the driver's float hash.
+    Q(
+      "q_lm_quality",
+      (s, d) => {
+        val ws = split(lower(trim(col("text"))), "\\s+")
+        // bind + zip_with: the split evaluates once per row (a sequence/
+        // element_at build re-evaluates the split per position — O(n²)
+        // per document, measured 4× slower end to end at sf0.01).
+        val bigrams = graft.functions.SimilarityFunctions.bind(ws) { w =>
+          zip_with(
+            slice(w, lit(1), size(w) - 1),
+            slice(w, lit(2), size(w) - 1),
+            (x, y) => concat_ws(" ", x, y)
+          )
+        }
+        val docs = documents(s, d)
+        val b = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+        val u = docs.select(explode(ws).as("w"))
+        val c1 = u.groupBy("w").agg(count(lit(1)).as("c1"))
+        val c2 = b.groupBy("bg").agg(count(lit(1)).as("c2"))
+        b.join(c2, "bg")
+          .withColumn("w1", element_at(split(col("bg"), " "), 1))
+          .join(c1, col("w1") === col("w"))
+          .groupBy("doc_id")
+          .agg(
+            round(avg(-log(col("c2") / col("c1"))), 3).as("cross_entropy"),
+            count(lit(1)).as("n_bigrams")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+             |b AS (
+             |  SELECT doc_id, ws[i] AS w1, array_to_string(ws[i:i+1], ' ') AS bg
+             |  FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+             |c1 AS (SELECT unnest(ws) AS w FROM w),
+             |c1c AS (SELECT w, COUNT(*) AS c1 FROM c1 GROUP BY 1),
+             |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY 1)
+             |SELECT b.doc_id,
+             |  round(avg(-ln(c2 * 1.0 / c1)), 3) AS cross_entropy,
+             |  COUNT(*) AS n_bigrams
+             |FROM b JOIN c2 USING (bg) JOIN c1c ON c1c.w = b.w1
+             |GROUP BY b.doc_id
+             |ORDER BY b.doc_id""".stripMargin)
+    ),
+
     // Corpus mix report — the per-(lang, source) composition table every
     // curation run publishes: doc count, share of corpus, token volume.
     // One partial-agg'd shuffle + a broadcast 1-row total; share divides

@@ -171,4 +171,38 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     for (r <- stats)
       assert(packed((r.getString(0), r.getString(1))) == r.getLong(2))
   }
+
+  test("paragraph dedup removes every planted copy's chunks except at most the truncated tail") {
+    import org.apache.spark.sql.functions.{col, countDistinct, sum => fsum}
+    val out = QueryRegistry.queries("q_dedup_paragraphs")(spark, sfDir).cache()
+    // A planted copy (doc_id ≥ 1e6) is a word-aligned prefix of its
+    // original, so all its chunks except possibly the final truncated one
+    // already appeared at the original's lower doc_id and must be dropped.
+    val planted = out.filter(col("doc_id") >= 1000000L)
+    assert(planted.filter(col("n_kept_chunks") > 1).count() == 0,
+      "a planted copy kept more than its truncated tail chunk")
+    // Global invariant: kept chunks across all docs == distinct chunks in
+    // the corpus (each distinct chunk survives exactly once).
+    val corpusChunks = SimilarityQueries.corpusWithDups(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          """transform(sequence(0, cast(ceil(size(split(trim(text), '\\s+')) / 20.0) as int) - 1),
+            |  i -> array_join(slice(split(trim(text), '\\s+'), i * 20 + 1, 20), ' '))""".stripMargin
+        )).as("chunk"))
+      .agg(countDistinct(col("chunk"))).head().getLong(0)
+    val kept = out.agg(fsum(col("n_kept_chunks"))).head().getLong(0)
+    assert(kept == corpusChunks, s"kept $kept chunks, corpus has $corpusChunks distinct")
+    out.unpersist()
+  }
+
+  test("LM quality surprisal is non-negative and covers every bigram position") {
+    import org.apache.spark.sql.functions.{col, size => fsize, split => fsplit, trim => ftrim}
+    val out = QueryRegistry.queries("q_lm_quality")(spark, sfDir)
+    assert(out.filter(col("cross_entropy") < 0).count() == 0,
+      "MLE surprisal with full-unigram denominator must be >= 0")
+    // n_bigrams per doc is exactly word_count - 1.
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (fsize(fsplit(ftrim(col("text")), "\\s+")) - 1).cast("long").as("expect"))
+    assert(out.join(words, "doc_id").filter(col("n_bigrams") =!= col("expect")).count() == 0)
+  }
 }
