@@ -220,6 +220,57 @@ object TextQueries {
       None
     ),
 
+    // Character-level exact-substring decontamination — the stricter sibling
+    // of the 13-gram rule: flag corpus docs sharing ANY 32-character
+    // substring with the benchmark set, catching verbatim leaks that word
+    // tokenization misses (punctuation/whitespace variants, mid-word
+    // truncations). Device: the charWindowHashes64 kernel emits every
+    // stride-1 window as a Mersenne-61 rolling hash — O(len) per row
+    // TOTAL, already distinct per doc — so the corpus-side explode is
+    // map-side 8-byte longs, the benchmark side collapses to a DISTINCT
+    // membership set, and the join probes one build row per gram (no
+    // multiplicity blowup). count(*) suffices post-join because both
+    // sides are distinct by construction. At 100 TB the same Bloom form
+    // as q_decontaminate_bloom applies unchanged (the corpus never
+    // shuffles); the suffix-array construction (Lee et al.'s dedup tool)
+    // finds arbitrary-length matches but needs a global sort of every
+    // suffix — the fixed-window hash probe is the Spark-native trade.
+    // Oracle replicates with string substr windows; hash collisions are
+    // the kernel's documented ≤ w/2⁶¹ per pair.
+    Q(
+      "q_decontaminate_chars",
+      (s, d) => {
+        val wins = SimilarityQueries
+          .corpusWithDups(s, d)
+          .select(
+            col("doc_id"),
+            explode(graft.functions.SimilarityFunctions.charWindowHashes64(col("text"), w = 32)).as("win")
+          )
+        wins
+          .filter(col("doc_id") >= 20)
+          .join(wins.filter(col("doc_id") < 20).select("win").distinct(), "win")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_contaminated_windows"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
+             |  FROM documents),
+             |w AS (
+             |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 32) AS win
+             |  FROM corpus, unnest(range(1, length(text) - 30)) AS t(i)
+             |  WHERE length(text) >= 32),
+             |b AS (SELECT DISTINCT win FROM w WHERE doc_id < 20)
+             |SELECT w.doc_id, COUNT(*) AS n_contaminated_windows
+             |FROM w JOIN b USING (win)
+             |WHERE w.doc_id >= 20
+             |GROUP BY w.doc_id
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // Canonical text normalization — the cleanup pass run before any
     // hashing/shingling so composed and decomposed Unicode spellings (and
     // ragged whitespace) dedup and tokenize identically. One compiled

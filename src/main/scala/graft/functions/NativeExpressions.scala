@@ -85,6 +85,25 @@ case class HashedShingles64(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): HashedShingles64 = copy(child = newChild)
 }
 
+/** `char_window_hashes64(text, w)` → distinct Mersenne-61 rolling hashes of
+  * all w-code-point character windows (stride 1), first-occurrence order —
+  * the exact-substring membership form for character-level decontamination.
+  * O(len) per row: the roll is O(1) per window.
+  */
+case class CharWindowHashes64(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 2, s"window must be >= 2 code points, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"char_window_hashes64 requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.charWindowHashes64(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.charWindowHashes64($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): CharWindowHashes64 = copy(child = newChild)
+}
+
 /** `minhash_signature(hashedShingles, k)` → k-seat MinHash signature. */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -52,6 +52,13 @@ object SimilarityFunctions {
   def hashedShingles64(text: Column, n: Int = 3): Column =
     toCol(HashedShingles64(toExpr(text), n))
 
+  /** Distinct Mersenne-61 rolling hashes of all w-code-point character
+    * windows (stride 1) — exact-substring membership keys for
+    * character-level decontamination. O(len) per row.
+    */
+  def charWindowHashes64(text: Column, w: Int = 32): Column =
+    toCol(CharWindowHashes64(toExpr(text), w))
+
   /** MinHash signature (array<long> of length k) over pre-hashed shingles.
     * Hash family: h_j(x) = ((2j+1)·x + j·12582917) mod P — deterministic and
     * integer-exact.

@@ -400,6 +400,59 @@ object SketchImpl {
     * result is trimmed. Idempotent. The NFC quick-check fast path makes
     * already-normalized ASCII (most corpora) a no-allocation walk.
     */
+  /** Mersenne-61 modulus for the rolling character-window hash. */
+  final val M61 = (1L << 61) - 1
+  private final val WIN_BASE = 1000003L
+
+  /** `a * b mod (2^61 - 1)` for `a, b < 2^61 - 1`, via the classic Mersenne
+    * reduction: the 128-bit product `hi·2^64 + lo` folds with
+    * `2^64 ≡ 2^3 (mod 2^61 − 1)`.
+    */
+  @inline private def mulM61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & M61)
+    if (r >= M61) r -= M61
+    r
+  }
+
+  /** Distinct rolling hashes of ALL `w`-code-point character windows of `s`
+    * (stride 1), first-occurrence order — the exact-substring membership
+    * device behind character-level decontamination. Polynomial hash over
+    * code points mod 2^61−1: O(len) per row TOTAL (the roll is O(1) per
+    * window — an xxhash64 per window would cost O(w·len)); collision
+    * probability per unequal window pair is ≤ w/2^61 for the fixed base
+    * (degree-w difference polynomial has ≤ w roots), so cross-engine
+    * count agreement carries the same honesty contract as the 64-bit
+    * shingle kernels. Code points (not UTF-16 chars or bytes) so window
+    * boundaries agree with DuckDB's character-counting substr.
+    */
+  def charWindowHashes64(s: UTF8String, w: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < w) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    // B^(w-1) mod M61 for the roll-out term.
+    var bw1 = 1L
+    var e = 0
+    while (e < w - 1) { bw1 = mulM61(bw1, WIN_BASE); e += 1 }
+    val seen = new JLinkedHashSet[java.lang.Long]()
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (mulM61(h, WIN_BASE) + cps(i)) % M61; i += 1 }
+    seen.add(h)
+    while (i < n) {
+      h = (h + M61 - mulM61(cps(i - w), bw1)) % M61
+      h = (mulM61(h, WIN_BASE) + cps(i)) % M61
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def normalizeText(s: UTF8String): UTF8String = {
     val raw = s.toString
     val composed =

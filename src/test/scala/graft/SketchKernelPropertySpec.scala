@@ -227,6 +227,49 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SketchImpl.cosine(a, b, false, false))
   }
 
+  test("charWindowHashes64 rolling hash matches a direct per-window recompute") {
+    // Direct O(n·w) evaluation of the same polynomial, no rolling update —
+    // any roll-out/roll-in bug diverges immediately.
+    def direct(s: String, w: Int): Seq[Long] = {
+      val p = SketchImpl.M61
+      def mul(a: Long, b: Long): Long = {
+        val bi = (BigInt(a) * BigInt(b)) mod BigInt(p)
+        bi.toLong
+      }
+      val cps = s.codePoints().toArray
+      if (cps.length < w) Seq.empty
+      else cps.toSeq.sliding(w).map { win =>
+        win.foldLeft(0L)((acc, c) => (mul(acc, 1000003L) + c) % p)
+      }.toSeq.distinct
+    }
+    val gen = for {
+      len <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(len, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', 'é', 'ß', '中')))
+    } yield cs.mkString
+    for {
+      s <- samples(gen, 200)
+      w <- Seq(2, 5, 32)
+    } {
+      val got = {
+        val a = SketchImpl.charWindowHashes64(UTF8String.fromString(s), w)
+        (0 until a.numElements()).map(a.getLong)
+      }
+      assert(got == direct(s, w), s"text=$s w=$w")
+    }
+  }
+
+  test("charWindowHashes64: equal windows hash equal across documents, distinct per doc") {
+    val a = SketchImpl.charWindowHashes64(UTF8String.fromString("abcdefgh shared-tail"), 8)
+    val b = SketchImpl.charWindowHashes64(UTF8String.fromString("zzzzzzzz shared-tail"), 8)
+    val sa = (0 until a.numElements()).map(a.getLong).toSet
+    val sb = (0 until b.numElements()).map(b.getLong).toSet
+    // " shared-tail" contributes identical 8-char windows to both.
+    assert((sa & sb).size >= 4)
+    val dup = SketchImpl.charWindowHashes64(UTF8String.fromString("ababababab"), 2)
+    // windows of "ababababab" at w=2: only "ab" and "ba" distinct.
+    assert(dup.numElements() == 2)
+  }
+
   test("float and double element paths agree") {
     for (v <- samples(Gen.listOfN(16, Gen.choose(-8f, 8f)), 200)) {
       val f = ArrayData.toArrayData(v.toArray)
