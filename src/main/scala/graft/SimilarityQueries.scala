@@ -800,6 +800,52 @@ object SimilarityQueries {
       None
     ),
 
+    // Symmetric int8 embedding quantization — the storage/serving form a
+    // billion-vector corpus actually ships (4× smaller than float32, 8×
+    // than float64): per-vector scale = max|x|/127, code_i = round(x_i /
+    // scale) ∈ [−127, 127], plus the max reconstruction error the consumer
+    // budgets against. Pure map — zero shuffles, embarrassingly parallel
+    // at any corpus size. Codes egress as a comma-joined string (exact
+    // integer text, engine-portable) rather than a native array: the
+    // driver's hash canonicalizes arrays engine-specifically, strings
+    // identically. The 1e-12 floor guards the all-zero vector. bind
+    // let-bindings keep the cast/scale/code arrays to one evaluation per
+    // row. Like IVF-PQ this is interpreted-HOF territory (zip_with/
+    // transform) — acceptable because the per-row work is O(dim), not
+    // O(dim²); a compiled kernel is the upgrade if profiling ever puts it
+    // on the hot path.
+    Q(
+      "q_embed_quantize",
+      (s, d) => {
+        val out = bind(transform(col("embedding"), x => x.cast("double"))) { vv =>
+          bind(greatest(array_max(transform(vv, x => abs(x))), lit(1e-12)) / 127.0) { sc =>
+            bind(transform(vv, x => round(x / sc).cast("int"))) { q =>
+              struct(
+                round(sc, 6).as("scale"),
+                array_join(transform(q, c => c.cast("string")), ",").as("q_codes"),
+                round(array_max(zip_with(vv, q, (x, c) => abs(x - c * sc))), 6).as("max_err")
+              )
+            }
+          }
+        }
+        embeddings(s, d)
+          .select(col("vec_id"), out.as("o"))
+          .select(col("vec_id"), col("o.scale").as("scale"), col("o.q_codes").as("q_codes"), col("o.max_err").as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, v,
+             |    greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12) / 127.0 AS sc
+             |  FROM e),
+             |q AS (SELECT vec_id, v, sc, list_transform(v, x -> CAST(round(x / sc) AS INT)) AS qc FROM s)
+             |SELECT vec_id, round(sc, 6) AS scale,
+             |  array_to_string(qc, ',') AS q_codes,
+             |  round(list_aggregate(list_transform(range(1, len(v)+1), i -> abs(v[i] - qc[i]*sc)), 'max'), 6) AS max_err
+             |FROM q ORDER BY vec_id""".stripMargin)
+    ),
+
     // Multimodal plumbing: opaque binary media column + typed metadata with
     // a deterministic stub decode (real decode libs aren't in the container;
     // see graft.operators.MultimodalOps for the mapPartitions pipeline).

@@ -195,6 +195,21 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     out.unpersist()
   }
 
+  test("int8 quantization codes stay in [-127,127] and error stays under scale/2") {
+    import org.apache.spark.sql.functions.col
+    val out = QueryRegistry.queries("q_embed_quantize")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (scale, codes, err) = (r.getDouble(1), r.getString(2), r.getDouble(3))
+      val cs = codes.split(",").map(_.toInt)
+      assert(cs.forall(c => c >= -127 && c <= 127), s"code out of int8 range: ${cs.mkString(",")}")
+      assert(cs.exists(c => math.abs(c) == 127), "max-magnitude element must hit ±127 exactly")
+      // round() quantization error is at most half a step (+ the two
+      // 1e-6 output roundings).
+      assert(err <= scale / 2 + 2e-6, s"err $err exceeds half-step ${scale / 2}")
+    }
+  }
+
   test("LM quality surprisal is non-negative and covers every bigram position") {
     import org.apache.spark.sql.functions.{col, size => fsize, split => fsplit, trim => ftrim}
     val out = QueryRegistry.queries("q_lm_quality")(spark, sfDir)
