@@ -800,6 +800,96 @@ object SimilarityQueries {
       None
     ),
 
+    // Document clustering over embeddings (topic bucketing): the IVF
+    // coarse-quantizer machinery promoted to a first-class operator —
+    // spherical k-means trained on a BOUNDED deterministic sample (driver
+    // state O(k·dim), never O(data)), then one codegen'd assignment pass
+    // over the full corpus (argmax of k compiled cosine kernels per row,
+    // zero shuffles). The output table (vec_id, cluster, cos_to_centroid)
+    // is what a curation run buckets by for topic mixing, SemDeDup, and
+    // per-cluster sampling. Gated by a label-purity spec (the synthetic
+    // embeddings carry ground-truth labels) rather than a SQL oracle —
+    // k-means is not SQL-expressible.
+    Q(
+      "q_kmeans_clusters",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val cents = trainIvfCentroids(e, k = 10, iters = 5)
+        def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
+        e.select(
+            col("vec_id"),
+            bind(cosArr(col("embedding"))) { a =>
+              struct(
+                (array_position(a, array_max(a)) - 1).cast("int").as("cluster"),
+                round(array_max(a), 6).as("cos_to_centroid")
+              )
+            }.as("o")
+          )
+          .select(col("vec_id"), col("o.cluster").as("cluster"), col("o.cos_to_centroid").as("cos_to_centroid"))
+          .orderBy("vec_id")
+      },
+      None
+    ),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    // first k-means-clusters the embedding space, then searches for
+    // near-duplicate pairs ONLY within each cluster — the candidate space
+    // is cluster-bounded (expected occupancy n/k), never O(n²). k is the
+    // scale knob and GROWS with the corpus (k = max(16, n/256)) so
+    // within-cluster pair work stays O(n × 256) at any size — the same
+    // sizing law as the LSH plane counts. A doc is dropped when some
+    // lower-id doc in its cluster has cosine ≥ 0.995; the keeper is the
+    // smallest such id (min(struct) picks its cosine alongside). The
+    // within-cluster self-join reuses one exchange via matching merge
+    // hints, like bandedPairs. Boundary effects are the method's honest
+    // recall cost (a near-dup pair split across cluster boundaries is
+    // missed — SemDeDup accepts this; the planted-copy recall gate in
+    // DedupRecallSpec measures it).
+    Q(
+      "q_semdedup",
+      (s, d) => {
+        val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = embeddings(s, d).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x))
+            .as("embedding")
+        )
+        val corpus = base.unionAll(planted)
+        val n = 2L * embeddingsCount(s, d)
+        val k = math.max(16, (n / 256).toInt)
+        val cents = trainIvfCentroids(corpus, k = k, iters = 3)
+        def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
+        val assigned = corpus
+          .select(
+            col("vec_id"),
+            col("embedding"),
+            bind(cosArr(col("embedding")))(a => array_position(a, array_max(a)).cast("int")).as("cell")
+          )
+        assigned
+          .as("a")
+          .hint("merge")
+          .join(
+            assigned.as("b").hint("merge"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")
+          )
+          .select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cos_sim")
+          )
+          .filter(col("cos_sim") >= 0.995)
+          .groupBy(col("vec_b"))
+          .agg(min(struct(col("vec_a"), col("cos_sim"))).as("k"))
+          .select(
+            col("vec_b").as("vec_id"),
+            col("k.vec_a").as("keeper"),
+            round(col("k.cos_sim"), 6).as("cos_to_keeper")
+          )
+          .orderBy("vec_id")
+      },
+      None
+    ),
+
     // Symmetric int8 embedding quantization — the storage/serving form a
     // billion-vector corpus actually ships (4× smaller than float32, 8×
     // than float64): per-vector scale = max|x|/127, code_i = round(x_i /

@@ -74,6 +74,48 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     assert(planted.toDouble / total > 0.8, s"embedding planted recall ${planted.toDouble / total}")
   }
 
+  test("semdedup drops most planted copies with the exact keeper and never a base vector") {
+    val out = QueryRegistry.queries("q_semdedup")(spark, sfDir).cache()
+    val total = Tables.embeddings(spark, sfDir).count()
+    val planted = out.filter(col("vec_id") >= 1000000L)
+    val recall = planted.count().toDouble / total
+    // Boundary losses (a copy landing across its original's cluster edge)
+    // are SemDeDup's honest recall cost; measured 0.95-0.97 here.
+    assert(recall > 0.85, s"semdedup planted recall $recall")
+    // The keeper must be the planted copy's own original: cos >= 0.995 to
+    // any OTHER vector would mean random 64-dim embeddings collide, which
+    // is also why no base vector may ever be dropped.
+    val exact = planted.filter(col("keeper") === col("vec_id") - 1000000L).count().toDouble / total
+    assert(exact > 0.85, s"semdedup exact-keeper rate $exact")
+    assert(out.filter(col("vec_id") < 1000000L).count() == 0,
+      "a base vector was dropped — false positive at cos >= 0.995")
+    out.unpersist()
+  }
+
+  test("kmeans clustering is deterministic, covers all k clusters, and Lloyd improves on the init") {
+    val a = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
+    val b = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "clustering must be bit-deterministic run to run")
+    val byCluster = a.groupBy(_.getInt(1))
+    assert(byCluster.size == 10, s"expected all 10 clusters non-empty, got ${byCluster.size}")
+    // The labels in the synthetic embeddings have NO cosine structure
+    // (within-label mean cos == cross-label ≈ 0), so purity-vs-label is
+    // not a meaningful gate; the k-means objective is. Lloyd iterations
+    // must beat assigning against the raw init centroids (first k
+    // vectors) on mean cos-to-assigned-centroid.
+    val e = Tables.embeddings(spark, sfDir)
+    val init = SimilarityQueries.trainIvfCentroids(e, k = 10, iters = 0)
+    import graft.functions.SimilarityFunctions.{bind, cosine}
+    def meanAssigned(cents: Array[Seq[Double]]): Double = {
+      val arr = array(cents.map(c => cosine(col("embedding"), typedLit(c))).toIndexedSeq: _*)
+      e.select(bind(arr)(a => array_max(a)).as("m")).agg(avg("m")).head().getDouble(0)
+    }
+    val trained = SimilarityQueries.trainIvfCentroids(e, k = 10, iters = 5)
+    val (mInit, mTrained) = (meanAssigned(init), meanAssigned(trained))
+    assert(mTrained > mInit + 0.01,
+      s"Lloyd iterations must materially improve the objective: init=$mInit trained=$mTrained")
+  }
+
   test("dedup clustering equals union-find over the same near-dup pair graph") {
     val comp = QueryRegistry
       .queries("q_dedup_clusters")(spark, sfDir)
