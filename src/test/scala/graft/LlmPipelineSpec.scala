@@ -33,13 +33,36 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     val rep = quality.filter(element_at(wordRepStats(col("text")), 1) <= 0.2)
     assert(rep.count() <= quality.count() && quality.count() <= langed.count())
 
+    // 3b. Corpus-LM quality gate: drop the worst-perplexity tail (above the
+    //     in-corpus p95 of mean bigram surprisal — the CCNet-style cut).
+    //     The threshold is data-derived but deterministic, so the stage is
+    //     reproducible run to run.
+    val lm = QueryRegistry.queries("q_lm_quality")(spark, sfDir)
+      .select("doc_id", "cross_entropy")
+    val ceCut = lm.agg(expr("percentile(cross_entropy, 0.95)")).head().getDouble(0)
+    val lmKept = rep.join(lm.filter(col("cross_entropy") <= ceCut), "doc_id")
+    assert(lmKept.count() <= rep.count() && lmKept.count() >= (rep.count() * 0.85).toLong,
+      "the p95 CE cut must drop at most ~5% of surviving docs")
+
+    // 3c. Paragraph-level dedup: rewrite each surviving doc from its
+    //     globally-first-occurrence chunks. Token mass can only shrink,
+    //     and no doc may gain text.
+    val paraTokens = QueryRegistry.queries("q_dedup_paragraphs")(spark, sfDir)
+      .filter(col("doc_id") < 1000000L)
+      .select(col("doc_id"), tokenCount(col("text_dedup")).as("n_para_tokens"))
+    val withPara = lmKept
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .join(paraTokens, "doc_id")
+    assert(withPara.filter(col("n_para_tokens") > col("n_tokens")).count() == 0,
+      "paragraph dedup may never grow a document")
+
     // 4. Exact dedup: content hash, min doc_id canonical. ORDERING MATTERS:
     //    exact dedup runs BEFORE any banded near-dup stage so byte-identical
     //    copies can never pile k docs into one LSH bucket (the O(k²)
     //    pathology bandedPairs' hot-bucket guard exists for — see
     //    DedupRecallSpec's 1,000-copy test for the guard itself).
-    val exact = EtlOps.dedupByKey(rep.withColumn("h", md5(col("text"))), Seq("h"), "doc_id").drop("h")
-    val distinctTexts = rep.select(md5(col("text"))).distinct().count()
+    val exact = EtlOps.dedupByKey(lmKept.withColumn("h", md5(col("text"))), Seq("h"), "doc_id").drop("h")
+    val distinctTexts = lmKept.select(md5(col("text"))).distinct().count()
     assert(exact.count() == distinctTexts, "exact dedup must keep exactly one doc per distinct text")
 
     // 5. Near-dup canonicalization: keep each cluster's canonical doc.
@@ -62,12 +85,21 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     val bloomFlagged = QueryRegistry
       .queries("q_decontaminate_bloom")(spark, sfDir)
       .select("doc_id")
-    val clean = dedup.join(bloomFlagged, Seq("doc_id"), "left_anti")
+    val clean0 = dedup.join(bloomFlagged, Seq("doc_id"), "left_anti")
     val cleanExact = dedup.join(contaminated, Seq("doc_id"), "left_anti")
-    assert(clean.count() <= cleanExact.count(),
+    assert(clean0.count() <= cleanExact.count(),
       "bloom scrub may only remove MORE than the exact scrub, never less")
-    assert(cleanExact.join(clean, Seq("doc_id"), "left_anti").count() ==
-      cleanExact.count() - clean.count())
+    assert(cleanExact.join(clean0, Seq("doc_id"), "left_anti").count() ==
+      cleanExact.count() - clean0.count())
+    //    ...and the character-window scrub on top: catches verbatim leaks
+    //    that word tokenization misses (32 chars ≈ 5-6 words, so it flags
+    //    at least as aggressively in practice; no containment theorem —
+    //    a 13-gram of one-letter words is shorter than 32 chars).
+    val charFlagged = QueryRegistry
+      .queries("q_decontaminate_chars")(spark, sfDir)
+      .select("doc_id")
+    val clean = clean0.join(charFlagged, Seq("doc_id"), "left_anti")
+    assert(clean.count() <= clean0.count())
 
     // 7. Source cap + language balance: the mix-shaping stages every
     //    pretraining corpus applies before sampling.
@@ -146,7 +178,7 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(mix.count() == train.select("lang", "source").distinct().count())
 
     info(s"pipeline: $total docs → ${langed.count()} lang → ${quality.count()} quality → " +
-      s"${rep.count()} rep → ${exact.count()} exact → ${dedup.count()} canon → " +
+      s"${rep.count()} rep → ${lmKept.count()} lm → ${exact.count()} exact → ${dedup.count()} canon → " +
       s"${clean.count()} clean → ${capped.count()} capped → ${balanced.count()} balanced → " +
       s"$nSampled sampled ($shares) → ${packed.agg(max("shard_id")).as[Long].head() + 1} max shards/stream → " +
       s"$tokens tokens")

@@ -202,6 +202,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("rangepartitioning"), s"packing must not global-sort:\n$p")
   }
 
+  test("q_dedup_paragraphs dedups through partial-agg groupBys — never a chunk-key window") {
+    // First-occurrence selection must be min(struct) through a hash
+    // aggregate (map-side combine collapses a boilerplate chunk repeated
+    // in millions of docs BEFORE the exchange). A row_number window on the
+    // chunk key would pull a hot chunk's every occurrence into one window
+    // partition — the exact hazard the two-stage cap fixed.
+    val p = plan("q_dedup_paragraphs")
+    assert(!p.contains("windowspecdefinition"), s"no window on the chunk key:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_lm_quality and q_decontaminate_chars join on equi keys only — no cross join") {
+    for (name <- Seq("q_lm_quality", "q_decontaminate_chars")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate/count joins must be equi-joins:\n$p")
+    }
+  }
+
+  test("q_embed_quantize and q_kmeans_clusters never hash-shuffle (map-only plus output sort)") {
+    for (name <- Seq("q_embed_quantize", "q_kmeans_clusters")) {
+      val p = plan(name)
+      assert(!p.contains("hashpartitioning"),
+        s"$name is a pure per-row map; only the output orderBy may range-partition:\n$p")
+    }
+  }
+
+  test("q_semdedup's within-cluster self-join reuses one assignment exchange") {
+    // Reuse markers only appear in the FINAL adaptive plan — execute first
+    // (same device as the LSH reuse audit above).
+    val df = QueryRegistry.queries("q_semdedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage")),
+      s"cluster assignment must compute once, not once per join side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_mix_report and q_sampling_weights join their 1-row totals by broadcast") {
     for (name <- Seq("q_mix_report", "q_sampling_weights")) {
       val p = plan(name)
