@@ -356,6 +356,36 @@ object EtlQueries {
         ),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
              |FROM events""".stripMargin)
+    ),
+
+    // 20. SCD type-2 interval build — the warehouse pattern for "what was
+    // this key's value AT time t": each change event opens a validity
+    // interval that the key's NEXT event closes (half-open [from, to)),
+    // the latest staying open as current. One shuffle on the dimension
+    // key (user_id — high cardinality, well distributed; per-key history
+    // is bounded, so the window partition can't hot-spot the way a
+    // low-cardinality stream key would). The ts tie-break is event_id —
+    // fully deterministic. Downstream point-in-time joins become the
+    // q_range_join / q_asof_join shapes over these intervals.
+    Q(
+      "q_scd2_intervals",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+        events(s, d)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            col("value"),
+            col("ts").as("valid_from")
+          )
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+      },
+      Some("""SELECT user_id, event_id, value, ts AS valid_from,
+             |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+             |FROM events""".stripMargin)
     )
   )
 }

@@ -289,6 +289,35 @@ object TextQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // Character-entropy junk filter: Shannon entropy (nats) of each doc's
+    // code-point distribution — the cheap detector for binary blobs,
+    // base64/hex dumps, and single-character spam that survives word-level
+    // quality gates (natural language sits ~2.5-3.2 nats; junk sits far
+    // outside either way). One compiled kernel pass per row inside the
+    // scan's codegen stage, zero shuffles — same shape as
+    // q_repetition_filter. Rounded to 3 decimals so the engines' float
+    // summation order can't flip the driver hash; the keep band follows
+    // the C4/Gopher practice of two-sided thresholds.
+    Q(
+      "q_char_entropy",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            round(TextFunctions.charEntropy(col("text")), 3).as("char_entropy")
+          )
+          .withColumn("entropy_ok", col("char_entropy") >= 2.0 && col("char_entropy") <= 4.5),
+      Some("""WITH c AS (
+             |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+             |f AS (SELECT doc_id, ch, COUNT(*) AS c FROM c WHERE ch <> '' GROUP BY 1, 2),
+             |t AS (SELECT doc_id, SUM(c) AS n FROM f GROUP BY 1)
+             |SELECT f.doc_id,
+             |  round(-SUM((c * 1.0 / n) * ln(c * 1.0 / n)), 3) AS char_entropy,
+             |  round(-SUM((c * 1.0 / n) * ln(c * 1.0 / n)), 3) BETWEEN 2.0 AND 4.5 AS entropy_ok
+             |FROM f JOIN t USING (doc_id)
+             |GROUP BY f.doc_id""".stripMargin)
+    ),
+
     // Language ID via marker-word argmax (first-listed wins ties; 'und' if none).
     Q(
       "q_lang_id",

@@ -171,6 +171,22 @@ case class WordRepStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordRepStats = copy(child = newChild)
 }
 
+/** `char_entropy(text)` → Shannon entropy (nats) of the code-point
+  * distribution, one compiled pass per row — the binary-junk detector.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"char_entropy requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.charEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy = copy(child = newChild)
+}
+
 /** `normalize_text(text)` → Unicode NFC composition + ASCII whitespace
   * collapse + trim, one compiled pass per row (with an isNormalized fast
   * path for the already-composed ASCII majority).

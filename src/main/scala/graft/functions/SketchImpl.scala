@@ -453,6 +453,32 @@ object SketchImpl {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Shannon entropy (nats) of the code-point distribution of `s`, one
+    * compiled pass per row — the binary-junk/gibberish detector (natural
+    * text sits near ~2.5-3.2 nats; base64/hex junk and single-char spam
+    * sit far outside). Returns 0.0 for the empty string.
+    */
+  def charEntropy(s: UTF8String): Double = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    while (i < n) {
+      val k = Integer.valueOf(cps(i))
+      val c = counts.get(k)
+      if (c == null) counts.put(k, Array(1)) else c(0) += 1
+      i += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      h -= p * math.log(p)
+    }
+    h
+  }
+
   def normalizeText(s: UTF8String): UTF8String = {
     val raw = s.toString
     val composed =

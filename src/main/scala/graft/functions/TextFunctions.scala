@@ -38,6 +38,12 @@ object TextFunctions {
     */
   def normalizeText(text: Column): Column = toCol(NormalizeText(toExpr(text)))
 
+  /** Shannon entropy (nats) of the character distribution (native
+    * [[CharEntropy]] expression) — low/extreme values flag binary junk,
+    * base64 blobs, and single-character spam.
+    */
+  def charEntropy(text: Column): Column = toCol(CharEntropy(toExpr(text)))
+
   /** Per-set marker counts of the lowercased tokens — ONE compiled
     * tokenization pass for all sets (native [[MarkerCounts]] expression).
     */

@@ -210,6 +210,24 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("SCD2 intervals chain per key: no overlaps, no gaps, exactly one current row") {
+    import org.apache.spark.sql.functions.{col, lead}
+    import org.apache.spark.sql.expressions.Window
+    val out = QueryRegistry.queries("q_scd2_intervals")(spark, sfDir).cache()
+    val users = out.select("user_id").distinct().count()
+    assert(out.filter(col("is_current")).count() == users,
+      "each key must have exactly one open interval")
+    // Each interval's valid_to must equal the key's next valid_from.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+    val chained = out
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+      .filter(col("valid_to") =!= col("next_from"))
+      .count()
+    assert(chained == 0, "intervals must chain half-open with no gaps or overlaps")
+    out.unpersist()
+  }
+
   test("LM quality surprisal is non-negative and covers every bigram position") {
     import org.apache.spark.sql.functions.{col, size => fsize, split => fsplit, trim => ftrim}
     val out = QueryRegistry.queries("q_lm_quality")(spark, sfDir)

@@ -270,6 +270,25 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     assert(dup.numElements() == 2)
   }
 
+  test("charEntropy matches a reference computation and is maximal for distinct chars") {
+    def ref(s: String): Double = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) 0.0
+      else {
+        val n = cps.length.toDouble
+        cps.groupBy(identity).values.map(_.length / n).map(p => -p * math.log(p)).sum
+      }
+    }
+    for (s <- samples(textGen, 300)) {
+      val got = SketchImpl.charEntropy(UTF8String.fromString(s))
+      assert(math.abs(got - ref(s)) < 1e-9, s"text=$s got=$got ref=${ref(s)}")
+    }
+    assert(SketchImpl.charEntropy(UTF8String.fromString("")) == 0.0)
+    assert(SketchImpl.charEntropy(UTF8String.fromString("aaaa")) == 0.0)
+    // n distinct chars → exactly ln(n) nats.
+    assert(math.abs(SketchImpl.charEntropy(UTF8String.fromString("abcd")) - math.log(4)) < 1e-12)
+  }
+
   test("float and double element paths agree") {
     for (v <- samples(Gen.listOfN(16, Gen.choose(-8f, 8f)), 200)) {
       val f = ArrayData.toArrayData(v.toArray)
