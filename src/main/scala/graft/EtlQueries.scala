@@ -293,6 +293,33 @@ object EtlQueries {
              |FROM orders WHERE o_totalprice > 200000.0""".stripMargin)
     ),
 
+    // 16c. ORC round-trip export — the columnar interchange sibling of the
+    //      CSV egress, for Hive/Trino lakes that don't speak parquet. The
+    //      oracle checks the values as WRITTEN and READ BACK through ORC
+    //      (zstd, stripe-sorted on the filter key), so compression codec,
+    //      type mapping, and schema-checked read-back all sit inside the
+    //      gate.
+    Q(
+      "q_orc_export",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_orc_export").toString
+        graft.sources.OrcStore.write(
+          orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .filter(col("o_totalprice") > 200000.0),
+          out,
+          sortCols = Seq("o_orderkey")
+        )
+        graft.sources.OrcStore.read(
+          s,
+          out,
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ"
+        )
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM orders WHERE o_totalprice > 200000.0""".stripMargin)
+    ),
+
     // 17. Typed schema enforcement (pd.to_numeric / BigQuery SchemaField).
     Q(
       "q_schema_cast",
@@ -356,6 +383,44 @@ object EtlQueries {
         ),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
              |FROM events""".stripMargin)
+    ),
+
+    // 19b. Winsorization — per-group outlier clipping at exact p5/p95 (the
+    //      robust-cleaning step between sentinel handling and normalization:
+    //      sensor spikes and fat-finger prices get clamped, not dropped).
+    //      One K-row exact-percentile aggregate broadcast back onto the
+    //      fact scan — the fact side never shuffles; at 100 TB the same
+    //      plan holds with approx_percentile (q_group_quantiles_approx's
+    //      sketch) supplying the thresholds. percentile ≡ DuckDB
+    //      quantile_cont bit-exactly (the q_group_quantiles equivalence).
+    Q(
+      "q_winsorize",
+      (s, d) => {
+        val stats = lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_extendedprice, 0.05)").as("lo"),
+            expr("percentile(l_extendedprice, 0.95)").as("hi")
+          )
+        lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+          .join(broadcast(stats), "l_returnflag")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_returnflag"),
+            col("l_extendedprice"),
+            least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("clipped")
+          )
+      },
+      Some("""WITH st AS (
+             |  SELECT l_returnflag,
+             |    quantile_cont(l_extendedprice, 0.05) AS lo,
+             |    quantile_cont(l_extendedprice, 0.95) AS hi
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+             |  least(greatest(l_extendedprice, lo), hi) AS clipped
+             |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag""".stripMargin)
     ),
 
     // 20. SCD type-2 interval build — the warehouse pattern for "what was
