@@ -396,11 +396,16 @@ object EtlQueries {
     Q(
       "q_winsorize",
       (s, d) => {
+        // Both quantiles from ONE percentile buffer (the aggregate builds a
+        // per-group value histogram; two scalar calls would build it twice —
+        // measured ~2× on the threshold aggregate at sf0.1).
         val stats = lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(
-            expr("percentile(l_extendedprice, 0.05)").as("lo"),
-            expr("percentile(l_extendedprice, 0.95)").as("hi")
+          .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("q"))
+          .select(
+            col("l_returnflag"),
+            element_at(col("q"), 1).as("lo"),
+            element_at(col("q"), 2).as("hi")
           )
         lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
