@@ -60,16 +60,50 @@ object AnalyticQueries {
              |ORDER BY revenue DESC, n_name""".stripMargin)
     ),
 
-    // Top-N per group (dashboard leaderboard) — rank window w/ unique tie-break.
+    // Top-N per group (dashboard leaderboard) — rank window w/ unique
+    // tie-break. o_orderpriority has cardinality FIVE at any corpus size,
+    // so a bare window on it is the low-cardinality hot-key hazard (one
+    // reducer sorts a fifth of the table; AQE cannot split a window
+    // partition) — the same class the two-stage cap and hierarchical
+    // packer fix. Stage 1 is therefore a shuffle-FREE mapPartitions
+    // pre-cap: each input partition keeps only its own top-3 per priority
+    // (a row with ≥3 strictly-better same-priority rows in its OWN
+    // partition can never reach the global top-3), so the global window
+    // shuffles ≤ 3 rows per input partition per priority. Output is
+    // identical to the one-stage plan; the oracle stays the plain
+    // windowed SQL.
     Q(
       "q_top_n_per_group",
       (s, d) => {
+        import s.implicits._
+        val n = 3
+        // "better" = higher price, then smaller orderkey (the rank order).
+        val better: Ordering[(String, Double, Long)] =
+          Ordering.by[(String, Double, Long), (Double, Long)](r => (-r._2, r._3))
+        val pre = orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .as[(String, Double, Long)]
+          .mapPartitions { it =>
+            val best = scala.collection.mutable.HashMap
+              .empty[String, scala.collection.mutable.PriorityQueue[(String, Double, Long)]]
+            it.foreach { r =>
+              // max-heap on `better`: head is the WORST kept row.
+              val q = best.getOrElseUpdate(
+                r._1,
+                scala.collection.mutable.PriorityQueue.empty(better)
+              )
+              if (q.size < n) q.enqueue(r)
+              else if (better.lt(r, q.head)) { q.dequeue(); q.enqueue(r) }
+            }
+            best.valuesIterator.flatMap(_.iterator)
+          }
+          .toDF("o_orderpriority", "o_totalprice", "o_orderkey")
         val w = Window
           .partitionBy(col("o_orderpriority"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        orders(s, d)
+        pre
           .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
+          .filter(col("rn") <= n)
           .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
       },
       Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (

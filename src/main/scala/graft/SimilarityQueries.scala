@@ -336,6 +336,17 @@ object SimilarityQueries {
     // iterating over near-dup clusters and iterating over the internet.
     val connected = bi.select(col("src").as("id")).distinct()
     var labels = truncate(connected.select(col("id"), col("id").as("comp")))
+    // Convergence detection: labels only ever DECREASE under min-label
+    // propagation, so the label sum is strictly monotone — equal sums
+    // between rounds ⟺ no label changed. One aggregate job over the new
+    // labels per round, replacing a join + filter + isEmpty job over both
+    // rounds' checkpoints — one fewer Spark job per superstep, and the
+    // aggregate reads a single checkpoint instead of joining two.
+    // DECIMAL(38,0): exact at any id scale (a 1e9-node graph of 1e12-range
+    // ids overflows a long sum).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -347,10 +358,9 @@ object SimilarityQueries {
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .transform(truncate)
-      converged = next
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       it += 1
     }

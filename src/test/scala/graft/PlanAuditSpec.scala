@@ -202,6 +202,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("rangepartitioning"), s"packing must not global-sort:\n$p")
   }
 
+  test("q_top_n_per_group: two-stage — map-side pre-cap before the 5-key rank window") {
+    // Same contract as the q_cap_per_source pin: the SerializeFromObject
+    // of the mapPartitions pre-cap must sit BELOW the window's exchange,
+    // so each input partition ships <= 3 rows per priority instead of the
+    // priority's whole row set into one reducer.
+    val p = plan("q_top_n_per_group")
+    assert(p.contains("MapPartitions"), s"map-side pre-cap missing:\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"expected exactly one (window) exchange, saw $exchanges:\n$p")
+    val lines = p.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange"))
+    val mpIdx = lines.indexWhere(_.contains("MapPartitions"))
+    assert(mpIdx > exIdx, s"pre-cap must run below (before) the shuffle:\n$p")
+  }
+
   test("q_dedup_paragraphs dedups through partial-agg groupBys — never a chunk-key window") {
     // First-occurrence selection must be min(struct) through a hash
     // aggregate (map-side combine collapses a boilerplate chunk repeated
