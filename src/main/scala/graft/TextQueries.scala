@@ -842,6 +842,31 @@ object TextQueries {
              |ORDER BY b.doc_id""".stripMargin)
     ),
 
+    // Heavy-hitter word counts via Count-Min sketch — the missing member of
+    // the sketch family (HLL++ distinct profile, Bloom membership, minhash/
+    // simhash similarity; CMS = frequency): estimate per-word occurrence
+    // counts from ONE distributed treeAggregate into a ~KB sketch, probed
+    // driver-side for a bounded watch-list (here the language-marker
+    // vocabulary — in production, stopword/boilerplate watch-lists). At
+    // 100 TB this replaces a full word-count shuffle with a fixed-size
+    // mergeable aggregate — the exact trade q_profile_approx makes for
+    // distinct counts. Deterministic (fixed seed), so the spec's CMS
+    // guarantee check (est ≥ true, est ≤ true + ε·N) is reproducible, not
+    // probabilistic-flaky. No oracle: DuckDB has no CMS; gated by the
+    // bound spec against exact counts.
+    Q(
+      "q_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val words = documents(s, d)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        val cms = words.stat.countMinSketch("w", eps = 0.001, confidence = 0.99, seed = 42)
+        val probes = TextFunctions.langMarkers.flatMap(_._2).distinct.sorted
+        probes.map(w => (w, cms.estimateCount(w))).toDF("word", "est_count")
+      },
+      None
+    ),
+
     // Corpus mix report — the per-(lang, source) composition table every
     // curation run publishes: doc count, share of corpus, token volume.
     // One partial-agg'd shuffle + a broadcast 1-row total; share divides

@@ -210,6 +210,25 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CMS heavy-hitter estimates respect the Count-Min guarantee against exact counts") {
+    import org.apache.spark.sql.functions.{col, explode, lower, split, trim}
+    val est = QueryRegistry.queries("q_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val n = words.count()
+    val exact = words.groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    for ((w, e) <- est) {
+      val t = exact.getOrElse(w, 0L)
+      // CMS never under-counts; over-count bounded by ε·N (ε = 0.001).
+      // Fixed seed makes this check deterministic, not probabilistic.
+      assert(e >= t, s"'$w': CMS $e under-counts exact $t")
+      assert(e <= t + (0.001 * n).toLong + 1, s"'$w': CMS $e exceeds exact $t + eps*N")
+    }
+  }
+
   test("SCD2 intervals chain per key: no overlaps, no gaps, exactly one current row") {
     import org.apache.spark.sql.functions.{col, lead}
     import org.apache.spark.sql.expressions.Window
