@@ -842,6 +842,34 @@ object TextQueries {
              |ORDER BY b.doc_id""".stripMargin)
     ),
 
+    // Tokenizer-aware token accounting: apply a real BPE merge table
+    // (GPT-2-style greedy lowest-rank merges, native kernel) instead of
+    // the whitespace/regex approximations — token BUDGETS are what a
+    // training run actually pays, so packing and mix reports ultimately
+    // key off this number. Also emits fertility (BPE tokens per word),
+    // the out-of-domain/noise gate real curation pipelines apply (high
+    // fertility = the tokenizer fragments the text = it is unlike the
+    // tokenizer's training domain). The merge table here is a small
+    // deterministic demo list shipped as a plan constant — production
+    // broadcasts its tokenizer's merges file through the same parameter,
+    // identical kernel and plan. Zero shuffles. No SQL oracle (BPE's
+    // iterative merge loop is not SQL-expressible); gated by the
+    // reference-implementation property spec + bound specs.
+    Q(
+      "q_bpe_tokens",
+      (s, d) => {
+        val bpe = TextFunctions.bpeTokenCount(col("text"))
+        val ws = tokenCount(col("text"))
+        documents(s, d).select(
+          col("doc_id"),
+          bpe.as("n_bpe_tokens"),
+          ws.as("n_ws_tokens"),
+          round(bpe.cast("double") / ws, 3).as("fertility")
+        )
+      },
+      None
+    ),
+
     // Heavy-hitter word counts via Count-Min sketch — the missing member of
     // the sketch family (HLL++ distinct profile, Bloom membership, minhash/
     // simhash similarity; CMS = frequency): estimate per-word occurrence

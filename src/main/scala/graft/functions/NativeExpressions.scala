@@ -171,6 +171,31 @@ case class WordRepStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordRepStats = copy(child = newChild)
 }
 
+/** `bpe_token_count(text)` → token count under a BPE merge table (GPT-2
+  * style greedy lowest-rank merges per lowercased whitespace word). The
+  * merge list ships as a plan constant (addReferenceObj), exactly how a
+  * production job broadcasts its tokenizer's merges file.
+  */
+case class BpeTokenCount(child: Expression, merges: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bpe_token_count requires STRING, got ${child.dataType.sql}")
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case (p, i) => m.put(p, Integer.valueOf(i)) }
+    m
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.bpeTokenCount(input.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.bpeTokenCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount = copy(child = newChild)
+}
+
 /** `char_entropy(text)` → Shannon entropy (nats) of the code-point
   * distribution, one compiled pass per row — the binary-junk detector.
   */

@@ -479,6 +479,57 @@ object SketchImpl {
     h
   }
 
+  /** BPE token count of `s` under a merge-rank table: each lowercased
+    * whitespace word starts as its character sequence, then the
+    * lowest-rank adjacent pair merges repeatedly until no mergeable pair
+    * remains (the GPT-2-style greedy merge loop). `ranks` maps
+    * "left right" → priority (lower merges first). One compiled pass per
+    * row; per word the loop is O(w²) worst case on word length — words
+    * are short, so in practice linear in text bytes.
+    */
+  def bpeTokenCount(s: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    var total = 0
+    var t = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (t < bounds.length) {
+      val start = bounds(t)
+      val end = bounds(t + 1)
+      // char-level start: one token per code point of the lowercased word.
+      val word = new String(b, start, end - start, java.nio.charset.StandardCharsets.UTF_8).toLowerCase
+      val parts = new java.util.ArrayList[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        parts.add(word.substring(i, i + Character.charCount(cp)))
+        i += Character.charCount(cp)
+      }
+      var done = parts.size <= 1
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var bestIdx = -1
+        var j = 0
+        while (j < parts.size - 1) {
+          sb.setLength(0)
+          sb.append(parts.get(j)).append(' ').append(parts.get(j + 1))
+          val r = ranks.get(sb.toString)
+          if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
+          j += 1
+        }
+        if (bestIdx < 0) done = true
+        else {
+          parts.set(bestIdx, parts.get(bestIdx) + parts.get(bestIdx + 1))
+          parts.remove(bestIdx + 1)
+          if (parts.size <= 1) done = true
+        }
+      }
+      total += parts.size
+      t += 2
+    }
+    total
+  }
+
   def normalizeText(s: UTF8String): UTF8String = {
     val raw = s.toString
     val composed =

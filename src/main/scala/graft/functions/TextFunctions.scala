@@ -44,6 +44,27 @@ object TextFunctions {
     */
   def charEntropy(text: Column): Column = toCol(CharEntropy(toExpr(text)))
 
+  /** A small deterministic English-ish BPE merge table (rank order) for the
+    * demo tokenizer. Production swaps in a real tokenizer's merges file via
+    * the same parameter — the kernel and plan shape are identical.
+    */
+  val demoBpeMerges: Seq[String] = Seq(
+    "t h", "th e", "a n", "an d", "i n", "e r", "o n", "r e", "o r",
+    "a t", "e n", "e s", "s t", "a r", "o u", "l e", "i s", "i t",
+    "a l", "c h", "o m", "u e", "v e", "r y", "u s", "w h", "wh e",
+    "q u", "qu e", "b a", "ba t", "t a", "ta b", "tab le", "d a", "da t",
+    "dat a", "s c", "sc a", "sca n", "k e", "ke y", "r o", "ro w",
+    "f a", "fa s", "fas t", "s l", "sl o", "slo w"
+  )
+
+  /** BPE token count under a merge table (native [[BpeTokenCount]]
+    * expression) — the tokenizer-aware form of [[tokenCount]]; with
+    * [[tokenCount]] it yields fertility (BPE tokens per word), the
+    * out-of-domain/noise signal real curation pipelines gate on.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[String] = demoBpeMerges): Column =
+    toCol(BpeTokenCount(toExpr(text), merges))
+
   /** Per-set marker counts of the lowercased tokens — ONE compiled
     * tokenization pass for all sets (native [[MarkerCounts]] expression).
     */

@@ -289,6 +289,42 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     assert(math.abs(SketchImpl.charEntropy(UTF8String.fromString("abcd")) - math.log(4)) < 1e-12)
   }
 
+  test("bpeTokenCount matches a straight-line reference merge loop") {
+    import graft.functions.TextFunctions.demoBpeMerges
+    val ranks = new java.util.HashMap[String, Integer]()
+    demoBpeMerges.zipWithIndex.foreach { case (p, i) => ranks.put(p, i) }
+    def ref(s: String): Int = {
+      def word(w: String): Int = {
+        var parts = w.toLowerCase.map(_.toString).toVector
+        var go = parts.length > 1
+        while (go) {
+          val cand = parts.indices.dropRight(1)
+            .flatMap(j => Option(ranks.get(parts(j) + " " + parts(j + 1))).map(r => (r.toInt, j)))
+          if (cand.isEmpty) go = false
+          else {
+            val (_, j) = cand.minBy(_._1)
+            parts = parts.patch(j, Seq(parts(j) + parts(j + 1)), 2)
+            if (parts.length <= 1) go = false
+          }
+        }
+        parts.length
+      }
+      s.trim.split("\\s+").filter(_.nonEmpty).map(word).sum
+    }
+    for (s <- samples(textGen, 300)) {
+      val got = SketchImpl.bpeTokenCount(UTF8String.fromString(s), ranks)
+      assert(got == ref(s), s"text=${s.replace("\n", "\\n")} got=$got ref=${ref(s)}")
+    }
+    // Known merges: "the" fully merges (t h → th, th e → the) and so does
+    // "table" (l e, t a, ta b, tab le). "data" stops at 3: "a t" (rank 9)
+    // fires before "d a" (rank 34), yielding [d, at, a] with no further
+    // applicable pair — greedy rank order matters, exactly like real BPE.
+    assert(SketchImpl.bpeTokenCount(UTF8String.fromString("the table"), ranks) == 2)
+    assert(SketchImpl.bpeTokenCount(UTF8String.fromString("data"), ranks) == 3)
+    // A word with no applicable merges stays at its character count.
+    assert(SketchImpl.bpeTokenCount(UTF8String.fromString("xyz"), ranks) == 3)
+  }
+
   test("float and double element paths agree") {
     for (v <- samples(Gen.listOfN(16, Gen.choose(-8f, 8f)), 200)) {
       val f = ArrayData.toArrayData(v.toArray)
