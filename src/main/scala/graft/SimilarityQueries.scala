@@ -845,9 +845,14 @@ object SimilarityQueries {
     // first k-means-clusters the embedding space, then searches for
     // near-duplicate pairs ONLY within each cluster — the candidate space
     // is cluster-bounded (expected occupancy n/k), never O(n²). k is the
-    // scale knob and GROWS with the corpus (k = max(16, n/256)) so
-    // within-cluster pair work stays O(n × 256) at any size — the same
-    // sizing law as the LSH plane counts. A doc is dropped when some
+    // scale knob and grows with the corpus (k = max(16, n/256)), capped
+    // at 1024 here because BOTH the bounded-sample trainer (4096 vectors
+    // must outnumber centroids) and the flat argmax assignment (k cosine
+    // kernels per row) stop scaling past that; beyond the cap a
+    // deployment makes the assignment itself hierarchical — a coarse IVF
+    // over centroids, the standard two-level quantizer — which changes
+    // the sizing constant, not the cluster-bounded join shape (occupancy
+    // then grows as n/1024 until that upgrade). A doc is dropped when some
     // lower-id doc in its cluster has cosine ≥ 0.995; the keeper is the
     // smallest such id (min(struct) picks its cosine alongside). The
     // within-cluster self-join reuses one exchange via matching merge
@@ -866,7 +871,7 @@ object SimilarityQueries {
         )
         val corpus = base.unionAll(planted)
         val n = 2L * embeddingsCount(s, d)
-        val k = math.max(16, (n / 256).toInt)
+        val k = math.min(1024, math.max(16, (n / 256).toInt))
         val cents = trainIvfCentroids(corpus, k = k, iters = 3)
         def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
         val assigned = corpus

@@ -421,10 +421,13 @@ object SketchImpl {
     * device behind character-level decontamination. Polynomial hash over
     * code points mod 2^61−1: O(len) per row TOTAL (the roll is O(1) per
     * window — an xxhash64 per window would cost O(w·len)); collision
-    * probability per unequal window pair is ≤ w/2^61 for the fixed base
-    * (degree-w difference polynomial has ≤ w roots), so cross-engine
-    * count agreement carries the same honesty contract as the 64-bit
-    * shingle kernels. Code points (not UTF-16 chars or bytes) so window
+    * probability per unequal window pair is ≤ w/2^61 for inputs chosen
+    * independently of the base constant (a degree-w difference polynomial
+    * has ≤ w roots mod the prime). The base is FIXED, so inputs crafted
+    * against it can force collisions — fine for curation/decontamination
+    * counts, not a cryptographic guarantee. Cross-engine count agreement
+    * otherwise carries the same honesty contract as the 64-bit shingle
+    * kernels. Code points (not UTF-16 chars or bytes) so window
     * boundaries agree with DuckDB's character-counting substr.
     */
   def charWindowHashes64(s: UTF8String, w: Int): ArrayData = {

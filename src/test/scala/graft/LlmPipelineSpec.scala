@@ -33,6 +33,16 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     val rep = quality.filter(element_at(wordRepStats(col("text")), 1) <= 0.2)
     assert(rep.count() <= quality.count() && quality.count() <= langed.count())
 
+    // 3a. Tokenizer fertility gate: drop docs the tokenizer fragments
+    //     hardest (top ~2% fertility = BPE tokens per word) — the
+    //     out-of-domain signal. Data-derived threshold, deterministic.
+    val fert = QueryRegistry.queries("q_bpe_tokens")(spark, sfDir)
+      .select("doc_id", "fertility")
+    val fertCut = fert.agg(expr("percentile(fertility, 0.98)")).head().getDouble(0)
+    val fertKept = rep.join(fert.filter(col("fertility") <= fertCut), "doc_id")
+    assert(fertKept.count() <= rep.count() && fertKept.count() >= (rep.count() * 0.9).toLong,
+      "the p98 fertility cut must drop at most ~10% of surviving docs")
+
     // 3b. Corpus-LM quality gate: drop the worst-perplexity tail (above the
     //     in-corpus p95 of mean bigram surprisal — the CCNet-style cut).
     //     The threshold is data-derived but deterministic, so the stage is
@@ -40,8 +50,8 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     val lm = QueryRegistry.queries("q_lm_quality")(spark, sfDir)
       .select("doc_id", "cross_entropy")
     val ceCut = lm.agg(expr("percentile(cross_entropy, 0.95)")).head().getDouble(0)
-    val lmKept = rep.join(lm.filter(col("cross_entropy") <= ceCut), "doc_id")
-    assert(lmKept.count() <= rep.count() && lmKept.count() >= (rep.count() * 0.85).toLong,
+    val lmKept = fertKept.join(lm.filter(col("cross_entropy") <= ceCut), "doc_id")
+    assert(lmKept.count() <= fertKept.count() && lmKept.count() >= (fertKept.count() * 0.85).toLong,
       "the p95 CE cut must drop at most ~5% of surviving docs")
 
     // 3c. Paragraph-level dedup: rewrite each surviving doc from its
@@ -178,7 +188,8 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(mix.count() == train.select("lang", "source").distinct().count())
 
     info(s"pipeline: $total docs → ${langed.count()} lang → ${quality.count()} quality → " +
-      s"${rep.count()} rep → ${lmKept.count()} lm → ${exact.count()} exact → ${dedup.count()} canon → " +
+      s"${rep.count()} rep → ${fertKept.count()} fert → ${lmKept.count()} lm → " +
+      s"${exact.count()} exact → ${dedup.count()} canon → " +
       s"${clean.count()} clean → ${capped.count()} capped → ${balanced.count()} balanced → " +
       s"$nSampled sampled ($shares) → ${packed.agg(max("shard_id")).as[Long].head() + 1} max shards/stream → " +
       s"$tokens tokens")
