@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "cosine_sim", es => CosineSim(two(es, "cosine_sim")._1, two(es, "cosine_sim")._2))
     register(ext, "word_rep_stats", es => WordRepStats(one(es, "word_rep_stats")))
     register(ext, "normalize_text", es => NormalizeText(one(es, "normalize_text")))
+    register(ext, "char_entropy", es => CharEntropy(one(es, "char_entropy")))
+    register(ext, "char_window_hashes64", es => CharWindowHashes64(one(es, "char_window_hashes64"), 32))
+    register(ext, "bpe_token_count", es => BpeTokenCount(one(es, "bpe_token_count"), TextFunctions.demoBpeMerges))
   }
 }
 

@@ -178,6 +178,18 @@ class SimilarityFunctionsSpec extends AnyFunSuite with SparkSpec {
       .as[(Double, Double)]
       .head()
     assert(math.abs(rep._1 - 2.0 / 3) < 1e-12 && math.abs(rep._2 - 1.0 / 3) < 1e-12)
+
+    // Round-5 kernels: entropy of 4 distinct chars = ln 4; 'the table'
+    // fully merges to 2 BPE tokens; 32-char windows of a 33-char string = 2.
+    val r5 = spark
+      .sql("""SELECT char_entropy('abcd') AS e, bpe_token_count('the table') AS b,
+             |       size(char_window_hashes64(repeat('x', 16) || repeat('y', 17))) AS w
+             |""".stripMargin.replace("\n", " "))
+      .as[(Double, Int, Int)]
+      .head()
+    assert(math.abs(r5._1 - math.log(4)) < 1e-12)
+    assert(r5._2 == 2)
+    assert(r5._3 == 2)
   }
 
   test("bind evaluates its argument once per row (plan sanity)") {
