@@ -428,6 +428,40 @@ object EtlQueries {
              |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag""".stripMargin)
     ),
 
+    // 19c. Winsorization, the 100 TB form: thresholds from the
+    //      approx_percentile sketch (mergeable, fixed size per group — the
+    //      exact form's percentile buffer concentrates every group's full
+    //      value set on one reducer, the known cost of exactness). Same
+    //      K-row broadcast clip; same output schema. Rows-only at the
+    //      driver gate (sketches aren't bit-reproducible in DuckDB);
+    //      correctness is the tolerance spec pinning clipped values
+    //      against the exact sibling — the q_group_quantiles(_approx)
+    //      pairing applied to the cleaning stage.
+    Q(
+      "q_winsorize_approx",
+      (s, d) => {
+        val stats = lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, array(0.05D, 0.95D), 10000)").as("q"))
+          .select(
+            col("l_returnflag"),
+            element_at(col("q"), 1).as("lo"),
+            element_at(col("q"), 2).as("hi")
+          )
+        lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+          .join(broadcast(stats), "l_returnflag")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_returnflag"),
+            col("l_extendedprice"),
+            least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("clipped")
+          )
+      },
+      None
+    ),
+
     // 20. SCD type-2 interval build — the warehouse pattern for "what was
     // this key's value AT time t": each change event opens a validity
     // interval that the key's NEXT event closes (half-open [from, to)),

@@ -28,12 +28,33 @@ object OrcStore {
     out.write.mode("overwrite").option("compression", compression).orc(path)
   }
 
-  /** Schema-checked read: ORC files carry their schema; the caller's DDL is
-    * enforced on top so type drift fails loudly (same contract as
-    * TypedFiles/CsvExport — never silently re-infer).
+  /** Schema-checked read: ORC files carry their schema, and Spark's ORC
+    * reader applies silent schema-evolution CONVERSION on mismatch (a
+    * DOUBLE column read as BIGINT quietly truncates — measured, not
+    * hypothetical). That is the opposite of the TypedFiles/CsvExport
+    * contract, so this read validates the caller's DDL against the file
+    * footer first: every requested column must exist with exactly the
+    * requested type (a subset projection is fine — that is column
+    * pruning), and drift throws before any data is read.
     */
-  def read(spark: SparkSession, path: String, schema: String): DataFrame =
-    spark.read
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
-      .orc(path)
+  def read(spark: SparkSession, path: String, schema: String): DataFrame = {
+    val want = org.apache.spark.sql.types.StructType.fromDDL(schema)
+    val footer = spark.read.orc(path).schema
+    val footerByName = footer.map(f => f.name -> f.dataType).toMap
+    want.foreach { f =>
+      footerByName.get(f.name) match {
+        case None =>
+          throw new IllegalArgumentException(
+            s"OrcStore.read: column '${f.name}' not present in ORC footer at $path " +
+              s"(footer has: ${footer.fieldNames.mkString(", ")})")
+        case Some(dt) if dt != f.dataType =>
+          throw new IllegalArgumentException(
+            s"OrcStore.read: column '${f.name}' is ${dt.sql} in the ORC footer at $path " +
+              s"but ${f.dataType.sql} was requested — schema drift must be handled " +
+              "explicitly, not silently converted")
+        case _ => ()
+      }
+    }
+    spark.read.schema(want).orc(path)
+  }
 }

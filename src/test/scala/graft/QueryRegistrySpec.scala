@@ -229,6 +229,34 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("approx winsorize clips within sketch tolerance of the exact form") {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    // Clipped output differs from the exact form only through the
+    // thresholds, so compare those per group: the sketch's rank accuracy
+    // bounds each threshold within a small slice of the group's value
+    // range (2% is a generous ceiling at accuracy 10000). Row counts must
+    // also agree — both forms clip every input row.
+    def thresholds(name: String): Map[String, (Double, Double, Long)] =
+      QueryRegistry.queries(name)(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(fmin(col("clipped")).as("lo"), fmax(col("clipped")).as("hi"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toMap
+    val exact = thresholds("q_winsorize")
+    val approx = thresholds("q_winsorize_approx")
+    assert(exact.keySet == approx.keySet)
+    val range = Tables.lineitem(spark, sfDir)
+      .agg(fmax(col("l_extendedprice")) - fmin(col("l_extendedprice"))).head().getDouble(0)
+    for ((g, (lo, hi, n)) <- exact) {
+      val (alo, ahi, an) = approx(g)
+      assert(an == n, s"group $g: row counts differ ($an vs $n)")
+      assert(math.abs(alo - lo) <= 0.02 * range, s"group $g: lo $alo vs exact $lo")
+      assert(math.abs(ahi - hi) <= 0.02 * range, s"group $g: hi $ahi vs exact $hi")
+    }
+  }
+
   test("SCD2 intervals chain per key: no overlaps, no gaps, exactly one current row") {
     import org.apache.spark.sql.functions.{col, lead}
     import org.apache.spark.sql.expressions.Window

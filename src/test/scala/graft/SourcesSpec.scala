@@ -434,4 +434,28 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(back.as[(Long, String, Double)].collect().sorted.toSeq ==
       Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
+
+  test("OrcStore round-trips values, sorts within files, and fails loudly on type drift") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
+    val df = Seq((3L, "c", 30.0), (1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
+    graft.sources.OrcStore.write(df.repartition(1), s"$base/t", sortCols = Seq("id"))
+    val back = graft.sources.OrcStore.read(spark, s"$base/t", "id BIGINT, k STRING, v DOUBLE")
+    assert(back.as[(Long, String, Double)].collect().sorted.toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    // sortWithinPartitions: the single file's rows come back in id order
+    // without any global sort in the plan.
+    assert(back.select(col("id")).as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // Column pruning is allowed: a subset projection reads fine.
+    assert(graft.sources.OrcStore.read(spark, s"$base/t", "id BIGINT").count() == 3)
+    // Type drift must fail loudly AT PLAN TIME: Spark's own ORC reader
+    // silently converts (DOUBLE read as BIGINT truncates), so OrcStore
+    // validates the DDL against the footer and throws before reading.
+    val e = intercept[IllegalArgumentException](
+      graft.sources.OrcStore.read(spark, s"$base/t", "id BIGINT, k STRING, v BIGINT"))
+    assert(e.getMessage.contains("schema drift"))
+    val m = intercept[IllegalArgumentException](
+      graft.sources.OrcStore.read(spark, s"$base/t", "missing BIGINT"))
+    assert(m.getMessage.contains("not present"))
+  }
 }
