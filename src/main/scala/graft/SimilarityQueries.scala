@@ -154,14 +154,21 @@ object SimilarityQueries {
       val cell = bind(cosArr)(a => (array_position(a, array_max(a)) - 1).cast("int"))
       val norm = sqrt(aggregate(col("embedding"), lit(0.0d), (acc, x) =>
         acc + x.cast("double") * x.cast("double")))
+      // DECIMAL accumulation: double addition is not associative, so an
+      // avg(double) over a shuffled groupBy can drift at the ULP level with
+      // reduce-side combine order — enough to flip a near-tie argmax on the
+      // next assignment and make training non-deterministic run to run.
+      // Casting each addend to decimal first makes the sum exact and
+      // order-independent (the cast truncation is per-value, deterministic),
+      // so centroids are bit-identical across runs on any executor count.
       val updated = e
         .select(cell.as("cell"), norm.as("nrm"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(avg(col("x").cast("double") / col("nrm")).as("mean_x"))
+        .agg(avg((col("x").cast("double") / col("nrm")).cast("decimal(30,22)")).as("mean_x"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          c -> rows.sortBy(_.getInt(1)).map(_.getDecimal(2).doubleValue).toSeq
         }
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }
@@ -344,8 +351,12 @@ object SimilarityQueries {
     // aggregate reads a single checkpoint instead of joining two.
     // DECIMAL(38,0): exact at any id scale (a 1e9-node graph of 1e12-range
     // ids overflows a long sum).
+    // sum() over zero rows is SQL NULL — a clean corpus (no near-dup pairs)
+    // has an empty edge-connected subset, so guard to ZERO: equal zero sums
+    // then converge on the first round, which is correct (nothing to label).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
@@ -817,9 +828,11 @@ object SimilarityQueries {
     // over the full corpus (argmax of k compiled cosine kernels per row,
     // zero shuffles). The output table (vec_id, cluster, cos_to_centroid)
     // is what a curation run buckets by for topic mixing, SemDeDup, and
-    // per-cluster sampling. Gated by a label-purity spec (the synthetic
-    // embeddings carry ground-truth labels) rather than a SQL oracle —
-    // k-means is not SQL-expressible.
+    // per-cluster sampling. Gated by determinism, full-cluster coverage,
+    // and Lloyd-improves-the-objective specs (DedupRecallSpec) rather than
+    // a SQL oracle — k-means is not SQL-expressible, and the synthetic
+    // embeddings' labels have NO cosine structure, so a label-purity gate
+    // would be meaningless here.
     Q(
       "q_kmeans_clusters",
       (s, d) => {
@@ -951,9 +964,12 @@ object SimilarityQueries {
              |FROM q ORDER BY vec_id""".stripMargin)
     ),
 
-    // Multimodal plumbing: opaque binary media column + typed metadata with
-    // a deterministic stub decode (real decode libs aren't in the container;
-    // see graft.operators.MultimodalOps for the mapPartitions pipeline).
+    // Multimodal plumbing: opaque binary media column + typed metadata.
+    // graft.operators.MultimodalOps carries the real mapPartitions decode
+    // pipeline — actual PNG/BMP/JPEG pixels via ImageIO and GIF frame
+    // sequences with disposal-aware delta compositing; the deterministic
+    // stub remains only for codecs the JDK lacks (video/audio). This query
+    // exercises the metadata/schema plumbing on an oracle-checkable shape.
     Q(
       "q_multimodal_meta",
       (s, d) =>

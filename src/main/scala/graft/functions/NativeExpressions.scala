@@ -85,10 +85,13 @@ case class HashedShingles64(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): HashedShingles64 = copy(child = newChild)
 }
 
-/** `char_window_hashes64(text, w)` → distinct Mersenne-61 rolling hashes of
+/** `char_window_hashes64(text)` → distinct Mersenne-61 rolling hashes of
   * all w-code-point character windows (stride 1), first-occurrence order —
   * the exact-substring membership form for character-level decontamination.
-  * O(len) per row: the roll is O(1) per window.
+  * O(len) per row: the roll is O(1) per window. The SQL registration pins
+  * w = 32 (house style — shingles/minhash_bands pin their parameters the
+  * same way); the Column API (`TextFunctions.charWindowHashes64`) exposes
+  * w as a real parameter.
   */
 case class CharWindowHashes64(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 2, s"window must be >= 2 code points, got $w")

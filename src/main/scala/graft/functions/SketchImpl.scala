@@ -500,7 +500,8 @@ object SketchImpl {
       val start = bounds(t)
       val end = bounds(t + 1)
       // char-level start: one token per code point of the lowercased word.
-      val word = new String(b, start, end - start, java.nio.charset.StandardCharsets.UTF_8).toLowerCase
+      val word = new String(b, start, end - start, java.nio.charset.StandardCharsets.UTF_8)
+        .toLowerCase(java.util.Locale.ROOT) // locale-independent: default-locale lowercasing breaks determinism on e.g. Turkish JVMs
       val parts = new java.util.ArrayList[String](word.length)
       var i = 0
       while (i < word.length) {

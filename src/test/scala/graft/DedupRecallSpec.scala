@@ -95,6 +95,10 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
   test("kmeans clustering is deterministic, covers all k clusters, and Lloyd improves on the init") {
     val a = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
     val b = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
+    // Strict Row equality is sound because training accumulates through
+    // DECIMAL (exact, order-independent sums — see trainIvfCentroids): the
+    // centroids are bit-identical across runs regardless of reduce-side
+    // combine order, so no near-tie argmax can flip between the two runs.
     assert(a.toSeq == b.toSeq, "clustering must be bit-deterministic run to run")
     val byCluster = a.groupBy(_.getInt(1))
     assert(byCluster.size == 10, s"expected all 10 clusters non-empty, got ${byCluster.size}")

@@ -295,7 +295,7 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     demoBpeMerges.zipWithIndex.foreach { case (p, i) => ranks.put(p, i) }
     def ref(s: String): Int = {
       def word(w: String): Int = {
-        var parts = w.toLowerCase.map(_.toString).toVector
+        var parts = w.toLowerCase(java.util.Locale.ROOT).map(_.toString).toVector
         var go = parts.length > 1
         while (go) {
           val cand = parts.indices.dropRight(1)
