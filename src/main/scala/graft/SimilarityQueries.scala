@@ -124,30 +124,44 @@ object SimilarityQueries {
     * combining to ≤ k × dim rows per partition before the exchange. Cells
     * that lose all members keep their previous centroid.
     */
+  /** Embedding cell → Seq[Double], tolerant of FLOAT or DOUBLE element
+    * parquet/derived types (spec corpora built with `transform` promote to
+    * double; the stored tables are float).
+    */
+  private def vecToDouble(r: org.apache.spark.sql.Row, i: Int): Seq[Double] =
+    r.getSeq[Any](i).map {
+      case f: java.lang.Float  => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case x: java.lang.Number => x.doubleValue
+    }
+
   private[graft] def trainIvfCentroids(
       e0: DataFrame,
       k: Int = 16,
       iters: Int = 3,
-      sampleN: Int = 4096
+      sampleN: Int = 4096,
+      stride: Int = 10
   ): Array[Seq[Double]] = {
     // Standard IVF/faiss practice: train the coarse quantizer on a BOUNDED
     // sample — centroid quality converges on a few thousand vectors, so
     // training cost is O(sampleN × dim) per iteration, independent of
     // corpus size (a fractional sample would still be O(data) at 100 TB).
-    // Deterministic: every-10th vector by id, smallest ids first, capped at
-    // sampleN; the cap is a TakeOrdered (per-partition top-N, no full
-    // sort), and the 4096-row result is cached for the Lloyd iterations.
+    // Deterministic: every-stride-th vector by id, smallest ids first,
+    // capped at sampleN; the cap is a TakeOrdered (per-partition top-N, no
+    // full sort), and the bounded result is cached for the Lloyd
+    // iterations. Callers that know the corpus size pick stride ≈
+    // n / sampleN so the sample spans the corpus instead of its prefix.
     val e = e0
-      .filter(pmod(col("vec_id"), lit(10)) === 0 || col("vec_id") < k)
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 || col("vec_id") < k)
       .orderBy("vec_id")
       .limit(sampleN)
       .cache()
     var cents: Array[Seq[Double]] = e
-      .filter(col("vec_id") < k)
       .orderBy("vec_id")
+      .limit(k)
       .select("embedding")
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble))
+      .map(vecToDouble(_, 0))
     for (_ <- 1 to iters) {
       val cs = cents
       val cosArr = array(cs.map(c => cosine(col("embedding"), typedLit(c))).toIndexedSeq: _*)
@@ -174,6 +188,115 @@ object SimilarityQueries {
     }
     e.unpersist()
     cents
+  }
+
+  /** Two-level centroid forest for scale-unbounded cell counts: √k coarse
+    * centroids (flat Lloyd, [[trainIvfCentroids]]), then ~√k sub-centroids
+    * per coarse cell, Lloyd-refined against the composed two-level
+    * assignment ([[graft.functions.IvfAssign]]). This removes the flat
+    * trainer's ceiling — a flat argmax compiles one cosine kernel per cell
+    * (O(k) per row AND O(k) codegen), which stops scaling near k ≈ 10³;
+    * the two-level form trains and assigns at O(2√k · dim) per row for any
+    * k, so k can track n/256 to ~10⁶ cells at 100 TB. Sample size scales
+    * with k (≥ 4k vectors — the trainer must outnumber the centroids) and
+    * stays bounded and deterministic; driver state is O(k · dim) doubles,
+    * the accepted budget for centroid state (same as PQ codebooks).
+    * Sub-centroid init: the first ⌈k/√k⌉ sample members of each coarse
+    * cell (row_number by vec_id — deterministic); a coarse cell with no
+    * sample members keeps its coarse centroid as its single sub, so every
+    * cell has ≥ 1 sub-centroid (the [[graft.functions.IvfAssign]]
+    * invariant). Updates accumulate through DECIMAL like the flat trainer
+    * — bit-deterministic across runs and executor counts.
+    */
+  private[graft] def trainTwoLevelCentroids(
+      e0: DataFrame,
+      k: Int,
+      itersCoarse: Int = 3,
+      itersFine: Int = 2,
+      stride: Int = 10
+  ): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
+    require(k >= 4, s"two-level training needs k >= 4, got $k")
+    val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val fsub = math.max(1, math.ceil(k.toDouble / kc).toInt)
+    val sampleN = math.max(4096, 4 * k)
+    val coarse = trainIvfCentroids(e0, k = kc, iters = itersCoarse, sampleN = sampleN, stride = stride)
+    val e = e0
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 || col("vec_id") < kc)
+      .orderBy("vec_id")
+      .limit(sampleN)
+      .cache()
+    // Coarse assignment of the sample: √k compiled kernels, one pass.
+    val cosC = array(coarse.map(c => cosine(col("embedding"), typedLit(c))).toIndexedSeq: _*)
+    val cellCol = bind(cosC)(a => (array_position(a, array_max(a)) - 1).cast("int"))
+    val assigned = e.select(cellCol.as("cell"), col("vec_id"), col("embedding")).cache()
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val initRows = assigned
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= fsub)
+      .select("cell", "rn", "embedding")
+      .collect()
+    val byCell = initRows.groupBy(_.getInt(0)).map { case (c, rs) =>
+      c -> rs.sortBy(_.getInt(1)).map(r => vecToDouble(r, 2))
+    }
+    var fine: Array[Array[Seq[Double]]] =
+      (0 until kc).map(c => byCell.getOrElse(c, Array(coarse(c)))).toArray
+    for (_ <- 1 to itersFine) {
+      val starts = fine.scanLeft(0)((a, cell) => a + cell.length)
+      val fid = ivfAssign(col("embedding"), coarse.toSeq, fine.toSeq.map(_.toSeq))
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0d), (acc, x) =>
+        acc + x.cast("double") * x.cast("double")))
+      val updated = assigned
+        .select(fid.as("fid"), norm.as("nrm"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("fid", "pos")
+        .agg(avg((col("x").cast("double") / col("nrm")).cast("decimal(30,22)")).as("mean_x"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (g, rows) => g -> rows.sortBy(_.getInt(1)).map(_.getDecimal(2).doubleValue).toSeq }
+      fine = fine.zipWithIndex.map { case (cell, c) =>
+        cell.zipWithIndex.map { case (old, j) => updated.getOrElse(starts(c) + j, old) }
+      }
+    }
+    assigned.unpersist()
+    e.unpersist()
+    (coarse, fine)
+  }
+
+  /** The SemDeDup pipeline body, parameterized on the corpus and cell count
+    * so the scale spec can force k past the old flat-assignment ceiling
+    * (k = 1024) on a corpus it controls. Input: (vec_id, embedding).
+    * Output: the DROPPED vectors with their keeper and cosine. The
+    * within-cell self-join carries identical subtrees on both sides (merge
+    * hints) so the two-level assignment computes ONCE via ReusedExchange —
+    * pinned in PlanAuditSpec.
+    */
+  private[graft] def semdedupDrops(corpus: DataFrame, k: Int, stride: Int = 10): DataFrame = {
+    val (coarse, fine) = trainTwoLevelCentroids(corpus, k, stride = stride)
+    val assigned = corpus.select(
+      col("vec_id"),
+      col("embedding"),
+      ivfAssign(col("embedding"), coarse.toSeq, fine.toSeq.map(_.toSeq)).as("cell")
+    )
+    assigned
+      .as("a")
+      .hint("merge")
+      .join(
+        assigned.as("b").hint("merge"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")
+      )
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim")
+      )
+      .filter(col("cos_sim") >= 0.995)
+      .groupBy(col("vec_b"))
+      .agg(min(struct(col("vec_a"), col("cos_sim"))).as("k"))
+      .select(
+        col("vec_b").as("vec_id"),
+        col("k.vec_a").as("keeper"),
+        round(col("k.cos_sim"), 6).as("cos_to_keeper")
+      )
+      .orderBy("vec_id")
   }
 
   /** The shared minhash-banded candidate+verify pipeline: shingle, band
@@ -858,21 +981,21 @@ object SimilarityQueries {
     // first k-means-clusters the embedding space, then searches for
     // near-duplicate pairs ONLY within each cluster — the candidate space
     // is cluster-bounded (expected occupancy n/k), never O(n²). k is the
-    // scale knob and grows with the corpus (k = max(16, n/256)), capped
-    // at 1024 here because BOTH the bounded-sample trainer (4096 vectors
-    // must outnumber centroids) and the flat argmax assignment (k cosine
-    // kernels per row) stop scaling past that; beyond the cap a
-    // deployment makes the assignment itself hierarchical — a coarse IVF
-    // over centroids, the standard two-level quantizer — which changes
-    // the sizing constant, not the cluster-bounded join shape (occupancy
-    // then grows as n/1024 until that upgrade). A doc is dropped when some
-    // lower-id doc in its cluster has cosine ≥ 0.995; the keeper is the
+    // scale knob and grows with the corpus UNCAPPED (k = max(16, n/256)):
+    // assignment is the TWO-LEVEL centroid forest (√k coarse cells, ~√k
+    // subs each — trainTwoLevelCentroids + the native ivf_assign kernel),
+    // so per-row cost is O(2√k · dim) and the training sample scales with
+    // k, where the old flat argmax (one compiled cosine kernel per cell)
+    // stopped compiling near k ≈ 10³ and silently let occupancy grow as
+    // n/1024. With occupancy pinned at ~256, the within-cell self-join
+    // stays O(n · 256) at any corpus size. A doc is dropped when some
+    // lower-id doc in its cell has cosine ≥ 0.995; the keeper is the
     // smallest such id (min(struct) picks its cosine alongside). The
-    // within-cluster self-join reuses one exchange via matching merge
-    // hints, like bandedPairs. Boundary effects are the method's honest
-    // recall cost (a near-dup pair split across cluster boundaries is
-    // missed — SemDeDup accepts this; the planted-copy recall gate in
-    // DedupRecallSpec measures it).
+    // within-cell self-join reuses one exchange via matching merge hints,
+    // like bandedPairs (pinned). Boundary effects are the method's honest
+    // recall cost (a near-dup pair split across cell boundaries is missed
+    // — SemDeDup accepts this; DedupRecallSpec gates recall at the natural
+    // k AND at a forced k > 1024).
     Q(
       "q_semdedup",
       (s, d) => {
@@ -884,36 +1007,10 @@ object SimilarityQueries {
         )
         val corpus = base.unionAll(planted)
         val n = 2L * embeddingsCount(s, d)
-        val k = math.min(1024, math.max(16, (n / 256).toInt))
-        val cents = trainIvfCentroids(corpus, k = k, iters = 3)
-        def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
-        val assigned = corpus
-          .select(
-            col("vec_id"),
-            col("embedding"),
-            bind(cosArr(col("embedding")))(a => array_position(a, array_max(a)).cast("int")).as("cell")
-          )
-        assigned
-          .as("a")
-          .hint("merge")
-          .join(
-            assigned.as("b").hint("merge"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")
-          )
-          .select(
-            col("a.vec_id").as("vec_a"),
-            col("b.vec_id").as("vec_b"),
-            cosine(col("a.embedding"), col("b.embedding")).as("cos_sim")
-          )
-          .filter(col("cos_sim") >= 0.995)
-          .groupBy(col("vec_b"))
-          .agg(min(struct(col("vec_a"), col("cos_sim"))).as("k"))
-          .select(
-            col("vec_b").as("vec_id"),
-            col("k.vec_a").as("keeper"),
-            round(col("k.cos_sim"), 6).as("cos_to_keeper")
-          )
-          .orderBy("vec_id")
+        val k = math.max(16, (n / 256).toInt)
+        val sampleN = math.max(4096, 4 * k)
+        val stride = math.max(1, (n / sampleN).toInt)
+        semdedupDrops(corpus, k, stride)
       },
       None
     ),

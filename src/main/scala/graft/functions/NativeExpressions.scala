@@ -338,3 +338,61 @@ case class LshBucket(child: Expression, planes: Seq[Seq[Double]]) extends UnaryE
   }
   override protected def withNewChildInternal(newChild: Expression): LshBucket = copy(child = newChild)
 }
+
+/** `ivf_assign(vec)` → global fine cell id from a TWO-LEVEL centroid
+  * assignment (coarse argmax over √k centroids, then argmax over only the
+  * winning cell's sub-centroids — SketchImpl.ivfAssign). This is the node
+  * that removes the flat-argmax scale ceiling: a flat assignment compiles
+  * one cosine kernel per cell (O(k) per row and O(k) codegen size, which
+  * stops compiling near k ≈ 10³), while this single expression carries the
+  * full centroid forest as plan constants (addReferenceObj — the same way
+  * the PQ codebooks and LSH planes ship) and evaluates O(2√k · dim)
+  * multiplies per row at ANY k. Centroid norms are precomputed once at
+  * expression construction, not per row. Structural equality of the
+  * centroid parameters keeps two identical assignment subtrees eligible
+  * for ReuseExchange (the semdedup self-join pin depends on it).
+  */
+case class IvfAssign(child: Expression, coarse: Seq[Seq[Double]], fine: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(coarse.nonEmpty, "ivf_assign needs at least one coarse centroid")
+  require(coarse.length == fine.length, "one sub-centroid group per coarse cell")
+  require(fine.forall(_.nonEmpty), "every coarse cell needs >= 1 sub-centroid")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  private def okElem(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"ivf_assign requires ARRAY<FLOAT|DOUBLE>, got ${child.dataType.sql}")
+  private lazy val isFloat = NativeExpressions.arrayElem(child.dataType) == FloatType
+  // The centroid forest is plan DATA, not plan STRUCTURE: the default
+  // product-based rendering would inline k·dim doubles into every plan
+  // string, blowing past Spark's plan-string truncation limit (which then
+  // hides the rest of the plan from explain/audits). Render compactly.
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"kc=${coarse.length}", s"k=${fine.map(_.length).sum}", s"dim=${coarse.head.length}")
+  @transient private lazy val dim = coarse.head.length
+  @transient private lazy val coarseFlat: Array[Double] = coarse.flatten.toArray
+  @transient private lazy val coarseNorm: Array[Double] =
+    coarse.map(c => math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)).toArray
+  @transient private lazy val fineFlat: Array[Double] = fine.flatten.flatten.toArray
+  @transient private lazy val fineNorm: Array[Double] =
+    fine.flatten.map(c => math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)).toArray
+  @transient private lazy val fineStart: Array[Int] =
+    fine.scanLeft(0)((acc, cell) => acc + cell.length).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.ivfAssign(
+      input.asInstanceOf[ArrayData], dim, coarseFlat, coarseNorm, fineFlat, fineNorm, fineStart, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cf = ctx.addReferenceObj("ivfCoarse", coarseFlat, "double[]")
+    val cn = ctx.addReferenceObj("ivfCoarseNorm", coarseNorm, "double[]")
+    val ff = ctx.addReferenceObj("ivfFine", fineFlat, "double[]")
+    val fn = ctx.addReferenceObj("ivfFineNorm", fineNorm, "double[]")
+    val fs = ctx.addReferenceObj("ivfFineStart", fineStart, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchImpl.ivfAssign($c, $dim, $cf, $cn, $ff, $fn, $fs, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign = copy(child = newChild)
+}

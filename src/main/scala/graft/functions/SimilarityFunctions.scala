@@ -110,6 +110,14 @@ object SimilarityFunctions {
   def pqCosine(qv: Column, code: Column, codebooks: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
     toCol(PqCosine(toExpr(qv), toExpr(code), codebooks, m, ksub, dsub))
 
+  /** Global fine cell id from a two-level coarse-then-fine centroid
+    * assignment — O(2√k · dim) per row at any total cell count k (see
+    * [[IvfAssign]]). `fine(c)` holds coarse cell c's sub-centroids; the
+    * returned id is the sub-centroid's index in the flattened forest.
+    */
+  def ivfAssign(v: Column, coarse: Seq[Seq[Double]], fine: Seq[Seq[Seq[Double]]]): Column =
+    toCol(IvfAssign(toExpr(v), coarse, fine))
+
   /** Deterministic random hyperplanes for sign-LSH over embeddings:
     * `planes(nPlanes, dim)` — fixed seed so bucketing is reproducible.
     * Distinct seeds give independent plane sets for multi-table banding.

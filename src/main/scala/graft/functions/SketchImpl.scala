@@ -554,4 +554,66 @@ object SketchImpl {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Two-level IVF cell assignment: argmax-cosine over `kc` coarse
+    * centroids, then argmax-cosine over ONLY the winning cell's
+    * sub-centroids — the standard two-level coarse quantizer (faiss
+    * IVF-on-IVF shape). Returns the GLOBAL fine cell id
+    * (`fineStart(coarse) + subIdx`). Per-row cost is
+    * O((kc + cellWidth) · dim) = O(2√k · dim) when balanced — independent
+    * of the total fine cell count k, which is what lets k track n/256
+    * unbounded at 100 TB instead of capping at whatever a flat argmax can
+    * compile. The query vector's own norm divides out of every argmax
+    * comparison, so only dot / centroidNorm is computed; centroid norms
+    * arrive precomputed (`coarseNorm`, `fineNorm`). Ties break to the
+    * lowest index — deterministic for bit-identical centroids.
+    *
+    * Layout: `coarseFlat` is kc × dim row-major; `fineFlat` packs every
+    * cell's sub-centroids contiguously, `fineStart` (length kc + 1, in
+    * centroid units) delimits cell c's subs at [fineStart(c),
+    * fineStart(c+1)) — every cell has ≥ 1 sub-centroid (the trainer
+    * guarantees it).
+    */
+  def ivfAssign(
+      v: ArrayData,
+      dim: Int,
+      coarseFlat: Array[Double],
+      coarseNorm: Array[Double],
+      fineFlat: Array[Double],
+      fineNorm: Array[Double],
+      fineStart: Array[Int],
+      isFloat: Boolean
+  ): Int = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"ivf_assign: dimension mismatch (${v.numElements()} vs $dim)")
+    val kc = coarseNorm.length
+    var bestC = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < kc) {
+      var dot = 0.0
+      var j = 0
+      val off = c * dim
+      while (j < dim) { dot += elem(v, j, isFloat) * coarseFlat(off + j); j += 1 }
+      val s = dot / coarseNorm(c)
+      if (s > bestS) { bestS = s; bestC = c }
+      c += 1
+    }
+    val lo = fineStart(bestC)
+    val hi = fineStart(bestC + 1)
+    var bestF = lo
+    var bestFs = Double.NegativeInfinity
+    var f = lo
+    while (f < hi) {
+      var dot = 0.0
+      var j = 0
+      val off = f * dim
+      while (j < dim) { dot += elem(v, j, isFloat) * fineFlat(off + j); j += 1 }
+      val s = dot / fineNorm(f)
+      if (s > bestFs) { bestFs = s; bestF = f }
+      f += 1
+    }
+    bestF
+  }
 }

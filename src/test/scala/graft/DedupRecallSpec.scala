@@ -92,6 +92,70 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     out.unpersist()
   }
 
+  test("semdedup two-level assignment scales past the old flat-argmax ceiling (k > 1024)") {
+    // The flat assignment compiled one cosine kernel per cell and stopped
+    // scaling at k = 1024; this forces k = 1100 on a corpus the spec
+    // controls and gates the SAME quality bars, proving the two-level path
+    // is not a stub. Corpus: 8 decorrelated variants per embedding
+    // (deterministic trig jitter of magnitude 0.4 per dim — variants are
+    // mutually dissimilar documents), each with a planted near-copy
+    // (+0.03 on dim 0 → cos ≥ 0.995 to its own variant only).
+    val e = Tables.embeddings(spark, sfDir)
+    val base = (0 until 8)
+      .map { v =>
+        e.select(
+          (col("vec_id") * 8 + lit(v)).as("vec_id"),
+          transform(
+            col("embedding"),
+            (x, j) =>
+              (x.cast("double") +
+                lit(0.4) * sin(col("vec_id") * 13 + lit(v * 7) + j.cast("double"))).cast("float")
+          ).as("embedding")
+        )
+      }
+      .reduce(_.unionAll(_))
+    val planted = base.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.03f)).otherwise(x))
+        .as("embedding")
+    )
+    // NOTE: deliberately NOT .cache()d — a cached corpus plans as an
+    // InMemoryRelation whose canonicalized form defeats exchange reuse,
+    // and this test pins that the assignment exchange computes once.
+    val corpus = base.unionAll(planted)
+    val total = base.count().toDouble
+    val k = 1100 // > the old cap of 1024
+    val (coarse, fine) = SimilarityQueries.trainTwoLevelCentroids(corpus, k, stride = 1)
+    val totalCells = fine.map(_.length).sum
+    assert(totalCells > 1024, s"forced cell count $totalCells must exceed the old flat ceiling")
+    assert(coarse.length <= 64,
+      s"coarse level must stay O(√k) so per-row work is O(2√k·dim): ${coarse.length}")
+    val out = SimilarityQueries.semdedupDrops(corpus, k, stride = 1).cache()
+    out.collect()
+    val plantedOut = out.filter(col("vec_id") >= 1000000L)
+    val recall = plantedOut.count().toDouble / total
+    assert(recall > 0.85, s"semdedup planted recall at forced k=$k: $recall")
+    val exact = plantedOut.filter(col("keeper") === col("vec_id") - 1000000L).count().toDouble / total
+    assert(exact > 0.85, s"semdedup exact-keeper rate at forced k=$k: $exact")
+    assert(out.filter(col("vec_id") < 1000000L).count() == 0,
+      "a base vector was dropped — variants must not collide at cos >= 0.995")
+    // Plan shape: ONE two-level assignment kernel (not O(k) compiled cosine
+    // kernels), and the self-join reuses the assignment exchange.
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("ivfassign"),
+      s"assignment must be the single two-level ivf_assign kernel:\n${p.take(2000)}")
+    // The pair-verify cosine reprints a constant number of times across
+    // AQE stage boundaries (~8); a flat assignment at k = 1100 would put
+    // >= 1100 kernels in the plan. Gate well below k, well above the
+    // constant.
+    val flatKernels = "cosinesim\\(".r.findAllIn(p.toLowerCase).length
+    assert(flatKernels <= 32,
+      s"per-row assignment must not carry O(k) cosine kernels, saw $flatKernels")
+    assert(p.linesIterator.exists(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage")),
+      "two-level assignment must compute once across the self-join")
+    out.unpersist()
+  }
+
   test("kmeans clustering is deterministic, covers all k clusters, and Lloyd improves on the init") {
     val a = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
     val b = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()

@@ -254,6 +254,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage")),
       s"cluster assignment must compute once, not once per join side:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // Scale pin: assignment is the single two-level ivf_assign kernel —
+    // O(2√k·dim) per row — never a flat array of O(k) cosine kernels.
+    assert(p.toLowerCase.contains("ivfassign"),
+      s"q_semdedup must assign through the two-level ivf_assign kernel:\n${p.take(2000)}")
+    assert("cosinesim\\(".r.findAllIn(p.toLowerCase).length <= 32,
+      "q_semdedup per-row assignment must not carry O(k) compiled cosine kernels")
   }
 
   test("q_mix_report and q_sampling_weights join their 1-row totals by broadcast") {
