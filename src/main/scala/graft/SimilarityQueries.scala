@@ -112,6 +112,17 @@ object SimilarityQueries {
     allPairs.unionAll(starPairs).distinct()
   }
 
+  /** Embedding cell → Seq[Double], tolerant of FLOAT or DOUBLE element
+    * parquet/derived types (spec corpora built with `transform` promote to
+    * double; the stored tables are float).
+    */
+  private def vecToDouble(r: org.apache.spark.sql.Row, i: Int): Seq[Double] =
+    r.getSeq[Any](i).map {
+      case f: java.lang.Float  => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case x: java.lang.Number => x.doubleValue
+    }
+
   /** Spherical k-means coarse quantizer for IVF: a few Lloyd iterations run
     * as Spark jobs. Seeded deterministically from the first k vectors; each
     * iteration assigns every vector to its best centroid by cosine
@@ -124,17 +135,6 @@ object SimilarityQueries {
     * combining to ≤ k × dim rows per partition before the exchange. Cells
     * that lose all members keep their previous centroid.
     */
-  /** Embedding cell → Seq[Double], tolerant of FLOAT or DOUBLE element
-    * parquet/derived types (spec corpora built with `transform` promote to
-    * double; the stored tables are float).
-    */
-  private def vecToDouble(r: org.apache.spark.sql.Row, i: Int): Seq[Double] =
-    r.getSeq[Any](i).map {
-      case f: java.lang.Float  => f.toDouble
-      case d: java.lang.Double => d.doubleValue
-      case x: java.lang.Number => x.doubleValue
-    }
-
   private[graft] def trainIvfCentroids(
       e0: DataFrame,
       k: Int = 16,
@@ -302,8 +302,11 @@ object SimilarityQueries {
   /** The shared minhash-banded candidate+verify pipeline: shingle, band
     * with (b × r) LSH, pair up docs sharing any band bucket, join back to
     * the full shingle sets and score EXACT Jaccard (plus both set sizes,
-    * for containment's algebra). (b, r) picks the banding regime: 16×4
-    * fires at Jaccard ≥ ~0.5 (near-dup), 32×2 at ≥ ~0.3 (containment).
+    * for containment-style algebra). (b, r) picks the banding regime: a
+    * band fires with probability J^r, so 16×4 targets Jaccard ≥ ~0.5
+    * (the near-dup regime minhashPairs uses); fewer rows per band would
+    * push the floor lower (32×2 fires at J = 0.3 with ≈ 95% probability
+    * where 16×4 manages ≈ 12%).
     */
   private def verifiedJaccardPairs(
       s: SparkSession,
@@ -355,8 +358,13 @@ object SimilarityQueries {
     * string-set verify was measured 0.9 s slower at sf0.1). One projection
     * feeds index AND verify, so the sketch computes once.
     */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh64 = corpusWithDups(s, d)
+  private def ngramJaccardPairs(
+      s: SparkSession,
+      d: String,
+      keepFrac: Double = 0.85,
+      jaccardMin: Double = 0.4
+  ): DataFrame = {
+    val sh64 = corpusWithDups(s, d, keepFrac)
       .select(col("doc_id"), hashedShingles64(col("text")).as("sh"))
     val w = Window.partitionBy(col("sh_key"))
     val idx = sh64
@@ -378,21 +386,28 @@ object SimilarityQueries {
     cand
       .join(sh64.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh64.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
-      .filter(col("jaccard") >= 0.4)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"),
+        size(col("sa.sh")).as("na"),
+        size(col("sb.sh")).as("nb")
+      )
+      .filter(col("jaccard") >= jaccardMin)
   }
 
   /** The DuckDB replica of [[ngramJaccardPairs]] as named CTEs ending in
-    * `pairs(doc_a, doc_b, jaccard)` — shared verbatim by the
-    * q_ngram_jaccard oracle and the recursive-CTE clustering oracle so the
-    * two can never drift apart.
+    * `pairs(doc_a, doc_b, jaccard, na, nb)` — shared verbatim by the
+    * q_ngram_jaccard oracle, the recursive-CTE clustering oracle, AND the
+    * containment oracle so the three can never drift apart. Parameterized
+    * exactly like the Spark generator (truncation depth, verify floor).
     */
-  private val ngramPairsSqlCtes: String =
-    """corpus AS (
+  private def ngramPairsSqlCtes(keepFrac: Double = 0.85, jaccardMin: Double = 0.4): String =
+    raw"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
-      |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
+      |         substr(text, 1, CAST(trunc(n_chars * $keepFrac) AS INT)) AS text
       |  FROM documents),
       |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
       |g AS (
@@ -414,11 +429,12 @@ object SimilarityQueries {
       |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
       |  GROUP BY 1, 2),
       |pairs AS (
-      |  SELECT doc_a, doc_b, CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+      |  SELECT doc_a, doc_b, CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard,
+      |         sa.n AS na, sb.n AS nb
       |  FROM common
       |  JOIN sz sa ON sa.doc_id = doc_a
       |  JOIN sz sb ON sb.doc_id = doc_b
-      |  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.4)""".stripMargin
+      |  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= $jaccardMin)""".stripMargin
 
   /** Connected components by min-label propagation over an undirected edge
     * set — the canonical "fuzzy dedup" clustering step: every document gets
@@ -558,14 +574,25 @@ object SimilarityQueries {
 
   /** The containment pipeline behind q_dedup_containment, parameterized on
     * the planted truncation depth so the recall spec can exercise the
-    * heavy-truncation regime (keepFrac = 0.5) the banding is sized for.
+    * heavy-truncation regime (keepFrac = 0.5). Candidates come from the
+    * exact df-capped inverted index ([[ngramJaccardPairs]] at the
+    * containment verify floor J ≥ 0.3), not minhash banding: every step is
+    * deterministic and SQL-expressible, so the operator is driver-hash-
+    * checked end to end — the same move that oracled q_dedup_clusters. (A
+    * 32-band/2-row minhash generator was the prior form; the exact index
+    * has strictly better recall at the same candidate-bounding shape —
+    * q_ngram_jaccard's scale story — and its banding-regime analysis lives
+    * on in the q_dedup_containment comment.) The exact intersection size
+    * derives algebraically from the verified Jaccard and the two set
+    * sizes (c = J(a+b)/(1+J)/min(a,b)), so no second intersection pass
+    * runs.
     */
   private[graft] def containmentPairs(
       s: SparkSession,
       d: String,
       keepFrac: Double = 0.85
   ): DataFrame =
-    verifiedJaccardPairs(s, d, keepFrac, b = 32, r = 2, jaccardMin = 0.3)
+    ngramJaccardPairs(s, d, keepFrac, jaccardMin = 0.3)
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -599,21 +626,29 @@ object SimilarityQueries {
     // Containment near-dup (truncation detection): the asymmetric score
     // |A∩B| / min(|A|,|B|) — a truncated or excerpted copy scores ~1.0
     // where symmetric Jaccard dilutes toward |small|/|big|. Candidates
-    // come from minhash bands sized for the CONTAINMENT regime — 32 bands
-    // of 2 rows, not the Jaccard-regime 16×4: a band fires with
-    // probability J^r, so at J = 0.3 (a 30% excerpt) r = 4 gives
-    // 1-(1-0.3⁴)¹⁶ ≈ 12% candidate recall while r = 2 gives
-    // 1-(1-0.09)³² ≈ 95%. The exact intersection size derives
-    // algebraically from the verified Jaccard and the two set sizes
-    // (c = J(a+b)/(1+J)), so no second intersection pass runs. The
-    // verify threshold is deliberately looser on Jaccard (0.3) and tight
-    // on containment (0.9): that is the asymmetric regime this operator
-    // exists for. DedupRecallSpec gates planted-truncation recall at both
-    // 85% and 50% keep fractions.
+    // come from the exact df-capped inverted index (the q_ngram_jaccard
+    // machinery) with the verify floor lowered to the containment regime:
+    // deliberately loose on Jaccard (0.3 — a 30% excerpt) and tight on
+    // containment (0.9), the asymmetric regime this operator exists for.
+    // The exact intersection size derives algebraically from the verified
+    // Jaccard and the two set sizes (c = J(a+b)/(1+J)/min(a,b)), so no
+    // second intersection pass runs. Because every step is deterministic
+    // and SQL-expressible, the operator carries a full DuckDB oracle
+    // (pairs + algebra hash-checked) — a minhash-banded generator (32
+    // bands × 2 rows, which fires at J = 0.3 with ≈ 95% probability vs
+    // 16×4's ≈ 12%) was the prior, recall-gated-only form; the exact
+    // index dominates it on determinism AND recall at the same
+    // candidate-bounding scale shape. DedupRecallSpec still gates
+    // planted-truncation recall at both 85% and 50% keep fractions.
     Q(
       "q_dedup_containment",
       (s, d) => containmentPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
-      None
+      Some(s"""WITH ${ngramPairsSqlCtes(jaccardMin = 0.3)}
+              |SELECT doc_a, doc_b,
+              |  jaccard * (na + nb) / (jaccard + 1.0) / least(na, nb) AS containment
+              |FROM pairs
+              |WHERE jaccard * (na + nb) / (jaccard + 1.0) / least(na, nb) >= 0.9
+              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // Fuzzy-dedup clustering: connected components over the verified
@@ -645,7 +680,7 @@ object SimilarityQueries {
       // recursive reachability (UNION-distinct terminates the fixpoint),
       // then min reachable id per node — the same min-label partition the
       // Pregel-style loop converges to.
-      Some(s"""WITH RECURSIVE $ngramPairsSqlCtes,
+      Some(s"""WITH RECURSIVE ${ngramPairsSqlCtes()},
               |edges AS (
               |  SELECT doc_a AS a, doc_b AS b FROM pairs
               |  UNION ALL
@@ -724,14 +759,17 @@ object SimilarityQueries {
     // dominates those shuffles (very large corpora with heavy boilerplate).
     Q(
       "q_ngram_jaccard",
-      (s, d) => ngramJaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      (s, d) =>
+        ngramJaccardPairs(s, d)
+          .select("doc_a", "doc_b", "jaccard") // na/nb serve the containment twin; prune here
+          .orderBy(col("doc_a"), col("doc_b")),
       // The whole pipeline is deterministic and SQL-expressible on STRING
       // shingles: same df≤50 index cap, same ≥3-common-low-df-shingle
       // candidate rule, same exact full-set Jaccard — the 64-bit hashed
       // form differs only by genuine ~n²/2⁶⁴ collisions — so the flagship
       // similarity query is driver-hash-checked end to end, not just
       // recall-gated.
-      Some(s"""WITH $ngramPairsSqlCtes
+      Some(s"""WITH ${ngramPairsSqlCtes()}
               |SELECT doc_a, doc_b, jaccard FROM pairs
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
