@@ -40,6 +40,80 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     assert(r > 0.65, s"simhash planted recall $r")
   }
 
+  test("minhash pair set is two-sided: zero false positives, banding-curve coverage of the exact graph") {
+    // The recall gates above are one-sided. This check brute-forces the
+    // EXACT Jaccard pair graph over the same hashed-shingle domain the
+    // pipeline verifies on (the corpus is small enough to enumerate in a
+    // spec — the pipeline itself never does this) and asserts:
+    //  ⊆  the banded pipeline emits NO pair outside the exact graph —
+    //     banding can only lose candidates, and the verify stage scores
+    //     the same exact Jaccard, so false positives must be zero;
+    //  ⊇  coverage of the exact graph tracks the DECLARED banding curve:
+    //     at 16 bands × 4 rows a pair fires with p = 1-(1-J⁴)¹⁶ — ≈ 0.99
+    //     at J ≥ 0.7, genuinely probabilistic near the 0.5 floor — so
+    //     strong pairs gate at 0.9 and the whole graph at the existing
+    //     0.8 recall bar.
+    import graft.functions.SimilarityFunctions.hashedShingles
+    val docs = SimilarityQueries
+      .corpusWithDups(spark, sfDir)
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    for (i <- docs.indices; j <- i + 1 until docs.length) {
+      val (ida, sa) = docs(i)
+      val (idb, sb) = docs(j)
+      val inter = sa.intersect(sb).size
+      if (inter > 0) {
+        val jac = inter.toDouble / (sa.size + sb.size - inter)
+        if (jac >= 0.5) expected(if (ida < idb) (ida, idb) else (idb, ida)) = jac
+      }
+    }
+    val got = QueryRegistry
+      .queries("q_dedup_minhash")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val fps = got.diff(expected.keySet)
+    assert(fps.isEmpty, s"banded pipeline emitted pairs outside the exact graph: ${fps.take(5)}")
+    val strong = expected.filter(_._2 >= 0.7).keys.toSet
+    val covStrong = strong.intersect(got).size.toDouble / math.max(1, strong.size)
+    assert(covStrong >= 0.9, s"coverage of strong (J >= 0.7) exact pairs: $covStrong")
+    val covAll = expected.keySet.intersect(got).size.toDouble / math.max(1, expected.size)
+    assert(covAll >= 0.8, s"coverage of the whole exact graph at J >= 0.5: $covAll")
+  }
+
+  test("simhash byte-banding equals the brute-force hamming ball exactly (pigeonhole twin-check)") {
+    // Byte-banding is pigeonhole-COMPLETE for hamming <= 7 over a 64-bit
+    // sketch (8 bands; <= 7 flipped bits cannot touch all 8), and the
+    // verify re-scores hamming on the full sketch — so unlike minhash
+    // there is no probabilistic regime: the banded pair set must EQUAL
+    // the brute-force enumeration, both directions, no tolerance.
+    import graft.functions.SimilarityFunctions.simhash64
+    val sigs = SimilarityQueries
+      .corpusWithDups(spark, sfDir)
+      .select(col("doc_id"), simhash64(col("text")).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 7
+    } yield {
+      val (ida, idb) = (sigs(i)._1, sigs(j)._1)
+      if (ida < idb) (ida, idb) else (idb, ida)
+    }).toSet
+    val got = QueryRegistry
+      .queries("q_dedup_simhash")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(got == expected,
+      s"banded != brute force: missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+  }
+
   test("ngram-jaccard inverted index recovers most planted near-duplicates") {
     val r = plantedRecall("q_ngram_jaccard")
     assert(r > 0.8, s"ngram-jaccard planted recall $r")
