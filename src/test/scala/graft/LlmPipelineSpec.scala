@@ -194,4 +194,62 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
       s"$nSampled sampled ($shares) → ${packed.agg(max("shard_id")).as[Long].head() + 1} max shards/stream → " +
       s"$tokens tokens")
   }
+
+  test("semantic chain: kmeans topics → semdedup keepers → int8 quantization of the survivors") {
+    // The embedding-side counterpart of the text chain above: topic-bucket
+    // the corpus, semantically dedup it, quantize what survives — each
+    // stage consuming the previous stage's output, with invariants at the
+    // seams (the text chain's stages cannot check these).
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val total = base.count()
+    val planted = Tables.embeddings(spark, sfDir).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x))
+        .as("embedding")
+    )
+    val corpus = base.unionAll(planted)
+
+    // 1. Topic clustering: every base vector gets a cluster.
+    val clusters = QueryRegistry
+      .queries("q_kmeans_clusters")(spark, sfDir)
+      .select("vec_id", "cluster")
+    assert(clusters.count() == total, "every base vector gets a topic cluster")
+
+    // 2. SemDeDup over the planted corpus; survivors = corpus minus drops.
+    val drops = QueryRegistry.queries("q_semdedup")(spark, sfDir).cache()
+    val survivors = corpus.join(drops.select("vec_id"), Seq("vec_id"), "left_anti").cache()
+    assert(survivors.count() == corpus.count() - drops.count(), "drops must partition the corpus")
+    // Keeper integrity ON THIS CORPUS: drops are planted copies whose
+    // keeper is their base original, and no base vector is ever dropped —
+    // so every keeper survives and the deduped corpus retains one
+    // representative per dropped vector. (Deliberately not claimed as a
+    // general SemDeDup theorem: on a corpus with >2-deep duplicate chains
+    // a keeper can itself be dropped — cos 0.995 does not compose.)
+    val orphaned = drops
+      .join(survivors.select(col("vec_id").as("keeper")), Seq("keeper"), "left_anti")
+      .count()
+    assert(orphaned == 0L, s"$orphaned dropped vectors lost their keeper")
+    // Topic coverage survives the dedup: no cluster empties out.
+    val clustersAfter = clusters
+      .join(survivors.select("vec_id"), "vec_id")
+      .select("cluster")
+      .distinct()
+      .count()
+    assert(clustersAfter == 10L, "semdedup must not empty a topic cluster")
+
+    // 3. Quantize the surviving base corpus: one int8 row per survivor,
+    //    inside the committed half-step error bound (rounded-output
+    //    tolerance 1e-6: both columns egress rounded to 6 decimals).
+    val q = QueryRegistry.queries("q_embed_quantize")(spark, sfDir)
+    val qSurv = q.join(survivors.select("vec_id"), "vec_id").cache()
+    assert(qSurv.count() == survivors.filter(col("vec_id") < 1000000L).count(),
+      "every surviving base vector must quantize")
+    assert(qSurv.filter(col("max_err") > col("scale") / 2 + 1e-6).count() == 0L,
+      "int8 reconstruction error must stay within half a quantization step")
+    info(s"semantic chain: ${corpus.count()} corpus → ${drops.count()} dropped → " +
+      s"${survivors.count()} survivors → ${qSurv.count()} quantized")
+    drops.unpersist()
+    survivors.unpersist()
+    qSurv.unpersist()
+  }
 }
