@@ -174,12 +174,20 @@ case class WordRepStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordRepStats = copy(child = newChild)
 }
 
-/** `bpe_token_count(text)` → token count under a BPE merge table (GPT-2
-  * style greedy lowest-rank merges per lowercased whitespace word). The
-  * merge list ships as a plan constant (addReferenceObj), exactly how a
-  * production job broadcasts its tokenizer's merges file.
+/** `bpe_token_count(text)` → token count under a BPE merge table: GPT-2
+  * pre-tokenization (contraction suffixes, letter/number/punctuation runs —
+  * SketchImpl.bpeTokenCount) then greedy lowest-rank merges per segment.
+  * The merge table is a REAL parameter: any rank-ordered "left right" list
+  * (e.g. a tokenizer's merges.txt via TextFunctions.loadBpeMerges), shipped
+  * as a plan constant (addReferenceObj) — the task-binary broadcast path a
+  * production job uses for its tokenizer assets. Size-bounded: vocab-scale
+  * tables (GPT-2 ships 50k merges) are plan-constant territory; anything
+  * larger belongs in a join, not an expression.
   */
 case class BpeTokenCount(child: Expression, merges: Seq[String]) extends UnaryExpression {
+  require(merges.length <= 200000,
+    s"merge table must stay vocab-scale (<= 200k pairs, got ${merges.length}) — " +
+      "a plan constant is broadcast to every task")
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =

@@ -482,54 +482,113 @@ object SketchImpl {
     h
   }
 
-  /** BPE token count of `s` under a merge-rank table: each lowercased
-    * whitespace word starts as its character sequence, then the
-    * lowest-rank adjacent pair merges repeatedly until no mergeable pair
-    * remains (the GPT-2-style greedy merge loop). `ranks` maps
-    * "left right" → priority (lower merges first). One compiled pass per
-    * row; per word the loop is O(w²) worst case on word length — words
-    * are short, so in practice linear in text bytes.
+  /** `\p{N}` in the Java regex sense — the GPT-2 pre-tokenizer's number
+    * class (decimal digits, letter numbers, other numbers), deliberately
+    * wider than `Character.isDigit`.
+    */
+  private def isNum(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+    t == Character.OTHER_NUMBER
+  }
+
+  /** Greedy BPE merge count of one pre-tokenized segment
+    * `str[start, end)`: the segment starts as its code-point sequence,
+    * then the lowest-rank adjacent pair merges repeatedly until no
+    * mergeable pair remains — the GPT-2 merge loop. O(w²) worst case on
+    * segment length; segments are short, so in practice linear.
+    */
+  private def mergedSegmentCount(
+      str: String,
+      start: Int,
+      end: Int,
+      ranks: java.util.HashMap[String, Integer],
+      sb: java.lang.StringBuilder
+  ): Int = {
+    if (end - start <= 1) return end - start
+    val parts = new java.util.ArrayList[String](end - start)
+    var i = start
+    while (i < end) {
+      val cp = str.codePointAt(i)
+      parts.add(str.substring(i, i + Character.charCount(cp)))
+      i += Character.charCount(cp)
+    }
+    var done = parts.size <= 1
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < parts.size - 1) {
+        sb.setLength(0)
+        sb.append(parts.get(j)).append(' ').append(parts.get(j + 1))
+        val r = ranks.get(sb.toString)
+        if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        parts.set(bestIdx, parts.get(bestIdx) + parts.get(bestIdx + 1))
+        parts.remove(bestIdx + 1)
+        if (parts.size <= 1) done = true
+      }
+    }
+    parts.size
+  }
+
+  /** BPE token count of `s` under a merge-rank table, segmented by the
+    * GPT-2-style pre-tokenizer before any merge runs: the lowercased
+    * (Locale.ROOT — default-locale lowercasing breaks cross-JVM
+    * determinism) text splits into contraction suffixes
+    * ('s 't 're 've 'm 'll 'd), letter runs (`\p{L}+`), number runs
+    * (`\p{N}+`), and punctuation/symbol runs (`[^\s\p{L}\p{N}]+`) — the
+    * public GPT-2 pattern (openai/gpt-2 encoder.py), so merges can never
+    * cross a letter/number/punctuation boundary no matter what the merge
+    * table contains. The one deliberate deviation: GPT-2 attaches a single
+    * leading space to a run; a space-containing symbol cannot be expressed
+    * in the "left right" merge-pair format this kernel consumes, so
+    * whitespace only separates segments. A contraction wins only when a
+    * segment STARTS at the apostrophe (mid-punctuation-run apostrophes
+    * stay in the run), matching the regex alternation's semantics.
+    * `ranks` maps "left right" → priority (lower merges first). One
+    * compiled pass per row.
     */
   def bpeTokenCount(s: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
-    val b = s.getBytes
-    val bounds = tokenBounds(b)
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = str.length
     var total = 0
-    var t = 0
     val sb = new java.lang.StringBuilder(16)
-    while (t < bounds.length) {
-      val start = bounds(t)
-      val end = bounds(t + 1)
-      // char-level start: one token per code point of the lowercased word.
-      val word = new String(b, start, end - start, java.nio.charset.StandardCharsets.UTF_8)
-        .toLowerCase(java.util.Locale.ROOT) // locale-independent: default-locale lowercasing breaks determinism on e.g. Turkish JVMs
-      val parts = new java.util.ArrayList[String](word.length)
-      var i = 0
-      while (i < word.length) {
-        val cp = word.codePointAt(i)
-        parts.add(word.substring(i, i + Character.charCount(cp)))
-        i += Character.charCount(cp)
-      }
-      var done = parts.size <= 1
-      while (!done) {
-        var bestRank = Int.MaxValue
-        var bestIdx = -1
-        var j = 0
-        while (j < parts.size - 1) {
-          sb.setLength(0)
-          sb.append(parts.get(j)).append(' ').append(parts.get(j + 1))
-          val r = ranks.get(sb.toString)
-          if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
-          j += 1
+    var i = 0
+    while (i < n) {
+      val c0 = str.codePointAt(i)
+      if (Character.isWhitespace(c0)) i += Character.charCount(c0)
+      else {
+        val start = i
+        val contrLen =
+          if (c0 == '\'' && i + 1 < n) {
+            val c1 = str.charAt(i + 1)
+            if (c1 == 's' || c1 == 't' || c1 == 'm' || c1 == 'd') 2
+            else if (i + 2 < n && ((c1 == 'r' && str.charAt(i + 2) == 'e') ||
+                       (c1 == 'v' && str.charAt(i + 2) == 'e') ||
+                       (c1 == 'l' && str.charAt(i + 2) == 'l'))) 3
+            else 0
+          } else 0
+        if (contrLen > 0) i += contrLen
+        else if (Character.isLetter(c0)) {
+          while (i < n && Character.isLetter(str.codePointAt(i)))
+            i += Character.charCount(str.codePointAt(i))
+        } else if (isNum(c0)) {
+          while (i < n && isNum(str.codePointAt(i)))
+            i += Character.charCount(str.codePointAt(i))
+        } else {
+          var run = true
+          while (i < n && run) {
+            val cp = str.codePointAt(i)
+            if (Character.isWhitespace(cp) || Character.isLetter(cp) || isNum(cp)) run = false
+            else i += Character.charCount(cp)
+          }
         }
-        if (bestIdx < 0) done = true
-        else {
-          parts.set(bestIdx, parts.get(bestIdx) + parts.get(bestIdx + 1))
-          parts.remove(bestIdx + 1)
-          if (parts.size <= 1) done = true
-        }
+        total += mergedSegmentCount(str, start, i, ranks, sb)
       }
-      total += parts.size
-      t += 2
     }
     total
   }

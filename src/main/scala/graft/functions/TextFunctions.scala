@@ -58,12 +58,27 @@ object TextFunctions {
   )
 
   /** BPE token count under a merge table (native [[BpeTokenCount]]
-    * expression) — the tokenizer-aware form of [[tokenCount]]; with
-    * [[tokenCount]] it yields fertility (BPE tokens per word), the
-    * out-of-domain/noise signal real curation pipelines gate on.
+    * expression, GPT-2 pre-tokenization before merging) — the
+    * tokenizer-aware form of [[tokenCount]]; with [[tokenCount]] it yields
+    * fertility (BPE tokens per word), the out-of-domain/noise signal real
+    * curation pipelines gate on. The pre-tokenizer is fixed; fertility
+    * numbers change only via the merge table (property-pinned in
+    * SketchKernelPropertySpec).
     */
   def bpeTokenCount(text: Column, merges: Seq[String] = demoBpeMerges): Column =
     toCol(BpeTokenCount(toExpr(text), merges))
+
+  /** Load a GPT-2-format merges file: one "left right" pair per line, rank
+    * = line order; blank and '#'-prefixed header/comment lines skipped —
+    * the standard public artifact (merges.txt) a production tokenizer
+    * ships, consumed driver-side (bounded: [[BpeTokenCount]] enforces
+    * vocab-scale) and shipped to executors as a plan constant.
+    */
+  def loadBpeMerges(path: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally src.close()
+  }
 
   /** Per-set marker counts of the lowercased tokens — ONE compiled
     * tokenization pass for all sets (native [[MarkerCounts]] expression).

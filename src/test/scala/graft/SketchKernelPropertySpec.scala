@@ -289,31 +289,55 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     assert(math.abs(SketchImpl.charEntropy(UTF8String.fromString("abcd")) - math.log(4)) < 1e-12)
   }
 
-  test("bpeTokenCount matches a straight-line reference merge loop") {
+  test("bpeTokenCount matches a regex-pre-tokenized reference merge loop") {
     import graft.functions.TextFunctions.demoBpeMerges
     val ranks = new java.util.HashMap[String, Integer]()
     demoBpeMerges.zipWithIndex.foreach { case (p, i) => ranks.put(p, i) }
-    def ref(s: String): Int = {
-      def word(w: String): Int = {
-        var parts = w.toLowerCase(java.util.Locale.ROOT).map(_.toString).toVector
-        var go = parts.length > 1
-        while (go) {
-          val cand = parts.indices.dropRight(1)
-            .flatMap(j => Option(ranks.get(parts(j) + " " + parts(j + 1))).map(r => (r.toInt, j)))
-          if (cand.isEmpty) go = false
-          else {
-            val (_, j) = cand.minBy(_._1)
-            parts = parts.patch(j, Seq(parts(j) + parts(j + 1)), 2)
-            if (parts.length <= 1) go = false
-          }
+    // The reference pre-tokenizes with the GPT-2 pattern via java.util.regex
+    // — a genuinely different implementation from the kernel's hand-rolled
+    // scanner (alternation order and class semantics come from the regex
+    // engine), then runs an immutable-Vector merge loop.
+    val pre = java.util.regex.Pattern.compile(
+      "'(?:s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+")
+    def mergeWord(w: String): Int = {
+      var parts = w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+      var go = parts.length > 1
+      while (go) {
+        val cand = parts.indices.dropRight(1)
+          .flatMap(j => Option(ranks.get(parts(j) + " " + parts(j + 1))).map(r => (r.toInt, j)))
+        if (cand.isEmpty) go = false
+        else {
+          val (_, j) = cand.minBy(_._1)
+          parts = parts.patch(j, Seq(parts(j) + parts(j + 1)), 2)
+          if (parts.length <= 1) go = false
         }
-        parts.length
       }
-      s.trim.split("\\s+").filter(_.nonEmpty).map(word).sum
+      parts.length
+    }
+    def ref(s: String): Int = {
+      val m = pre.matcher(s.toLowerCase(java.util.Locale.ROOT))
+      var total = 0
+      while (m.find()) total += mergeWord(m.group())
+      total
     }
     for (s <- samples(textGen, 300)) {
       val got = SketchImpl.bpeTokenCount(UTF8String.fromString(s), ranks)
       assert(got == ref(s), s"text=${s.replace("\n", "\\n")} got=$got ref=${ref(s)}")
+    }
+    // Mixed-script / punctuation shapes: contractions split per the GPT-2
+    // alternation ("don't" → don|'t), an apostrophe inside a punctuation
+    // run stays in the run ("!!!'ll" → !!!'|ll), accents and CJK are
+    // letters, numbers split from letters ("data123" → data|123), and
+    // \p{N} is wider than ASCII digits ("Ⅻ²" is one number run).
+    for (s <- Seq(
+        "don't stop, we'll go — they've 'd it.",
+        "héllo, wörld!! füße … 数据 処理 123,456.78",
+        "data123 ¼½ Ⅻ² a,b,,c ''ll '' x'y",
+        "!!!'ll (quo'te) [a]{b}<c> 's alone",
+        " nbsp\tand\nnewlines  double  spaces "
+      )) {
+      val got = SketchImpl.bpeTokenCount(UTF8String.fromString(s), ranks)
+      assert(got == ref(s), s"mixed text=$s got=$got ref=${ref(s)}")
     }
     // Known merges: "the" fully merges (t h → th, th e → the) and so does
     // "table" (l e, t a, ta b, tab le). "data" stops at 3: "a t" (rank 9)
@@ -323,6 +347,47 @@ class SketchKernelPropertySpec extends AnyFunSuite {
     assert(SketchImpl.bpeTokenCount(UTF8String.fromString("data"), ranks) == 3)
     // A word with no applicable merges stays at its character count.
     assert(SketchImpl.bpeTokenCount(UTF8String.fromString("xyz"), ranks) == 3)
+    // Pre-tokenization boundaries hold REGARDLESS of the merge table: a
+    // hostile table trying to merge across "the," cannot — the comma is
+    // its own segment, so the count stays 1 (the) + 1 (,).
+    val hostile = new java.util.HashMap[String, Integer]()
+    Seq("t h", "th e", "the ,", "e ,").zipWithIndex.foreach { case (p, i) => hostile.put(p, i) }
+    assert(SketchImpl.bpeTokenCount(UTF8String.fromString("the,"), hostile) == 2,
+      "merges must never cross a pre-tokenization boundary")
+  }
+
+  test("bpe fertility moves only through the merge table; merges.txt loader round-trips") {
+    import graft.functions.TextFunctions.{demoBpeMerges, loadBpeMerges}
+    val texts = Seq("the quick table scans data fast", "she'll keyed rows, slow!")
+    def count(s: String, merges: Seq[String]): Int = {
+      val r = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case (p, i) => r.put(p, i) }
+      SketchImpl.bpeTokenCount(UTF8String.fromString(s), r)
+    }
+    // Same text + same table → same count (the pre-tokenizer is fixed);
+    // a SUPERSET table can only merge more, never less.
+    // Chain-consistent with the demo table's greedy order: "q u" (demo)
+    // fires first, so the extensions continue from "qu".
+    val extended = demoBpeMerges ++ Seq("qu i", "c k", "qui ck", "s h", "sh e")
+    for (t <- texts) {
+      assert(count(t, demoBpeMerges) == count(t, demoBpeMerges))
+      assert(count(t, extended) <= count(t, demoBpeMerges),
+        s"a superset merge table may only lower the token count: $t")
+    }
+    assert(count(texts.head, extended) < count(texts.head, demoBpeMerges),
+      "the added merges must actually fire on 'quick'")
+    // merges.txt round trip: the standard file format feeds the same
+    // parameter and reproduces the in-memory table's counts exactly.
+    val f = java.io.File.createTempFile("merges", ".txt")
+    try {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      w.println("#version: 0.2")
+      demoBpeMerges.foreach(w.println)
+      w.close()
+      val loaded = loadBpeMerges(f.getPath)
+      assert(loaded == demoBpeMerges, "loader must preserve rank order and skip the header")
+      for (t <- texts) assert(count(t, loaded) == count(t, demoBpeMerges))
+    } finally f.delete()
   }
 
   test("float and double element paths agree") {
