@@ -31,6 +31,30 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Streaming state-store seam (SURVEY.md §5). The default HDFS-backed
+    * provider keeps every live state row ON-HEAP per executor and uploads
+    * full snapshots to the checkpoint — fine for bounded tests, a memory
+    * and upload ceiling for q_stream_join's four state stores per shuffle
+    * partition at 100 TB. RocksDB keeps state on local disk (executor heap
+    * no longer bounds live keys) and, with changelog checkpointing, uploads
+    * only each batch's delta, snapshotting in the background.
+    *
+    * Session-conf scoped: a streaming query binds its provider at START
+    * and the provider is part of the checkpoint's identity, so flip the
+    * seam BEFORE starting a query and never under an existing checkpoint.
+    */
+  def useRocksDbStateStore(spark: SparkSession, enable: Boolean = true): Unit =
+    if (enable) {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    } else {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
 }
 
 /** Typed loaders for the driver testdata star schema (TESTDATA.md).
