@@ -651,6 +651,61 @@ object SimilarityQueries {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // Exact-substring overlap (the suffix-array dedup family — Lee et al.
+    // 2022, arXiv:2107.06499 — re-expressed Spark-first): two docs sharing
+    // ≥ 8 distinct 32-char windows contain long verbatim overlap that
+    // paragraph/ngram dedup can miss (a quote, a license block, a lifted
+    // span). Instead of a suffix array (a global O(n log n) sort of every
+    // character position), windows roll per row in O(len) (the Mersenne-61
+    // kernel the char-decontamination stage already uses), and the pair
+    // enumeration is the SAME df-capped inverted-index shape as
+    // q_ngram_jaccard — 8-byte keys, map-side distinct, bounded buckets —
+    // so the operator inherits that scale story rather than a distributed
+    // suffix sort. Fully deterministic and SQL-expressible (DuckDB
+    // enumerates the text windows directly; the 64-bit hash domain differs
+    // only by ~n²/2⁶⁴ collisions), so pair set AND shared-window counts
+    // are driver-hash-checked.
+    Q(
+      "q_dedup_substrings",
+      (s, d) => {
+        val wins = corpusWithDups(s, d)
+          .select(col("doc_id"), explode(charWindowHashes64(col("text"), w = 32)).as("win"))
+        val w = Window.partitionBy(col("win"))
+        val idx = wins
+          .withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= 50)
+          .select("doc_id", "win")
+        idx
+          .as("a")
+          .hint("merge")
+          .join(
+            idx.as("b").hint("merge"),
+            col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id")
+          )
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared_windows"))
+          .filter(col("n_shared_windows") >= 8)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
+             |  FROM documents),
+             |w AS (
+             |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 32) AS win
+             |  FROM corpus, unnest(range(1, length(text) - 30)) AS t(i)
+             |  WHERE length(text) >= 32),
+             |idx AS (
+             |  SELECT doc_id, win FROM w
+             |  QUALIFY COUNT(*) OVER (PARTITION BY win) <= 50)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_windows
+             |FROM idx a JOIN idx b ON a.win = b.win AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 8
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // Fuzzy-dedup clustering: connected components over the verified
     // exact-Jaccard pair graph (ngramJaccardPairs — the SQL-expressible
     // pair generator, so the WHOLE query is driver-hash-checked: pair

@@ -119,6 +119,15 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     assert(r > 0.8, s"ngram-jaccard planted recall $r")
   }
 
+  test("substring-overlap dedup recovers planted truncations (verbatim prefix overlap)") {
+    // A truncated copy shares its whole prefix verbatim — the exact regime
+    // the 32-char-window overlap detector targets. Short docs whose copy
+    // drops under ~39 chars can't reach the 8-window floor; the gate
+    // reflects that honestly.
+    val r = plantedRecall("q_dedup_substrings")
+    assert(r > 0.8, s"substring-overlap planted recall $r")
+  }
+
   test("containment dedup recovers planted truncations at a higher bar than jaccard") {
     // Planted dups are 85%-truncations — the asymmetric regime: the copy's
     // shingles are (nearly) a subset of the source's, so containment ~1.0
