@@ -1180,6 +1180,60 @@ object SimilarityQueries {
              |  64 + (n_chars * 7) % 1016 AS fake_height,
              |  1 + n_chars % 24 AS n_frames
              |FROM documents""".stripMargin)
+    ),
+
+    // Image near-dup by perceptual hash (LAION-style image dedup): every
+    // document keys a deterministic BMP rendered AND decoded through the
+    // real ImageIO codec path, plus a planted ±3-luma ripple variant at
+    // doc_id+1e6 (the re-encode/minor-edit regime dHash absorbs); each
+    // image maps to its 64-bit dHash (MultimodalOps.dhash64 — one narrow
+    // mapPartitions, no shuffle), then pairing is EXACTLY the simhash
+    // machinery: 8 byte-bands (pigeonhole-complete for hamming ≤ 7),
+    // merge-hinted self-join with the hamming cut inside the band join.
+    // At 100 TB the render step is a media-store scan; everything after
+    // the 8-byte sketch is corpus-size-bounded banding. No SQL oracle
+    // (codec + pixels); DedupRecallSpec brute-forces the hamming ball on
+    // the same sketch table and asserts exact set equality, plus planted
+    // recall through the full render→decode→hash→band path.
+    Q(
+      "q_dedup_images",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.MultimodalOps
+        val sigs = documents(s, d)
+          .select(col("doc_id"))
+          .as[Long]
+          .mapPartitions(_.flatMap { id =>
+            Iterator(
+              (id, MultimodalOps.imageDhash(MultimodalOps.renderTestImage(id))),
+              (id + 1000000L, MultimodalOps.imageDhash(MultimodalOps.renderTestImage(id, perturb = true)))
+            )
+          })
+          .toDF("doc_id", "sig")
+        val exploded = sigs.select(
+          col("doc_id"),
+          col("sig"),
+          posexplode(simhashByteBands(col("sig"))).as(Seq("band_idx", "band_hash"))
+        )
+        exploded
+          .as("a")
+          .hint("merge")
+          .join(
+            exploded.as("b").hint("merge"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              hammingPacked(col("a.sig"), col("b.sig")) <= 7
+          )
+          .select(
+            col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"),
+            hammingPacked(col("a.sig"), col("b.sig")).as("hamming")
+          )
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None
     )
   )
 }

@@ -211,6 +211,64 @@ object MultimodalOps {
   def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     withImageReader(media)(r => Some(toLuma(r.read(0))))
 
+  /** 64-bit difference hash (dHash) of a grayscale buffer — the standard
+    * perceptual near-dup sketch for image corpora (LAION-scale dedup):
+    * resize to 9×8 (nearest-neighbor, deterministic), bit (y·8+x) = 1 iff
+    * the right neighbor is brighter. Robust to re-encoding, scaling, and
+    * small edits; hamming distance between sketches counts perceptual
+    * difference, so the whole simhash banding machinery (8 byte-bands,
+    * pigeonhole-complete for hamming ≤ 7) applies unchanged.
+    */
+  def dhash64(px: Array[Byte], w: Int, h: Int): Long = {
+    val g = resize(px, w, h, 9, 8)
+    var sig = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((g(y * 9 + x + 1) & 0xff) > (g(y * 9 + x) & 0xff)) sig |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  /** dHash of an encoded image payload through the REAL codec path
+    * (ImageIO decode → BT.601 luma → [[dhash64]]). Throws on undecodable
+    * bytes — perceptual hashing garbage would silently poison a dedup.
+    */
+  def imageDhash(media: Array[Byte]): Long = {
+    val (w, h, px) = decodeImage(media).getOrElse(
+      throw new IllegalArgumentException("imageDhash: payload is not a decodable image"))
+    dhash64(px, w, h)
+  }
+
+  /** Deterministic BMP test image for the image-dedup pipeline: a smooth
+    * three-wave luma field keyed by `seed` (distinct seeds give distinct
+    * wave parameters → far-apart dHashes), rendered through the real
+    * ImageIO BMP WRITER so the payload is genuine codec bytes — the dedup
+    * pipeline then exercises the actual decode path, not a synthetic
+    * buffer. `perturb` adds a small deterministic ripple (±3 luma), the
+    * re-encode/minor-edit regime a perceptual hash must absorb.
+    */
+  def renderTestImage(seed: Long, size: Int = 16, perturb: Boolean = false): Array[Byte] = {
+    val fx = 0.5 + (seed % 5) * 0.3
+    val fy = 0.5 + ((seed / 5) % 5) * 0.3
+    val p1 = (seed % 17).toDouble / 17.0 * 2 * math.Pi
+    val p2 = (seed % 101).toDouble / 101.0 * 2 * math.Pi
+    val img = new java.awt.image.BufferedImage(size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until size; x <- 0 until size) {
+      var v = 128.0 + 70.0 * math.sin(fx * x + fy * y + p1) + 40.0 * math.sin(0.9 * x - 0.7 * y + p2)
+      if (perturb) v += 3.0 * math.sin(1.3 * x + 1.7 * y + (seed % 7).toDouble)
+      val l = math.max(0, math.min(255, v.round.toInt))
+      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
   /** STUB CODEC — deterministic fake decode standing in for the codecs the
     * JDK lacks (audio/video; exotic image formats). Geometry is a pure
     * function of the payload; "pixels" are the payload bytes tiled to

@@ -157,6 +157,40 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     assert(planted.toDouble / total > 0.8, s"embedding planted recall ${planted.toDouble / total}")
   }
 
+  test("image dhash dedup: planted ripple variants pair with their originals; banding equals brute force") {
+    import graft.operators.MultimodalOps
+    val out = QueryRegistry.queries("q_dedup_images")(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    // Recall through the FULL path (render → ImageIO decode → luma →
+    // dhash → band → verify): the ±3-luma ripple flips only comparisons
+    // whose adjacent delta is tiny, so nearly every variant stays within
+    // hamming 7 of its original.
+    val planted = out.filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(planted.toDouble / total > 0.9, s"image planted recall ${planted.toDouble / total}")
+    // Byte-banding is pigeonhole-complete for hamming <= 7, so the banded
+    // pair set must EQUAL the brute-force hamming ball over the same
+    // deterministic sketch table — both directions, no tolerance.
+    val ids = Tables.documents(spark, sfDir).select("doc_id").as[Long].collect()
+    val sigs = ids.flatMap { id =>
+      Seq(
+        id -> MultimodalOps.imageDhash(MultimodalOps.renderTestImage(id)),
+        (id + 1000000L) -> MultimodalOps.imageDhash(MultimodalOps.renderTestImage(id, perturb = true))
+      )
+    }
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 7
+    } yield {
+      val (ida, idb) = (sigs(i)._1, sigs(j)._1)
+      if (ida < idb) (ida, idb) else (idb, ida)
+    }).toSet
+    val got = out.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"banded != brute force: missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+    out.unpersist()
+  }
+
   test("semdedup drops most planted copies with the exact keeper and never a base vector") {
     val out = QueryRegistry.queries("q_semdedup")(spark, sfDir).cache()
     val total = Tables.embeddings(spark, sfDir).count()
