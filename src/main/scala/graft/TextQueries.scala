@@ -870,6 +870,29 @@ object TextQueries {
       None
     ),
 
+    // The tokenized form itself (not just its count): each document's BPE
+    // symbol sequence under the merge table, space-joined — symbols never
+    // contain whitespace (the pre-tokenizer strips it), so the join is
+    // unambiguous and engine-portable. With a real merges.txt
+    // (TextFunctions.loadBpeMerges) this is the true token stream a
+    // training pipeline materializes before id lookup. Map-only, zero
+    // shuffles, same bounded plan-constant merge table as q_bpe_tokens.
+    // Not SQL-expressible; gated by the kernel property spec (segments
+    // rejoin to the pre-tokenized text; symbol count equals the count
+    // kernel's on every input) and the registry consistency spec.
+    Q(
+      "q_bpe_segments",
+      (s, d) => {
+        val bpe = TextFunctions.bpeTokenCount(col("text"))
+        documents(s, d).select(
+          col("doc_id"),
+          TextFunctions.bpeSegments(col("text")).as("segments"),
+          bpe.as("n_bpe_tokens")
+        )
+      },
+      None
+    ),
+
     // Heavy-hitter word counts via Count-Min sketch — the missing member of
     // the sketch family (HLL++ distinct profile, Bloom membership, minhash/
     // simhash similarity; CMS = frequency): estimate per-word occurrence

@@ -207,6 +207,34 @@ case class BpeTokenCount(child: Expression, merges: Seq[String]) extends UnaryEx
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount = copy(child = newChild)
 }
 
+/** `bpe_segments(text)` → the tokenized form itself: the merged BPE symbol
+  * sequence, space-joined (symbols never contain whitespace, so the join is
+  * unambiguous and engine-portable). Same pre-tokenizer + merge loop and
+  * the same bounded merge-table parameter as [[BpeTokenCount]].
+  */
+case class BpeSegments(child: Expression, merges: Seq[String]) extends UnaryExpression {
+  require(merges.length <= 200000,
+    s"merge table must stay vocab-scale (<= 200k pairs, got ${merges.length}) — " +
+      "a plan constant is broadcast to every task")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bpe_segments requires STRING, got ${child.dataType.sql}")
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case (p, i) => m.put(p, Integer.valueOf(i)) }
+    m
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.bpeSegments(input.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.bpeSegments($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeSegments = copy(child = newChild)
+}
+
 /** `char_entropy(text)` → Shannon entropy (nats) of the code-point
   * distribution, one compiled pass per row — the binary-junk detector.
   */

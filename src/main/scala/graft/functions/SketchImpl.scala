@@ -506,6 +506,19 @@ object SketchImpl {
       sb: java.lang.StringBuilder
   ): Int = {
     if (end - start <= 1) return end - start
+    mergeSegmentParts(str, start, end, ranks, sb).size
+  }
+
+  /** The greedy merge loop itself, returning the merged symbol list of one
+    * pre-tokenized segment (shared by the count and segments kernels).
+    */
+  private def mergeSegmentParts(
+      str: String,
+      start: Int,
+      end: Int,
+      ranks: java.util.HashMap[String, Integer],
+      sb: java.lang.StringBuilder
+  ): java.util.ArrayList[String] = {
     val parts = new java.util.ArrayList[String](end - start)
     var i = start
     while (i < end) {
@@ -532,7 +545,7 @@ object SketchImpl {
         if (parts.size <= 1) done = true
       }
     }
-    parts.size
+    parts
   }
 
   /** BPE token count of `s` under a merge-rank table, segmented by the
@@ -554,9 +567,42 @@ object SketchImpl {
     */
   def bpeTokenCount(s: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
     val str = s.toString.toLowerCase(java.util.Locale.ROOT)
-    val n = str.length
     var total = 0
     val sb = new java.lang.StringBuilder(16)
+    preTokenize(str, (start, end) => total += mergedSegmentCount(str, start, end, ranks, sb))
+    total
+  }
+
+  /** BPE SEGMENTS of `s` — the actual tokenized form, not just its count:
+    * the same pre-tokenize + greedy-merge pipeline as [[bpeTokenCount]],
+    * emitting the merged symbols space-joined (symbols never contain
+    * whitespace — the pre-tokenizer strips it — so the join is unambiguous
+    * and engine-portable). With a real merges.txt this is the true token
+    * stream a training pipeline materializes before id lookup.
+    */
+  def bpeSegments(s: UTF8String, ranks: java.util.HashMap[String, Integer]): UTF8String = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(16)
+    val out = new java.lang.StringBuilder(str.length + (str.length >> 2))
+    preTokenize(str, { (start, end) =>
+      val parts = mergeSegmentParts(str, start, end, ranks, sb)
+      var p = 0
+      while (p < parts.size) {
+        if (out.length > 0) out.append(' ')
+        out.append(parts.get(p))
+        p += 1
+      }
+    })
+    UTF8String.fromString(out.toString)
+  }
+
+  /** The GPT-2-style pre-tokenizer scan shared by the BPE kernels: invokes
+    * `f(start, end)` for each segment of the (already lowercased) string —
+    * contraction suffixes, letter runs, number runs, punctuation runs;
+    * whitespace separates (see [[bpeTokenCount]] for the contract).
+    */
+  private def preTokenize(str: String, f: (Int, Int) => Unit): Unit = {
+    val n = str.length
     var i = 0
     while (i < n) {
       val c0 = str.codePointAt(i)
@@ -587,10 +633,9 @@ object SketchImpl {
             else i += Character.charCount(cp)
           }
         }
-        total += mergedSegmentCount(str, start, i, ranks, sb)
+        f(start, i)
       }
     }
-    total
   }
 
   def normalizeText(s: UTF8String): UTF8String = {

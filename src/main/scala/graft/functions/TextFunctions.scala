@@ -68,6 +68,14 @@ object TextFunctions {
   def bpeTokenCount(text: Column, merges: Seq[String] = demoBpeMerges): Column =
     toCol(BpeTokenCount(toExpr(text), merges))
 
+  /** The merged BPE symbol sequence itself, space-joined (native
+    * [[BpeSegments]] expression) — the true token stream a training
+    * pipeline materializes before id lookup; token count of this string
+    * equals [[bpeTokenCount]] by construction (spec-pinned).
+    */
+  def bpeSegments(text: Column, merges: Seq[String] = demoBpeMerges): Column =
+    toCol(BpeSegments(toExpr(text), merges))
+
   /** Load a GPT-2-format merges file: one "left right" pair per line, rank
     * = line order; blank and '#'-prefixed header/comment lines skipped —
     * the standard public artifact (merges.txt) a production tokenizer

@@ -285,4 +285,22 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
       .select(col("doc_id"), (fsize(fsplit(ftrim(col("text")), "\\s+")) - 1).cast("long").as("expect"))
     assert(out.join(words, "doc_id").filter(col("n_bigrams") =!= col("expect")).count() == 0)
   }
+
+  test("q_bpe_segments is the token stream behind q_bpe_tokens' counts, doc for doc") {
+    import org.apache.spark.sql.functions.col
+    val seg = QueryRegistry.queries("q_bpe_segments")(spark, sfDir)
+    val cnt = QueryRegistry
+      .queries("q_bpe_tokens")(spark, sfDir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("expect"))
+    val joined = seg.join(cnt, "doc_id")
+    assert(joined.count() == Tables.documents(spark, sfDir).count())
+    // The emitted count column, the count query, and the space-split
+    // symbol count of the segment string must all agree on every doc.
+    import org.apache.spark.sql.functions.{size => fsize, split => fsplit}
+    assert(joined.filter(col("n_bpe_tokens") =!= col("expect")).count() == 0)
+    assert(joined
+      .filter(fsize(fsplit(col("segments"), " ")) =!= col("n_bpe_tokens"))
+      .filter(col("segments") =!= "") // empty text → zero symbols; split("") yields one empty slot
+      .count() == 0)
+  }
 }

@@ -320,9 +320,24 @@ class SketchKernelPropertySpec extends AnyFunSuite {
       while (m.find()) total += mergeWord(m.group())
       total
     }
+    // The segments kernel shares the scan+merge pipeline: its symbol count
+    // must equal the count kernel, and stripping the joining spaces must
+    // rebuild exactly the pre-tokenized (whitespace-free) text.
+    def segmentsAgree(s: String): Unit = {
+      val seg = SketchImpl.bpeSegments(UTF8String.fromString(s), ranks).toString
+      val nSym = seg.split(" ").count(_.nonEmpty)
+      assert(nSym == SketchImpl.bpeTokenCount(UTF8String.fromString(s), ranks),
+        s"segments count mismatch for: $s → $seg")
+      val m = pre.matcher(s.toLowerCase(java.util.Locale.ROOT))
+      val rebuilt = new StringBuilder
+      while (m.find()) rebuilt.append(m.group())
+      assert(seg.replace(" ", "") == rebuilt.toString,
+        s"segments must rebuild the pre-tokenized text: $s → $seg")
+    }
     for (s <- samples(textGen, 300)) {
       val got = SketchImpl.bpeTokenCount(UTF8String.fromString(s), ranks)
       assert(got == ref(s), s"text=${s.replace("\n", "\\n")} got=$got ref=${ref(s)}")
+      segmentsAgree(s)
     }
     // Mixed-script / punctuation shapes: contractions split per the GPT-2
     // alternation ("don't" → don|'t), an apostrophe inside a punctuation
@@ -338,7 +353,11 @@ class SketchKernelPropertySpec extends AnyFunSuite {
       )) {
       val got = SketchImpl.bpeTokenCount(UTF8String.fromString(s), ranks)
       assert(got == ref(s), s"mixed text=$s got=$got ref=${ref(s)}")
+      segmentsAgree(s)
     }
+    // Known segment streams, merge-table effects visible in the symbols.
+    assert(SketchImpl.bpeSegments(UTF8String.fromString("The Table"), ranks).toString == "the table")
+    assert(SketchImpl.bpeSegments(UTF8String.fromString("data"), ranks).toString == "d at a")
     // Known merges: "the" fully merges (t h → th, th e → the) and so does
     // "table" (l e, t a, ta b, tab le). "data" stops at 3: "a t" (rank 9)
     // fires before "d a" (rank 34), yielding [d, at, a] with no further
