@@ -261,6 +261,105 @@ object SimilarityQueries {
     (coarse, fine)
   }
 
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix (the
+    * driver-side step of PCA — dim ≤ a few hundred, cost dim³ per sweep,
+    * microseconds at embedding dims). Returns (eigenvalues, eigenvectors
+    * as rows), sorted by descending eigenvalue. Textbook rotations; sweeps
+    * until the off-diagonal mass is numerically gone.
+    */
+  private def jacobiEigen(a0: Array[Array[Double]], maxSweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val nd = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(nd, nd)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > 1e-18) {
+      off = 0.0
+      for (p <- 0 until nd - 1; q <- p + 1 until nd) {
+        val apq = a(p)(q)
+        off += apq * apq
+        if (math.abs(apq) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+          val c = 1 / math.sqrt(t * t + 1)
+          val s = t * c
+          var k = 0
+          while (k < nd) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+            k += 1
+          }
+          k = 0
+          while (k < nd) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+            k += 1
+          }
+          k = 0
+          while (k < nd) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+            k += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until nd).sortBy(i => -a(i)(i)).toArray
+    val eig = order.map(i => a(i)(i))
+    val vecs = order.map(i => Array.tabulate(nd)(k => v(k)(i)))
+    (eig, vecs)
+  }
+
+  /** PCA basis over the full embedding corpus: ONE distributed
+    * treeAggregate to a fixed-size (count, sum, sum-of-outer-products)
+    * accumulator — O(dim²) doubles of state (32 KB at dim 64) regardless
+    * of corpus size, map-side combined, exactly the CMS/treeAggregate
+    * shape q_heavy_hitters uses — then covariance + Jacobi eigen on the
+    * driver. Returns (mean, top-k basis rows, ALL eigenvalues desc).
+    */
+  private[graft] def trainPcaBasis(
+      e: DataFrame,
+      nComponents: Int
+  ): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val dim = e.select("embedding").head().getSeq[Float](0).length
+    val zero = (0L, new Array[Double](dim), new Array[Double](dim * dim))
+    val (n, sum, prods) = e
+      .select("embedding")
+      .rdd
+      .treeAggregate(zero)(
+        seqOp = { case ((cnt, s, pp), row) =>
+          val x = row.getSeq[Float](0)
+          var i = 0
+          while (i < dim) {
+            val xi = x(i).toDouble
+            s(i) += xi
+            var j = i
+            while (j < dim) { pp(i * dim + j) += xi * x(j).toDouble; j += 1 }
+            i += 1
+          }
+          (cnt + 1, s, pp)
+        },
+        combOp = { case ((c1, s1, p1), (c2, s2, p2)) =>
+          var i = 0
+          while (i < dim) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < dim * dim) { p1(i) += p2(i); i += 1 }
+          (c1 + c2, s1, p1)
+        }
+      )
+    val mean = sum.map(_ / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val pij = if (i <= j) prods(i * dim + j) else prods(j * dim + i)
+      pij / n - mean(i) * mean(j)
+    }
+    val (eig, vecs) = jacobiEigen(cov)
+    (mean, vecs.take(nComponents), eig)
+  }
+
   /** The SemDeDup pipeline body, parameterized on the corpus and cell count
     * so the scale spec can force k past the old flat-assignment ceiling
     * (k = 1024) on a corpus it controls. Input: (vec_id, embedding).
@@ -1180,6 +1279,35 @@ object SimilarityQueries {
              |  64 + (n_chars * 7) % 1016 AS fake_height,
              |  1 + n_chars % 24 AS n_frames
              |FROM documents""".stripMargin)
+    ),
+
+    // PCA over the embedding corpus — the standard preprocessing a
+    // billion-vector pipeline applies before quantization/clustering
+    // (SemDeDup, arXiv:2303.09540 §3, runs exactly this rotation first):
+    // distributed covariance in ONE treeAggregate to O(dim²) fixed state
+    // (the CMS shape — never O(data) on the driver), Jacobi eigen on the
+    // 64×64 result driver-side, then a single compiled map pass projects
+    // every vector onto the top-8 basis (pca_project kernel, zero
+    // shuffles — plan-pinned with the other map-only operators).
+    // var_explained (top-8 eigenvalue mass / total variance) rides along
+    // as the budget number a consumer checks before committing to the
+    // reduced dimension. Not SQL-expressible (eigendecomposition); gated
+    // by orthonormality / eigenvalue-vs-projected-variance / determinism
+    // specs in DedupRecallSpec.
+    Q(
+      "q_embed_pca",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val (mean, basis, eig) = trainPcaBasis(e, nComponents = 8)
+        val varExplained = eig.take(8).sum / eig.sum
+        val pc = pcaProject(col("embedding"), mean.toSeq, basis.toSeq.map(_.toSeq))
+        e.select(
+          col("vec_id"),
+          array_join(transform(pc, x => round(x, 6).cast("string")), ",").as("pc"),
+          round(lit(varExplained), 6).as("var_explained")
+        ).orderBy("vec_id")
+      },
+      None
     ),
 
     // Image near-dup by perceptual hash (LAION-style image dedup): every

@@ -432,3 +432,39 @@ case class IvfAssign(child: Expression, coarse: Seq[Seq[Double]], fine: Seq[Seq[
   }
   override protected def withNewChildInternal(newChild: Expression): IvfAssign = copy(child = newChild)
 }
+
+/** `pca_project(vec)` → the vector's coordinates in a trained top-k PCA
+  * basis (centering + rotation — SketchImpl.pcaProject). Mean and basis
+  * ship as plan constants like the PQ codebooks; rendering is compacted
+  * (k·dim doubles are plan DATA, not structure — see [[IvfAssign]]).
+  */
+case class PcaProject(child: Expression, mean: Seq[Double], basis: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(basis.nonEmpty && basis.forall(_.length == mean.length),
+    "basis rows must match the mean's dimensionality")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private def okElem(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"pca_project requires ARRAY<FLOAT|DOUBLE>, got ${child.dataType.sql}")
+  private lazy val isFloat = NativeExpressions.arrayElem(child.dataType) == FloatType
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"k=${basis.length}", s"dim=${mean.length}")
+  @transient private lazy val dim = mean.length
+  @transient private lazy val nComp = basis.length
+  @transient private lazy val meanFlat: Array[Double] = mean.toArray
+  @transient private lazy val basisFlat: Array[Double] = basis.flatten.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.pcaProject(input.asInstanceOf[ArrayData], meanFlat, basisFlat, nComp, dim, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pcaMean", meanFlat, "double[]")
+    val b = ctx.addReferenceObj("pcaBasis", basisFlat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchImpl.pcaProject($c, $m, $b, $nComp, $dim, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PcaProject = copy(child = newChild)
+}

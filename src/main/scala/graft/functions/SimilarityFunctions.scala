@@ -110,6 +110,12 @@ object SimilarityFunctions {
   def pqCosine(qv: Column, code: Column, codebooks: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
     toCol(PqCosine(toExpr(qv), toExpr(code), codebooks, m, ksub, dsub))
 
+  /** Coordinates of a vector in a trained top-k PCA basis (centering +
+    * rotation — native [[PcaProject]], one compiled O(k·dim) pass per row).
+    */
+  def pcaProject(v: Column, mean: Seq[Double], basis: Seq[Seq[Double]]): Column =
+    toCol(PcaProject(toExpr(v), mean, basis))
+
   /** Global fine cell id from a two-level coarse-then-fine centroid
     * assignment — O(2√k · dim) per row at any total cell count k (see
     * [[IvfAssign]]). `fine(c)` holds coarse cell c's sub-centroids; the

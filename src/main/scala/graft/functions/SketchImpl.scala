@@ -659,6 +659,36 @@ object SketchImpl {
     UTF8String.fromString(sb.toString)
   }
 
+  /** PCA projection of one vector: out(c) = Σ_j (x_j − mean_j) · basis_{c,j}
+    * — the centering + top-k rotation a billion-vector embedding pipeline
+    * applies before quantization/clustering (SemDeDup §3 preprocesses this
+    * way). `basis` is nComp × dim row-major; one compiled pass per row,
+    * O(nComp · dim) multiplies.
+    */
+  def pcaProject(
+      v: ArrayData,
+      mean: Array[Double],
+      basis: Array[Double],
+      nComp: Int,
+      dim: Int,
+      isFloat: Boolean
+  ): ArrayData = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pca_project: dimension mismatch (${v.numElements()} vs $dim)")
+    val out = new Array[Double](nComp)
+    var c = 0
+    while (c < nComp) {
+      var acc = 0.0
+      var j = 0
+      val off = c * dim
+      while (j < dim) { acc += (elem(v, j, isFloat) - mean(j)) * basis(off + j); j += 1 }
+      out(c) = acc
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Two-level IVF cell assignment: argmax-cosine over `kc` coarse
     * centroids, then argmax-cosine over ONLY the winning cell's
     * sub-centroids — the standard two-level coarse quantizer (faiss

@@ -273,6 +273,44 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     out.unpersist()
   }
 
+  test("pca basis is orthonormal, eigenvalues match projected variance, training is deterministic") {
+    val e = Tables.embeddings(spark, sfDir)
+    val (mean, basis, eig) = SimilarityQueries.trainPcaBasis(e, nComponents = 8)
+    // Orthonormal rotation: pairwise dots are the identity within 1e-8.
+    for (i <- basis.indices; j <- i until basis.length) {
+      val dot = basis(i).zip(basis(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-8, s"basis($i)·basis($j) = $dot")
+    }
+    // Eigenvalues descend and are non-negative (covariance is PSD).
+    assert(eig.zip(eig.tail).forall { case (a, b) => a >= b - 1e-12 }, "eigenvalues must descend")
+    assert(eig.forall(_ >= -1e-9), "covariance eigenvalues must be non-negative")
+    // The chain cross-check: the POPULATION variance of each projected
+    // coordinate over the corpus (computed by Spark through the compiled
+    // kernel) must equal the corresponding eigenvalue — this ties the
+    // distributed covariance pass, the driver eigen solve, and the
+    // pca_project kernel together; any of the three being wrong breaks it.
+    import graft.functions.SimilarityFunctions.pcaProject
+    val pc = pcaProject(col("embedding"), mean.toSeq, basis.toSeq.map(_.toSeq))
+    val stats = e
+      .select(posexplode(pc).as(Seq("c", "x")))
+      .groupBy("c")
+      .agg(avg(col("x") * col("x")).as("ex2"), avg(col("x")).as("ex"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1) - r.getDouble(2) * r.getDouble(2)))
+      .toMap
+    for (c <- basis.indices) {
+      val v = stats(c)
+      assert(math.abs(v - eig(c)) <= 0.02 * math.max(eig(c), 1e-9),
+        s"projected variance of component $c ($v) must match eigenvalue ${eig(c)}")
+    }
+    // Deterministic: fixed partition order + tree combine → bit-equal runs.
+    val (mean2, basis2, eig2) = SimilarityQueries.trainPcaBasis(e, nComponents = 8)
+    assert(mean.toSeq == mean2.toSeq && eig.toSeq == eig2.toSeq &&
+      basis.map(_.toSeq).toSeq == basis2.map(_.toSeq).toSeq,
+      "PCA training must be deterministic run to run")
+  }
+
   test("kmeans clustering is deterministic, covers all k clusters, and Lloyd improves on the init") {
     val a = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
     val b = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()

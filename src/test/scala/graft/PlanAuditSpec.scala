@@ -238,7 +238,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q_embed_quantize and q_kmeans_clusters never hash-shuffle (map-only plus output sort)") {
-    for (name <- Seq("q_embed_quantize", "q_kmeans_clusters")) {
+    for (name <- Seq("q_embed_quantize", "q_kmeans_clusters", "q_embed_pca")) {
       val p = plan(name)
       assert(!p.contains("hashpartitioning"),
         s"$name is a pure per-row map; only the output orderBy may range-partition:\n$p")
