@@ -135,6 +135,23 @@ object SimilarityQueries {
     * combining to ≤ k × dim rows per partition before the exchange. Cells
     * that lose all members keep their previous centroid.
     */
+  /** The 64-ish per-position quantized-long sum columns of a Lloyd update:
+    * sum_i of (embedding[pos] / norm) on a 1e-12 integer grid — exact and
+    * order-independent (see the accumulation note in [[trainIvfCentroids]]),
+    * and element_at keeps the whole aggregate inside codegen.
+    */
+  private def posSumCols(dim: Int): Seq[Column] =
+    (0 until dim).map { i =>
+      sum(((element_at(col("embedding"), i + 1).cast("double") / col("nrm")) * 1e12).cast("long"))
+        .as(s"q$i")
+    }
+
+  /** Row (cellId, q0..q{dim-1}, cnt) → (cellId, mean vector). */
+  private def centroidFromSums(r: org.apache.spark.sql.Row, dim: Int): (Int, Seq[Double]) = {
+    val cnt = r.getLong(dim + 1)
+    r.getInt(0) -> (0 until dim).map(i => r.getLong(i + 1).toDouble / 1e12 / cnt)
+  }
+
   private[graft] def trainIvfCentroids(
       e0: DataFrame,
       k: Int = 16,
@@ -151,10 +168,15 @@ object SimilarityQueries {
     // full sort), and the bounded result is cached for the Lloyd
     // iterations. Callers that know the corpus size pick stride ≈
     // n / sampleN so the sample spans the corpus instead of its prefix.
+    // The limit collapses to ONE partition; repartition by id so every
+    // Lloyd job runs wide (hash placement — deterministic, and the
+    // quantized-long sums below are order-independent anyway). One shuffle
+    // at cache materialization, not per iteration.
     val e = e0
       .filter(pmod(col("vec_id"), lit(stride)) === 0 || col("vec_id") < k)
       .orderBy("vec_id")
       .limit(sampleN)
+      .repartition(col("vec_id"))
       .cache()
     var cents: Array[Seq[Double]] = e
       .orderBy("vec_id")
@@ -162,28 +184,35 @@ object SimilarityQueries {
       .select("embedding")
       .collect()
       .map(vecToDouble(_, 0))
-    for (_ <- 1 to iters) {
+    val dim = if (cents.nonEmpty) cents.head.length else 0
+    for (_ <- 1 to iters if dim > 0) {
       val cs = cents
       val cosArr = array(cs.map(c => cosine(col("embedding"), typedLit(c))).toIndexedSeq: _*)
       val cell = bind(cosArr)(a => (array_position(a, array_max(a)) - 1).cast("int"))
       val norm = sqrt(aggregate(col("embedding"), lit(0.0d), (acc, x) =>
         acc + x.cast("double") * x.cast("double")))
-      // DECIMAL accumulation: double addition is not associative, so an
-      // avg(double) over a shuffled groupBy can drift at the ULP level with
-      // reduce-side combine order — enough to flip a near-tie argmax on the
-      // next assignment and make training non-deterministic run to run.
-      // Casting each addend to decimal first makes the sum exact and
-      // order-independent (the cast truncation is per-value, deterministic),
-      // so centroids are bit-identical across runs on any executor count.
+      // QUANTIZED-INTEGER accumulation: double addition is not associative,
+      // so an avg(double) over a shuffled groupBy can drift at the ULP
+      // level with reduce-side combine order — enough to flip a near-tie
+      // argmax on the next assignment and make training non-deterministic
+      // run to run. Quantizing each addend to a 1e-12 grid and summing
+      // LONGS is exact and order-independent (per-value truncation is
+      // deterministic), so centroids are bit-identical across runs on any
+      // executor count. The per-iteration job aggregates 64 per-position
+      // sums WITHOUT exploding (element_at stays codegen; a posexplode of
+      // sampleN × dim rows through this stage's interpreted HOF columns
+      // was measured at 1.5 s/iteration on one core — this form is
+      // milliseconds). Overflow bound: |x/nrm| ≤ 1 ⇒ |addend| ≤ 1e12; a
+      // cell would need > 9·10⁶ sample members to overflow — sampleN is
+      // capped orders of magnitude below that.
+      val aggs = posSumCols(dim) :+ count(lit(1)).as("cnt")
       val updated = e
-        .select(cell.as("cell"), norm.as("nrm"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(avg((col("x").cast("double") / col("nrm")).cast("decimal(30,22)")).as("mean_x"))
+        .select(cell.as("cell"), norm.as("nrm"), col("embedding"))
+        .groupBy("cell")
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDecimal(2).doubleValue).toSeq
-        }
+        .map(centroidFromSums(_, dim))
+        .toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }
     e.unpersist()
@@ -205,8 +234,8 @@ object SimilarityQueries {
     * cell (row_number by vec_id — deterministic); a coarse cell with no
     * sample members keeps its coarse centroid as its single sub, so every
     * cell has ≥ 1 sub-centroid (the [[graft.functions.IvfAssign]]
-    * invariant). Updates accumulate through DECIMAL like the flat trainer
-    * — bit-deterministic across runs and executor counts.
+    * invariant). Updates accumulate through quantized-long sums like the
+    * flat trainer — bit-deterministic across runs and executor counts.
     */
   private[graft] def trainTwoLevelCentroids(
       e0: DataFrame,
@@ -218,12 +247,17 @@ object SimilarityQueries {
     require(k >= 4, s"two-level training needs k >= 4, got $k")
     val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val fsub = math.max(1, math.ceil(k.toDouble / kc).toInt)
-    val sampleN = math.max(4096, 4 * k)
+    // dim resolves from the trained coarse centroids below.
+    // ≥ 4 sample vectors per fine cell, floored at 1024 — scales with k
+    // (the trainer must outnumber the centroids) without dragging the
+    // whole corpus through the Lloyd jobs at small k.
+    val sampleN = math.max(1024, 4 * k)
     val coarse = trainIvfCentroids(e0, k = kc, iters = itersCoarse, sampleN = sampleN, stride = stride)
     val e = e0
       .filter(pmod(col("vec_id"), lit(stride)) === 0 || col("vec_id") < kc)
       .orderBy("vec_id")
       .limit(sampleN)
+      .repartition(col("vec_id")) // the limit collapses to one partition; run the Lloyd jobs wide
       .cache()
     // Coarse assignment of the sample: √k compiled kernels, one pass.
     val cosC = array(coarse.map(c => cosine(col("embedding"), typedLit(c))).toIndexedSeq: _*)
@@ -240,18 +274,22 @@ object SimilarityQueries {
     }
     var fine: Array[Array[Seq[Double]]] =
       (0 until kc).map(c => byCell.getOrElse(c, Array(coarse(c)))).toArray
+    val dim = coarse.head.length
     for (_ <- 1 to itersFine) {
       val starts = fine.scanLeft(0)((a, cell) => a + cell.length)
       val fid = ivfAssign(col("embedding"), coarse.toSeq, fine.toSeq.map(_.toSeq))
       val norm = sqrt(aggregate(col("embedding"), lit(0.0d), (acc, x) =>
         acc + x.cast("double") * x.cast("double")))
+      // Same no-explode quantized-long accumulation as the flat trainer
+      // (exact, order-independent, codegen'd — see trainIvfCentroids).
+      val aggs = posSumCols(dim) :+ count(lit(1)).as("cnt")
       val updated = assigned
-        .select(fid.as("fid"), norm.as("nrm"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("fid", "pos")
-        .agg(avg((col("x").cast("double") / col("nrm")).cast("decimal(30,22)")).as("mean_x"))
+        .select(fid.as("fid"), norm.as("nrm"), col("embedding"))
+        .groupBy("fid")
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (g, rows) => g -> rows.sortBy(_.getInt(1)).map(_.getDecimal(2).doubleValue).toSeq }
+        .map(centroidFromSums(_, dim))
+        .toMap
       fine = fine.zipWithIndex.map { case (cell, c) =>
         cell.zipWithIndex.map { case (old, j) => updated.getOrElse(starts(c) + j, old) }
       }
@@ -1200,7 +1238,7 @@ object SimilarityQueries {
         val corpus = base.unionAll(planted)
         val n = 2L * embeddingsCount(s, d)
         val k = math.max(16, (n / 256).toInt)
-        val sampleN = math.max(4096, 4 * k)
+        val sampleN = math.max(1024, 4 * k)
         val stride = math.max(1, (n / sampleN).toInt)
         semdedupDrops(corpus, k, stride)
       },

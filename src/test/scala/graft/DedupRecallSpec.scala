@@ -138,9 +138,11 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
 
   test("containment dedup still recovers heavily truncated (50%) copies") {
     // A half-document keeps Jaccard ≈ 0.5 but containment ≈ 1.0 — the
-    // regime the 32-band/2-row banding is sized for (the Jaccard-tuned
-    // 16×4 banding generates candidates at J=0.3..0.5 with only ~12-60%
-    // probability; 32×2 pushes that >95%).
+    // asymmetric regime the J ≥ 0.3 verify floor exists for. Candidates
+    // come from the exact df-capped inverted index, so unlike the old
+    // minhash banding there is no probabilistic candidate loss here; the
+    // gate protects the prefilter (≥ 3 common low-df shingles) and the
+    // algebra at heavy truncation.
     val out = SimilarityQueries.containmentPairs(spark, sfDir, keepFrac = 0.5)
     val pairs = out
       .filter(col("doc_b") === col("doc_a") + 1000000L)
@@ -315,9 +317,10 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     val a = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
     val b = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
     // Strict Row equality is sound because training accumulates through
-    // DECIMAL (exact, order-independent sums — see trainIvfCentroids): the
-    // centroids are bit-identical across runs regardless of reduce-side
-    // combine order, so no near-tie argmax can flip between the two runs.
+    // quantized-long sums (exact, order-independent — see
+    // trainIvfCentroids): the centroids are bit-identical across runs
+    // regardless of reduce-side combine order, so no near-tie argmax can
+    // flip between the two runs.
     assert(a.toSeq == b.toSeq, "clustering must be bit-deterministic run to run")
     val byCluster = a.groupBy(_.getInt(1))
     assert(byCluster.size == 10, s"expected all 10 clusters non-empty, got ${byCluster.size}")
