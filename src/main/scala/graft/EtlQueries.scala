@@ -293,6 +293,36 @@ object EtlQueries {
              |FROM orders WHERE o_totalprice > 200000.0""".stripMargin)
     ),
 
+    // 16b2. JSON-lines round-trip export — the corpus interchange format ML
+    //       tooling exchanges (one object per line; the de-facto LLM
+    //       training-data format). Same egress contract as the CSV/ORC
+    //       siblings; the oracle checks the values as WRITTEN and READ
+    //       BACK through jsonl, so number round-tripping (shortest-repr
+    //       doubles), the microsecond timestamp format (the default
+    //       truncates to millis — silent precision loss), and the
+    //       FAILFAST typed read all sit inside the checked surface.
+    Q(
+      "q_json_export",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_json_export").toString
+        graft.sources.JsonLines.write(
+          orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .filter(col("o_totalprice") > 200000.0),
+          out,
+          sortCols = Seq("o_orderkey"),
+          singleFile = true
+        )
+        graft.sources.JsonLines.read(
+          s,
+          out,
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+        )
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM orders WHERE o_totalprice > 200000.0""".stripMargin)
+    ),
+
     // 16c. ORC round-trip export — the columnar interchange sibling of the
     //      CSV egress, for Hive/Trino lakes that don't speak parquet. The
     //      oracle checks the values as WRITTEN and READ BACK through ORC

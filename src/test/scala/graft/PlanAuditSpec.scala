@@ -60,7 +60,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("LSH pipelines generate candidates by equi-join only — no cross join") {
     for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_ann_lsh",
-        "q_dedup_embedding", "q_decontaminate", "q_ann_ivfpq", "q_range_join")) {
+        "q_dedup_embedding", "q_decontaminate", "q_ann_ivfpq", "q_range_join",
+        "q_dedup_substrings", "q_dedup_images", "q_dedup_containment")) {
       val p = plan(name)
       assert(
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -74,7 +75,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // each banded self-join; AQE's stage reuse then computes the
     // sketch+explode pipeline once (measured ~2x on simhash at sf0.1). The
     // marker only appears in the FINAL adaptive plan, so execute first.
-    for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_ngram_jaccard", "q_dedup_embedding")) {
+    for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_ngram_jaccard", "q_dedup_embedding",
+        "q_dedup_substrings", "q_dedup_images")) {
       val df = QueryRegistry.queries(name)(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString

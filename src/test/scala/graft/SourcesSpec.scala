@@ -458,4 +458,31 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       graft.sources.OrcStore.read(spark, s"$base/t", "missing BIGINT"))
     assert(m.getMessage.contains("not present"))
   }
+
+  test("JsonLines round-trips microsecond timestamps and fails fast on malformed rows") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    // Sub-millisecond timestamps: the default JSON timestamp format would
+    // silently truncate to millis — the explicit format must round-trip
+    // to the exact microsecond.
+    val df = spark
+      .range(3)
+      .select(
+        col("id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1001L).as("ts"),
+        (col("id") * 1.25 + 0.1).as("x")
+      )
+    graft.sources.JsonLines.write(df, s"$base/t", sortCols = Seq("id"), singleFile = true)
+    val back = graft.sources.JsonLines.read(spark, s"$base/t", "id BIGINT, ts TIMESTAMP, x DOUBLE")
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq,
+      "jsonl round trip must be value-exact, including microseconds and doubles")
+    // FAILFAST: a malformed line is a loud error, never a silent null row.
+    val badDir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad")
+    java.nio.file.Files.writeString(badDir.resolve("part-00000.json"),
+      """{"id": 1, "ts": "2024-01-01T00:00:00.000000", "x": 1.0}
+        |{"id": "not a number", "ts": 12, "x": []}""".stripMargin)
+    intercept[org.apache.spark.SparkException] {
+      graft.sources.JsonLines.read(spark, badDir.toString, "id BIGINT, ts TIMESTAMP, x DOUBLE").collect()
+    }
+  }
 }
