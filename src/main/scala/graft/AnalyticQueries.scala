@@ -567,6 +567,175 @@ object AnalyticQueries {
              |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
              |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
              |FROM events""".stripMargin)
+    ),
+
+    // Full CUBE (status × order-year): all four grouping-set levels from
+    // ONE scan — the slice-any-way dashboard surface. Same single-shuffle
+    // partial-agg re-aggregation story as q_rollup_sales; CUBE adds the
+    // year-only marginal a ROLLUP cannot produce. grouping_id
+    // disambiguates subtotal NULLs from data NULLs.
+    Q(
+      "q_cube_sales",
+      (s, d) =>
+        orders(s, d)
+          .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+          .cube(col("o_orderstatus"), col("order_year"))
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("total_price")
+          )
+          .select("o_orderstatus", "order_year", "gid", "n", "total_price"),
+      Some("""SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             |  GROUPING(o_orderstatus, year(o_orderdate)) AS gid,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE) AS total_price
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, year(o_orderdate))""".stripMargin)
+    ),
+
+    // Correlation / least-squares regression per group — the statistical
+    // profiling layer (does discount move with quantity?). Built-in
+    // corr()/regr_slope() aggregate doubles in shuffle-arrival order, so
+    // their low bits are nondeterministic across engines AND across runs;
+    // instead the five moments are summed EXACTLY in decimal (order-free),
+    // and slope/intercept/r are derived from those moments with the
+    // identical double expression tree on both engines — bit-stable, so
+    // the hash gate holds. Products are squared in DOUBLE (IEEE-identical
+    // on both engines; decimal×decimal would overflow DuckDB's int64
+    // decimal kernel at price², and Spark's precision-loss rules differ)
+    // then summed through DECIMAL(30,8): 22 integer digits of headroom —
+    // price² ~1e10 × 1e10 rows = 1e20 still fits at the 100 TB row count.
+    // One partial-agg shuffle of five fixed-width accumulators per group.
+    Q(
+      "q_corr_stats",
+      (s, d) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val m = lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x.cast("decimal(25,10)")).as("sx"),
+            sum(y.cast("decimal(25,10)")).as("sy"),
+            sum((x * x).cast("decimal(30,8)")).as("sxx"),
+            sum((y * y).cast("decimal(30,8)")).as("syy"),
+            sum((x * y).cast("decimal(30,8)")).as("sxy")
+          )
+        val nd  = col("n").cast("double")
+        val sx  = col("sx").cast("double")
+        val sy  = col("sy").cast("double")
+        val sxx = col("sxx").cast("double")
+        val syy = col("syy").cast("double")
+        val sxy = col("sxy").cast("double")
+        val covN = nd * sxy - sx * sy // n² × covariance
+        m.select(
+          col("l_returnflag"),
+          col("n"),
+          round(covN / (nd * sxx - sx * sx), 6).as("slope"),
+          round((sy * sxx - sx * sxy) / (nd * sxx - sx * sx), 6).as("intercept"),
+          round(covN / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6).as("r"),
+          round(covN / (nd * nd), 6).as("covar_pop")
+        ).orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(CAST(l_quantity AS DECIMAL(25,10))) AS sx,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(25,10))) AS sy,
+             |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS sxx,
+             |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS syy,
+             |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+             |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop
+             |FROM m ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Z-score anomaly flagging per event_type — the monitoring staple
+    // (latency spikes, metric excursions). Stats come from ONE K-row
+    // partial-agg pass (decimal-exact sums, same order-free story as
+    // q_corr_stats) broadcast back onto the fact scan: the fact side
+    // never shuffles, so at 100 TB this is scan + tiny broadcast join.
+    // z is derived with the identical double tree on both engines, so
+    // the |z| > 3 flag can't flip across engines on a boundary ULP.
+    Q(
+      "q_anomaly_zscore",
+      (s, d) => {
+        val ev = events(s, d)
+        val stats = ev
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(25,10)")).as("sx"),
+            sum((col("value") * col("value")).cast("decimal(25,10)")).as("sxx")
+          )
+          .select(
+            col("event_type"),
+            (col("sx").cast("double") / col("n").cast("double")).as("mean"),
+            sqrt(
+              col("sxx").cast("double") / col("n").cast("double") -
+                (col("sx").cast("double") / col("n").cast("double")) *
+                (col("sx").cast("double") / col("n").cast("double"))
+            ).as("sd")
+          )
+        ev.select(col("event_id"), col("event_type"), col("value"))
+          .join(broadcast(stats), Seq("event_type"))
+          .select(
+            col("event_id"),
+            col("event_type"),
+            col("value"),
+            round((col("value") - col("mean")) / col("sd"), 4).as("z"),
+            (abs((col("value") - col("mean")) / col("sd")) > lit(3.0)).as("is_outlier")
+          )
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+             |    sqrt(CAST(SUM(CAST(value * value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |      - (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             |      * (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS sd
+             |  FROM events GROUP BY event_type)
+             |SELECT event_id, e.event_type, value,
+             |  round((value - mean) / sd, 4) AS z,
+             |  abs((value - mean) / sd) > 3.0 AS is_outlier
+             |FROM events e JOIN stats USING (event_type)""".stripMargin)
+    ),
+
+    // Record linkage / entity resolution: near-identical dimension rows by
+    // bounded edit distance — the warehouse-hygiene operator (typo'd
+    // duplicate customers). NEVER all-pairs: candidates come from a
+    // blocking key (nation × segment here); block sizes are bounded by the
+    // key's selectivity, so the self-join cost is Σ|block|², not n². At
+    // 100 TB the blocking key is the tuning surface (add name prefixes /
+    // sorted-neighborhood windows to tighten blocks) — the join shape is
+    // unchanged. Levenshtein is the classic DP, identical in both engines.
+    Q(
+      "q_entity_match",
+      (s, d) => {
+        val c = customer(s, d).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+        val a = c.toDF("a_key", "a_name", "nk", "seg")
+        val b = c.toDF("b_key", "b_name", "nk", "seg")
+        a.join(b, Seq("nk", "seg"))
+          .filter(col("a_key") < col("b_key"))
+          .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")))
+          .filter(col("edit_dist") <= 1)
+          .select(col("a_key"), col("b_key"), col("edit_dist"))
+      },
+      Some("""SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+             |  levenshtein(a.c_name, b.c_name) AS edit_dist
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+             |  AND a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
     )
   )
 }

@@ -520,6 +520,95 @@ object EtlQueries {
              |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
              |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
              |FROM events""".stripMargin)
+    ),
+
+    // Hourly resampling with LINEAR INTERPOLATION — the sensor-series gap
+    // repair one step past forward-fill (the reference's USCRN domain:
+    // irregular station readings → a regular hourly grid). Each user's
+    // grid points (integer-exact hour slots via DIV — no float ceil at
+    // hour boundaries) union with their events; ONE shuffle on user_id,
+    // one sort serving two frames (running last for the previous reading,
+    // running first for the next), then the interpolation ratio in an
+    // identical double tree on both engines. Grid rows sit strictly
+    // between their neighbors (events order before grid on the tie key),
+    // so next > prev always and the ratio never divides by zero; the
+    // event_id tie-break keeps same-instant readings deterministic.
+    // User/station cardinality grows with the data — no hot window key.
+    Q(
+      "q_resample_interpolate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hour = 3600000000L // µs
+        val e = events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"), col("value"))
+        val grid = e
+          .groupBy("user_id")
+          .agg(min(col("tu")).as("lo"), max(col("tu")).as("hi"))
+          .select(col("user_id"),
+            expr(s"(lo + ${hour - 1}) DIV $hour").as("s0"),
+            expr(s"hi DIV $hour").as("s1"))
+          .filter(col("s0") <= col("s1"))
+          .select(col("user_id"), explode(sequence(col("s0"), col("s1"))).as("slot"))
+          .select(col("user_id"), (col("slot") * hour).as("tu"))
+        val tagged = e
+          .select(col("user_id"), col("tu"), col("event_id"), col("value"), lit(1).as("is_event"))
+          .unionAll(grid.select(col("user_id"), col("tu"),
+            lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+            lit(0).as("is_event")))
+        val ord = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("tu"), col("is_event").desc, col("event_id"))
+        val prevW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nextW = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val evTu = when(col("is_event") === 1, col("tu"))
+        tagged
+          .withColumn("pv", last(col("value"), ignoreNulls = true).over(prevW))
+          .withColumn("pt", last(evTu, ignoreNulls = true).over(prevW))
+          .withColumn("nv", first(col("value"), ignoreNulls = true).over(nextW))
+          .withColumn("nt", first(evTu, ignoreNulls = true).over(nextW))
+          .filter(col("is_event") === 0)
+          .select(
+            col("user_id"),
+            timestamp_micros(col("tu")).as("grid_ts"),
+            round(
+              when(col("nt") === col("pt"), col("pv")).otherwise(
+                col("pv") + (col("nv") - col("pv")) *
+                  ((col("tu") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))
+              ), 6).as("value_interp")
+          )
+          .orderBy("user_id", "grid_ts")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events),
+             |b AS (
+             |  SELECT user_id, (MIN(tu) + 3599999999) // 3600000000 AS s0,
+             |    MAX(tu) // 3600000000 AS s1
+             |  FROM e GROUP BY user_id),
+             |g AS (
+             |  SELECT user_id, unnest(range(s0, s1 + 1)) * 3600000000 AS tu
+             |  FROM b WHERE s0 <= s1),
+             |u AS (
+             |  SELECT user_id, tu, event_id, value, 1 AS is_event FROM e
+             |  UNION ALL
+             |  SELECT user_id, tu, NULL AS event_id, NULL AS value, 0 AS is_event FROM g),
+             |w AS (
+             |  SELECT *,
+             |    last_value(value IGNORE NULLS) OVER pw AS pv,
+             |    last_value(CASE WHEN is_event = 1 THEN tu END IGNORE NULLS) OVER pw AS pt,
+             |    first_value(value IGNORE NULLS) OVER nw AS nv,
+             |    first_value(CASE WHEN is_event = 1 THEN tu END IGNORE NULLS) OVER nw AS nt
+             |  FROM u
+             |  WINDOW
+             |    pw AS (PARTITION BY user_id ORDER BY tu, is_event DESC, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    nw AS (PARTITION BY user_id ORDER BY tu, is_event DESC, event_id
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, make_timestamp(tu) AS grid_ts,
+             |  round(CASE WHEN nt = pt THEN pv
+             |    ELSE pv + (nv - pv) * (CAST(tu - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             |  END, 6) AS value_interp
+             |FROM w WHERE is_event = 0
+             |ORDER BY user_id, grid_ts""".stripMargin)
     )
   )
 }

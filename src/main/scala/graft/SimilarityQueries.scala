@@ -1400,6 +1400,84 @@ object SimilarityQueries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       None
+    ),
+
+    // Incremental dedup — the production shape at 100 TB: the corpus is
+    // deduped ONCE and its content-hash index persists (a key-only table,
+    // StagingSink's staging→main pattern); each day's new batch dedups
+    // against that index without rescanning or rehashing the corpus.
+    // Here "new batch" = doc_id ≡ 4 (mod 5), "index" = the rest. Two
+    // steps, both bounded by the BATCH size on the probe side: first-wins
+    // within the batch (hash groupBy), then a left-anti join against the
+    // index on the 16-byte hash key — a shuffled semi-join probe where
+    // the runtime bloom filter from the small batch prunes the index
+    // scan before its shuffle (never a broadcast of the index; the big
+    // side stays streamed). Survivors are exactly the rows a full-corpus
+    // re-dedup would add, and they append to the index for tomorrow.
+    Q(
+      "q_dedup_incremental",
+      (s, d) => {
+        val docs = documents(s, d)
+        val batch = docs
+          .filter(pmod(col("doc_id"), lit(5)) === 4)
+          .select(col("doc_id"), md5(col("text")).as("text_hash"))
+          .groupBy(col("text_hash"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val index = docs
+          .filter(pmod(col("doc_id"), lit(5)) =!= 4)
+          .select(md5(col("text")).as("text_hash"))
+          .distinct()
+        batch.join(index, Seq("text_hash"), "left_anti").select("doc_id", "text_hash")
+      },
+      Some("""WITH batch AS (
+             |  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+             |  FROM documents WHERE doc_id % 5 = 4 GROUP BY md5(text)),
+             |idx AS (
+             |  SELECT DISTINCT md5(text) AS text_hash
+             |  FROM documents WHERE doc_id % 5 <> 4)
+             |SELECT doc_id, text_hash FROM batch
+             |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.text_hash = batch.text_hash)""".stripMargin)
+    ),
+
+    // Embedding-corpus norm profile — the vector-side data-quality gate
+    // (un-normalized rows break cosine ANN; zero vectors break IVF
+    // training). Per-row ‖x‖ is a sequential left-fold of squares (the
+    // same both engines — Spark's aggregate HOF and DuckDB's list_sum
+    // both walk the list in order), per-label stats then go through the
+    // decimal-exact sum so group aggregation order can't move the hash.
+    // One partial-agg shuffle of K fixed-width rows; map side is a single
+    // codegen'd pass over the scan.
+    Q(
+      "q_embed_norms",
+      (s, d) => {
+        val normSq = aggregate(
+          col("embedding"),
+          lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")
+        )
+        embeddings(s, d)
+          .select(col("label"), sqrt(normSq).as("norm"))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            round(sum(col("norm").cast("decimal(25,10)")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_norm"),
+            round(min(col("norm")), 6).as("min_norm"),
+            round(max(col("norm")), 6).as("max_norm")
+          )
+          .orderBy("label")
+      },
+      Some("""WITH norms AS (
+             |  SELECT label,
+             |    sqrt(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+             |  FROM embeddings)
+             |SELECT label, COUNT(*) AS n_vecs,
+             |  round(CAST(SUM(CAST(norm AS DECIMAL(25,10))) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_norm,
+             |  round(min(norm), 6) AS min_norm,
+             |  round(max(norm), 6) AS max_norm
+             |FROM norms GROUP BY label ORDER BY label""".stripMargin)
     )
   )
 }

@@ -946,6 +946,126 @@ object TextQueries {
              |  CAST(SUM(CAST(floor(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens
              |FROM documents, t
              |GROUP BY lang, source, n_total""".stripMargin)
+    ),
+
+    // Encoding-artifact detection — the ingest-hygiene gate a web-scale
+    // corpus needs before any hashing or tokenization: U+FFFD replacement
+    // chars (decoder already lost bytes), C0 control chars (binary
+    // spillage), and the Ã/Â mojibake signature of UTF-8 read as
+    // Latin-1. Counts are plain replace/length arithmetic plus one
+    // regexp_replace — all codegen'd, zero shuffles, and the identical
+    // expressions run in DuckDB so every count hash-checks. At 100 TB
+    // this is a pure map pass over the scan; the flag column is the
+    // quarantine predicate (q_quarantine's split applies downstream).
+    Q(
+      "q_encoding_artifacts",
+      (s, d) => {
+        val t = col("text")
+        def cnt(marker: String) =
+          length(t) - length(replace(t, lit(marker), lit("")))
+        val ctl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+        documents(s, d).select(
+          col("doc_id"),
+          cnt("�").as("n_replacement"),
+          (length(t) - length(regexp_replace(t, ctl, ""))).as("n_control"),
+          (cnt("Ã") + cnt("Â")).as("n_mojibake"),
+          (cnt("�") === 0 &&
+            length(t) - length(regexp_replace(t, ctl, "")) === 0 &&
+            cnt("Ã") + cnt("Â") === 0).as("is_clean")
+        )
+      },
+      Some("""SELECT doc_id,
+             |  length(text) - length(replace(text, '�', '')) AS n_replacement,
+             |  length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_control,
+             |  (length(text) - length(replace(text, 'Ã', '')))
+             |    + (length(text) - length(replace(text, 'Â', ''))) AS n_mojibake,
+             |  (length(text) - length(replace(text, '�', ''))) = 0
+             |    AND (length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))) = 0
+             |    AND ((length(text) - length(replace(text, 'Ã', '')))
+             |       + (length(text) - length(replace(text, 'Â', '')))) = 0 AS is_clean
+             |FROM documents""".stripMargin)
+    ),
+
+    // Out-of-vocabulary rate — the "is this text like my corpus" quality
+    // signal (high OOV = noise, wrong language, or heavy jargon; the
+    // cheap cousin of fertility). "Rare" is CORPUS-RELATIVE and integer-
+    // exact: a word is OOV when 20·c(w) < max_w c(w) (under 5% of the
+    // modal word) — no absolute cutoff to retune per corpus, no
+    // float-ordered top-K (tie-deterministic, the q_collocations
+    // decision). Same corpus-dependent vocab-join shape as q_lm_quality:
+    // one word-count shuffle, the occurrence→count join (AQE broadcasts
+    // the vocab side only when its measured size fits; web-scale
+    // vocabularies shuffle-join on the word key), a broadcast 1-row max,
+    // one per-doc partial agg.
+    Q(
+      "q_oov_rate",
+      (s, d) => {
+        val ws = split(lower(trim(col("text"))), "\\s+")
+        val u = documents(s, d).select(col("doc_id"), explode(ws).as("w"))
+        val cw = u.groupBy("w").agg(count(lit(1)).as("cw"))
+        val thr = cw.agg(max(col("cw")).as("maxc"))
+        u.join(cw, "w")
+          .crossJoin(broadcast(thr))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("cw") * 20 < col("maxc"), 1L).otherwise(0L)).as("n_oov")
+          )
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            col("n_oov"),
+            round(col("n_oov") * lit(1.0) / col("n_tokens"), 4).as("oov_rate")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |cw AS (SELECT w, COUNT(*) AS cw FROM w GROUP BY 1),
+             |t AS (SELECT MAX(cw) AS maxc FROM cw)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN cw * 20 < maxc THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  round(SUM(CASE WHEN cw * 20 < maxc THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS oov_rate
+             |FROM w JOIN cw USING (w), t
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Model-based quality filtering — the fastText-style classifier every
+    // production curation stack runs (CCNet/LLaMA-style): train a cheap
+    // linear model on a LABELED SAMPLE, then score the whole corpus with
+    // one map pass. Training is bounded driver state (1024 docs → 4096
+    // weight doubles, see TextClassifier); serving is the native fused
+    // hash+dot kernel, zero shuffles — at 100 TB the cost is exactly one
+    // codegen'd scan. Here the sample's teacher label is the `lang`
+    // column standing in for a human/LLM quality label; the driver
+    // corpus's synthetic labels carry no text signal (marker-word argmax
+    // lands at ~32% on them), so scores on THIS corpus sit near the base
+    // rate by design — the learning machinery itself is gated on a
+    // planted separable corpus plus loss-decreases, determinism, and
+    // no-shuffle plan pins (ClassifierSpec), the same honesty split the
+    // k-means suite uses for its purity-free gates.
+    Q(
+      "q_quality_classifier",
+      (s, d) => {
+        val docs = documents(s, d)
+        val sample = docs
+          .filter(pmod(col("doc_id"), lit(3)) < 2)
+          .select(col("doc_id"), col("text"), (col("lang") === "en").as("y"))
+          .orderBy("doc_id")
+          .limit(1024)
+          .collect()
+          .map(r => (r.getString(1), r.getBoolean(2)))
+          .toSeq
+        val model = graft.operators.TextClassifier.train(sample)
+        val score = TextFunctions.linearTextScore(col("text"), model.weights.toSeq, model.bias)
+        docs.select(
+          col("doc_id"),
+          round(score, 6).as("score"),
+          (score >= 0.5).as("keep")
+        )
+      },
+      None
     )
   )
 }

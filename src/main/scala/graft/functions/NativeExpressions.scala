@@ -468,3 +468,31 @@ case class PcaProject(child: Expression, mean: Seq[Double], basis: Seq[Seq[Doubl
   }
   override protected def withNewChildInternal(newChild: Expression): PcaProject = copy(child = newChild)
 }
+
+/** `linear_text_score(text)` → σ(bias + Σ_tokens weights[bucket(token)]):
+  * the serving pass of the hashing-trick logistic classifier
+  * (SketchImpl.linearTextScore). Feature hashing and the dot product run
+  * fused in one compiled pass per row — no feature vector materializes.
+  * Weights ship as a plan constant (bounded: the hash dimension, not the
+  * vocabulary); rendering is compacted like the PQ/PCA constants.
+  */
+case class LinearTextScore(child: Expression, weights: Seq[Double], bias: Double)
+    extends UnaryExpression {
+  require(weights.nonEmpty && (weights.length & (weights.length - 1)) == 0,
+    "weights length must be a power of two (mask-folded hash buckets)")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"linear_text_score requires STRING, got ${child.dataType.sql}")
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"dim=${weights.length}")
+  @transient private lazy val flat: Array[Double] = weights.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.linearTextScore(input.asInstanceOf[UTF8String], flat, bias)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("linearWeights", flat, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.linearTextScore($c, $w, $bias)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LinearTextScore = copy(child = newChild)
+}

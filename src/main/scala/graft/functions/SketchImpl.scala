@@ -750,4 +750,48 @@ object SketchImpl {
     }
     bestF
   }
+
+  /** Hashing-trick bucket of one token hash: xxhash64 folded into [0, dim).
+    * `dim` must be a power of two (mask, no modulo bias on the low bits of
+    * a well-mixed hash).
+    */
+  @inline private def bowBucket(h: Long, dim: Int): Int = (h & (dim - 1)).toInt
+
+  /** Hashed bag-of-words bucket per token OCCURRENCE (hashing trick,
+    * Weinberger et al. 2009) — the feature extractor shared bit-for-bit by
+    * the driver-side trainer and the scoring kernel. Same tokenization as
+    * the rest of the kernel family (whitespace runs, raw bytes — no
+    * locale-dependent folding anywhere near the hash).
+    */
+  def bowBuckets(s: UTF8String, dim: Int): Array[Int] = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val out = new Array[Int](bounds.length / 2)
+    var t = 0
+    while (t < bounds.length) {
+      val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + bounds(t), bounds(t + 1) - bounds(t), SEED)
+      out(t / 2) = bowBucket(h, dim)
+      t += 2
+    }
+    out
+  }
+
+  /** Linear text score σ(bias + Σ_tokens w[bucket(token)]) — feature
+    * extraction and dot product fused into ONE pass over the bytes; no
+    * histogram materializes. The serving half of the hashing-trick
+    * logistic model ([[bowBuckets]] is the training half).
+    */
+  def linearTextScore(s: UTF8String, w: Array[Double], bias: Double): Double = {
+    val b = s.getBytes
+    val bounds = tokenBounds(b)
+    val dim = w.length
+    var z = bias
+    var t = 0
+    while (t < bounds.length) {
+      val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + bounds(t), bounds(t + 1) - bounds(t), SEED)
+      z += w(bowBucket(h, dim))
+      t += 2
+    }
+    1.0 / (1.0 + math.exp(-z))
+  }
 }

@@ -108,6 +108,15 @@ object TextFunctions {
     markerScore(text, Seq("the", "a", "of", "and", "to", "in", "is")).cast("double") /
       tokenCount(text)
 
+  /** σ(bias + Σ_tokens weights[bucket(token)]) — the serving pass of the
+    * hashing-trick logistic classifier (native [[LinearTextScore]]
+    * expression, one fused pass per row). Train with
+    * [[TextClassifier.train]]; the weight vector is the hash DIMENSION
+    * (bounded plan constant), never the vocabulary.
+    */
+  def linearTextScore(text: Column, weights: Seq[Double], bias: Double): Column =
+    toCol(LinearTextScore(toExpr(text), weights, bias))
+
   /** Language marker sets (tiny, deterministic n-gram-heuristic stand-in). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),

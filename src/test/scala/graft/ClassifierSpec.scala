@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.{SketchImpl, TextFunctions}
+import graft.operators.TextClassifier
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the hashing-trick logistic classifier (q_quality_classifier).
+  *
+  * The driver corpus's synthetic `lang` labels carry no text signal, so —
+  * exactly like the k-means suite's deliberate rejection of a label-purity
+  * gate — accuracy is asserted on a PLANTED separable corpus, and the rest
+  * of the contract is structural: the training objective improves with
+  * epochs, training is bit-deterministic, the serving kernel computes the
+  * same score as the trainer's math, and the scoring plan never shuffles.
+  */
+class ClassifierSpec extends AnyFunSuite with SparkSpec {
+
+  /** Deterministic LCG so the planted corpus is identical on every run. */
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  /** Planted corpus: positives and negatives share a common vocabulary but
+    * each class mixes in tokens from its own marker pool — separable, not
+    * trivially so (every doc is mostly shared words).
+    */
+  private lazy val planted: Seq[(String, Boolean)] = {
+    val shared = Vector("table", "scan", "join", "filter", "group", "sort", "row", "key")
+    val posV   = Vector("sunlit", "meadow", "harvest", "orchard")
+    val negV   = Vector("gravel", "rusted", "derelict", "scrapyard")
+    val rnd    = lcg(0xC1A551F1E5L)
+    (0 until 400).map { i =>
+      val pos  = i % 2 == 0
+      val pool = if (pos) posV else negV
+      val words = (0 until 30).map { _ =>
+        val r = (rnd.next() >>> 8).toInt
+        // ~25% class-marker tokens, 75% shared tokens.
+        if ((r & 3) == 0) pool((r >>> 2) % pool.length)
+        else shared((r >>> 2) % shared.length)
+      }
+      (words.mkString(" "), pos)
+    }
+  }
+
+  private lazy val train    = planted.take(300)
+  private lazy val holdout  = planted.drop(300)
+
+  test("planted holdout accuracy >= 0.95") {
+    val m = TextClassifier.train(train)
+    val acc = holdout.count { case (t, y) => (m.score(t) >= 0.5) == y }.toDouble / holdout.size
+    assert(acc >= 0.95, s"holdout accuracy $acc")
+  }
+
+  test("more epochs strictly improve the training objective") {
+    val l1  = TextClassifier.logLoss(TextClassifier.train(train, epochs = 1), train)
+    val l30 = TextClassifier.logLoss(TextClassifier.train(train, epochs = 30), train)
+    assert(l30 < l1, s"loss must fall with epochs: 1 epoch $l1, 30 epochs $l30")
+  }
+
+  test("training is bit-deterministic") {
+    val a = TextClassifier.train(train)
+    val b = TextClassifier.train(train)
+    assert(a.bias == b.bias && java.util.Arrays.equals(a.weights, b.weights))
+  }
+
+  test("serving kernel equals trainer math (no train/serve skew)") {
+    val m = TextClassifier.train(train, dim = 256)
+    planted.take(20).foreach { case (t, _) =>
+      val idx = SketchImpl.bowBuckets(UTF8String.fromString(t), 256)
+      // Accumulate in the kernel's exact order (bias first, tokens in
+      // sequence) — bit equality, not tolerance.
+      var z = m.bias
+      idx.foreach(i => z += m.weights(i))
+      val ref = 1.0 / (1.0 + math.exp(-z))
+      assert(math.abs(m.score(t) - ref) == 0.0, s"kernel/trainer mismatch on: $t")
+    }
+  }
+
+  test("q_quality_classifier: scoring is a single map pass, zero shuffles") {
+    val df = QueryRegistry.queries("q_quality_classifier")(spark, sfDir)
+    val p  = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
+    assert(p.toLowerCase.contains("lineartextscore"),
+      s"native kernel missing from plan:\n$p")
+    assert(df.count() > 0)
+  }
+}
