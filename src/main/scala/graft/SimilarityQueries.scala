@@ -1409,11 +1409,14 @@ object SimilarityQueries {
     // Here "new batch" = doc_id ≡ 4 (mod 5), "index" = the rest. Two
     // steps, both bounded by the BATCH size on the probe side: first-wins
     // within the batch (hash groupBy), then a left-anti join against the
-    // index on the 16-byte hash key — a shuffled semi-join probe where
-    // the runtime bloom filter from the small batch prunes the index
-    // scan before its shuffle (never a broadcast of the index; the big
-    // side stays streamed). Survivors are exactly the rows a full-corpus
-    // re-dedup would add, and they append to the index for tomorrow.
+    // index on the 16-byte hash key. The join regime is size-adaptive and
+    // both regimes are the right plan: at test scale AQE broadcasts the
+    // measured-small index (observed: BroadcastHashJoin LeftAnti); at
+    // 100 TB the index far exceeds the broadcast threshold, so the
+    // anti-join shuffles on the hash key and the runtime bloom filter
+    // from the small batch prunes the index scan before its shuffle.
+    // Survivors are exactly the rows a full-corpus re-dedup would add,
+    // and they append to the index for tomorrow.
     Q(
       "q_dedup_incremental",
       (s, d) => {

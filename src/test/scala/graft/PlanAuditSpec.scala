@@ -276,4 +276,57 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val pf = pushedFilters("q_incremental_watermark").mkString("; ")
     assert(pf.contains("GreaterThan(ts"), s"watermark not pushed, got: $pf")
   }
+
+  test("q_anomaly_zscore: K-row stats broadcast onto an unshuffled fact scan") {
+    val p = plan("q_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    // The only shuffle is the fixed-width stats aggregate — the fact side
+    // reaches the join straight from its scan.
+    val ex = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(ex == 1, s"expected exactly the stats-agg shuffle, saw $ex:\n$p")
+  }
+
+  test("q_corr_stats: one partial-agg shuffle carries all five moments") {
+    val p = plan("q_corr_stats")
+    val ex = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(ex == 1, s"five moments must ride ONE fixed-width aggregate shuffle, saw $ex:\n$p")
+    assert(p.contains("partial_count"), "moment aggregation must be map-side partial")
+  }
+
+  test("q_dedup_incremental: batch probes the index through an anti-join") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), s"index membership must be an anti-join probe:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_entity_match: candidates come from the blocking key, never all-pairs") {
+    val p = plan("q_entity_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"entity matching must join on the blocking key:\n$p")
+  }
+
+  test("q_resample_interpolate: one window shuffle and one sort serve both frames") {
+    val p = plan("q_resample_interpolate")
+    // Two hash shuffles total: the per-user grid-bounds aggregate and the
+    // window partition; the prev/next frames must share that one sort.
+    val ex = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(ex == 2, s"expected bounds-agg + window shuffles only, saw $ex:\n$p")
+    val sorts = p.linesIterator.count(_.trim.startsWith("+- Sort ")) +
+      p.linesIterator.count(_.trim.startsWith("Sort "))
+    assert(sorts <= 2, s"prev/next frames must share one window sort (plus the output sort):\n$p")
+  }
+
+  test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
+    // The corpus-max threshold re-aggregates the SAME word-count exchange
+    // the vocab join consumes — reuse markers only appear in the final
+    // adaptive plan, so execute first.
+    val df = QueryRegistry.queries("q_oov_rate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage")),
+      s"threshold side must reuse the word-count exchange:\n$p")
+  }
 }
