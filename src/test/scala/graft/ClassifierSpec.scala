@@ -85,4 +85,35 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
       s"native kernel missing from plan:\n$p")
     assert(df.count() > 0)
   }
+
+  test("the scoring kernel is stream-ready: readStream scores equal batch scores") {
+    // The serving pass is a plain Column over a string — the SAME
+    // expression scores a Structured Stream (the online-filtering
+    // deployment: classify documents as they land, no retraining, no
+    // state). Batch/stream parity must be exact.
+    import org.apache.spark.sql.functions._
+    val m = TextClassifier.train(train)
+    val dir = java.nio.file.Files.createTempDirectory("cls_stream").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val out = s"$dir/out"
+    val q = spark.readStream
+      .schema(docs.schema)
+      .parquet(s"$dir/in")
+      .select(col("doc_id"),
+        TextFunctions.linearTextScore(col("text"), m.weights.toSeq, m.bias).as("score"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("parquet")
+      .start(out)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = docs
+      .select(col("doc_id"),
+        TextFunctions.linearTextScore(col("text"), m.weights.toSeq, m.bias).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch, "stream and batch scores must be bit-identical")
+  }
 }

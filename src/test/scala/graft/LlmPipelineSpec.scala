@@ -23,8 +23,17 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.count()
 
+    // 0. Ingest hygiene: encoding-artifact gate (U+FFFD, C0 controls,
+    //    mojibake) BEFORE any hashing or tokenization. The synthetic
+    //    corpus is clean, so the gate must pass everything through —
+    //    the stage is wired where a real crawl would shed rows.
+    val enc = QueryRegistry.queries("q_encoding_artifacts")(spark, sfDir)
+      .filter(col("is_clean")).select("doc_id")
+    val hygienic = docs.join(enc, "doc_id")
+    assert(hygienic.count() == total, "synthetic corpus must be encoding-clean")
+
     // 1. Language gate (marker-based ID; synthetic corpus is en-ish).
-    val langed = docs.filter(langId(col("text")) =!= "und")
+    val langed = hygienic.filter(langId(col("text")) =!= "und")
 
     // 2. Quality gate: alphabetic density + stopword presence.
     val quality = langed.filter(alphaRatio(col("text")) > 0.7 && stopwordRatio(col("text")) >= 0.02)
@@ -53,6 +62,29 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     val lmKept = fertKept.join(lm.filter(col("cross_entropy") <= ceCut), "doc_id")
     assert(lmKept.count() <= fertKept.count() && lmKept.count() >= (fertKept.count() * 0.85).toLong,
       "the p95 CE cut must drop at most ~5% of surviving docs")
+
+    // 3b'. Model-based quality scoring: train the hashing-trick classifier
+    //     on a bounded sample (teacher = the chain's own rule-based
+    //     quality gate — the distillation pattern: at 100 TB the cheap
+    //     fused-kernel score replaces the multi-expression teacher) and
+    //     ANNOTATE the surviving docs. The chain pins the stage's
+    //     mechanical contract — valid probabilities, bit-determinism,
+    //     count-preserving annotation; learning quality is gated on the
+    //     planted corpus in ClassifierSpec.
+    val teacher = (alphaRatio(col("text")) > 0.7 && stopwordRatio(col("text")) >= 0.02).as("y")
+    val clsSample = docs
+      .filter(pmod(col("doc_id"), lit(3)) < 2)
+      .select(col("doc_id"), col("text"), teacher)
+      .orderBy("doc_id").limit(512)
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSeq
+    val clsModel = graft.operators.TextClassifier.train(clsSample)
+    def scoreChain() = lmKept.withColumn("q_score",
+      linearTextScore(col("text"), clsModel.weights.toSeq, clsModel.bias))
+    val scored = scoreChain()
+    assert(scored.count() == lmKept.count(), "scoring must annotate, never drop")
+    assert(scored.filter(col("q_score") < 0.0 || col("q_score") > 1.0).count() == 0,
+      "scores must be valid probabilities")
+    assert(scoreChain().except(scored).isEmpty, "classifier scoring must be deterministic")
 
     // 3c. Paragraph-level dedup: rewrite each surviving doc from its
     //     globally-first-occurrence chunks. Token mass can only shrink,

@@ -307,16 +307,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"entity matching must join on the blocking key:\n$p")
   }
 
-  test("q_resample_interpolate: one window shuffle and one sort serve both frames") {
+  test("q_resample_interpolate: one window shuffle, running frames only") {
     val p = plan("q_resample_interpolate")
     // Two hash shuffles total: the per-user grid-bounds aggregate and the
-    // window partition; the prev/next frames must share that one sort.
+    // window partition (both window sorts ride the same exchange).
     val ex = p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
     assert(ex == 2, s"expected bounds-agg + window shuffles only, saw $ex:\n$p")
-    val sorts = p.linesIterator.count(_.trim.startsWith("+- Sort ")) +
-      p.linesIterator.count(_.trim.startsWith("Sort "))
-    assert(sorts <= 2, s"prev/next frames must share one window sort (plus the output sort):\n$p")
+    // Scale pin: every frame is a RUNNING frame (O(n) per partition).
+    // A CurrentRow..UnboundedFollowing frame is recomputed per row —
+    // O(n²) per partition, measured 2× the query's cost at sf0.1.
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"the next-reading frame must run over the reversed sort, not a following frame:\n$p")
   }
 
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
