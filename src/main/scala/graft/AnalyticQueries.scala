@@ -736,6 +736,77 @@ object AnalyticQueries {
              |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
              |  AND a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
+    ),
+
+    // Argmin-per-group (the TPC-H Q2 "min within group, then the row that
+    // achieves it" shape) as ONE partial-aggregable min(struct) — no
+    // window, no self-join: the struct's (price, suppkey) lexicographic
+    // order IS the tie-broken argmin, and partial aggregation collapses
+    // each group map-side before the single shuffle. The window
+    // formulation (row_number = 1) would sort every group's full row set
+    // on one reducer; this one ships one struct per group per partition.
+    // The oracle states the same semantics in window form — plans differ,
+    // results are identical because the tie-break is total.
+    Q(
+      "q_argmin_join",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"))
+          .select(
+            col("l_partkey"),
+            col("m.l_suppkey").as("best_suppkey"),
+            col("m.l_extendedprice").as("best_price")
+          )
+          .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, l_suppkey AS best_suppkey, l_extendedprice AS best_price
+             |FROM lineitem
+             |QUALIFY row_number() OVER (
+             |  PARTITION BY l_partkey ORDER BY l_extendedprice, l_suppkey) = 1
+             |ORDER BY l_partkey""".stripMargin)
+    ),
+
+    // Semi join — "orders with at least one jumbo lineitem" (EXISTS) —
+    // completes the join-type inventory (inner/broadcast, anti, as-of,
+    // range, semi). The probe side collapses to KEYS ONLY before the
+    // join and the quantity predicate is pushed to its scan; at 100 TB
+    // the runtime bloom from the filtered side prunes the orders scan.
+    Q(
+      "q_semi_join_orders",
+      (s, d) => {
+        val jumbo = lineitem(s, d).filter(col("l_quantity") >= 45).select("l_orderkey")
+        orders(s, d)
+          .join(jumbo, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)""".stripMargin)
+    ),
+
+    // Key-skew diagnostic — the report a data engineer runs BEFORE a big
+    // join to decide salting/broadcast strategy (§5's skew playbook needs
+    // this measurement): top-20 keys by row count with their corpus
+    // share. Integer-ordered top-N (count desc, key asc — no float
+    // ordering), TakeOrderedAndProject keeps the reducer bounded at N
+    // regardless of key cardinality; share divides exact longs.
+    Q(
+      "q_skew_report",
+      (s, d) => {
+        val ev = events(s, d)
+        val total = ev.agg(count(lit(1)).as("n_total"))
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(total))
+          .select(col("user_id"), col("n"), (col("n") * lit(1.0) / col("n_total")).as("share"))
+          .orderBy(col("n").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT COUNT(*) AS n_total FROM events)
+             |SELECT user_id, COUNT(*) AS n, COUNT(*) * 1.0 / n_total AS share
+             |FROM events, t
+             |GROUP BY user_id, n_total
+             |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)
     )
   )
 }

@@ -163,6 +163,74 @@ object StreamQueries {
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin)
     ),
 
+    // Stream-STATIC join — the online-enrichment/monitoring deployment
+    // the inventory lacked: a live stream joins a broadcast batch table
+    // (here: per-type z-score stats computed once from the warehouse,
+    // decimal-exact like q_anomaly_zscore) and flags outliers as they
+    // arrive. Stream-static inner joins are STATELESS — no watermark, no
+    // state store; per micro-batch Spark just broadcasts the static side
+    // — so the streaming cost is exactly the batch map cost. Append mode,
+    // file sink; on bounded input the result equals the batch filter,
+    // which is what the oracle computes.
+    Q(
+      "q_stream_anomaly",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val out = tmpDir("graft_sanom_out")
+        val ckpt = tmpDir("graft_sanom_ckpt")
+        val stats = events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(25,10)")).as("sx"),
+            sum((col("value") * col("value")).cast("decimal(25,10)")).as("sxx")
+          )
+          .select(
+            col("event_type"),
+            (col("sx").cast("double") / col("n").cast("double")).as("mean"),
+            sqrt(
+              col("sxx").cast("double") / col("n").cast("double") -
+                (col("sx").cast("double") / col("n").cast("double")) *
+                (col("sx").cast("double") / col("n").cast("double"))
+            ).as("sd")
+          )
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .join(broadcast(stats), Seq("event_type"))
+          .filter(abs((col("value") - col("mean")) / col("sd")) > lit(3.0))
+          .select(
+            col("event_id"),
+            col("event_type"),
+            col("value"),
+            round((col("value") - col("mean")) / col("sd"), 4).as("z")
+          )
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+             |    sqrt(CAST(SUM(CAST(value * value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |      - (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             |      * (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS sd
+             |  FROM events GROUP BY event_type)
+             |SELECT event_id, e.event_type, value,
+             |  round((value - mean) / sd, 4) AS z
+             |FROM events e JOIN stats USING (event_type)
+             |WHERE abs((value - mean) / sd) > 3.0""".stripMargin)
+    ),
+
     Q(
       "q_stream_sessionize",
       (s, d) => {
