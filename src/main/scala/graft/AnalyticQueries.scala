@@ -807,6 +807,55 @@ object AnalyticQueries {
              |FROM events, t
              |GROUP BY user_id, n_total
              |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)
+    ),
+
+    // Time-series trend report (daily revenue + running total + calendar
+    // 7-day moving average) — the dashboard time-axis staple. The global
+    // single-partition windows are SAFE here precisely because the
+    // partial-agg groupBy collapses the corpus to DATE cardinality first
+    // (a few thousand rows at ANY corpus size — bounded domain); when the
+    // windowed domain is NOT bounded, the hierarchical prefix sum
+    // (q_pack_context) is the pattern instead. The moving average is a
+    // calendar RANGE frame over integer day numbers (date gaps shrink the
+    // window, rows-frames would silently span gaps); running frames only.
+    Q(
+      "q_sales_trend",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(
+            sum(col("o_totalprice").cast("decimal(25,10)")).as("rev"),
+            count(lit(1)).as("n_orders")
+          )
+        val dayN = datediff(col("day"), lit("1990-01-01").cast("date"))
+        val cum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mov = Window.orderBy(dayN).rangeBetween(-6, 0)
+        daily
+          .select(
+            col("day"),
+            col("n_orders"),
+            col("rev").cast("double").as("revenue"),
+            sum(col("rev")).over(cum).cast("double").as("cum_revenue"),
+            round(sum(col("rev")).over(mov).cast("double") / count(lit(1)).over(mov), 6)
+              .as("avg7_revenue")
+          )
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS rev,
+             |    COUNT(*) AS n_orders
+             |  FROM orders GROUP BY 1)
+             |SELECT day, n_orders,
+             |  CAST(rev AS DOUBLE) AS revenue,
+             |  CAST(SUM(rev) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+             |  round(CAST(SUM(rev) OVER w AS DOUBLE) / (COUNT(*) OVER w), 6) AS avg7_revenue
+             |FROM daily
+             |WINDOW w AS (ORDER BY datediff('day', DATE '1990-01-01', day)
+             |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY day""".stripMargin)
     )
   )
 }

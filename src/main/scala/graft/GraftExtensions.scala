@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "char_window_hashes64", es => CharWindowHashes64(one(es, "char_window_hashes64"), 32))
     register(ext, "bpe_token_count", es => BpeTokenCount(one(es, "bpe_token_count"), TextFunctions.demoBpeMerges))
     register(ext, "bpe_segments", es => BpeSegments(one(es, "bpe_segments"), TextFunctions.demoBpeMerges))
+    register(ext, "deflate_ratio", es => DeflateRatio(one(es, "deflate_ratio")))
   }
 }
 

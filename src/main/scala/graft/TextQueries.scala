@@ -1031,6 +1031,29 @@ object TextQueries {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // Compression-ratio junk detection — the cheapest strong quality
+    // signal in production curation stacks (templated boilerplate
+    // compresses far below prose; random/binary spillage sits near 1.0):
+    // flag both tails. One native Deflater pass per row inside codegen,
+    // zero shuffles. DEFLATE output is not SQL-expressible in the oracle
+    // engine, so the kernel is gated by property specs (repetitive ≪
+    // prose < random ordering, bounds, determinism — never exact ratios,
+    // so a zlib revision can't flip them) and the flags here use wide,
+    // property-safe cutoffs.
+    Q(
+      "q_compression_ratio",
+      (s, d) => {
+        val r = TextFunctions.deflateRatio(col("text"))
+        documents(s, d).select(
+          col("doc_id"),
+          round(r, 4).as("deflate_ratio"),
+          (r < 0.05).as("too_repetitive"),
+          (r > 0.9).as("binary_like")
+        )
+      },
+      None
+    ),
+
     // Model-based quality filtering — the fastText-style classifier every
     // production curation stack runs (CCNet/LLaMA-style): train a cheap
     // linear model on a LABELED SAMPLE, then score the whole corpus with

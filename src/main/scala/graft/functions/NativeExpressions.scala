@@ -469,6 +469,23 @@ case class PcaProject(child: Expression, mean: Seq[Double], basis: Seq[Seq[Doubl
   override protected def withNewChildInternal(newChild: Expression): PcaProject = copy(child = newChild)
 }
 
+/** `deflate_ratio(text)` → DEFLATE-compressed size / raw size
+  * (SketchImpl.deflateRatio) — the compression-ratio junk signal. One
+  * kernel call per row inside whole-stage codegen.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"deflate_ratio requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.deflateRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.deflateRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio = copy(child = newChild)
+}
+
 /** `linear_text_score(text)` → σ(bias + Σ_tokens weights[bucket(token)]):
   * the serving pass of the hashing-trick logistic classifier
   * (SketchImpl.linearTextScore). Feature hashing and the dot product run

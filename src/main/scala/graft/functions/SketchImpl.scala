@@ -776,6 +776,29 @@ object SketchImpl {
     out
   }
 
+  /** DEFLATE compression ratio of the text's UTF-8 bytes (compressed /
+    * raw) — the classic cheap junk detector: highly repetitive boilerplate
+    * compresses far below prose, random/encrypted blobs sit near (or
+    * above) 1.0. One Deflater pass per row, level 6 (zlib default),
+    * reused output buffer growth only on demand. Deterministic within a
+    * JVM (the JDK bundles its own zlib); the operator's gates are
+    * PROPERTY gates (ordering, bounds, determinism), never exact ratios,
+    * so a zlib revision can't flip them.
+    */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val def6 = new java.util.zip.Deflater(6, true)
+    try {
+      def6.setInput(raw)
+      def6.finish()
+      var total = 0L
+      val buf = new Array[Byte](8192)
+      while (!def6.finished()) total += def6.deflate(buf)
+      total.toDouble / raw.length
+    } finally def6.end()
+  }
+
   /** Linear text score σ(bias + Σ_tokens w[bucket(token)]) — feature
     * extraction and dot product fused into ONE pass over the bytes; no
     * histogram materializes. The serving half of the hashing-trick

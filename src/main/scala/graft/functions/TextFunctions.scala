@@ -108,6 +108,13 @@ object TextFunctions {
     markerScore(text, Seq("the", "a", "of", "and", "to", "in", "is")).cast("double") /
       tokenCount(text)
 
+  /** DEFLATE compression ratio (compressed/raw bytes, native
+    * [[DeflateRatio]] expression) — boilerplate compresses far below
+    * prose; random blobs sit near 1.0. Gate LOW ratios as templated junk
+    * and HIGH ratios as binary/encrypted spillage.
+    */
+  def deflateRatio(text: Column): Column = toCol(DeflateRatio(toExpr(text)))
+
   /** σ(bias + Σ_tokens weights[bucket(token)]) — the serving pass of the
     * hashing-trick logistic classifier (native [[LinearTextScore]]
     * expression, one fused pass per row). Train with

@@ -190,6 +190,13 @@ class SimilarityFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r5._1 - math.log(4)) < 1e-12)
     assert(r5._2 == 2)
     assert(r5._3 == 2)
+
+    // Round-7 kernel: boilerplate compresses hard through the SQL surface.
+    val r7 = spark
+      .sql("SELECT deflate_ratio(repeat('spam ', 400)) AS r")
+      .as[Double]
+      .head()
+    assert(r7 > 0.0 && r7 < 0.05)
   }
 
   test("bind evaluates its argument once per row (plan sanity)") {

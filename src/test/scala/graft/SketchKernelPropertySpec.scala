@@ -424,4 +424,29 @@ class SketchKernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("deflateRatio: ordering (repetitive < prose < random), bounds, determinism") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def r(s: String): Double = SketchImpl.deflateRatio(UTF8String.fromString(s))
+    // Property gates only — never exact ratios (a zlib revision may move
+    // them slightly, the ORDER and bounds are invariant).
+    val repetitive = "spam " * 400
+    val prose = ("the quick brown fox jumps over the lazy dog while a query " +
+      "scans a table and the window sorts each group by key ") * 10
+    // Deterministic pseudo-random bytes (LCG over printable ASCII).
+    val rnd = new StringBuilder
+    var x = 0x2545F4914F6CDD1DL
+    for (_ <- 0 until 4000) { x = x * 6364136223846793005L + 1442695040888963407L; rnd += (33 + ((x >>> 33) % 94)).toChar }
+    val random = rnd.toString
+    assert(r(repetitive) < 0.05, s"boilerplate must compress hard: ${r(repetitive)}")
+    assert(r(repetitive) < r(prose) && r(prose) < r(random),
+      s"ordering must hold: ${r(repetitive)} < ${r(prose)} < ${r(random)}")
+    assert(r(random) > 0.8, s"incompressible text must stay near 1.0: ${r(random)}")
+    assert(r("") == 1.0, "empty text is defined as ratio 1.0")
+    for (t <- samples(textGen, 100)) {
+      val v = r(t)
+      assert(v > 0.0 && v <= 1.5, s"ratio out of bounds for ${t.take(40)}: $v")
+      assert(v == r(t), "kernel must be deterministic")
+    }
+  }
 }
