@@ -38,8 +38,13 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     // 2. Quality gate: alphabetic density + stopword presence.
     val quality = langed.filter(alphaRatio(col("text")) > 0.7 && stopwordRatio(col("text")) >= 0.02)
 
-    // 3. Repetition gate: one-pass kernel stats.
-    val rep = quality.filter(element_at(wordRepStats(col("text")), 1) <= 0.2)
+    // 3. Repetition gate: one-pass kernel stats, plus the compression-
+    //    ratio tails (templated boilerplate compresses ≪ prose; binary
+    //    spillage ≈ 1.0) — both zero-shuffle kernel filters in the same
+    //    codegen stage.
+    val rep = quality
+      .filter(element_at(wordRepStats(col("text")), 1) <= 0.2)
+      .filter(deflateRatio(col("text")).between(0.05, 0.9))
     assert(rep.count() <= quality.count() && quality.count() <= langed.count())
 
     // 3a. Tokenizer fertility gate: drop docs the tokenizer fragments
