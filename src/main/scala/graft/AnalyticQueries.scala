@@ -15,6 +15,20 @@ object AnalyticQueries {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(25,10)")).cast("double")
 
+  /** 1-deletion neighborhood of a string (SymSpell blocking for edit
+    * distance ≤ 1): the string itself plus every single-character
+    * deletion. Any two strings within one edit share at least one
+    * element; block sizes are bounded by a name's duplicate multiplicity,
+    * not the corpus size (EntityMatchSpec pins this under a 10× corpus).
+    * All built-ins — the explode downstream stays in codegen.
+    */
+  def deletionKeys(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      array(name),
+      transform(
+        sequence(lit(1), length(name)),
+        i => concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name)))))
+
   val all: Seq[Q] = Seq(
     // Q5 shape: revenue by nation for one region + date window.
     // Scale shape: lineitem revenue is partially aggregated per order key
@@ -712,29 +726,46 @@ object AnalyticQueries {
     // Record linkage / entity resolution: near-identical dimension rows by
     // bounded edit distance — the warehouse-hygiene operator (typo'd
     // duplicate customers). NEVER all-pairs: candidates come from a
-    // blocking key (nation × segment here); block sizes are bounded by the
-    // key's selectivity, so the self-join cost is Σ|block|², not n². At
-    // 100 TB the blocking key is the tuning surface (add name prefixes /
-    // sorted-neighborhood windows to tighten blocks) — the join shape is
-    // unchanged. Levenshtein is the classic DP, identical in both engines.
+    // 1-deletion-neighborhood blocking key (SymSpell): each name emits
+    // itself plus every single-character deletion, and any pair at edit
+    // distance ≤ 1 shares at least one key (substitution → delete the
+    // edited position in both; insertion/deletion → the shorter string IS
+    // a deletion of the longer; equal → the name itself). Unlike a
+    // fixed-cardinality key (nation × segment has ~125 blocks at ANY
+    // corpus size, so Σ|block|² = O(n²/125) at 100×), deletion keys are
+    // near-unique: |block| is bounded by the actual duplicate multiplicity
+    // of a name, independent of corpus size, and key cardinality grows
+    // with n (EntityMatchSpec pins max-block ≈ constant under a 10×
+    // corpus). Candidates are exact-verified with levenshtein and the
+    // same-nation/segment business rule, then DISTINCT'd (a pair can
+    // share several keys) — output is identical to the naive blocked
+    // self-join; only the candidate generation scales.
     Q(
       "q_entity_match",
       (s, d) => {
         val c = customer(s, d).select(
           col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-        val a = c.toDF("a_key", "a_name", "nk", "seg")
-        val b = c.toDF("b_key", "b_name", "nk", "seg")
-        a.join(b, Seq("nk", "seg"))
+        val keyed = c.withColumn("del_key", explode(deletionKeys(col("c_name"))))
+        val a = keyed.toDF("a_key", "a_name", "nk", "seg", "del_key")
+        val b = keyed.toDF("b_key", "b_name", "nk", "seg", "del_key")
+        a.join(b, Seq("del_key", "nk", "seg"))
           .filter(col("a_key") < col("b_key"))
           .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")))
           .filter(col("edit_dist") <= 1)
           .select(col("a_key"), col("b_key"), col("edit_dist"))
+          .distinct()
       },
-      Some("""SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      Some("""WITH keys AS (
+             |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             |         CASE WHEN i = 0 THEN c_name
+             |              ELSE substr(c_name, 1, i-1) || substr(c_name, i+1) END AS del_key
+             |  FROM customer, LATERAL (SELECT unnest(generate_series(0, length(c_name))) AS i) t
+             |)
+             |SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key,
              |  levenshtein(a.c_name, b.c_name) AS edit_dist
-             |FROM customer a JOIN customer b
-             |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-             |  AND a.c_custkey < b.c_custkey
+             |FROM keys a JOIN keys b
+             |  ON a.del_key = b.del_key AND a.c_nationkey = b.c_nationkey
+             |  AND a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
     ),
 
