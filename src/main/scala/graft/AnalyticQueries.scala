@@ -18,16 +18,23 @@ object AnalyticQueries {
   /** 1-deletion neighborhood of a string (SymSpell blocking for edit
     * distance ≤ 1): the string itself plus every single-character
     * deletion. Any two strings within one edit share at least one
-    * element; block sizes are bounded by a name's duplicate multiplicity,
-    * not the corpus size (EntityMatchSpec pins this under a 10× corpus).
+    * element; block sizes are bounded by duplicate multiplicity times the
+    * key's 1-insertion neighborhood occupancy, independent of corpus size
+    * (EntityMatchSpec pins max-block ≈ constant under a 10× corpus).
+    * The empty-string guard matters: sequence(1, 0) evaluates to the
+    * DESCENDING array [1, 0], which would emit two spurious keys where
+    * the oracle's generate_series(0, len) emits none.
     * All built-ins — the explode downstream stays in codegen.
     */
   def deletionKeys(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
       array(name),
-      transform(
-        sequence(lit(1), length(name)),
-        i => concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name)))))
+      when(
+        length(name) > 0,
+        transform(
+          sequence(lit(1), length(name)),
+          i => concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name)))))
+        .otherwise(array().cast("array<string>")))
 
   val all: Seq[Q] = Seq(
     // Q5 shape: revenue by nation for one region + date window.
@@ -175,6 +182,42 @@ object AnalyticQueries {
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
     ),
 
+    // Q18 shape: grouped-HAVING then join back (large-volume customers).
+    // The HAVING side collapses lineitem to one decimal-exact row per
+    // order BEFORE any join — the order/customer joins then carry only
+    // the ~1% of orders that survive the quantity threshold, so the big
+    // fact participates in exactly one shuffle (its groupBy). Threshold
+    // 250 ≈ the p99 of per-order quantity in this corpus (TPC-H's 300
+    // exceeds the synthetic max of ~475 at a selectivity that would
+    // empty the sf0.01 gate). o_orderkey tie-break keeps the topN-style
+    // ordering fully deterministic.
+    Q(
+      "q_large_volume_customer",
+      (s, d) => {
+        val big = lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 250.0)
+        big
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .select(
+            col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) AS sum_qty
+             |  FROM lineitem GROUP BY l_orderkey
+             |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) > 250.0)
+             |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+             |FROM big
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey""".stripMargin)
+    ),
+
     // Time-based sliding-window average: each event vs the trailing hour of
     // its user's events — a RANGE frame over event time (not ROWS), the
     // window type sensor rollups and rate limiters need. The accumulator
@@ -254,22 +297,40 @@ object AnalyticQueries {
     // The 100 TB form of the quantile query: approx_percentile's mergeable
     // sketch (Greenwald-Khanna summaries) aggregates in one pass with
     // map-side partial merge — no per-group value sort, bounded memory per
-    // group regardless of group size. Rows-only at the driver gate
-    // (sketches are not bit-reproducible against DuckDB); correctness is
-    // the tolerance spec in QueryRegistrySpec pinning p50/p95 within 2% of
-    // the exact sibling's rank on the same data.
+    // group regardless of group size. The sketch values themselves are not
+    // bit-reproducible against DuckDB, so the query is a banded
+    // exact-vs-sketch REPORT: exact p50/p95 (cross-engine bit-checked, the
+    // q_group_quantiles equivalence) plus in-band flags — sketch value
+    // within the exact ±2%-rank band [q(.48), q(.52)] / [q(.93), q(.97)].
+    // The oracle states the band claim as TRUE; a sketch drifting out of
+    // band flips the flag and fails the hash gate. QueryRegistrySpec
+    // additionally rank-checks the raw sketch values independently.
     Q(
       "q_group_quantiles_approx",
       (s, d) =>
         events(s, d)
           .groupBy(col("event_type"))
           .agg(
-            expr("approx_percentile(value, 0.5, 10000)").as("p50"),
-            expr("approx_percentile(value, 0.95, 10000)").as("p95"),
+            expr("percentile(value, array(0.48D, 0.5D, 0.52D, 0.93D, 0.95D, 0.97D))").as("qe"),
+            expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+            expr("approx_percentile(value, 0.95, 10000)").as("a95"),
             count(lit(1)).as("n")
           )
+          .select(
+            col("event_type"),
+            col("n"),
+            element_at(col("qe"), 2).as("p50_exact"),
+            element_at(col("qe"), 5).as("p95_exact"),
+            col("a50").between(element_at(col("qe"), 1), element_at(col("qe"), 3)).as("p50_in_band"),
+            col("a95").between(element_at(col("qe"), 4), element_at(col("qe"), 6)).as("p95_in_band")
+          )
           .orderBy(col("event_type")),
-      None
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  quantile_cont(value, 0.5) AS p50_exact,
+             |  quantile_cont(value, 0.95) AS p95_exact,
+             |  TRUE AS p50_in_band,
+             |  TRUE AS p95_in_band
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     // Q8 shape: per-year revenue share of one region (two-level aggregate).
@@ -643,12 +704,21 @@ object AnalyticQueries {
         val syy = col("syy").cast("double")
         val sxy = col("sxy").cast("double")
         val covN = nd * sxy - sx * sy // n² × covariance
+        // n·Σx² − (Σx)² is mathematically ≥ 0 but double cancellation can
+        // land a hair below zero, and a constant column lands AT zero:
+        // Spark's sqrt(neg) → NaN where DuckDB RAISES, and x/0 → Inf/NaN
+        // where DuckDB raises on 0/0 — either would break the oracle gate.
+        // greatest(·, 0) + NULLIF(·, 0) (identical in the SQL below) make
+        // zero-variance groups yield NULL on BOTH engines; ZeroVarianceSpec
+        // plants a constant group to pin it.
+        val vxN = greatest(nd * sxx - sx * sx, lit(0.0))
+        val vyN = greatest(nd * syy - sy * sy, lit(0.0))
         m.select(
           col("l_returnflag"),
           col("n"),
-          round(covN / (nd * sxx - sx * sx), 6).as("slope"),
-          round((sy * sxx - sx * sxy) / (nd * sxx - sx * sx), 6).as("intercept"),
-          round(covN / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6).as("r"),
+          round(covN / nullif(vxN, lit(0.0)), 6).as("slope"),
+          round((sy * sxx - sx * sxy) / nullif(vxN, lit(0.0)), 6).as("intercept"),
+          round(covN / nullif(sqrt(vxN * vyN), lit(0.0)), 6).as("r"),
           round(covN / (nd * nd), 6).as("covar_pop")
         ).orderBy("l_returnflag")
       },
@@ -662,12 +732,12 @@ object AnalyticQueries {
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag, n,
              |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+             |    / NULLIF(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 0.0), 6) AS slope,
              |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
-             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept,
+             |    / NULLIF(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 0.0), 6) AS intercept,
              |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r,
+             |    / NULLIF(sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+             |         * greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 0.0), 6) AS r,
              |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop
              |FROM m ORDER BY l_returnflag""".stripMargin)
@@ -694,11 +764,16 @@ object AnalyticQueries {
           .select(
             col("event_type"),
             (col("sx").cast("double") / col("n").cast("double")).as("mean"),
-            sqrt(
+            // greatest(·,0): double cancellation can push Σx²/n − mean² a
+            // hair negative (Spark sqrt → NaN, DuckDB raises); NULLIF at
+            // the division keeps a zero-variance type NULL on BOTH
+            // engines instead of Inf/NaN-vs-error (ZeroVarianceSpec).
+            sqrt(greatest(
               col("sxx").cast("double") / col("n").cast("double") -
                 (col("sx").cast("double") / col("n").cast("double")) *
-                (col("sx").cast("double") / col("n").cast("double"))
-            ).as("sd")
+                (col("sx").cast("double") / col("n").cast("double")),
+              lit(0.0)
+            )).as("sd")
           )
         ev.select(col("event_id"), col("event_type"), col("value"))
           .join(broadcast(stats), Seq("event_type"))
@@ -706,20 +781,20 @@ object AnalyticQueries {
             col("event_id"),
             col("event_type"),
             col("value"),
-            round((col("value") - col("mean")) / col("sd"), 4).as("z"),
-            (abs((col("value") - col("mean")) / col("sd")) > lit(3.0)).as("is_outlier")
+            round((col("value") - col("mean")) / nullif(col("sd"), lit(0.0)), 4).as("z"),
+            (abs((col("value") - col("mean")) / nullif(col("sd"), lit(0.0))) > lit(3.0)).as("is_outlier")
           )
       },
       Some("""WITH stats AS (
              |  SELECT event_type,
              |    CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
-             |    sqrt(CAST(SUM(CAST(value * value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |    sqrt(greatest(CAST(SUM(CAST(value * value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
              |      - (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-             |      * (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS sd
+             |      * (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 0.0)) AS sd
              |  FROM events GROUP BY event_type)
              |SELECT event_id, e.event_type, value,
-             |  round((value - mean) / sd, 4) AS z,
-             |  abs((value - mean) / sd) > 3.0 AS is_outlier
+             |  round((value - mean) / NULLIF(sd, 0.0), 4) AS z,
+             |  abs((value - mean) / NULLIF(sd, 0.0)) > 3.0 AS is_outlier
              |FROM events e JOIN stats USING (event_type)""".stripMargin)
     ),
 
@@ -733,10 +808,10 @@ object AnalyticQueries {
     // a deletion of the longer; equal → the name itself). Unlike a
     // fixed-cardinality key (nation × segment has ~125 blocks at ANY
     // corpus size, so Σ|block|² = O(n²/125) at 100×), deletion keys are
-    // near-unique: |block| is bounded by the actual duplicate multiplicity
-    // of a name, independent of corpus size, and key cardinality grows
-    // with n (EntityMatchSpec pins max-block ≈ constant under a 10×
-    // corpus). Candidates are exact-verified with levenshtein and the
+    // near-unique: |block| is bounded by duplicate multiplicity times the
+    // key's 1-insertion neighborhood occupancy — independent of corpus
+    // size — and key cardinality grows with n (EntityMatchSpec pins
+    // max-block ≈ constant under a 10× corpus). Candidates are exact-verified with levenshtein and the
     // same-nation/segment business rule, then DISTINCT'd (a pair can
     // share several keys) — output is identical to the naive blocked
     // self-join; only the candidate generation scales.

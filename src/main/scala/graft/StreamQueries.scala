@@ -189,11 +189,15 @@ object StreamQueries {
           .select(
             col("event_type"),
             (col("sx").cast("double") / col("n").cast("double")).as("mean"),
-            sqrt(
+            // Same zero-variance guards as q_anomaly_zscore: greatest(·,0)
+            // against cancellation-negative variance, NULLIF(sd,0) so a
+            // constant type yields NULL z (filtered out) on both engines.
+            sqrt(greatest(
               col("sxx").cast("double") / col("n").cast("double") -
                 (col("sx").cast("double") / col("n").cast("double")) *
-                (col("sx").cast("double") / col("n").cast("double"))
-            ).as("sd")
+                (col("sx").cast("double") / col("n").cast("double")),
+              lit(0.0)
+            )).as("sd")
           )
         val q = s.readStream
           .schema(schema)
@@ -201,12 +205,12 @@ object StreamQueries {
           .parquet(d)
           .select(col("event_id"), col("event_type"), col("value"))
           .join(broadcast(stats), Seq("event_type"))
-          .filter(abs((col("value") - col("mean")) / col("sd")) > lit(3.0))
+          .filter(abs((col("value") - col("mean")) / nullif(col("sd"), lit(0.0))) > lit(3.0))
           .select(
             col("event_id"),
             col("event_type"),
             col("value"),
-            round((col("value") - col("mean")) / col("sd"), 4).as("z")
+            round((col("value") - col("mean")) / nullif(col("sd"), lit(0.0)), 4).as("z")
           )
           .writeStream
           .format("parquet")
@@ -221,14 +225,14 @@ object StreamQueries {
       Some("""WITH stats AS (
              |  SELECT event_type,
              |    CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
-             |    sqrt(CAST(SUM(CAST(value * value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |    sqrt(greatest(CAST(SUM(CAST(value * value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
              |      - (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-             |      * (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS sd
+             |      * (CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 0.0)) AS sd
              |  FROM events GROUP BY event_type)
              |SELECT event_id, e.event_type, value,
-             |  round((value - mean) / sd, 4) AS z
+             |  round((value - mean) / NULLIF(sd, 0.0), 4) AS z
              |FROM events e JOIN stats USING (event_type)
-             |WHERE abs((value - mean) / sd) > 3.0""".stripMargin)
+             |WHERE abs((value - mean) / NULLIF(sd, 0.0)) > 3.0""".stripMargin)
     ),
 
     Q(

@@ -509,7 +509,12 @@ case class LinearTextScore(child: Expression, weights: Seq[Double], bias: Double
     SketchImpl.linearTextScore(input.asInstanceOf[UTF8String], flat, bias)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("linearWeights", flat, "double[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.linearTextScore($c, $w, $bias)")
+    // bias ships as a reference object, not a spliced source literal: a
+    // non-finite bias would render as `NaN`/`Infinity` — invalid Java —
+    // and fail compilation where the interpreted path evaluates fine.
+    val b = ctx.addReferenceObj("linearBias", java.lang.Double.valueOf(bias), "java.lang.Double")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchImpl.linearTextScore($c, $w, $b.doubleValue())")
   }
   override protected def withNewChildInternal(newChild: Expression): LinearTextScore = copy(child = newChild)
 }

@@ -776,27 +776,38 @@ object SketchImpl {
     out
   }
 
+  // One Deflater (native zlib state) and scratch buffer per executor
+  // thread, reset per row — allocating them per row would malloc/free
+  // zlib state on the hot scan path. Never end()'d: the ThreadLocal
+  // lives for the executor thread's lifetime, the standard pattern for
+  // per-thread native codec state.
+  private val deflaterTL = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater = new java.util.zip.Deflater(6, true)
+  }
+  private val deflateBufTL = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   /** DEFLATE compression ratio of the text's UTF-8 bytes (compressed /
     * raw) — the classic cheap junk detector: highly repetitive boilerplate
     * compresses far below prose, random/encrypted blobs sit near (or
-    * above) 1.0. One Deflater pass per row, level 6 (zlib default),
-    * reused output buffer growth only on demand. Deterministic within a
-    * JVM (the JDK bundles its own zlib); the operator's gates are
-    * PROPERTY gates (ordering, bounds, determinism), never exact ratios,
-    * so a zlib revision can't flip them.
+    * above) 1.0. One pass per row over a per-thread reused Deflater and
+    * output buffer (the compressed size is summed, never materialized).
+    * Deterministic within a JVM (the JDK bundles its own zlib); the
+    * operator's gates are PROPERTY gates (ordering, bounds, determinism),
+    * never exact ratios, so a zlib revision can't flip them.
     */
   def deflateRatio(s: UTF8String): Double = {
     val raw = s.getBytes
     if (raw.length == 0) return 1.0
-    val def6 = new java.util.zip.Deflater(6, true)
-    try {
-      def6.setInput(raw)
-      def6.finish()
-      var total = 0L
-      val buf = new Array[Byte](8192)
-      while (!def6.finished()) total += def6.deflate(buf)
-      total.toDouble / raw.length
-    } finally def6.end()
+    val def6 = deflaterTL.get()
+    def6.reset()
+    def6.setInput(raw)
+    def6.finish()
+    var total = 0L
+    val buf = deflateBufTL.get()
+    while (!def6.finished()) total += def6.deflate(buf)
+    total.toDouble / raw.length
   }
 
   /** Linear text score σ(bias + Σ_tokens w[bucket(token)]) — feature

@@ -41,4 +41,21 @@ object FixedWidthText {
     val kept = raw.filter(length(trim(col("value"))) > 0 && !col("value").startsWith(commentPrefix))
     parse(kept, schema)
   }
+
+  /** [[read]] over an explicit file list — the shape [[ListingDiscovery]]
+    * hands over (only the files newer than the watermark are scanned at
+    * all; at scale that is the difference between reading one day and
+    * re-reading the whole archive). One scan over N paths, still
+    * split-parallel per file.
+    */
+  def readFiles(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: StructType,
+      commentPrefix: String = "#"
+  ): DataFrame = {
+    val raw = spark.read.text(paths: _*)
+    val kept = raw.filter(length(trim(col("value"))) > 0 && !col("value").startsWith(commentPrefix))
+    parse(kept, schema)
+  }
 }

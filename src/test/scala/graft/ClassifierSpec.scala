@@ -116,4 +116,28 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(streamed == batch, "stream and batch scores must be bit-identical")
   }
+
+  test("non-finite bias survives whole-stage codegen (reference object, not a spliced literal)") {
+    import spark.implicits._
+    // A spliced source literal would render NaN/Infinity — invalid Java —
+    // and compile-fail where the interpreted path runs; with fallback
+    // disabled that failure is fatal instead of a silent de-optimization.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq("some tokens here").toDF("text")
+      val w = Seq.fill(8)(0.0)
+      val nanScore = df
+        .select(TextFunctions.linearTextScore(col("text"), w, Double.NaN).as("s"))
+        .head().getDouble(0)
+      assert(nanScore.isNaN, "sigma(NaN + 0) must propagate NaN")
+      val infScore = df
+        .select(TextFunctions.linearTextScore(col("text"), w, Double.PositiveInfinity).as("s"))
+        .head().getDouble(0)
+      assert(infScore == 1.0, "sigma(+Inf) must saturate to 1.0")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }

@@ -70,6 +70,11 @@ class EntityMatchSpec extends AnyFunSuite with SparkSpec {
     // A fixed-cardinality key (nation×segment ≈ 125 blocks) would grow
     // max-block 10× here; deletion keys must stay within digit-collision
     // noise of constant, and the key space itself must scale with n.
+    // NOTE: the 2× / ≤100 thresholds are calibrated to THIS Name#%07d
+    // sequential-digit corpus (multiplicity 2, 7-digit zero-padded
+    // format); digit-insertion neighborhoods widen slightly with the
+    // number range, which the 2× headroom absorbs at n=5000. Editing the
+    // corpus shape or format width requires re-deriving the bounds.
     assert(m10 <= 2 * m1, s"max block grew $m1 -> $m10 under a 10x corpus — blocking is not corpus-scaled")
     assert(m10 <= 100, s"max block $m10 should be bounded by duplicate multiplicity, not n")
     assert(k10 >= 8 * k1, s"key cardinality must grow with the corpus: $k1 -> $k10")

@@ -70,6 +70,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_dedup_substrings: the window df-cap's sorted exchange feeds the merge join — no second pass") {
+    // Measured r9 (exclusive, sf0.1): window cap 1.06s vs agg+semi-join
+    // 1.89s (SMJ) / 2.42s (SHJ) — the window's shuffle+sort on `win` IS
+    // the ordering the downstream sort-merge pair join needs, so the cap
+    // costs no extra pass. Pin the shape that makes that true: the cap
+    // runs as a Window (not an aggregate+join pair), the pair join is a
+    // merge join, and the window's exchange is reused across join sides
+    // (the LSH stage-reuse test covers reuse; here we pin no agg-form
+    // regression).
+    val df = QueryRegistry.queries("q_dedup_substrings")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"df-cap must stay the window form (measured fastest):\n$p")
+    assert(p.contains("SortMergeJoin"), s"pair join must sort-merge on the window's ordering:\n$p")
+    assert(!p.contains("LeftSemi"), s"agg+semi-join cap form crept back (measured 1.8x slower):\n$p")
+  }
+
   test("LSH self-joins reuse their shuffle subtree (sketch computed once, not per side)") {
     // The merge hints force identical shuffle subtrees on both sides of
     // each banded self-join; AQE's stage reuse then computes the

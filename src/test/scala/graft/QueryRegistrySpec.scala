@@ -81,8 +81,15 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     // element can sit a few percent away in value while being rank-exact).
     // So the gate checks rank: the fraction of each group's values at or
     // below the returned quantile must bracket the requested percentile.
+    // Computed inline (the registered query now reports band FLAGS, not
+    // raw sketch values) — this keeps an independent rank gate on the
+    // sketch itself, not just the band claim.
     import org.apache.spark.sql.functions._
-    val approx = QueryRegistry.queries("q_group_quantiles_approx")(spark, sfDir)
+    val approx = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95"))
       .select("event_type", "p50", "p95")
     val ranks = Tables.events(spark, sfDir)
       .select(col("event_type"), col("value"))
@@ -236,7 +243,7 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     // bounds each threshold within a small slice of the group's value
     // range (2% is a generous ceiling at accuracy 10000). Row counts must
     // also agree — both forms clip every input row.
-    def thresholds(name: String): Map[String, (Double, Double, Long)] =
+    def fromClipped(name: String): Map[String, (Double, Double, Long)] =
       QueryRegistry.queries(name)(spark, sfDir)
         .groupBy("l_returnflag")
         .agg(fmin(col("clipped")).as("lo"), fmax(col("clipped")).as("hi"),
@@ -244,8 +251,28 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
         .collect()
         .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
         .toMap
-    val exact = thresholds("q_winsorize")
-    val approx = thresholds("q_winsorize_approx")
+    val exact = fromClipped("q_winsorize")
+    // The registered approx query now reports band flags, so derive the
+    // sketch thresholds inline (same expression the query uses) and carry
+    // the row count through the same clip-shaped join for the count gate.
+    val approx = {
+      import org.apache.spark.sql.functions.{broadcast, count => fcount, element_at, expr, greatest, least, lit}
+      val stats = Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.05D, 0.95D), 10000)").as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("alo"), element_at(col("q"), 2).as("ahi"))
+      Tables.lineitem(spark, sfDir)
+        .select("l_returnflag", "l_extendedprice")
+        .join(broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(fmin(least(greatest(col("l_extendedprice"), col("alo")), col("ahi"))).as("lo"),
+          fmax(least(greatest(col("l_extendedprice"), col("alo")), col("ahi"))).as("hi"),
+          fcount(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toMap
+    }
     assert(exact.keySet == approx.keySet)
     val range = Tables.lineitem(spark, sfDir)
       .agg(fmax(col("l_extendedprice")) - fmin(col("l_extendedprice"))).head().getDouble(0)

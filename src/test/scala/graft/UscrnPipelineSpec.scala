@@ -186,6 +186,81 @@ class UscrnPipelineSpec extends AnyFunSuite with SparkSpec {
       "re-run ticks must not duplicate rows through StagingSink")
   }
 
+  test("listing-driven discovery: two runs, the watermark prunes already-ingested files") {
+    // The reference's entry seam (get_new_file_urls, uscrn_dag.py:115-132):
+    // the updates page's "Last modified" column, filtered by the warehouse
+    // watermark, decides WHICH files the run reads at all. Here the
+    // listing is an Apache-style index fixture and the "urls" are local
+    // paths; the discovery → fixed-width read → staged merge loop runs
+    // end-to-end twice, and run 2 must scan ONLY the file that appeared
+    // after run 1's audit watermark.
+    import graft.sources.ListingDiscovery
+    val base = Files.createTempDirectory("uscrn_listing").toString
+    val raw = s"$base/raw"
+    Files.createDirectories(Paths.get(raw))
+    Files.writeString(Paths.get(raw, "fileA.txt"), "23583 20240101 0100 -3.5\n")
+    Files.writeString(Paths.get(raw, "fileB.txt"), "25380 20240101 0100 2.0\n")
+    Files.writeString(Paths.get(raw, "fileC.txt"), "23583 20240101 0200 -4.0\n")
+
+    def listing(files: Seq[(String, String)]): String = {
+      val rows = files.map { case (n, ts) =>
+        s"""<tr><td><img src="/icons/text.gif" alt="[TXT]"></td><td><a href="$n">$n</a></td><td>$ts</td><td>12K</td><td>&nbsp;</td></tr>"""
+      }.mkString("\n")
+      s"""<html><body><h1>Index of /updates/2024</h1><table>
+         |<tr><th><img src="/icons/blank.gif" alt="[ICO]"></th><th>Name</th><th>Last modified</th><th>Size</th><th>Description</th></tr>
+         |<tr><th colspan="5"><hr></th></tr>
+         |<tr><td><img src="/icons/back.gif" alt="[PARENTDIR]"></td><td><a href="..">Parent Directory</a></td><td>&nbsp;</td><td>-</td><td>&nbsp;</td></tr>
+         |$rows
+         |<tr><th colspan="5"><hr></th></tr>
+         |</table></body></html>""".stripMargin
+    }
+
+    val locations = Seq((23583L, "Fairbanks AK"), (25380L, "Nome AK"))
+      .toDF("wbanno", "station_location")
+    val staging = s"$base/staging"; val main = s"$base/main"
+
+    def ingest(listingHtml: String, clock: String): Seq[String] = {
+      val watermark = StagingSink.lastAdded(spark, main)
+      val discovered = ListingDiscovery.newFilePaths(listingHtml, watermark, raw)
+      if (discovered.nonEmpty) {
+        val parsed = FixedWidthText.readFiles(spark, discovered, schema)
+        val transformed = parsed
+          .withColumn("utc_datetime", EtlOps.timestampFromParts(col("utc_date"), col("utc_time")))
+          .withColumn("t_calc_f", EtlOps.celsiusToFahrenheit(col("t_calc")))
+          .join(broadcast(locations), Seq("wbanno"))
+        val deduped = EtlOps.dedupByKey(transformed, Seq("station_location", "utc_datetime"), "utc_time")
+          .select("wbanno", "station_location", "utc_datetime", "t_calc", "t_calc_f")
+        StagingSink.stage(deduped, staging)
+        StagingSink.mergeToMain(spark, staging, main,
+          keyCols = Seq("station_location", "utc_datetime"),
+          clock = lit(clock).cast("timestamp"))
+      }
+      discovered
+    }
+
+    // Run 1: empty main → no watermark → both listed files ingest.
+    val l1 = listing(Seq("fileA.txt" -> "2024-01-01 09:00", "fileB.txt" -> "2024-01-02 09:00"))
+    val d1 = ingest(l1, "2024-01-02 12:00:00")
+    assert(d1 == Seq(s"$raw/fileA.txt", s"$raw/fileB.txt"))
+    assert(spark.read.parquet(main).count() == 2)
+
+    // Run 2: fileC appears in the listing, modified AFTER run 1's audit
+    // watermark; A and B are older — only C may be read.
+    val l2 = listing(Seq(
+      "fileA.txt" -> "2024-01-01 09:00",
+      "fileB.txt" -> "2024-01-02 09:00",
+      "fileC.txt" -> "2024-01-03 09:00"))
+    val d2 = ingest(l2, "2024-01-03 12:00:00")
+    assert(d2 == Seq(s"$raw/fileC.txt"), s"watermark must prune already-ingested files, got $d2")
+    val after2 = spark.read.parquet(main)
+    assert(after2.count() == 3)
+
+    // Run 3: unchanged listing, advanced watermark — discovery is empty
+    // and the run is a no-op (the reference's quiet-day behavior).
+    assert(ingest(l2, "2024-01-04 12:00:00").isEmpty)
+    assert(spark.read.parquet(main).count() == 3)
+  }
+
   test("unreachable source: preflight alerts and skips, main is never touched") {
     val base = Files.createTempDirectory("uscrn_skip").toString
     val run = uscrnPipeline(s"$base/no_such_dir", s"$base/staging", s"$base/main").run()
