@@ -490,33 +490,66 @@ object AnalyticQueries {
     // distinct shuffles of the FULL column values. HyperLogLog++ sketches
     // (approx_count_distinct) are mergeable partial aggregates, so the
     // whole profile collapses back to one scan + one tiny exchange of
-    // fixed-size sketches regardless of cardinality. Rows-only at the
-    // driver gate (sketch estimates aren't bit-reproducible in DuckDB);
-    // correctness is the tolerance spec pinning each estimate within
-    // HLL's published error (~2.3% at default precision) of the exact
-    // twin's count.
+    // fixed-size sketches regardless of cardinality. Sketch estimates
+    // aren't bit-reproducible in DuckDB, so the query is a banded
+    // exact-vs-sketch REPORT: the exact profile columns cross-engine
+    // hash-checked plus ndv_in_band — the HLL estimate within ±10% of
+    // the exact distinct (the exact side rides the same single scan,
+    // which is the price of promoting the gate from rows-only, not part
+    // of the production plan's cost story — the 100 TB deployment runs
+    // the sketch WITHOUT the exact twin). The oracle states the band
+    // claim as TRUE.
     Q(
       "q_profile_approx",
       (s, d) => {
         val cols = Seq("event_id", "user_id", "event_type")
-        val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+        // The sketch pass and the exact pass MUST be separate aggregates:
+        // mixing approx_count_distinct with countDistinct in one agg puts
+        // the HLL register array inside the countDistinct Expand rewrite's
+        // per-(gid, value) hash-map entries — one sketch buffer PER
+        // DISTINCT VALUE, measured 8-60s at sf0.1 depending on rsd. Split,
+        // the sketch pass is one scan with three fixed-size buffers total
+        // (the production shape — at 100 TB it runs WITHOUT the exact
+        // twin; the exact pass here is the price of the hash gate only)
+        // and the two 1-row results cross-join for free.
+        // rsd 0.02 (not the 0.05 default): the ±10% band below is then
+        // 5σ — far from the sketch's noise floor (measured worst case
+        // 6.7% at default rsd across the sf dirs, ~2.7% at 0.02).
+        val approxAggs = cols.map(c => approx_count_distinct(col(c), 0.02).as(s"adist_$c"))
+        val exactAggs = count(lit(1)).as("n") +: cols.flatMap { c =>
           Seq(
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-            approx_count_distinct(col(c)).as(s"dist_$c"),
+            countDistinct(col(c)).as(s"dist_$c"),
             min(col(c)).cast("string").as(s"min_$c"),
             max(col(c)).cast("string").as(s"max_$c")
           )
         }
         val branches = cols
-          .map(c => s"'$c', n, null_$c, dist_$c, min_$c, max_$c")
+          .map(c =>
+            s"'$c', n, null_$c, dist_$c, min_$c, max_$c, " +
+              s"abs(cast(adist_$c as double) - dist_$c) <= 0.10 * dist_$c")
           .mkString(", ")
         events(s, d)
-          .agg(aggs.head, aggs.tail: _*)
+          .agg(exactAggs.head, exactAggs.tail: _*)
+          .crossJoin(broadcast(events(s, d).agg(approxAggs.head, approxAggs.tail: _*)))
           .selectExpr(
-            s"stack(${cols.length}, $branches) AS (col_name, n, n_null, n_distinct, min_v, max_v)"
+            s"stack(${cols.length}, $branches) AS (col_name, n, n_null, n_distinct, min_v, max_v, ndv_in_band)"
           )
       },
-      None
+      Some("""SELECT 'event_id' AS col_name, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  COUNT(DISTINCT event_id) AS n_distinct,
+             |  CAST(min(event_id) AS VARCHAR) AS min_v, CAST(max(event_id) AS VARCHAR) AS max_v,
+             |  TRUE AS ndv_in_band
+             |FROM events
+             |UNION ALL
+             |SELECT 'user_id', COUNT(*), CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  COUNT(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR), TRUE
+             |FROM events
+             |UNION ALL
+             |SELECT 'event_type', COUNT(*), CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  COUNT(DISTINCT event_type), CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR), TRUE
+             |FROM events""".stripMargin)
     ),
 
     // Funnel analysis: users progressing view → click (after their first

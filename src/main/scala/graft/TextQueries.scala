@@ -53,6 +53,37 @@ object TextQueries {
     (grams.filter(col("doc_id") >= 20), grams.filter(col("doc_id") < 20).select("gram"))
   }
 
+  /** The production decontamination probe: benchmark grams collapse into
+    * one Bloom filter (bounded driver state) shipped as a plan literal;
+    * the corpus side is a pure map-side BloomFilterMightContain filter —
+    * no corpus shuffle except the final per-doc partial-agg count. Shared
+    * by q_decontaminate_bloom's banded report (docs only) and the
+    * FP-rate superset spec (per-doc flagged-gram counts).
+    */
+  private[graft] def bloomFlaggedGrams(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame = {
+    val (corpus, bench) = contaminationGrams(s, d)
+    val bf = bench.stat.bloomFilter("gram", expectedNumItems = 20000L, fpp = 0.001)
+    val bytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(baos)
+      baos.toByteArray
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val mightContain = toCol(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        toExpr(lit(bytes)),
+        toExpr(col("gram"))
+      )
+    )
+    corpus
+      .filter(mightContain)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_flagged_grams"))
+  }
+
   /** The deterministic train/val/test assignment (md5 2-hex prefix on a
     * salted doc_id: < 'cc' ≈ 80% train, < 'e6' ≈ 10% val, else test),
     * defined ONCE for q_train_test_split and the cross-split leakage
@@ -192,32 +223,50 @@ object TextQueries {
     // per-doc count (map-side partial agg). Probabilistic: zero false
     // NEGATIVES by construction (every truly contaminated gram is
     // flagged) with fpp 0.1% false positives — the safe direction for
-    // decontamination (overscrub, never leak), gated by the superset
-    // spec against the exact join form.
+    // decontamination (overscrub, never leak). The registered query is a
+    // banded REPORT (the q_group_quantiles_approx pattern): the exact
+    // overlap rows (cross-engine hash-checked, same CTE as
+    // q_decontaminate) plus bloom_caught — the no-false-negative claim
+    // per contaminated doc, which the oracle states as TRUE; a bloom
+    // MISSING a truly contaminated doc flips the flag and fails the hash
+    // gate. The exact join rides along as the price of the gate only —
+    // the production probe is [[bloomFlaggedGrams]]'s map-side filter
+    // alone, and the FP-rate side stays gated by the superset spec.
     Q(
       "q_decontaminate_bloom",
       (s, d) => {
         val (corpus, bench) = contaminationGrams(s, d)
-        val bf = bench.stat.bloomFilter("gram", expectedNumItems = 20000L, fpp = 0.001)
-        val bytes = {
-          val baos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(baos)
-          baos.toByteArray
-        }
-        import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-        val mightContain = toCol(
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            toExpr(lit(bytes)),
-            toExpr(col("gram"))
-          )
-        )
         corpus
-          .filter(mightContain)
+          .join(bench.distinct(), "gram")
           .groupBy("doc_id")
-          .agg(countDistinct(col("gram")).as("n_flagged_grams"))
+          .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
+          .join(
+            bloomFlaggedGrams(s, d).select(col("doc_id"), lit(true).as("bloom_caught")),
+            Seq("doc_id"),
+            "left")
+          .select(
+            col("doc_id"),
+            col("n_contaminated_grams"),
+            coalesce(col("bloom_caught"), lit(false)).as("bloom_caught"))
           .orderBy("doc_id")
       },
-      None
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM corpus),
+             |g AS (
+             |  SELECT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+             |  FROM w, unnest(range(1, len(w) - 11)) AS t(i)
+             |  WHERE len(w) >= 13),
+             |b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+             |SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_contaminated_grams,
+             |  TRUE AS bloom_caught
+             |FROM g JOIN b USING (gram) WHERE g.doc_id >= 20
+             |GROUP BY g.doc_id""".stripMargin)
     ),
 
     // Character-level exact-substring decontamination — the stricter sibling
@@ -903,8 +952,14 @@ object TextQueries {
     // mergeable aggregate — the exact trade q_profile_approx makes for
     // distinct counts. Deterministic (fixed seed), so the spec's CMS
     // guarantee check (est ≥ true, est ≤ true + ε·N) is reproducible, not
-    // probabilistic-flaky. No oracle: DuckDB has no CMS; gated by the
-    // bound spec against exact counts.
+    // probabilistic-flaky. DuckDB has no CMS, so the query is a banded
+    // exact-vs-sketch REPORT (the q_group_quantiles_approx pattern): per
+    // probe word, the exact count (cross-engine hash-checked — whitespace
+    // tokenization parity is established by q_token_count) plus
+    // cms_in_bound — the fixed-seed estimate inside [exact, exact + ε·N].
+    // The oracle states the bound claim as TRUE; a sketch violating the
+    // Count-Min guarantee flips the flag and fails the hash gate. The
+    // bound spec additionally checks the raw estimates inline.
     Q(
       "q_heavy_hitters",
       (s, d) => {
@@ -912,10 +967,35 @@ object TextQueries {
         val words = documents(s, d)
           .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
         val cms = words.stat.countMinSketch("w", eps = 0.001, confidence = 0.99, seed = 42)
+        val slack = (0.001 * cms.totalCount).toLong + 1
         val probes = TextFunctions.langMarkers.flatMap(_._2).distinct.sorted
-        probes.map(w => (w, cms.estimateCount(w))).toDF("word", "est_count")
+        val est = probes.map(w => (w, cms.estimateCount(w))).toDF("word", "est_count")
+        val exact = words
+          .filter(col("w").isin(probes: _*))
+          .groupBy(col("w").as("word"))
+          .agg(count(lit(1)).as("exact_count"))
+        est
+          .join(exact, Seq("word"), "left")
+          .select(
+            col("word"),
+            coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+            (col("est_count") >= coalesce(col("exact_count"), lit(0L)) &&
+              col("est_count") <= coalesce(col("exact_count"), lit(0L)) + lit(slack))
+              .as("cms_in_bound"))
+          .orderBy("word")
       },
-      None
+      Some {
+        val probeList = TextFunctions.langMarkers.flatMap(_._2).distinct.sorted
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH w AS (
+           |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+           |  FROM documents),
+           |p AS (SELECT unnest([$probeList]) AS word),
+           |c AS (SELECT word, COUNT(*) AS exact_count FROM w GROUP BY 1)
+           |SELECT p.word, COALESCE(c.exact_count, 0) AS exact_count,
+           |  TRUE AS cms_in_bound
+           |FROM p LEFT JOIN c USING (word) ORDER BY word""".stripMargin
+      }
     ),
 
     // Corpus mix report — the per-(lang, source) composition table every

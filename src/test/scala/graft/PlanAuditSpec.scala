@@ -104,11 +104,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q_decontaminate_bloom probes membership map-side — no join in the plan") {
+  test("bloom decontamination probe is map-side — no join in the production plan") {
     // The broadcast-membership decontamination must not shuffle corpus
     // grams into any join: the bloom filter is a plan literal and the
     // probe is a local filter; only the per-doc aggregate may exchange.
-    val p = plan("q_decontaminate_bloom")
+    // Pinned on the production probe (TextQueries.bloomFlaggedGrams) —
+    // the REGISTERED q_decontaminate_bloom is the banded report, whose
+    // exact-overlap join exists only to feed the hash gate.
+    val p = TextQueries.bloomFlaggedGrams(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"bloom membership must not plan a join:\n$p")
     assert(p.contains("might_contain") || p.contains("BloomFilterMightContain") || p.contains("bloom"),
       s"bloom probe missing from plan:\n$p")

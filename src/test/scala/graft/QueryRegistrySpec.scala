@@ -33,13 +33,22 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1))
         .toMap
     val exact = byDoc("q_decontaminate", "n_contaminated_grams")
-    val bloom = byDoc("q_decontaminate_bloom", "n_flagged_grams")
+    // The registered bloom query now reports the exact rows + a caught
+    // flag; the raw per-doc bloom counts come from the shared production
+    // probe directly (deterministic — Spark's bloomFilter has no random
+    // seed).
+    val bloom = TextQueries.bloomFlaggedGrams(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // Zero false negatives: every contaminated doc is flagged, with at
     // least as many flagged grams as truly contaminated ones.
     for ((doc, n) <- exact) {
       assert(bloom.contains(doc), s"doc $doc contaminated but not bloom-flagged")
       assert(bloom(doc) >= n, s"doc $doc: bloom ${bloom(doc)} < exact $n grams")
     }
+    // And the report itself must carry bloom_caught = true on every row.
+    val report = QueryRegistry.queries("q_decontaminate_bloom")(spark, sfDir).collect()
+    assert(report.nonEmpty && report.forall(_.getBoolean(2)),
+      "every exact-contaminated doc must report bloom_caught")
     // Few false positives: the filter's contract is fpp ≤ 0.1% PER GRAM
     // (it holds whenever ≤ expectedNumItems grams were inserted), and a
     // doc is FP-flagged if ANY of its probed grams false-positives — so
@@ -63,16 +72,22 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
         .toMap
     val exact = profile("q_profile")
-    val approx = profile("q_profile_approx")
+    val approxRows = QueryRegistry.queries("q_profile_approx")(spark, sfDir).collect()
+    val approx = approxRows
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
     assert(exact.keySet == approx.keySet)
     for ((c, (n, nNull, dist, minV, maxV)) <- exact) {
       val (an, aNull, aDist, aMin, aMax) = approx(c)
-      // Everything except the distinct count is computed exactly.
-      assert((an, aNull, aMin, aMax) == (n, nNull, minV, maxV), s"$c non-sketch fields differ")
-      // HLL++ at default relativeSD 0.05 — allow 3 sigma plus integer slack.
-      assert(math.abs(aDist - dist) <= math.max(2L, math.ceil(dist * 0.15).toLong),
-        s"$c approx distinct $aDist vs exact $dist")
+      // The report's exact columns (including n_distinct, now the exact
+      // value) must equal the exact twin's.
+      assert((an, aNull, aDist, aMin, aMax) == (n, nNull, dist, minV, maxV),
+        s"$c exact fields differ from the exact twin")
     }
+    // The HLL estimate itself is pinned by the in-band flag: rsd 0.02
+    // sketch within ±10% (5 sigma) of exact, deterministic on fixed data.
+    assert(approxRows.forall(_.getBoolean(6)), "every column must report ndv_in_band")
   }
 
   test("approx quantiles hit the requested rank within tolerance per group") {
@@ -219,10 +234,15 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
 
   test("CMS heavy-hitter estimates respect the Count-Min guarantee against exact counts") {
     import org.apache.spark.sql.functions.{col, explode, lower, split, trim}
-    val est = QueryRegistry.queries("q_heavy_hitters")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The registered query now reports exact counts + an in-bound flag;
+    // the raw estimates are recomputed inline (same fixed seed → same
+    // sketch) so the guarantee stays checked on the estimates themselves.
+    val out = QueryRegistry.queries("q_heavy_hitters")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(2)), "every probe must report cms_in_bound")
     val words = Tables.documents(spark, sfDir)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val cms = words.stat.countMinSketch("w", eps = 0.001, confidence = 0.99, seed = 42)
+    val est = out.map(r => r.getString(0) -> cms.estimateCount(r.getString(0))).toMap
     val n = words.count()
     val exact = words.groupBy("w").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
