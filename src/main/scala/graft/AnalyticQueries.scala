@@ -218,6 +218,61 @@ object AnalyticQueries {
              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey""".stripMargin)
     ),
 
+    // Snapshot reconciliation — the incremental-load audit every warehouse
+    // runs: per order, revenue as-of watermark T1 vs as-of T2, classified
+    // added / changed / unchanged (removed kept for generality — monotone
+    // cutoffs can't produce it). Scale-first device: when both snapshots
+    // derive from one table, the full-outer self-join form (two scans +
+    // a key shuffle each + the join) collapses to ONE scan and ONE
+    // partial-agg shuffle with conditional aggregates — sum(when(ts <
+    // cutoff, rev)); the FILTER'd sums are NULL for absent sides exactly
+    // like the outer join's missing rows, so the status CASE is
+    // identical. Status compares the exact DECIMAL accumulators (never
+    // the rounded doubles), so the classification is bit-stable on both
+    // engines.
+    Q(
+      "q_snapshot_diff",
+      (s, d) => {
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(25,10)")
+        val t1 = lit("1997-01-01").cast("timestamp")
+        val t2 = lit("1998-01-01").cast("timestamp")
+        lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            sum(when(col("l_shipdate") < t1, rev)).as("o"),
+            sum(when(col("l_shipdate") < t2, rev)).as("n")
+          )
+          .filter(col("o").isNotNull || col("n").isNotNull)
+          .select(
+            col("l_orderkey"),
+            col("o").cast("double").as("rev_old"),
+            col("n").cast("double").as("rev_new"),
+            when(col("o").isNull, "added")
+              .when(col("n").isNull, "removed")
+              .when(col("o") === col("n"), "unchanged")
+              .otherwise("changed")
+              .as("status")
+          )
+          .orderBy("l_orderkey")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_orderkey,
+             |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10)))
+             |      FILTER (WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00') AS o,
+             |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10)))
+             |      FILTER (WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00') AS n
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  CAST(o AS DOUBLE) AS rev_old,
+             |  CAST(n AS DOUBLE) AS rev_new,
+             |  CASE WHEN o IS NULL THEN 'added'
+             |       WHEN n IS NULL THEN 'removed'
+             |       WHEN o = n THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM m WHERE o IS NOT NULL OR n IS NOT NULL
+             |ORDER BY l_orderkey""".stripMargin)
+    ),
+
     // Time-based sliding-window average: each event vs the trailing hour of
     // its user's events — a RANGE frame over event time (not ROWS), the
     // window type sensor rollups and rate limiters need. The accumulator

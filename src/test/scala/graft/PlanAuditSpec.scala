@@ -118,6 +118,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"bloom probe missing from plan:\n$p")
   }
 
+  test("q_snapshot_diff reconciles two snapshots in one scan — no self-join") {
+    // The full-outer self-join form reads the fact twice and shuffles
+    // both sides into a join; the conditional-aggregate form must keep
+    // reconciliation at one scan + one partial-agg shuffle.
+    val p = plan("q_snapshot_diff")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"snapshot diff must read lineitem once:\n$p")
+    assert(!p.contains("Join"), s"same-table snapshot diff must not join:\n$p")
+  }
+
   test("q_funnel is a single-shuffle window funnel (one exchange, one scan)") {
     val p = plan("q_funnel")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
