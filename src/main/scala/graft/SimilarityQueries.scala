@@ -59,6 +59,199 @@ object SimilarityQueries {
   /** Drop memoized table statistics (see [[embeddingsCount]]). */
   private[graft] def clearStatsCache(): Unit = embCountCache.clear()
 
+  /** Sign-LSH ANN candidate pipeline (production plan): top-3 per query
+    * from multi-probe hamming≤2 buckets. See the q_ann_lsh registration
+    * for the plane-count scaling story. Spec-gated (DedupRecallSpec mean
+    * top-1 quality) and plan-pinned (no cross join) on THIS function; the
+    * registered query wraps it in annBandedReport for the hash gate.
+    */
+  private[graft] def annLshNeighbors(s: SparkSession, d: String): DataFrame = {
+    val n = embeddingsCount(s, d)
+    val p = lshPlaneCount(n, targetBucket = 256)
+    val planes = hyperplanes(p, 64)
+    val e = embeddings(s, d).withColumn("bucket", lshBucket(col("embedding"), planes))
+    val masks: Seq[Long] = 0L +:
+      ((0 until p).map(1L << _) ++
+        (for { i <- 0 until p; j <- (i + 1) until p } yield (1L << i) | (1L << j)))
+    val probes = array(masks.map(lit): _*)
+    val q = e.filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket")
+      )
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+  }
+
+  /** IVF ANN candidate pipeline (production plan): spherical-k-means coarse
+    * quantizer, queries probe their top-4 cells, exact rank within probed
+    * cells only. See the q_ann_ivf registration for the scale story.
+    */
+  private[graft] def annIvfNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = trainIvfCentroids(e, k = 16, iters = 3)
+    def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
+    def cell(v: Column) =
+      bind(cosArr(v))(a => (array_position(a, array_max(a)) - 1).cast("int"))
+    val corpus = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cell", cell(col("cv")))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell"))
+    val probes = e
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("query_id"), col("qv"), posexplode(cosArr(col("qv"))).as(Seq("cell", "qcos")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 4)
+      .select("query_id", "qv", "cell")
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+  }
+
+  /** IVF-PQ ANN candidate pipeline (production plan): 32-bit PQ codes rank
+    * the cell-bounded candidates, top-10 shortlist refines exactly via a
+    * join-back fetch. See the q_ann_ivfpq registration for the memory
+    * story (8 bytes/candidate vs 256 bytes/finalist).
+    */
+  private[graft] def annIvfPqNeighbors(s: SparkSession, d: String): DataFrame = {
+    val (m, ksub, dsub) = (8, 16, 8)
+    val e = embeddings(s, d)
+    val books = trainPqCodebooks(e, m, ksub, dsub)
+    val cents = trainIvfCentroids(e, k = 16, iters = 3)
+    def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
+    def cell(v: Column) =
+      bind(cosArr(v))(a => (array_position(a, array_max(a)) - 1).cast("int"))
+    val index = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .select(
+        col("neighbor_id"),
+        cell(col("cv")).as("cell"),
+        pqEncode(col("cv"), books, m, ksub, dsub).as("code")
+      )
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell"))
+    val probes = e
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("query_id"), col("qv"), posexplode(cosArr(col("qv"))).as(Seq("cell", "qcos")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 4)
+      .select("query_id", "qv", "cell")
+    val wPq = Window.partitionBy(col("query_id")).orderBy(col("pq_sim").desc, col("neighbor_id"))
+    val shortlist = broadcast(probes)
+      .join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("qv"),
+        col("neighbor_id"),
+        pqCosine(col("qv"), col("code"), books, m, ksub, dsub).as("pq_sim")
+      )
+      .withColumn("prn", row_number().over(wPq))
+      .filter(col("prn") <= 10)
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+  }
+
+  /** Banded ANN quality report (the hash-gate wrapper for the three ANN
+    * paths): per query, the EXACT brute-force top-1 cosine (cross-engine
+    * checkable — DuckDB recomputes it from the raw embeddings) plus three
+    * Spark-computed band flags the oracle states as literal TRUE:
+    *   - top1_band: this query's ANN top-1 is ≥ 0.6 × the exact top-1 —
+    *     the per-query floor (matches DedupRecallSpec's worst-case gate;
+    *     measured min across sf dirs 0.785);
+    *   - mean_band: mean ANN/exact top-1 ratio over the 10 queries ≥
+    *     meanFloor — the family's headline quality claim;
+    *   - recall_band: total exact-top-3 hits across all queries ≥
+    *     recallFloor of 30 — candidate generation collapsing to garbage
+    *     (wrong buckets, broken codes) flips this even when cosines stay
+    *     plausible.
+    * Floors are empirical-with-margin (calibrated across sf0.001/0.01/0.1,
+    * seeds fixed), not probabilistic guarantees — ANN has none; drift in
+    * the sketch kernels flips a flag and fails the driver hash gate. The
+    * exact brute-force twin rides along as the price of the gate (same
+    * device as q_profile_approx): the production plan is the neighbors
+    * pipeline alone.
+    */
+  private def annBandedReport(
+      s: SparkSession,
+      d: String,
+      ann: DataFrame,
+      meanFloor: Double,
+      recallFloor: Int
+  ): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val exact = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val exactAgg = exact
+      .groupBy("query_id")
+      .agg(
+        collect_set(col("neighbor_id")).as("exact_ids"),
+        max(when(col("rn") === 1, col("cos_sim"))).as("best_cos")
+      )
+    val annAgg = ann
+      .groupBy("query_id")
+      .agg(collect_set(col("neighbor_id")).as("ann_ids"), max(col("cos_sim")).as("ann_best"))
+    val wAll = Window.partitionBy()
+    exactAgg
+      .join(annAgg, Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("best_cos"),
+        (col("ann_best") / col("best_cos")).as("ratio"),
+        size(array_intersect(col("ann_ids"), col("exact_ids"))).as("hits")
+      )
+      .select(
+        col("query_id"),
+        lit(3).as("k"),
+        col("best_cos"),
+        (col("ratio") >= 0.6).as("top1_band"),
+        (avg(col("ratio")).over(wAll) >= meanFloor).as("mean_band"),
+        (sum(col("hits")).over(wAll) >= recallFloor).as("recall_band")
+      )
+      .orderBy("query_id")
+  }
+
+  /** Shared oracle for the three ANN banded reports: DuckDB recomputes the
+    * exact brute-force top-1 cosine per query and states every band claim
+    * as literal TRUE.
+    */
+  private val annBandedOracleSql: String =
+    """SELECT query_id, 3 AS k, MAX(cos_sim) AS best_cos,
+      |  TRUE AS top1_band, TRUE AS mean_band, TRUE AS recall_band
+      |FROM (
+      |  SELECT a.vec_id AS query_id,
+      |    list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+      |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos_sim
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id) p
+      |GROUP BY query_id
+      |ORDER BY query_id""".stripMargin
+
   /** Candidate pairs that co-occupy any LSH band bucket: input must have
     * (doc_id, bands: array<long>). One shuffle on (band_idx, band_hash):
     * the merge hint forces a sort-merge self-join whose two shuffle
@@ -1020,35 +1213,13 @@ object SimilarityQueries {
     // distance 2 of its own (a near neighbor sits on the far side of at
     // most a couple of hyperplanes) — 1 + p + C(p,2) buckets of the 2^p,
     // so probed volume is ~p² × 256 vectors: sub-linear, shrinking as a
-    // fraction of n. Mean top-1 quality ≥ 0.9 (gated).
+    // fraction of n. The REGISTERED query is the banded quality report
+    // (annBandedReport) so the driver hash-gates it; the production
+    // candidate pipeline is annLshNeighbors, spec- and plan-pinned.
     Q(
       "q_ann_lsh",
-      (s, d) => {
-        val n = embeddingsCount(s, d)
-        val p = lshPlaneCount(n, targetBucket = 256)
-        val planes = hyperplanes(p, 64)
-        val e = embeddings(s, d).withColumn("bucket", lshBucket(col("embedding"), planes))
-        val masks: Seq[Long] = 0L +:
-          ((0 until p).map(1L << _) ++
-            (for { i <- 0 until p; j <- (i + 1) until p } yield (1L << i) | (1L << j)))
-        val probes = array(masks.map(lit): _*)
-        val q = e.filter(col("vec_id") < 10)
-          .select(
-            col("vec_id").as("query_id"),
-            col("embedding").as("qv"),
-            explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket")
-          )
-        val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
-        val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-        broadcast(q)
-          .join(c, Seq("bucket"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select("query_id", "neighbor_id", "cos_sim", "rn")
-      },
-      None
+      (s, d) => annBandedReport(s, d, annLshNeighbors(s, d), meanFloor = 0.9, recallFloor = 12),
+      Some(annBandedOracleSql)
     ),
 
     // IVF ANN (the other scale path): a spherical-k-means coarse quantizer
@@ -1059,33 +1230,8 @@ object SimilarityQueries {
     // candidate set is cell-bounded, no full scan per query.
     Q(
       "q_ann_ivf",
-      (s, d) => {
-        val e = embeddings(s, d)
-        val cents = trainIvfCentroids(e, k = 16, iters = 3)
-        def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
-        def cell(v: Column) =
-          bind(cosArr(v))(a => (array_position(a, array_max(a)) - 1).cast("int"))
-        val corpus = e
-          .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-          .withColumn("cell", cell(col("cv")))
-        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell"))
-        val probes = e
-          .filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-          .select(col("query_id"), col("qv"), posexplode(cosArr(col("qv"))).as(Seq("cell", "qcos")))
-          .withColumn("pr", row_number().over(wProbe))
-          .filter(col("pr") <= 4)
-          .select("query_id", "qv", "cell")
-        val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-        broadcast(probes)
-          .join(corpus, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 3)
-          .select("query_id", "neighbor_id", "cos_sim", "rn")
-      },
-      None
+      (s, d) => annBandedReport(s, d, annIvfNeighbors(s, d), meanFloor = 0.9, recallFloor = 15),
+      Some(annBandedOracleSql)
     ),
 
     // IVF-PQ ANN (the billion-vector memory form): the scan side of the
@@ -1100,50 +1246,13 @@ object SimilarityQueries {
     // vs 256 bytes/finalist).
     Q(
       "q_ann_ivfpq",
-      (s, d) => {
-        val (m, ksub, dsub) = (8, 16, 8)
-        val e = embeddings(s, d)
-        val books = trainPqCodebooks(e, m, ksub, dsub)
-        val cents = trainIvfCentroids(e, k = 16, iters = 3)
-        def cosArr(v: Column) = array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
-        def cell(v: Column) =
-          bind(cosArr(v))(a => (array_position(a, array_max(a)) - 1).cast("int"))
-        val index = e
-          .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-          .select(
-            col("neighbor_id"),
-            cell(col("cv")).as("cell"),
-            pqEncode(col("cv"), books, m, ksub, dsub).as("code")
-          )
-        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell"))
-        val probes = e
-          .filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-          .select(col("query_id"), col("qv"), posexplode(cosArr(col("qv"))).as(Seq("cell", "qcos")))
-          .withColumn("pr", row_number().over(wProbe))
-          .filter(col("pr") <= 4)
-          .select("query_id", "qv", "cell")
-        val wPq = Window.partitionBy(col("query_id")).orderBy(col("pq_sim").desc, col("neighbor_id"))
-        val shortlist = broadcast(probes)
-          .join(index, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select(
-            col("query_id"),
-            col("qv"),
-            col("neighbor_id"),
-            pqCosine(col("qv"), col("code"), books, m, ksub, dsub).as("pq_sim")
-          )
-          .withColumn("prn", row_number().over(wPq))
-          .filter(col("prn") <= 10)
-        val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-        shortlist
-          .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 3)
-          .select("query_id", "neighbor_id", "cos_sim", "rn")
-      },
-      None
+      // PQ ranks the shortlist by 8-byte codes, so recall@3 vs the exact
+      // top-3 is structurally the lowest of the three ANN paths (measured
+      // total hits 10-14 of 30 across sf dirs) — its floor is honest, not
+      // slack; the value it buys is the 32× scan-size reduction, and the
+      // per-query exact-refined quality still clears the same 0.6 floor.
+      (s, d) => annBandedReport(s, d, annIvfPqNeighbors(s, d), meanFloor = 0.85, recallFloor = 6),
+      Some(annBandedOracleSql)
     ),
 
     // Embedding near-dup: planted perturbed copies, multi-table sign-LSH

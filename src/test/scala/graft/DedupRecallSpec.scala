@@ -386,21 +386,26 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     // ANN metric is the quality ratio: the approximate top-1 must be a
     // genuinely comparable neighbor, on every single query, from a
     // bucket/cell-bounded candidate set.
-    def top1cos(name: String): Map[Long, Double] =
-      QueryRegistry
-        .queries(name)(spark, sfDir)
-        .filter(col("rn") === 1)
+    def top1cosDf(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rn") === 1)
         .select(col("query_id"), col("cos_sim"))
         .as[(Long, Double)]
         .collect()
         .toMap
-    val exact = top1cos("q_embed_cosine_knn")
+    val exact = top1cosDf(QueryRegistry.queries("q_embed_cosine_knn")(spark, sfDir))
     assert(exact.size == 10)
     // IVF's k-means-trained cells carve the sphere better than fixed
     // hyperplane signs, so its gate is tighter (mean > 0.9) than LSH's;
     // IVF-PQ ranks by code but refines exactly, so it holds the same bar.
-    for ((ann, meanFloor) <- Seq("q_ann_lsh" -> 0.9, "q_ann_ivf" -> 0.9, "q_ann_ivfpq" -> 0.9)) {
-      val approx = top1cos(ann)
+    // Gate the PRODUCTION candidate pipelines — the registered queries are
+    // their banded-report wrappers (annBandedReport) for the driver gate.
+    val annPipelines = Seq[(String, Double, org.apache.spark.sql.DataFrame)](
+      ("q_ann_lsh", 0.9, SimilarityQueries.annLshNeighbors(spark, sfDir)),
+      ("q_ann_ivf", 0.9, SimilarityQueries.annIvfNeighbors(spark, sfDir)),
+      ("q_ann_ivfpq", 0.9, SimilarityQueries.annIvfPqNeighbors(spark, sfDir))
+    )
+    for ((ann, meanFloor, df) <- annPipelines) {
+      val approx = top1cosDf(df)
       assert(approx.size == 10, s"$ann must return a top-1 for every query")
       val ratios = exact.map { case (q, c) => approx(q) / c }
       info(s"$ann quality ratios: min=${ratios.min} mean=${ratios.sum / ratios.size}")

@@ -59,13 +59,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("LSH pipelines generate candidates by equi-join only — no cross join") {
-    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_ann_lsh",
-        "q_dedup_embedding", "q_decontaminate", "q_ann_ivfpq", "q_range_join",
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+        "q_dedup_embedding", "q_decontaminate", "q_range_join",
         "q_dedup_substrings", "q_dedup_images", "q_dedup_containment")) {
       val p = plan(name)
       assert(
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name must pair via banded equi-join, got:\n$p"
+      )
+    }
+    // The ANN registered queries are banded reports whose exact brute-force
+    // twin is deliberately a broadcast nested-loop (it IS the all-pairs
+    // baseline, the gate's price); the no-cross-join pin holds on the
+    // PRODUCTION candidate pipelines.
+    val annPipelines = Seq(
+      "annLshNeighbors" -> SimilarityQueries.annLshNeighbors(spark, sfDir),
+      "annIvfNeighbors" -> SimilarityQueries.annIvfNeighbors(spark, sfDir),
+      "annIvfPqNeighbors" -> SimilarityQueries.annIvfPqNeighbors(spark, sfDir)
+    )
+    for ((name, df) <- annPipelines) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must find candidates via bucket/cell equi-join, got:\n$p"
       )
     }
   }
