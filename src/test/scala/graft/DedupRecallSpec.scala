@@ -194,7 +194,9 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("semdedup drops most planted copies with the exact keeper and never a base vector") {
-    val out = QueryRegistry.queries("q_semdedup")(spark, sfDir).cache()
+    // The production drop table — the registered q_semdedup is its banded
+    // report wrapper.
+    val out = SimilarityQueries.semdedupProduction(spark, sfDir).cache()
     val total = Tables.embeddings(spark, sfDir).count()
     val planted = out.filter(col("vec_id") >= 1000000L)
     val recall = planted.count().toDouble / total

@@ -253,7 +253,8 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(clusters.count() == total, "every base vector gets a topic cluster")
 
     // 2. SemDeDup over the planted corpus; survivors = corpus minus drops.
-    val drops = QueryRegistry.queries("q_semdedup")(spark, sfDir).cache()
+    // (Production drop table — the registered query is its banded report.)
+    val drops = SimilarityQueries.semdedupProduction(spark, sfDir).cache()
     val survivors = corpus.join(drops.select("vec_id"), Seq("vec_id"), "left_anti").cache()
     assert(survivors.count() == corpus.count() - drops.count(), "drops must partition the corpus")
     // Keeper integrity ON THIS CORPUS: drops are planted copies whose

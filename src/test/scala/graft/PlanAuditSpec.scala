@@ -287,17 +287,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q_embed_quantize and q_kmeans_clusters never hash-shuffle (map-only plus output sort)") {
-    for (name <- Seq("q_embed_quantize", "q_kmeans_clusters", "q_embed_pca")) {
+    for (name <- Seq("q_embed_quantize", "q_kmeans_clusters")) {
       val p = plan(name)
       assert(!p.contains("hashpartitioning"),
         s"$name is a pure per-row map; only the output orderBy may range-partition:\n$p")
     }
+    // The registered q_embed_pca is the banded audit report (it
+    // aggregates); the map-only pin holds on the production projection
+    // table.
+    val p = SimilarityQueries.pcaProjections(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"pcaProjections is a pure per-row map; only the output orderBy may range-partition:\n$p")
   }
 
   test("q_semdedup's within-cluster self-join reuses one assignment exchange") {
     // Reuse markers only appear in the FINAL adaptive plan — execute first
-    // (same device as the LSH reuse audit above).
-    val df = QueryRegistry.queries("q_semdedup")(spark, sfDir)
+    // (same device as the LSH reuse audit above). Pin the PRODUCTION drop
+    // table (the registered query is its banded report wrapper, whose
+    // 1-row broadcast crossJoin would trip the no-BNLJ assertion).
+    val df = SimilarityQueries.semdedupProduction(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.linesIterator.exists(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage")),
