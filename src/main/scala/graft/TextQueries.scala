@@ -60,6 +60,46 @@ object TextQueries {
     * by q_decontaminate_bloom's banded report (docs only) and the
     * FP-rate superset spec (per-doc flagged-gram counts).
     */
+  /** The production BPE token-budget table: (doc_id, n_bpe_tokens,
+    * n_ws_tokens, fertility) — what packing and mix reports key off. The
+    * registered q_bpe_tokens is the banded tokenizer audit over the same
+    * kernels; LlmPipelineSpec's fertility gate and QueryRegistrySpec's
+    * cross-kernel consistency check consume this table.
+    */
+  private[graft] def bpeTokenTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame = {
+    val bpe = TextFunctions.bpeTokenCount(col("text"))
+    val ws = tokenCount(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      bpe.as("n_bpe_tokens"),
+      ws.as("n_ws_tokens"),
+      round(bpe.cast("double") / ws, 3).as("fertility")
+    )
+  }
+
+  /** The production compression-ratio table: (doc_id, deflate_ratio,
+    * too_repetitive, binary_like). The tail flags are deterministic on a
+    * fixed zlib but deliberately NOT hash-gated (a zlib revision may move
+    * borderline docs across the 0.05/0.9 cutoffs); the registered
+    * q_compression_ratio is the banded audit whose claims are
+    * implementation-independent DEFLATE properties.
+    */
+  private[graft] def compressionRatioTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame = {
+    val r = TextFunctions.deflateRatio(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      round(r, 4).as("deflate_ratio"),
+      (r < 0.05).as("too_repetitive"),
+      (r > 0.9).as("binary_like")
+    )
+  }
+
   private[graft] def bloomFlaggedGrams(
       s: org.apache.spark.sql.SparkSession,
       d: String
@@ -904,19 +944,46 @@ object TextQueries {
     // identical kernel and plan. Zero shuffles. No SQL oracle (BPE's
     // iterative merge loop is not SQL-expressible); gated by the
     // reference-implementation property spec + bound specs.
+    // Registered form = the banded tokenizer audit (the per-doc budget
+    // table is bpeTokenTable, spec-consumed): n_ws_tokens is cross-engine
+    // exact (same whitespace split as q_token_count's oracle), and the
+    // flags ride the merge loop's invariants through the hash gate —
+    // kernel_agree (the count kernel equals the segments kernel's symbol
+    // count: two independent native kernels sharing only the scan+merge
+    // pipeline), rejoin (stripping the joining spaces rebuilds the
+    // lowercased whitespace-free text exactly — a dropped or duplicated
+    // symbol anywhere flips it), and bounds (symbols refine whitespace
+    // words: n_ws ≤ n_bpe ≤ non-ws char count). BPE's iterative merge
+    // loop itself stays non-SQL-expressible; these are the strongest
+    // engine-checkable claims it admits.
     Q(
       "q_bpe_tokens",
       (s, d) => {
         val bpe = TextFunctions.bpeTokenCount(col("text"))
         val ws = tokenCount(col("text"))
-        documents(s, d).select(
-          col("doc_id"),
-          bpe.as("n_bpe_tokens"),
-          ws.as("n_ws_tokens"),
-          round(bpe.cast("double") / ws, 3).as("fertility")
-        )
+        val segs = TextFunctions.bpeSegments(col("text"))
+        documents(s, d)
+          .select(col("doc_id"), col("text"), bpe.as("nb"), ws.as("nw"), segs.as("segs"))
+          .select(
+            col("doc_id"),
+            col("nw").as("n_ws_tokens"),
+            (col("nb") === when(length(col("segs")) === 0, lit(0))
+              .otherwise(size(split(col("segs"), " ")))).as("kernel_agree_band"),
+            (regexp_replace(col("segs"), " ", "") ===
+              lower(regexp_replace(col("text"), "\\s+", ""))).as("rejoin_band"),
+            when(length(trim(col("text"))) === 0, col("nb") === 0)
+              .otherwise(
+                col("nb") >= col("nw") &&
+                  col("nb") <= length(regexp_replace(col("text"), "\\s+", ""))
+              )
+              .as("bounds_band")
+          )
+          .orderBy("doc_id")
       },
-      None
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+             |  TRUE AS kernel_agree_band, TRUE AS rejoin_band, TRUE AS bounds_band
+             |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
     // The tokenized form itself (not just its count): each document's BPE
@@ -1120,18 +1187,31 @@ object TextQueries {
     // prose < random ordering, bounds, determinism — never exact ratios,
     // so a zlib revision can't flip them) and the flags here use wide,
     // property-safe cutoffs.
+    // Registered form = the banded DEFLATE audit (the per-doc ratio/tail
+    // table is compressionRatioTable): n_bytes is cross-engine exact
+    // (octet_length, the q_multimodal_meta parity), and the flags state
+    // properties ANY conforming DEFLATE holds — the ratio lands in
+    // (0, 1.1] (stored-block framing bounds expansion), and doubling the
+    // text never compresses WORSE (the second copy is one 32 KB-window
+    // back-reference), so a broken kernel (truncated stream, wrong
+    // length accounting) flips a flag while a zlib revision cannot.
     Q(
       "q_compression_ratio",
       (s, d) => {
         val r = TextFunctions.deflateRatio(col("text"))
-        documents(s, d).select(
-          col("doc_id"),
-          round(r, 4).as("deflate_ratio"),
-          (r < 0.05).as("too_repetitive"),
-          (r > 0.9).as("binary_like")
-        )
+        val r2 = TextFunctions.deflateRatio(concat(col("text"), col("text")))
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            octet_length(col("text")).as("n_bytes"),
+            (r > 0.0 && r <= 1.1).as("ratio_band"),
+            (r2 <= r + 1e-9).as("doubling_band")
+          )
+          .orderBy("doc_id")
       },
-      None
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |  TRUE AS ratio_band, TRUE AS doubling_band
+             |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
     // Model-based quality filtering — the fastText-style classifier every

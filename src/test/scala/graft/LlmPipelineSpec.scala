@@ -50,7 +50,7 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     // 3a. Tokenizer fertility gate: drop docs the tokenizer fragments
     //     hardest (top ~2% fertility = BPE tokens per word) — the
     //     out-of-domain signal. Data-derived threshold, deterministic.
-    val fert = QueryRegistry.queries("q_bpe_tokens")(spark, sfDir)
+    val fert = TextQueries.bpeTokenTable(spark, sfDir)
       .select("doc_id", "fertility")
     val fertCut = fert.agg(expr("percentile(fertility, 0.98)")).head().getDouble(0)
     val fertKept = rep.join(fert.filter(col("fertility") <= fertCut), "doc_id")

@@ -336,8 +336,9 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
   test("q_bpe_segments is the token stream behind q_bpe_tokens' counts, doc for doc") {
     import org.apache.spark.sql.functions.col
     val seg = QueryRegistry.queries("q_bpe_segments")(spark, sfDir)
-    val cnt = QueryRegistry
-      .queries("q_bpe_tokens")(spark, sfDir)
+    // Production budget table — the registered q_bpe_tokens is its banded
+    // audit wrapper.
+    val cnt = TextQueries.bpeTokenTable(spark, sfDir)
       .select(col("doc_id"), col("n_bpe_tokens").as("expect"))
     val joined = seg.join(cnt, "doc_id")
     assert(joined.count() == Tables.documents(spark, sfDir).count())
