@@ -617,6 +617,57 @@ object SimilarityQueries {
     ).orderBy("vec_id")
   }
 
+  /** dHash signatures for every document's rendered test image plus its
+    * planted ±3-luma ripple variant at doc_id+1e6 — the real
+    * render→ImageIO-decode→dHash path (one narrow mapPartitions, no
+    * shuffle).
+    */
+  private[graft] def imageSigs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MultimodalOps
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Iterator(
+          (id, MultimodalOps.imageDhash(MultimodalOps.renderTestImage(id))),
+          (id + 1000000L, MultimodalOps.imageDhash(MultimodalOps.renderTestImage(id, perturb = true)))
+        )
+      })
+      .toDF("doc_id", "sig")
+  }
+
+  /** The production image near-dup pair table: 8 byte-bands over the
+    * 64-bit dHash (pigeonhole-complete for hamming ≤ 7), merge-hinted
+    * self-join with the hamming cut inside the band join. The registered
+    * q_dedup_images is the banded audit report over this table.
+    */
+  private[graft] def imageDedupPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = imageSigs(s, d)
+    val exploded = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      posexplode(simhashByteBands(col("sig"))).as(Seq("band_idx", "band_hash"))
+    )
+    exploded
+      .as("a")
+      .hint("merge")
+      .join(
+        exploded.as("b").hint("merge"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          hammingPacked(col("a.sig"), col("b.sig")) <= 7
+      )
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        hammingPacked(col("a.sig"), col("b.sig")).as("hamming")
+      )
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The production SemDeDup drop table over the planted-twin corpus:
     * (vec_id dropped, keeper, cos_to_keeper). The registered q_semdedup
     * wraps this in the banded audit report for the driver hash gate;
@@ -706,7 +757,7 @@ object SimilarityQueries {
     * the shared pair generator behind q_dedup_minhash and the
     * connected-components clustering.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
     verifiedJaccardPairs(s, d, keepFrac = 0.85, b = 16, r = 4, jaccardMin = 0.5)
       .select("doc_a", "doc_b", "jaccard")
 
@@ -987,8 +1038,42 @@ object SimilarityQueries {
     // on candidates only (hashed-shingle set intersection).
     Q(
       "q_dedup_minhash",
-      (s, d) => minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
-      None
+      // Registered form = the banded recall/precision report (the pair
+      // table itself is minhashPairs, spec-consumed and shared with the
+      // clustering query): the reference set is the EXACT J ≥ 0.5 pair
+      // set from the deterministic inverted-index pipeline
+      // (ngramJaccardPairs — the same machinery q_ngram_jaccard's oracle
+      // hash-checks against DuckDB, re-parameterized to minhash's
+      // threshold), so n_exact is a cross-engine-exact count and the
+      // flags are genuine sketch gates: recall ≥ 0.95 of the exact set
+      // (measured 0.998-1.0 across sf dirs — a broken band/hash kernel
+      // collapses this) and zero extras (minhash verifies exact Jaccard
+      // on full shingle sets before emitting, so any extra would mean
+      // the verify step broke; measured 0 everywhere). The exact twin
+      // rides along as the price of the gate — the production pipeline
+      // is minhashPairs alone.
+      (s, d) => {
+        val exact = ngramJaccardPairs(s, d, keepFrac = 0.85, jaccardMin = 0.5)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("e"))
+        val found = minhashPairs(s, d)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("f"))
+        exact
+          .join(found, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(
+            count(when(col("e").isNotNull, 1)).as("n_exact"),
+            count(when(col("e").isNotNull && col("f").isNotNull, 1)).as("n_hit"),
+            count(when(col("e").isNull, 1)).as("n_extra")
+          )
+          .select(
+            col("n_exact"),
+            (col("n_hit") >= col("n_exact") * 0.95).as("recall_band"),
+            (col("n_extra") === 0L).as("precision_band")
+          )
+      },
+      Some(s"""WITH ${ngramPairsSqlCtes(keepFrac = 0.85, jaccardMin = 0.5)}
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+              |  TRUE AS recall_band, TRUE AS precision_band
+              |FROM pairs""".stripMargin)
     ),
 
     // Containment near-dup (truncation detection): the asymmetric score
@@ -1609,45 +1694,54 @@ object SimilarityQueries {
     // (codec + pixels); DedupRecallSpec brute-forces the hamming ball on
     // the same sketch table and asserts exact set equality, plus planted
     // recall through the full render→decode→hash→band path.
+    // Registered form = the banded perceptual-dedup audit (the pair table
+    // is imageDedupPairs, spec-consumed): n_docs is cross-engine exact,
+    // planted_recall_band drives every planted ±3-luma ripple variant
+    // through the REAL render→ImageIO-decode→dHash→band path (a codec or
+    // kernel break collapses it), and ball_band re-asserts the
+    // pigeonhole-completeness claim at gate time — on a deterministic
+    // ~2% doc sample, the banded pair set restricted to the sample must
+    // EQUAL the brute-force hamming≤7 ball over the sampled signatures,
+    // both directions (the sample keeps the quadratic check O((n/53)²),
+    // affordable at any bench SF; the spec proves the same equality
+    // exhaustively at spec scale).
     Q(
       "q_dedup_images",
       (s, d) => {
-        import s.implicits._
-        import graft.operators.MultimodalOps
-        val sigs = documents(s, d)
-          .select(col("doc_id"))
-          .as[Long]
-          .mapPartitions(_.flatMap { id =>
-            Iterator(
-              (id, MultimodalOps.imageDhash(MultimodalOps.renderTestImage(id))),
-              (id + 1000000L, MultimodalOps.imageDhash(MultimodalOps.renderTestImage(id, perturb = true)))
-            )
-          })
-          .toDF("doc_id", "sig")
-        val exploded = sigs.select(
-          col("doc_id"),
-          col("sig"),
-          posexplode(simhashByteBands(col("sig"))).as(Seq("band_idx", "band_hash"))
-        )
-        exploded
+        val pairs = imageDedupPairs(s, d)
+        val sigs = imageSigs(s, d)
+        val sampled = sigs.filter(pmod(col("doc_id"), lit(53)) === 0)
+        val ball = sampled
           .as("a")
-          .hint("merge")
-          .join(
-            exploded.as("b").hint("merge"),
-            col("a.band_idx") === col("b.band_idx") &&
-              col("a.band_hash") === col("b.band_hash") &&
-              col("a.doc_id") < col("b.doc_id") &&
+          .crossJoin(sampled.as("b"))
+          .filter(
+            col("a.doc_id") < col("b.doc_id") &&
               hammingPacked(col("a.sig"), col("b.sig")) <= 7
           )
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), lit(true).as("in_ball"))
+        val bandedSample = pairs
+          .filter(pmod(col("doc_a"), lit(53)) === 0 && pmod(col("doc_b"), lit(53)) === 0)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("in_band"))
+        val mismatch = ball
+          .join(bandedSample, Seq("doc_a", "doc_b"), "full_outer")
+          .filter(col("in_ball").isNull || col("in_band").isNull)
+          .agg(count(lit(1)).as("n_mismatch"))
+        val recall = pairs
+          .filter(col("doc_b") === col("doc_a") + 1000000L)
+          .agg(count(lit(1)).as("n_planted_found"))
+        documents(s, d)
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(recall))
+          .crossJoin(broadcast(mismatch))
           .select(
-            col("a.doc_id").as("doc_a"),
-            col("b.doc_id").as("doc_b"),
-            hammingPacked(col("a.sig"), col("b.sig")).as("hamming")
+            col("n_docs"),
+            (col("n_planted_found") >= col("n_docs") * 0.95).as("planted_recall_band"),
+            (col("n_mismatch") === 0L).as("ball_band")
           )
-          .distinct()
-          .orderBy(col("doc_a"), col("doc_b"))
       },
-      None
+      Some("""SELECT COUNT(*) AS n_docs, TRUE AS planted_recall_band,
+             |  TRUE AS ball_band
+             |FROM documents""".stripMargin)
     ),
 
     // Incremental dedup — the production shape at 100 TB: the corpus is

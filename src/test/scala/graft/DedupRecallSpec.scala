@@ -13,8 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupRecallSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  private def plantedRecall(name: String): Double = {
-    val out = QueryRegistry.queries(name)(spark, sfDir)
+  private def plantedRecall(name: String): Double =
+    plantedRecallDf(QueryRegistry.queries(name)(spark, sfDir))
+
+  private def plantedRecallDf(out: org.apache.spark.sql.DataFrame): Double = {
     val cols = out.columns.take(2)
     val pairs = out
       .select(col(cols(0)).as("a"), col(cols(1)).as("b"))
@@ -25,7 +27,9 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("minhash LSH recovers most planted near-duplicates") {
-    val r = plantedRecall("q_dedup_minhash")
+    // Production pair table — the registered q_dedup_minhash is its
+    // banded recall/precision report.
+    val r = plantedRecallDf(SimilarityQueries.minhashPairs(spark, sfDir))
     assert(r > 0.8, s"minhash planted recall $r")
   }
 
@@ -69,8 +73,8 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
         if (jac >= 0.5) expected(if (ida < idb) (ida, idb) else (idb, ida)) = jac
       }
     }
-    val got = QueryRegistry
-      .queries("q_dedup_minhash")(spark, sfDir)
+    val got = SimilarityQueries
+      .minhashPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
       .as[(Long, Long)]
       .collect()
@@ -161,7 +165,9 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
 
   test("image dhash dedup: planted ripple variants pair with their originals; banding equals brute force") {
     import graft.operators.MultimodalOps
-    val out = QueryRegistry.queries("q_dedup_images")(spark, sfDir).cache()
+    // Production pair table — the registered q_dedup_images is its banded
+    // audit report.
+    val out = SimilarityQueries.imageDedupPairs(spark, sfDir).cache()
     val total = Tables.documents(spark, sfDir).count()
     // Recall through the FULL path (render → ImageIO decode → luma →
     // dhash → band → verify): the ±3-luma ripple flips only comparisons

@@ -61,7 +61,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("LSH pipelines generate candidates by equi-join only — no cross join") {
     for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
         "q_dedup_embedding", "q_decontaminate", "q_range_join",
-        "q_dedup_substrings", "q_dedup_images", "q_dedup_containment")) {
+        "q_dedup_substrings", "q_dedup_containment")) {
       val p = plan(name)
       assert(
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -75,7 +75,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val annPipelines = Seq(
       "annLshNeighbors" -> SimilarityQueries.annLshNeighbors(spark, sfDir),
       "annIvfNeighbors" -> SimilarityQueries.annIvfNeighbors(spark, sfDir),
-      "annIvfPqNeighbors" -> SimilarityQueries.annIvfPqNeighbors(spark, sfDir)
+      "annIvfPqNeighbors" -> SimilarityQueries.annIvfPqNeighbors(spark, sfDir),
+      // The registered q_dedup_images report deliberately cross-joins a
+      // ~2% signature sample for its brute-force ball check; the
+      // production pair table must stay banded-equi-join only.
+      "imageDedupPairs" -> SimilarityQueries.imageDedupPairs(spark, sfDir)
     )
     for ((name, df) <- annPipelines) {
       val p = df.queryExecution.executedPlan.toString
@@ -108,9 +112,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // each banded self-join; AQE's stage reuse then computes the
     // sketch+explode pipeline once (measured ~2x on simhash at sf0.1). The
     // marker only appears in the FINAL adaptive plan, so execute first.
-    for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_ngram_jaccard", "q_dedup_embedding",
-        "q_dedup_substrings", "q_dedup_images")) {
-      val df = QueryRegistry.queries(name)(spark, sfDir)
+    // q_dedup_minhash and q_dedup_images pin their PRODUCTION pair tables
+    // (the registered queries are banded-report wrappers).
+    val pinned: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q_dedup_simhash" -> QueryRegistry.queries("q_dedup_simhash")(spark, sfDir),
+      "minhashPairs" -> SimilarityQueries.minhashPairs(spark, sfDir),
+      "q_ngram_jaccard" -> QueryRegistry.queries("q_ngram_jaccard")(spark, sfDir),
+      "q_dedup_embedding" -> QueryRegistry.queries("q_dedup_embedding")(spark, sfDir),
+      "q_dedup_substrings" -> QueryRegistry.queries("q_dedup_substrings")(spark, sfDir),
+      "imageDedupPairs" -> SimilarityQueries.imageDedupPairs(spark, sfDir)
+    )
+    for ((name, df) <- pinned) {
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       // Match exchange/stage reuse specifically — a ReusedSubquery node
