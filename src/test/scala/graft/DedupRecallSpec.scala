@@ -40,7 +40,9 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     // loosest threshold 8-byte-banding covers exactly; the floor here
     // tracks that regime honestly rather than pretending simhash matches
     // minhash on aggressive edits.
-    val r = plantedRecall("q_dedup_simhash")
+    // Production pair table — the registered q_dedup_simhash is its
+    // banded audit report.
+    val r = plantedRecallDf(SimilarityQueries.simhashPairs(spark, sfDir))
     assert(r > 0.65, s"simhash planted recall $r")
   }
 
@@ -108,8 +110,8 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
       val (ida, idb) = (sigs(i)._1, sigs(j)._1)
       if (ida < idb) (ida, idb) else (idb, ida)
     }).toSet
-    val got = QueryRegistry
-      .queries("q_dedup_simhash")(spark, sfDir)
+    val got = SimilarityQueries
+      .simhashPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
       .as[(Long, Long)]
       .collect()

@@ -59,7 +59,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("LSH pipelines generate candidates by equi-join only — no cross join") {
-    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+    for (name <- Seq("q_dedup_minhash", "q_ngram_jaccard",
         "q_dedup_embedding", "q_decontaminate", "q_range_join",
         "q_dedup_substrings", "q_dedup_containment")) {
       val p = plan(name)
@@ -76,10 +76,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "annLshNeighbors" -> SimilarityQueries.annLshNeighbors(spark, sfDir),
       "annIvfNeighbors" -> SimilarityQueries.annIvfNeighbors(spark, sfDir),
       "annIvfPqNeighbors" -> SimilarityQueries.annIvfPqNeighbors(spark, sfDir),
-      // The registered q_dedup_images report deliberately cross-joins a
-      // ~2% signature sample for its brute-force ball check; the
-      // production pair table must stay banded-equi-join only.
-      "imageDedupPairs" -> SimilarityQueries.imageDedupPairs(spark, sfDir)
+      // The registered q_dedup_images / q_dedup_simhash reports
+      // deliberately cross-join a ~2% signature sample for their
+      // brute-force ball checks; the production pair tables must stay
+      // banded-equi-join only.
+      "imageDedupPairs" -> SimilarityQueries.imageDedupPairs(spark, sfDir),
+      "simhashPairs" -> SimilarityQueries.simhashPairs(spark, sfDir)
     )
     for ((name, df) <- annPipelines) {
       val p = df.queryExecution.executedPlan.toString
@@ -115,7 +117,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // q_dedup_minhash and q_dedup_images pin their PRODUCTION pair tables
     // (the registered queries are banded-report wrappers).
     val pinned: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-      "q_dedup_simhash" -> QueryRegistry.queries("q_dedup_simhash")(spark, sfDir),
+      "simhashPairs" -> SimilarityQueries.simhashPairs(spark, sfDir),
       "minhashPairs" -> SimilarityQueries.minhashPairs(spark, sfDir),
       "q_ngram_jaccard" -> QueryRegistry.queries("q_ngram_jaccard")(spark, sfDir),
       "q_dedup_embedding" -> QueryRegistry.queries("q_dedup_embedding")(spark, sfDir),
