@@ -265,6 +265,62 @@ object StreamQueries {
              |SELECT user_id, session_id, COUNT(*) AS n_events,
              |  min(ts) AS session_start, max(ts) AS session_end
              |FROM sess GROUP BY user_id, session_id""".stripMargin)
+    ),
+
+    // Windowed streaming top-k (trending users per 6-hour window) — the
+    // canonical streaming-analytics leaderboard. The STREAM side maintains
+    // only the windowed per-user counts (state bounded by windows ×
+    // users, watermark-evicted); the rank runs inside foreachBatch over
+    // the aggregated result — group-cardinality-bounded, so the window
+    // function costs O(result), never O(events). Complete mode restates
+    // the full leaderboard per micro-batch on this bounded input
+    // (AvailableNow); the unbounded deployment emits the same aggregate
+    // in update mode and ranks downstream, or caps state with
+    // dropDuplicatesWithinWatermark + per-window TTL. Deterministic
+    // tie-break (count desc, user_id asc) keeps the top-5 set
+    // hash-stable on both engines.
+    Q(
+      "q_stream_topk",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val out = tmpDir("graft_stopk_out")
+        val ckpt = tmpDir("graft_stopk_ckpt")
+        val agg = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+        val q = agg.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val w = Window.partitionBy(col("window_start")).orderBy(col("n").desc, col("user_id"))
+            batch
+              .withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= 5)
+              .write
+              .mode("overwrite")
+              .parquet(out)
+          }
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("""WITH c AS (
+             |  SELECT make_timestamp(CAST((epoch_us(ts) // 21600000000) * 21600000000 AS BIGINT)) AS window_start,
+             |    user_id, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT window_start, user_id, n, rank FROM (
+             |  SELECT window_start, user_id, n,
+             |    CAST(row_number() OVER (PARTITION BY window_start ORDER BY n DESC, user_id) AS INT) AS rank
+             |  FROM c) r
+             |WHERE rank <= 5""".stripMargin)
     )
   )
 }
