@@ -662,15 +662,17 @@ object SimilarityQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** dHash signatures for every document's rendered test image plus its
-    * planted ±3-luma ripple variant at doc_id+1e6 — the real
+  /** dHash signatures for the given base documents' rendered test images
+    * plus their planted ±3-luma ripple variants at doc_id+1e6 — the real
     * render→ImageIO-decode→dHash path (one narrow mapPartitions, no
-    * shuffle).
+    * shuffle). Taking the doc set as input lets the audit report render
+    * ONLY its ~2% sample for the brute-force ball check instead of
+    * re-rendering the corpus.
     */
-  private[graft] def imageSigs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def imageSigsFrom(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     import graft.operators.MultimodalOps
-    documents(s, d)
+    docs
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions(_.flatMap { id =>
@@ -681,6 +683,9 @@ object SimilarityQueries {
       })
       .toDF("doc_id", "sig")
   }
+
+  private[graft] def imageSigs(s: SparkSession, d: String): DataFrame =
+    imageSigsFrom(documents(s, d))(s)
 
   /** The production image near-dup pair table: 8 byte-bands over the
     * 64-bit dHash (pigeonhole-complete for hamming ≤ 7), merge-hinted
@@ -1763,8 +1768,13 @@ object SimilarityQueries {
       "q_dedup_images",
       (s, d) => {
         val pairs = imageDedupPairs(s, d)
-        val sigs = imageSigs(s, d)
-        val sampled = sigs.filter(pmod(col("doc_id"), lit(53)) === 0)
+        // Sample on the BASE id and render only the sampled ~2% for the
+        // ball branch (each sampled original keeps its planted variant,
+        // so the sample ball exercises genuine near-pairs, not just
+        // random far pairs — and the second render pass costs 1/53rd of
+        // the corpus, not all of it).
+        val sampled =
+          imageSigsFrom(documents(s, d).filter(pmod(col("doc_id"), lit(53)) === 0))(s)
         val ball = sampled
           .as("a")
           .crossJoin(sampled.as("b"))
@@ -1773,8 +1783,10 @@ object SimilarityQueries {
               hammingPacked(col("a.sig"), col("b.sig")) <= 7
           )
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), lit(true).as("in_ball"))
+        val inSample = (c: org.apache.spark.sql.Column) =>
+          pmod(when(c >= 1000000L, c - 1000000L).otherwise(c), lit(53)) === 0
         val bandedSample = pairs
-          .filter(pmod(col("doc_a"), lit(53)) === 0 && pmod(col("doc_b"), lit(53)) === 0)
+          .filter(inSample(col("doc_a")) && inSample(col("doc_b")))
           .select(col("doc_a"), col("doc_b"), lit(true).as("in_band"))
         val mismatch = ball
           .join(bandedSample, Seq("doc_a", "doc_b"), "full_outer")
