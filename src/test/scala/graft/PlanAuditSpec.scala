@@ -59,7 +59,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("LSH pipelines generate candidates by equi-join only — no cross join") {
-    for (name <- Seq("q_dedup_minhash", "q_ngram_jaccard",
+    for (name <- Seq("q_ngram_jaccard",
         "q_dedup_embedding", "q_decontaminate", "q_range_join",
         "q_dedup_substrings", "q_dedup_containment")) {
       val p = plan(name)
@@ -78,10 +78,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "annIvfPqNeighbors" -> SimilarityQueries.annIvfPqNeighbors(spark, sfDir),
       // The registered q_dedup_images / q_dedup_simhash reports
       // deliberately cross-join a ~2% signature sample for their
-      // brute-force ball checks; the production pair tables must stay
+      // brute-force ball checks, and q_dedup_minhash cross-joins its
+      // 1-row extras count; the production pair tables must stay
       // banded-equi-join only.
       "imageDedupPairs" -> SimilarityQueries.imageDedupPairs(spark, sfDir),
-      "simhashPairs" -> SimilarityQueries.simhashPairs(spark, sfDir)
+      "simhashPairs" -> SimilarityQueries.simhashPairs(spark, sfDir),
+      "minhashPairs" -> SimilarityQueries.minhashPairs(spark, sfDir)
     )
     for ((name, df) <- annPipelines) {
       val p = df.queryExecution.executedPlan.toString
