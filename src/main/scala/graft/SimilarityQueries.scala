@@ -630,25 +630,41 @@ object SimilarityQueries {
       .withColumn("sig", simhash64(col("text")))
       .select(col("doc_id"), col("sig"))
 
+  /** Memoized documents row count per sf dir (same catalog-statistic role
+    * as [[embeddingsCount]]) — sizes the ball-audit sample modulus.
+    */
+  private val docCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def documentsCount(s: SparkSession, d: String): Long =
+    docCountCache.getOrElseUpdate(d, documents(s, d).count())
+
+  /** Ball-audit sample modulus: a FIXED-SIZE sample (~500 base docs →
+    * ~1000 signatures → ~500k brute-force comparisons), not a fixed
+    * fraction — a mod-53 rule alone keeps the crossJoin O((n/53)²),
+    * which is still quadratic at corpus scale; max(53, n/500) pins the
+    * audit's cost constant at ANY corpus size while staying 53 (the
+    * whole test regime) at every test SF.
+    */
+  private def sampleModulus(nDocs: Long): Long = math.max(53L, nDocs / 500L)
+
   /** Sample predicate keyed on the BASE id, so a sampled original always
     * keeps its +1e6 planted variant in the sample — without this the ball
     * below contains no planted near-pairs at all (1e6 ≡ 49 mod 53, so a
     * raw-id rule can never select both ends of a planted pair) and the
     * equality check is vacuous.
     */
-  private val inSampleBase: Column => Column = c =>
-    pmod(when(c >= 1000000L, c - 1000000L).otherwise(c), lit(53)) === 0
+  private def inSampleBase(mod: Long): Column => Column = c =>
+    pmod(when(c >= 1000000L, c - 1000000L).otherwise(c), lit(mod)) === 0
 
   /** Shared sampled brute-force ball audit for the byte-banded sketch
     * reports (simhash, image dHash): the banded pair set restricted to
     * the sample must EQUAL the brute-force hamming≤7 ball over the
     * sampled signatures, both directions. Returns the 1-row mismatch
-    * count. The crossJoin is bounded by the ~2% sample (O((n/53)²)), and
-    * with base-id sampling the ball genuinely contains planted
-    * near-pairs, so a loosened hamming cut or broken banding flips the
-    * flag.
+    * count. The crossJoin is bounded by the fixed-size sample
+    * (sampleModulus), and with base-id sampling the ball genuinely
+    * contains planted near-pairs, so a loosened hamming cut or broken
+    * banding flips the flag.
     */
-  private def sampledBallAudit(sampledSigs: DataFrame, pairs: DataFrame): DataFrame = {
+  private def sampledBallAudit(sampledSigs: DataFrame, pairs: DataFrame, mod: Long): DataFrame = {
     val ball = sampledSigs
       .as("a")
       .crossJoin(sampledSigs.as("b"))
@@ -657,8 +673,9 @@ object SimilarityQueries {
           hammingPacked(col("a.sig"), col("b.sig")) <= 7
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), lit(true).as("in_ball"))
+    val inS = inSampleBase(mod)
     val bandedSample = pairs
-      .filter(inSampleBase(col("doc_a")) && inSampleBase(col("doc_b")))
+      .filter(inS(col("doc_a")) && inS(col("doc_b")))
       .select(col("doc_a"), col("doc_b"), lit(true).as("in_band"))
     ball
       .join(bandedSample, Seq("doc_a", "doc_b"), "full_outer")
@@ -1334,8 +1351,9 @@ object SimilarityQueries {
       "q_dedup_simhash",
       (s, d) => {
         val pairs = simhashPairs(s, d)
+        val mod = sampleModulus(documentsCount(s, d))
         val mismatch =
-          sampledBallAudit(simhashSigs(s, d).filter(inSampleBase(col("doc_id"))), pairs)
+          sampledBallAudit(simhashSigs(s, d).filter(inSampleBase(mod)(col("doc_id"))), pairs, mod)
         val recall = pairs
           .filter(col("doc_b") === col("doc_a") + 1000000L)
           .agg(count(lit(1)).as("n_planted_found"))
@@ -1804,13 +1822,14 @@ object SimilarityQueries {
       "q_dedup_images",
       (s, d) => {
         val pairs = imageDedupPairs(s, d)
-        // Render only the sampled ~2% for the ball branch (base-id
+        // Render only the fixed-size sample for the ball branch (base-id
         // sampling via inSampleBase keeps each sampled original's
-        // planted variant, and the second render pass costs 1/53rd of
-        // the corpus, not all of it).
+        // planted variant, and the second render pass costs ~500 docs
+        // at ANY corpus size, not a fixed fraction of it).
+        val mod = sampleModulus(documentsCount(s, d))
         val sampled =
-          imageSigsFrom(documents(s, d).filter(pmod(col("doc_id"), lit(53)) === 0))(s)
-        val mismatch = sampledBallAudit(sampled, pairs)
+          imageSigsFrom(documents(s, d).filter(pmod(col("doc_id"), lit(mod)) === 0))(s)
+        val mismatch = sampledBallAudit(sampled, pairs, mod)
         val recall = pairs
           .filter(col("doc_b") === col("doc_a") + 1000000L)
           .agg(count(lit(1)).as("n_planted_found"))
