@@ -56,8 +56,13 @@ object SimilarityQueries {
   private def embeddingsCount(s: SparkSession, d: String): Long =
     embCountCache.getOrElseUpdate(d, embeddings(s, d).count())
 
-  /** Drop memoized table statistics (see [[embeddingsCount]]). */
-  private[graft] def clearStatsCache(): Unit = embCountCache.clear()
+  /** Drop memoized table statistics (see [[embeddingsCount]] and
+    * [[documentsCount]] — both caches share the staleness remedy).
+    */
+  private[graft] def clearStatsCache(): Unit = {
+    embCountCache.clear()
+    docCountCache.clear()
+  }
 
   /** Sign-LSH ANN candidate pipeline (production plan): top-3 per query
     * from multi-probe hamming≤2 buckets. See the q_ann_lsh registration
@@ -1165,22 +1170,21 @@ object SimilarityQueries {
       // flips the flag. The exact twin rides along as the price of the
       // gate — the production pipeline is minhashPairs alone.
       (s, d) => {
+        // ONE full_outer join of the minhash pairs against the J ≥ 0.48
+        // reference (carrying its jaccard column) yields all three counts
+        // in a single pass — the two-join form ran both heavy pair
+        // pipelines twice and needed a crossJoin for the extras count.
         val ref = ngramJaccardPairs(s, d, keepFrac = 0.85, jaccardMin = 0.48)
-        val exact = ref
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), lit(true).as("e"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
         val found = minhashPairs(s, d)
           .select(col("doc_a"), col("doc_b"), lit(true).as("f"))
-        val extras = found
-          .join(ref.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
-          .agg(count(lit(1)).as("n_extra"))
-        exact
+        ref
           .join(found, Seq("doc_a", "doc_b"), "full_outer")
           .agg(
-            count(when(col("e").isNotNull, 1)).as("n_exact"),
-            count(when(col("e").isNotNull && col("f").isNotNull, 1)).as("n_hit")
+            count(when(col("jaccard") >= 0.5, 1)).as("n_exact"),
+            count(when(col("jaccard") >= 0.5 && col("f").isNotNull, 1)).as("n_hit"),
+            count(when(col("jaccard").isNull, 1)).as("n_extra")
           )
-          .crossJoin(broadcast(extras))
           .select(
             col("n_exact"),
             (col("n_hit") >= col("n_exact") * 0.95).as("recall_band"),
@@ -1827,8 +1831,13 @@ object SimilarityQueries {
         // planted variant, and the second render pass costs ~500 docs
         // at ANY corpus size, not a fixed fraction of it).
         val mod = sampleModulus(documentsCount(s, d))
+        // Same inSampleBase predicate as the band side — a raw pmod here
+        // would disagree with it if base ids ever reached the 1e6
+        // planted-id offset (the planted convention assumes base ids
+        // below 1e6; keeping both sides on one predicate means they can
+        // never diverge regardless).
         val sampled =
-          imageSigsFrom(documents(s, d).filter(pmod(col("doc_id"), lit(mod)) === 0))(s)
+          imageSigsFrom(documents(s, d).filter(inSampleBase(mod)(col("doc_id"))))(s)
         val mismatch = sampledBallAudit(sampled, pairs, mod)
         val recall = pairs
           .filter(col("doc_b") === col("doc_a") + 1000000L)
@@ -1839,9 +1848,10 @@ object SimilarityQueries {
           .crossJoin(broadcast(mismatch))
           .select(
             col("n_docs"),
-            // 0.9 floor matches DedupRecallSpec's gate on the same
-            // quantity — the two gates must not be able to disagree.
-            (col("n_planted_found") >= col("n_docs") * 0.9).as("planted_recall_band"),
+            // STRICT > 0.9, matching DedupRecallSpec's gate on the same
+            // quantity exactly (>= would let the two gates disagree when
+            // recall lands precisely on the floor).
+            (col("n_planted_found") > col("n_docs") * 0.9).as("planted_recall_band"),
             (col("n_mismatch") === 0L).as("ball_band")
           )
       },

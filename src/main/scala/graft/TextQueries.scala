@@ -1209,8 +1209,15 @@ object TextQueries {
           .select(
             col("doc_id"),
             col("n_bytes"),
+            // Worst-case conforming zlib output is 2 (header) + 4 (adler)
+            // + 5 per 65535-byte stored block; the band adds slack on the
+            // fixed part so it is safe at EVERY length — a flat 16-byte
+            // allowance breaks above ~128 KB where a second stored block
+            // adds its own 5-byte header.
             (col("r") > 0.0 &&
-              col("r") <= lit(1.0) + lit(16.0) / greatest(col("n_bytes").cast("double"), lit(1.0)))
+              col("r") <= lit(1.0) +
+              (lit(16.0) + lit(5.0) * ceil(col("n_bytes").cast("double") / 65535.0)) /
+              greatest(col("n_bytes").cast("double"), lit(1.0)))
               .as("ratio_band"),
             (col("r2") <= col("r") + 1e-9).as("doubling_band")
           )
