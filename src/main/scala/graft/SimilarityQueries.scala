@@ -196,7 +196,7 @@ object SimilarityQueries {
     * device as q_profile_approx): the production plan is the neighbors
     * pipeline alone.
     */
-  private def annBandedReport(
+  private[graft] def annBandedReport(
       s: SparkSession,
       d: String,
       ann: DataFrame,
@@ -649,7 +649,7 @@ object SimilarityQueries {
     * audit's cost constant at ANY corpus size while staying 53 (the
     * whole test regime) at every test SF.
     */
-  private def sampleModulus(nDocs: Long): Long = math.max(53L, nDocs / 500L)
+  private[graft] def sampleModulus(nDocs: Long): Long = math.max(53L, nDocs / 500L)
 
   /** Sample predicate keyed on the BASE id, so a sampled original always
     * keeps its +1e6 planted variant in the sample — without this the ball
@@ -657,7 +657,7 @@ object SimilarityQueries {
     * raw-id rule can never select both ends of a planted pair) and the
     * equality check is vacuous.
     */
-  private def inSampleBase(mod: Long): Column => Column = c =>
+  private[graft] def inSampleBase(mod: Long): Column => Column = c =>
     pmod(when(c >= 1000000L, c - 1000000L).otherwise(c), lit(mod)) === 0
 
   /** Shared sampled brute-force ball audit for the byte-banded sketch
