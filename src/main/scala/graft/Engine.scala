@@ -73,20 +73,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and truncate to
-    * microseconds — the same ns→µs truncation DuckDB applies, so oracles agree.
+  /** The testdata generator has shipped `events.ts` in two parquet flavors
+    * across rounds: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts as int64 under the legacy conf) and plain timestamp[us]
+    * (TIMESTAMP_NTZ under Spark's reader). [[normalizeTs]] converts whichever
+    * flavor was loaded to session-zone TimestampType — with the session pinned
+    * to UTC the wall-clock values are identical in all three cases, so oracle
+    * hashes are stable across regenerations.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        // int64 nanos → truncate to µs (same truncation DuckDB applies).
+        df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` DIV 1000")))
+      case TimestampNTZType =>
+        // Naive µs: reinterpret in the session zone (UTC) — value-preserving.
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(s"events.$tsCol: unsupported parquet type $other")
+    }
   }
-  /** `events` with `ts` still the raw int64 nanos from the parquet footer.
-    * Predicates on this column push to the scan (and would partition-prune a
-    * date-partitioned table at scale) — the timestamp-typed view in [[events]]
-    * wraps `ts` in a conversion expression, which blocks pushdown.
+
+  /** `events` with `ts` normalized to TimestampType via [[normalizeTs]]. */
+  def events(s: SparkSession, d: String): DataFrame = normalizeTs(eventsRaw(s, d))
+
+  /** `events` with `ts` in its on-disk type: int64 nanos for a
+    * TIMESTAMP(NANOS) footer (legacy conf), TIMESTAMP_NTZ for timestamp[us].
+    * Predicates against the native column push to the parquet scan (and would
+    * partition-prune a date-partitioned table at scale) — the converted view
+    * in [[events]] wraps `ts` in an expression, which can block pushdown on
+    * the legacy-nanos path. Callers must branch on `schema("ts").dataType`.
     */
   def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

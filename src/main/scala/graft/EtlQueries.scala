@@ -74,20 +74,28 @@ object EtlQueries {
     ),
 
     // 4. Incremental extract past a watermark (reference: Last modified > last
-    //    load). The cutoff is applied to the RAW int64-nanos column so the
-    //    predicate pushes to the parquet scan (PlanAuditSpec pins this); the
-    //    timestamp conversion happens after the filter.
+    //    load). The cutoff is applied to the ts column in its NATIVE on-disk
+    //    type so the predicate pushes to the parquet scan (PlanAuditSpec pins
+    //    this); the timestamp normalization happens after the filter.
     Q(
       "q_incremental_watermark",
       (s, d) => {
-        // Timezone-independent: Timestamp.valueOf parses in the JVM default
-        // zone, which would shift the watermark on a non-UTC host while the
-        // DuckDB oracle stays naive-UTC.
-        val wmNanos = java.time.LocalDateTime.of(2024, 1, 20, 0, 0)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
-        eventsRaw(s, d)
-          .filter(col("ts") > wmNanos)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // Timezone-independent: the watermark is built from a UTC LocalDateTime
+        // (Timestamp.valueOf would parse in the JVM default zone and shift it
+        // on a non-UTC host while the DuckDB oracle stays naive-UTC).
+        val wm = java.time.LocalDateTime.of(2024, 1, 20, 0, 0)
+        val raw = eventsRaw(s, d)
+        val pred = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // legacy int64-nanos footer: compare raw nanos, push the long.
+            col("ts") > wm.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            // µs footer: a naive-timestamp literal pushes natively.
+            col("ts") > lit(wm)
+          case _ =>
+            col("ts") > lit(wm.toInstant(java.time.ZoneOffset.UTC))
+        }
+        Tables.normalizeTs(raw.filter(pred))
           .select("event_id", "ts", "user_id", "event_type", "value")
       },
       Some("""SELECT event_id, ts, user_id, event_type, value

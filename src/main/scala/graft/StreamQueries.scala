@@ -40,7 +40,7 @@ object StreamQueries {
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(Tables.normalizeTs(_))
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(
@@ -127,7 +127,7 @@ object StreamQueries {
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(Tables.normalizeTs(_))
         val clicks = src
           .filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -290,7 +290,7 @@ object StreamQueries {
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(Tables.normalizeTs(_))
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "6 hours"), col("user_id"))
           .agg(count(lit(1)).as("n"))

@@ -58,6 +58,19 @@ object ListingDiscovery {
     }
   }
 
+  /** The reference's get_new_file_urls END-TO-END (uscrn_dag.py:115-132):
+    * fetch the listing page through the injected [[Fetcher]], parse it, and
+    * return the watermark-filtered file urls. The default fetcher fails
+    * loudly (zero egress here); a deployment injects an HTTP-backed one and
+    * this becomes the live entry seam of the incremental pipeline.
+    */
+  def discover(
+      listingUrl: String,
+      lastAdded: Option[java.sql.Timestamp],
+      fetcher: Fetcher = Fetcher.unavailable
+  ): Seq[String] =
+    newFilePaths(fetcher.fetch(listingUrl), lastAdded, listingUrl)
+
   /** File paths strictly newer than the watermark, in listing order.
     * `lastAdded = None` (first run — empty main table) admits everything.
     */

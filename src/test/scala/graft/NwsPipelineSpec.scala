@@ -22,15 +22,25 @@ import graft.sources.StagingSink
   */
 class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
 
+  // Source declaration through the typed registry, mirroring the
+  // reference's externalized config (sources.yaml shape).
+  private val nwsCfg = graft.pipeline.SourceRegistry.parse(
+    """nws.description = NWS 48h tabular forecast pages
+      |nws.index       = https://forecast.weather.gov/MapClick.php
+      |nws.table       = nws_main
+      |nws.schedule    = 0 * * * *
+      |nws.keys        = location, lst_datetime
+      |""".stripMargin)("nws")
+
   private def nwsPipeline(base: String): Pipeline = {
     val extracted = s"$base/extracted"
     val staging = s"$base/staging"
     val main = s"$base/main"
 
-    Pipeline("nws")
+    Pipeline(nwsCfg.name)
       // The reference DAG's cadence (nws_dag.py:224-236: hourly,
-      // catchup=False) declared on the pipeline object.
-      .schedule("0 * * * *")
+      // catchup=False) read from the source registry.
+      .schedule(nwsCfg.schedule.get)
       .preflight("check_pages") {
         if (getClass.getResource("/nws") != null) Right(()) else Left("no fetched pages")
       }
@@ -83,7 +93,7 @@ class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
       .step("merge_to_main") {
         StagingSink.mergeToMain(
           spark, staging, main,
-          keyCols = Seq("location", "lst_datetime"),
+          keyCols = nwsCfg.keys,
           clock = lit("2026-01-01 00:00:00").cast("timestamp")
         )
       }

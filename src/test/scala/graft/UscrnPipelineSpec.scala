@@ -34,15 +34,29 @@ class UscrnPipelineSpec extends AnyFunSuite with SparkSpec {
     )
   )
 
+  // The reference externalizes source declarations in
+  // airflow/dags/config/sources.yaml (USCRN: index/updates urls) and its
+  // DAG reads the registry instead of hard-coding; same shape here through
+  // the typed loader.
+  private val uscrnCfg = graft.pipeline.SourceRegistry.parse(
+    """uscrn.description = Hourly historical weather data from USCRN
+      |uscrn.index       = https://www.ncei.noaa.gov/pub/data/uscrn/products/hourly02/
+      |uscrn.updates     = https://www.ncei.noaa.gov/pub/data/uscrn/products/hourly02/updates/
+      |uscrn.readme      = https://www.ncei.noaa.gov/pub/data/uscrn/products/hourly02/readme.txt
+      |uscrn.table       = uscrn_main
+      |uscrn.schedule    = 0 10 * * *
+      |uscrn.keys        = station_location, utc_datetime
+      |""".stripMargin)("uscrn")
+
   private def uscrnPipeline(rawDir: String, staging: String, main: String): Pipeline = {
     val locations = Seq((23583L, "Fairbanks AK"), (25380L, "Nome AK"))
       .toDF("wbanno", "station_location")
 
-    Pipeline("uscrn")
+    Pipeline(uscrnCfg.name)
       // The reference DAG's cadence (uscrn_dag.py:271-289:
-      // schedule_interval='0 10 * * *', catchup=False) declared on the
-      // pipeline object.
-      .schedule("0 10 * * *")
+      // schedule_interval='0 10 * * *', catchup=False) read from the
+      // source registry, like the reference reads its config.
+      .schedule(uscrnCfg.schedule.get)
       // The reference pings its source domain before running (check_domain,
       // uscrn_dag.py:90); here the "domain" is the raw landing dir.
       .preflight("check_source") {
@@ -68,7 +82,7 @@ class UscrnPipelineSpec extends AnyFunSuite with SparkSpec {
           spark,
           staging,
           main,
-          keyCols = Seq("station_location", "utc_datetime"),
+          keyCols = uscrnCfg.keys,
           clock = lit("2026-01-01 00:00:00").cast("timestamp")
         )
       }
