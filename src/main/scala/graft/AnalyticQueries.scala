@@ -757,6 +757,46 @@ object AnalyticQueries {
              |GROUP BY CUBE(o_orderstatus, year(o_orderdate))""".stripMargin)
     ),
 
+    // Explicit GROUPING SETS — the report shapes ROLLUP/CUBE can't
+    // express: exactly (status×priority), (status×year) and the grand
+    // total, WITHOUT the priority×year marginal a CUBE would also pay
+    // for. Same single-scan, single-shuffle Expand story as
+    // rollup/cube: each input row replicates once per MATCHED set only
+    // (3 here vs CUBE's 8), partial-agg'd map-side — at 100 TB,
+    // enumerating only the sets the report needs is the difference
+    // between 3× and 8× shuffle volume. grouping_id over the three
+    // grouping columns disambiguates subtotal NULLs from data NULLs.
+    Q(
+      "q_grouping_sets",
+      (s, d) =>
+        orders(s, d)
+          .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+          .groupingSets(
+            Seq(
+              Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus"), col("order_year")),
+              Seq.empty[org.apache.spark.sql.Column]
+            ),
+            col("o_orderstatus"), col("o_orderpriority"), col("order_year")
+          )
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("total_price")
+          )
+          .select("o_orderstatus", "o_orderpriority", "order_year", "gid", "n", "total_price"),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             |  GROUPING(o_orderstatus, o_orderpriority, year(o_orderdate)) AS gid,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE) AS total_price
+             |FROM orders
+             |GROUP BY GROUPING SETS (
+             |  (o_orderstatus, o_orderpriority),
+             |  (o_orderstatus, year(o_orderdate)),
+             |  ())""".stripMargin)
+    ),
+
     // Correlation / least-squares regression per group — the statistical
     // profiling layer (does discount move with quantity?). Built-in
     // corr()/regr_slope() aggregate doubles in shuffle-arrival order, so

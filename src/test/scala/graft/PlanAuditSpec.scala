@@ -235,6 +235,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges == 1, s"rollup needs exactly one exchange, saw $exchanges:\n$p")
   }
 
+  test("q_grouping_sets: one scan, one shuffle, Expand replicates x3 — not CUBE's x8") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must use Expand:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, s"must read orders once:\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"needs exactly one exchange, saw $exchanges:\n$p")
+    // The Expand's projection list carries one entry per grouping set. An
+    // explicit 3-set list must NOT expand to the 2^3 = 8 projections a
+    // CUBE over the same columns would — at 100 TB that is the shuffle
+    // volume the explicit form exists to avoid.
+    // Counted on the optimized LOGICAL plan: the physical Expand hides
+    // inside AdaptiveSparkPlanExec, which collect() does not descend.
+    val expand = QueryRegistry
+      .queries("q_grouping_sets")(spark, sfDir)
+      .queryExecution.optimizedPlan
+      .collect { case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e.projections.length }
+    assert(expand == Seq(3), s"Expand must carry exactly the 3 requested sets, saw $expand")
+  }
+
   test("q_train_test_split is a zero-shuffle deterministic projection") {
     val p = plan("q_train_test_split")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
