@@ -1939,6 +1939,90 @@ object SimilarityQueries {
              |  round(min(norm), 6) AS min_norm,
              |  round(max(norm), 6) AS max_norm
              |FROM norms GROUP BY label ORDER BY label""".stripMargin)
+    ),
+
+    // Embedding-outlier pruning (the curation pass before ANN indexing /
+    // training): the k vectors FARTHEST from their label centroid are the
+    // mislabeled/atypical candidates — rank-based, so the report is
+    // meaningful at any distance distribution (a fixed radius threshold
+    // is corpus-dependent). Centroids are decimal-exact per (label, dim):
+    // one partial-agg'd shuffle that collapses to K·dim fixed-width rows
+    // regardless of corpus size. Distances are then a broadcast join plus
+    // ONE codegen'd zip_with/aggregate fold per row — map-only, index
+    // order, so the doubles are bit-identical to DuckDB's in-order
+    // list_sum. label cardinality is FIXED at any corpus size, so the
+    // per-label top-k reuses q_top_n_per_group's shuffle-free
+    // mapPartitions pre-cap: each scan partition forwards at most k rows
+    // per label and the final window ranks ≤ k rows per label per input
+    // partition — never a fifth of the corpus through one reducer.
+    Q(
+      "q_embed_outliers",
+      (s, d) => {
+        import s.implicits._
+        val k = 3
+        val comp = embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        val cent = comp
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
+            count(lit(1)).cast("double")).as("mean"))
+        val centArr = cent
+          .groupBy(col("label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("mean")))),
+            e => e.getField("mean")).as("centroid"))
+        val dist2 = aggregate(
+          zip_with(col("embedding"), col("centroid"),
+            (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+          lit(0.0), (acc, v) => acc + v)
+        val scored = embeddings(s, d)
+          .join(broadcast(centArr), "label")
+          .select(col("label"), col("vec_id"), dist2.as("dist2"))
+        // Farthest-first, vec_id tiebreak — the heap keeps each input
+        // partition's own top-k per label (a row with ≥ k strictly-farther
+        // same-label rows in its partition can never reach the global top-k).
+        val better: Ordering[(Int, Long, Double)] =
+          Ordering.by[(Int, Long, Double), (Double, Long)](r => (-r._3, r._2))
+        val pre = scored
+          .as[(Int, Long, Double)]
+          .mapPartitions { it =>
+            val best = scala.collection.mutable.HashMap
+              .empty[Int, scala.collection.mutable.PriorityQueue[(Int, Long, Double)]]
+            it.foreach { r =>
+              val q = best.getOrElseUpdate(
+                r._1, scala.collection.mutable.PriorityQueue.empty(better))
+              if (q.size < k) q.enqueue(r)
+              else if (better.lt(r, q.head)) { q.dequeue(); q.enqueue(r) }
+            }
+            best.valuesIterator.flatMap(_.iterator)
+          }
+          .toDF("label", "vec_id", "dist2")
+        val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
+        pre
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("label"), col("rank"), col("vec_id"), round(col("dist2"), 6).as("dist2"))
+      },
+      Some("""WITH comp AS (
+             |  SELECT label, unnest(range(len(embedding))) AS pos,
+             |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT label, pos,
+             |    CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mean
+             |  FROM comp GROUP BY 1, 2),
+             |carr AS (SELECT label, list(mean ORDER BY pos) AS centroid FROM cent GROUP BY 1),
+             |d2 AS (
+             |  SELECT e.vec_id, e.label,
+             |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+             |         * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+             |  FROM embeddings e JOIN carr c USING (label))
+             |SELECT label, rank, vec_id, round(dist2, 6) AS dist2 FROM (
+             |  SELECT label, vec_id, dist2,
+             |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rank
+             |  FROM d2) t
+             |WHERE rank <= 3""".stripMargin)
     )
   )
 }
