@@ -254,6 +254,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(expand == Seq(3), s"Expand must carry exactly the 3 requested sets, saw $expand")
   }
 
+  test("q_embed_outliers: centroids broadcast onto a map-only fact scan; top-k pre-capped") {
+    val p = plan("q_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(p.contains("MapPartitions"), s"per-partition top-k pre-cap missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // Exactly three data shuffles, none carrying the fact table: the
+    // (label, pos) centroid aggregate (K·dim fixed-width rows after
+    // partial agg), the K-row centroid array assembly feeding the
+    // broadcast, and the final window exchange, which the MapPartitions
+    // pre-cap bounds to ≤ k rows per label per input partition. The fact
+    // side flows scan → broadcast join → fold with no exchange.
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(exchanges == 3, s"expected 3 bounded shuffles, saw $exchanges:\n$p")
+    // The fact scan is the FIRST scan below the join (the left `:-` child
+    // prints before the broadcast side); nothing between them may shuffle.
+    val lines = p.linesIterator.toVector
+    val bhj = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val factScan = lines.indexWhere(_.contains("Scan parquet"), bhj)
+    assert(bhj >= 0 && factScan > bhj)
+    assert(
+      !lines.slice(bhj, factScan).exists(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("Broadcast")),
+      s"fact side must reach the broadcast join unshuffled:\n$p")
+  }
+
   test("q_train_test_split is a zero-shuffle deterministic projection") {
     val p = plan("q_train_test_split")
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
