@@ -1263,6 +1263,43 @@ object TextQueries {
         )
       },
       None
+    ),
+
+    // Fixed-size overlapping chunking (the RAG / context-window prep
+    // staple): each document splits into 200-char windows advancing by
+    // 150 (50-char overlap so no boundary-spanning phrase is lost to
+    // retrieval). Pure generate+project — sequence() enumerates chunk
+    // starts, posexplode fans them out, substring slices — all codegen
+    // builtins, ZERO shuffle: chunking 100 TB of text is embarrassingly
+    // parallel and this plan keeps it that way (PlanAuditSpec pins
+    // no-Exchange). The empty-text guard (greatest(len−1, 0)) keeps
+    // sequence() legal and emits one empty chunk rather than failing the
+    // corpus on a blank row.
+    Q(
+      "q_chunk_docs",
+      (s, d) => {
+        val size = 200
+        val stride = 150
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            col("text"),
+            posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(stride)))
+              .as(Seq("chunk_id", "start")))
+          .select(
+            col("doc_id"),
+            col("chunk_id"),
+            expr(s"substring(text, start + 1, $size)").as("chunk"))
+          .withColumn("n_chars", length(col("chunk")))
+      },
+      Some("""WITH starts AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(0, greatest(length(text), 1), 150)) AS start
+             |  FROM documents)
+             |SELECT doc_id, CAST(start // 150 AS INT) AS chunk_id,
+             |  substr(text, CAST(start + 1 AS INT), 200) AS chunk,
+             |  length(substr(text, CAST(start + 1 AS INT), 200)) AS n_chars
+             |FROM starts""".stripMargin)
     )
   )
 }

@@ -285,6 +285,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
   }
 
+  test("q_chunk_docs: chunking is a zero-shuffle generate+project") {
+    val p = plan("q_chunk_docs")
+    assert(!p.contains("Exchange"), s"chunking 100 TB must stay map-only:\n$p")
+    assert(p.contains("Generate posexplode"), s"chunk fan-out must be a Generate:\n$p")
+  }
+
   test("q_pack_context: hierarchical prefix sum — no full-stream window, offsets broadcast") {
     // (lang, source) cardinality is O(100) at any corpus size; a window
     // partitioned on it alone would force ~1 TB through one reducer at
