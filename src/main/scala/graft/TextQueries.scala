@@ -1300,6 +1300,42 @@ object TextQueries {
              |  substr(text, CAST(start + 1 AS INT), 200) AS chunk,
              |  length(substr(text, CAST(start + 1 AS INT), 200)) AS n_chars
              |FROM starts""".stripMargin)
+    ),
+
+    // Vocabulary construction (the tokenizer / embedding-table prep
+    // step): top-V whitespace tokens by corpus frequency with
+    // deterministic contiguous ids ((count desc, token asc) tie-break —
+    // the id assignment every embedding table needs to be reproducible).
+    // The count is one partial-agg'd shuffle bounded by DISTINCT tokens
+    // (≪ corpus rows at any scale); top-V is orderBy+limit, which Spark
+    // plans as TakeOrderedAndProject (per-partition heaps, no global
+    // sort); only the V-row result crosses the single-partition rank
+    // window. V is a bounded parameter, never corpus-proportional.
+    Q(
+      "q_vocab_build",
+      (s, d) => {
+        val v = 200
+        val toks = documents(s, d)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+          .filter(length(col("token")) > 0)
+        val top = toks
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(v)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))
+        top
+          .withColumn("token_id", row_number().over(w))
+          .select("token_id", "token", "n")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents),
+             |counts AS (
+             |  SELECT token, COUNT(*) AS n FROM toks WHERE length(token) > 0
+             |  GROUP BY 1 ORDER BY n DESC, token LIMIT 200)
+             |SELECT row_number() OVER (ORDER BY n DESC, token) AS token_id, token, n
+             |FROM counts""".stripMargin)
     )
   )
 }

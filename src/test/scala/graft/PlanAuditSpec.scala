@@ -285,6 +285,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
   }
 
+  test("q_vocab_build: one token-bounded shuffle, top-V via heap — no global sort") {
+    val p = plan("q_vocab_build")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V must be per-partition heaps, not a global sort:\n$p")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"only the distinct-token count may shuffle, saw $exchanges:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"), s"only text may be read:\n$p")
+  }
+
   test("q_chunk_docs: chunking is a zero-shuffle generate+project") {
     val p = plan("q_chunk_docs")
     assert(!p.contains("Exchange"), s"chunking 100 TB must stay map-only:\n$p")
