@@ -68,6 +68,18 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
       dir)
   }
 
+  /** Third flavor: session-zone TimestampType (parquet timestamp with
+    * isAdjustedToUTC=true) — exercises normalizeTs' pass-through branch.
+    */
+  private def writeTzFixture(dir: String): Unit = {
+    import spark.implicits._
+    surfaceSingleFile(
+      rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts"))),
+      dir)
+  }
+
   private lazy val nanosDir: String = {
     val d = Files.createTempDirectory("canary_nanos").toString
     writeNanosFixture(d); d
@@ -76,20 +88,27 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     val d = Files.createTempDirectory("canary_micros").toString
     writeMicrosFixture(d); d
   }
-
-  test("fixtures land as the two distinct footer flavors") {
-    assert(Tables.eventsRaw(spark, nanosDir).schema("ts").dataType == LongType)
-    assert(Tables.eventsRaw(spark, microsDir).schema("ts").dataType == TimestampNTZType)
+  private lazy val tzDir: String = {
+    val d = Files.createTempDirectory("canary_tz").toString
+    writeTzFixture(d); d
   }
 
-  test("Tables.events normalizes both flavors to identical TimestampType values") {
+  test("fixtures land as the three distinct footer flavors") {
+    assert(Tables.eventsRaw(spark, nanosDir).schema("ts").dataType == LongType)
+    assert(Tables.eventsRaw(spark, microsDir).schema("ts").dataType == TimestampNTZType)
+    assert(Tables.eventsRaw(spark, tzDir).schema("ts").dataType == TimestampType)
+  }
+
+  test("Tables.events normalizes all three flavors to identical TimestampType values") {
     val a = Tables.events(spark, nanosDir)
     val b = Tables.events(spark, microsDir)
-    assert(a.schema("ts").dataType == TimestampType)
-    assert(b.schema("ts").dataType == TimestampType)
+    val c = Tables.events(spark, tzDir)
+    for (df <- Seq(a, b, c)) assert(df.schema("ts").dataType == TimestampType)
     val va = a.orderBy("event_id").select("event_id", "ts").collect().toSeq
     val vb = b.orderBy("event_id").select("event_id", "ts").collect().toSeq
+    val vc = c.orderBy("event_id").select("event_id", "ts").collect().toSeq
     assert(va == vb, "same wall-clock instants must survive either footer")
+    assert(va == vc, "tz'd pass-through must match the normalized flavors")
     assert(va.size == rows.size)
   }
 
