@@ -103,6 +103,47 @@ object StreamQueries {
       Some("""SELECT DISTINCT user_id, event_type FROM events""")
     ),
 
+    // The UNBOUNDED-stream form of the dedup above:
+    // dropDuplicatesWithinWatermark caps the state store's lifetime per
+    // key at the watermark delay — on an endless stream plain
+    // dropDuplicates grows state forever (O(all keys ever seen)), while
+    // the within-watermark form evicts a key once the event-time
+    // watermark passes its arrival + delay, bounding state at O(keys per
+    // delay window). That is the only deployable shape at 100 TB/day.
+    // On this bounded one-batch input nothing evicts mid-run, so the
+    // emitted key set equals DISTINCT — the same oracle as
+    // q_stream_dedup, now gating the TTL operator's plumbing
+    // (watermark column required in the stream, key-only projection
+    // after).
+    Q(
+      "q_stream_dedup_ttl",
+      (s, d) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val out = tmpDir("graft_sdedupttl_out")
+        val ckpt = tmpDir("graft_sdedupttl_ckpt")
+        val q = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .transform(Tables.normalizeTs(_))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events""")
+    ),
+
     // Stream-stream inner join: click → purchase attribution within 1 h
     // per user. Watermarks on BOTH sides plus the event-time range in the
     // join condition are what let the state store evict matched/expired
