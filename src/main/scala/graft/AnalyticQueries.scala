@@ -101,23 +101,12 @@ object AnalyticQueries {
         // "better" = higher price, then smaller orderkey (the rank order).
         val better: Ordering[(String, Double, Long)] =
           Ordering.by[(String, Double, Long), (Double, Long)](r => (-r._2, r._3))
-        val pre = orders(s, d)
-          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-          .as[(String, Double, Long)]
-          .mapPartitions { it =>
-            val best = scala.collection.mutable.HashMap
-              .empty[String, scala.collection.mutable.PriorityQueue[(String, Double, Long)]]
-            it.foreach { r =>
-              // max-heap on `better`: head is the WORST kept row.
-              val q = best.getOrElseUpdate(
-                r._1,
-                scala.collection.mutable.PriorityQueue.empty(better)
-              )
-              if (q.size < n) q.enqueue(r)
-              else if (better.lt(r, q.head)) { q.dequeue(); q.enqueue(r) }
-            }
-            best.valuesIterator.flatMap(_.iterator)
-          }
+        val pre = graft.operators.EtlOps
+          .topKPerKey(
+            orders(s, d)
+              .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+              .as[(String, Double, Long)],
+            n)(_._1)(better)
           .toDF("o_orderpriority", "o_totalprice", "o_orderkey")
         val w = Window
           .partitionBy(col("o_orderpriority"))

@@ -1978,24 +1978,13 @@ object SimilarityQueries {
         val scored = embeddings(s, d)
           .join(broadcast(centArr), "label")
           .select(col("label"), col("vec_id"), dist2.as("dist2"))
-        // Farthest-first, vec_id tiebreak — the heap keeps each input
-        // partition's own top-k per label (a row with ≥ k strictly-farther
-        // same-label rows in its partition can never reach the global top-k).
+        // Farthest-first, vec_id tiebreak, pre-capped per partition via the
+        // shared shuffle-free top-k (see EtlOps.topKPerKey's contract: the
+        // tie-break mirrors the window ordering below).
         val better: Ordering[(Int, Long, Double)] =
           Ordering.by[(Int, Long, Double), (Double, Long)](r => (-r._3, r._2))
-        val pre = scored
-          .as[(Int, Long, Double)]
-          .mapPartitions { it =>
-            val best = scala.collection.mutable.HashMap
-              .empty[Int, scala.collection.mutable.PriorityQueue[(Int, Long, Double)]]
-            it.foreach { r =>
-              val q = best.getOrElseUpdate(
-                r._1, scala.collection.mutable.PriorityQueue.empty(better))
-              if (q.size < k) q.enqueue(r)
-              else if (better.lt(r, q.head)) { q.dequeue(); q.enqueue(r) }
-            }
-            best.valuesIterator.flatMap(_.iterator)
-          }
+        val pre = graft.operators.EtlOps
+          .topKPerKey(scored.as[(Int, Long, Double)], k)(_._1)(better)
           .toDF("label", "vec_id", "dist2")
         val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
         pre

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,30 @@ import org.apache.spark.sql.functions._
   * cited as file:line into /root/reference.
   */
 object EtlOps {
+
+  /** Shuffle-free per-partition top-k pre-cap for LOW-CARDINALITY keys
+    * (the hot-key hazard: a bare rank window on a fixed-cardinality key
+    * funnels the whole table through K reducers, and AQE cannot split a
+    * window partition). Each input partition keeps only its own k best
+    * rows per key under `ord` — a row with ≥ k strictly-better same-key
+    * rows in its OWN partition can never reach the global top-k — so the
+    * downstream window shuffles ≤ k rows per key per input partition.
+    * The heap is a MAX-heap on `ord` (head = WORST kept row); `ord`'s
+    * tie-break must mirror the downstream window's ordering exactly, or
+    * the pre-cap can drop a row the window would have ranked. Used by
+    * q_top_n_per_group and q_embed_outliers.
+    */
+  def topKPerKey[T, K](ds: Dataset[T], k: Int)(key: T => K)(implicit ord: Ordering[T]): Dataset[T] =
+    ds.mapPartitions { it =>
+      val best = scala.collection.mutable.HashMap
+        .empty[K, scala.collection.mutable.PriorityQueue[T]]
+      it.foreach { r =>
+        val q = best.getOrElseUpdate(key(r), scala.collection.mutable.PriorityQueue.empty(ord))
+        if (q.size < k) q.enqueue(r)
+        else if (ord.lt(r, q.head)) { q.dequeue(); q.enqueue(r) }
+      }
+      best.valuesIterator.flatMap(_.iterator)
+    }(ds.encoder)
 
   /** Incremental extract: keep only rows newer than a watermark.
     *

@@ -27,7 +27,8 @@ final case class SourceConfig(
   def require(fields: String*): Either[String, SourceConfig] = {
     val known: Map[String, Option[String]] = Map(
       "description" -> description, "index" -> index, "updates" -> updates,
-      "table" -> table, "schedule" -> schedule)
+      "table" -> table, "schedule" -> schedule,
+      "keys" -> (if (keys.nonEmpty) Some(keys.mkString(",")) else None))
     val missing = fields.filter(f => known.getOrElse(f, extra.get(f)).isEmpty)
     if (missing.isEmpty) Right(this) else Left(s"source '$name' missing: ${missing.mkString(", ")}")
   }
@@ -53,6 +54,12 @@ object SourceRegistry {
     props.load(new java.io.StringReader(text))
     import scala.jdk.CollectionConverters._
     val flat = props.asScala.toMap
+    // A key without a `source.field` shape is a typo'd declaration; fail
+    // the parse rather than silently running the pipeline without it.
+    val malformed = flat.keys.filter(!_.matches("[^.]+\\..+")).toSeq.sorted
+    if (malformed.nonEmpty)
+      throw new IllegalArgumentException(
+        s"malformed source config keys (expected source.field): ${malformed.mkString(", ")}")
     flat.keys
       .flatMap(k => k.split("\\.", 2) match {
         case Array(src, _) => Some(src)

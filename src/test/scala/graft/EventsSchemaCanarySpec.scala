@@ -51,12 +51,46 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     Files.move(part, Paths.get(s"$dir/events.parquet"))
   }
 
+  /** A REAL TIMESTAMP(NANOS) parquet footer — what the driver's generator
+    * shipped through round 8. Spark cannot WRITE nanos timestamps, so the
+    * file is written with parquet-java's example Group API directly; without
+    * `spark.sql.legacy.parquet.nanosAsLong` Spark's reader REJECTS this
+    * annotation outright, so the fixture pins both the conf's necessity and
+    * the DIV-1000 branch (a plain unannotated int64 column would read as
+    * LongType with or without the conf and prove neither).
+    */
   private def writeNanosFixture(dir: String): Unit = {
-    import spark.implicits._
-    surfaceSingleFile(
-      rows.map { case (id, us, u, t, v, p) => (id, us * 1000L, u, t, v, p) }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-      dir)
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageTypeParser, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val factory = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withConf(conf)
+      .build()
+    try rows.foreach { case (id, us, u, t, v, p) =>
+      writer.write(
+        factory.newGroup()
+          .append("event_id", id)
+          .append("ts", us * 1000L)
+          .append("user_id", u)
+          .append("event_type", t)
+          .append("value", v)
+          .append("props", p))
+    } finally writer.close()
   }
 
   private def writeMicrosFixture(dir: String): Unit = {
@@ -97,6 +131,24 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     assert(Tables.eventsRaw(spark, nanosDir).schema("ts").dataType == LongType)
     assert(Tables.eventsRaw(spark, microsDir).schema("ts").dataType == TimestampNTZType)
     assert(Tables.eventsRaw(spark, tzDir).schema("ts").dataType == TimestampType)
+  }
+
+  test("the nanos footer is the REAL annotation: Spark rejects it without the legacy conf") {
+    // Force the flag off for this one read: if this stops throwing, the
+    // fixture has degraded to a plain int64 column and no longer pins the
+    // r9 failure class.
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try {
+      val e = intercept[Exception] {
+        spark.read.parquet(s"$nanosDir/events.parquet").collect()
+      }
+      assert(e.toString.contains("NANOS") || e.toString.contains("Illegal Parquet type"),
+        s"expected the TIMESTAMP(NANOS) rejection, got: $e")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
   }
 
   test("Tables.events normalizes all three flavors to identical TimestampType values") {

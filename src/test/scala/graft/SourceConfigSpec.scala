@@ -33,11 +33,19 @@ class SourceConfigSpec extends AnyFunSuite {
 
   test("require() flags missing fields at declaration time") {
     val reg = SourceRegistry.parse(text)
-    assert(reg("uscrn").require("index", "schedule", "table").isRight)
-    val missing = reg("nws").require("table", "updates", "readme")
+    assert(reg("uscrn").require("index", "schedule", "table", "keys").isRight,
+      "declared keys must satisfy require(\"keys\")")
+    val missing = reg("nws").require("table", "updates", "readme", "keys")
     assert(missing.isLeft)
     val msg = missing.left.toOption.get
-    assert(msg.contains("table") && msg.contains("updates") && msg.contains("readme"))
+    assert(msg.contains("table") && msg.contains("updates") && msg.contains("readme")
+      && msg.contains("keys"))
+  }
+
+  test("a typo'd key without the source.field shape fails the parse loudly") {
+    val bad = text + "uscrnbroken = oops\n"
+    val e = intercept[IllegalArgumentException](SourceRegistry.parse(bad))
+    assert(e.getMessage.contains("uscrnbroken"))
   }
 
   test("schedule from config drives the cron scheduler") {
