@@ -130,7 +130,7 @@ object EtlOps {
     */
   def dropColumnsMatching(df: DataFrame, pattern: String): DataFrame = {
     val re = pattern.r
-    df.select(df.columns.filter(c => re.findFirstIn(c).isEmpty).map(col): _*)
+    df.select(df.columns.filter(c => re.findFirstIn(c).isEmpty).map(col).toIndexedSeq: _*)
   }
 
   /** Split a frame into (good, quarantined) by a badness predicate.
@@ -286,7 +286,7 @@ object EtlOps {
     * and the explicit BigQuery SchemaFields (uscrn_dag.py:246-276).
     */
   def castColumns(df: DataFrame, types: Map[String, String]): DataFrame =
-    df.select(df.columns.map(c => types.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+    df.select(df.columns.toIndexedSeq.map(c => types.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
 
   /** Deterministic group-balanced downsampling: derive each group's keep
     * rate from the OBSERVED distribution vs a target mix, then keep rows by
