@@ -97,6 +97,35 @@ class FetcherSpec extends AnyFunSuite with SparkSpec {
     assert(after.filter(col("station_id") === 104).count() == 1)
   }
 
+  test("forecast pages fetched through the seam parse with HtmlTable (the NWS fetch site)") {
+    // The reference's second fetch site (nws_dag get_forecast: one MapClick
+    // page per location) through the same seam: the driver fetches the
+    // (few) gate pages, parsing stays a distributed per-row operation. A
+    // million-page corpus would fetch inside mapPartitions instead — the
+    // parse half is identical either way.
+    import org.apache.spark.sql.functions._
+    def page(loc: String): String =
+      new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          getClass.getResource(s"/nws/$loc.html").getPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+    val fetcher = Fetcher {
+      case u if u.endsWith("lat=61") => page("anc")
+      case u if u.endsWith("lat=64") => page("fai")
+      case u                         => throw new java.io.IOException(s"404: $u")
+    }
+    import spark.implicits._
+    val urls = Seq("ANC" -> "https://example.test/MapClick.php?lat=61",
+                   "FAI" -> "https://example.test/MapClick.php?lat=64")
+    val pages = urls.map { case (loc, u) => (loc, fetcher.fetch(u)) }.toDF("location", "html")
+    val parsed = graft.sources.HtmlTable
+      .landscapeRecords(pages, col("html"), 2, Seq("Hour"), cellTag = "font")
+    val hours = parsed.groupBy("location").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hours.keySet == Set("ANC", "FAI"))
+    assert(hours.values.forall(_ > 0), s"each fetched page must yield forecast records: $hours")
+  }
+
   test("transient fetch failure inside a step is retried by the pipeline policy") {
     var calls = 0
     val flaky = Fetcher { url =>
