@@ -1052,8 +1052,13 @@ object AnalyticQueries {
             count(lit(1)).as("n_orders")
           )
         val dayN = datediff(col("day"), lit("1990-01-01").cast("date"))
-        val cum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val mov = Window.orderBy(dayN).rangeBetween(-6, 0)
+        // Bounded domain (one row per DISTINCT day), so the global window is
+        // safe — partitioned on a literal to make that structural (one
+        // non-empty partition spec, same plan cost) instead of tripping
+        // WindowExec's no-partition warning on every run.
+        val cum = Window.partitionBy(lit(0))
+          .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mov = Window.partitionBy(lit(0)).orderBy(dayN).rangeBetween(-6, 0)
         daily
           .select(
             col("day"),

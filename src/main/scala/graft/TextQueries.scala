@@ -87,6 +87,54 @@ object TextQueries {
     * q_compression_ratio is the banded audit whose claims are
     * implementation-independent DEFLATE properties.
     */
+  /** The production quality-score table (doc_id, score, keep): train the
+    * hashing-trick logistic classifier on a bounded deterministic sample
+    * of the corpus (1024 docs — driver state O(dim), never O(corpus)),
+    * then score every document with the native fused hash+dot kernel in
+    * one zero-shuffle map pass. The registered q_quality_classifier wraps
+    * the learning contract in the banded classifier audit for the driver
+    * hash gate; ClassifierSpec's plan/kernel/stream gates consume this
+    * table directly.
+    */
+  private[graft] def qualityScores(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame = {
+    val docs = documents(s, d)
+    val sample = docs
+      .filter(pmod(col("doc_id"), lit(3)) < 2)
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("y"))
+      .orderBy("doc_id")
+      .limit(1024)
+      .collect()
+      .map(r => (r.getString(1), r.getBoolean(2)))
+      .toSeq
+    val model = graft.operators.TextClassifier.train(sample)
+    val score = TextFunctions.linearTextScore(col("text"), model.weights.toSeq, model.bias)
+    docs.select(
+      col("doc_id"),
+      round(score, 6).as("score"),
+      (score >= 0.5).as("keep")
+    )
+  }
+
+  /** The production BPE token-stream table (doc_id, segments,
+    * n_bpe_tokens): each document's space-joined symbol sequence under the
+    * plan-constant merge table. Map-only, zero shuffles. The registered
+    * q_bpe_segments wraps this stream's invariants in the per-doc segment
+    * audit for the driver hash gate; the kernel property spec and the
+    * registry consistency spec consume this table directly.
+    */
+  private[graft] def bpeSegmentsTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.bpeSegments(col("text")).as("segments"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens")
+    )
+
   private[graft] def compressionRatioTable(
       s: org.apache.spark.sql.SparkSession,
       d: String
@@ -993,20 +1041,48 @@ object TextQueries {
     // (TextFunctions.loadBpeMerges) this is the true token stream a
     // training pipeline materializes before id lookup. Map-only, zero
     // shuffles, same bounded plan-constant merge table as q_bpe_tokens.
-    // Not SQL-expressible; gated by the kernel property spec (segments
-    // rejoin to the pre-tokenized text; symbol count equals the count
-    // kernel's on every input) and the registry consistency spec.
+    // The production table is bpeSegmentsTable (kernel property spec +
+    // registry consistency spec consume it directly).
+    // Registered form = the per-doc segment-stream audit: the merge loop
+    // stays non-SQL-expressible, but the stream's defining invariants are
+    // engine-statable against an exact anchor — n_chars_nows (the
+    // whitespace-free code-point count, cross-engine exact) plus flags the
+    // hash gate rides: rejoin (concatenating the symbols rebuilds the
+    // lowercased whitespace-free text EXACTLY — a dropped, duplicated, or
+    // reordered symbol anywhere flips it), count_agree (the independent
+    // count kernel equals the stream's symbol count), and wellformed (no
+    // empty symbols: the space-join has no leading/trailing/double
+    // spaces). Distinct anchor from q_bpe_tokens' audit (ws-token count
+    // there, ws-free char count here), so the two gates cross-check
+    // different exact quantities.
     Q(
       "q_bpe_segments",
       (s, d) => {
-        val bpe = TextFunctions.bpeTokenCount(col("text"))
-        documents(s, d).select(
-          col("doc_id"),
-          TextFunctions.bpeSegments(col("text")).as("segments"),
-          bpe.as("n_bpe_tokens")
-        )
+        // Same kernels as bpeSegmentsTable, inlined against the text so the
+        // audit stays ONE map-only scan (a join with the production table
+        // would shuffle what is a per-row claim).
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            col("text"),
+            TextFunctions.bpeSegments(col("text")).as("segments"),
+            TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+          .select(
+            col("doc_id"),
+            length(regexp_replace(col("text"), "\\s+", "")).as("n_chars_nows"),
+            (regexp_replace(col("segments"), " ", "") ===
+              lower(regexp_replace(col("text"), "\\s+", ""))).as("rejoin_band"),
+            (when(col("segments") === "", lit(0))
+              .otherwise(size(split(col("segments"), " "))) === col("n_bpe_tokens"))
+              .as("count_agree_band"),
+            (!col("segments").rlike("(^ )|( $)|(  )")).as("wellformed_band")
+          )
+          .orderBy("doc_id")
       },
-      None
+      Some("""SELECT doc_id,
+             |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS n_chars_nows,
+             |  TRUE AS rejoin_band, TRUE AS count_agree_band, TRUE AS wellformed_band
+             |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
     // Heavy-hitter word counts via Count-Min sketch — the missing member of
@@ -1242,27 +1318,58 @@ object TextQueries {
     // planted separable corpus plus loss-decreases, determinism, and
     // no-shuffle plan pins (ClassifierSpec), the same honesty split the
     // k-means suite uses for its purity-free gates.
+    // Registered form = the banded classifier audit: the learning
+    // machinery's contract is stated as engine-checkable flags — planted
+    // holdout accuracy ≥ 0.95 and loss-falls-with-epochs on the shared
+    // TextClassifier.plantedCorpus (the driver corpus's labels carry no
+    // text signal, so accuracy gates live on the planted separable
+    // corpus), bit-determinism of two independent trainings, and corpus-
+    // scan claims over the production score table (every doc scored, all
+    // sigmoid outputs in [0,1], keep ⇔ score ≥ 0.5). n_docs is the
+    // cross-engine exact anchor. A broken featurizer, SGD step, or serving
+    // kernel flips a flag and fails the driver hash gate. The stronger
+    // bit-level gates (kernel == trainer math, stream/batch parity,
+    // no-shuffle plan pin on the production table) stay in ClassifierSpec.
     Q(
       "q_quality_classifier",
       (s, d) => {
-        val docs = documents(s, d)
-        val sample = docs
-          .filter(pmod(col("doc_id"), lit(3)) < 2)
-          .select(col("doc_id"), col("text"), (col("lang") === "en").as("y"))
-          .orderBy("doc_id")
-          .limit(1024)
-          .collect()
-          .map(r => (r.getString(1), r.getBoolean(2)))
-          .toSeq
-        val model = graft.operators.TextClassifier.train(sample)
-        val score = TextFunctions.linearTextScore(col("text"), model.weights.toSeq, model.bias)
-        docs.select(
-          col("doc_id"),
-          round(score, 6).as("score"),
-          (score >= 0.5).as("keep")
-        )
+        import graft.operators.TextClassifier
+        val planted  = TextClassifier.plantedCorpus
+        val trainSet = planted.take(300)
+        val holdout  = planted.drop(300)
+        val m1 = TextClassifier.train(trainSet)
+        val m2 = TextClassifier.train(trainSet)
+        val acc = holdout.count { case (t, y) => (m1.score(t) >= 0.5) == y }.toDouble / holdout.size
+        val l1  = TextClassifier.logLoss(TextClassifier.train(trainSet, epochs = 1), trainSet)
+        val l30 = TextClassifier.logLoss(m1, trainSet)
+        val deterministic =
+          m1.bias == m2.bias && java.util.Arrays.equals(m1.weights, m2.weights)
+        qualityScores(s, d)
+          .agg(
+            count(lit(1)).as("n_scored"),
+            sum(when(col("score") >= 0.0 && col("score") <= 1.0, 0L).otherwise(1L)).as("n_oor"),
+            // keep was decided on the UNROUNDED score; the egressed column
+            // is rounded to 6 dp, so scores within half a rounding step of
+            // the 0.5 boundary are exempt from the consistency claim.
+            sum(when(col("keep") === (col("score") >= 0.5) ||
+              abs(col("score") - 0.5) <= 5e-7, 0L).otherwise(1L)).as("n_inconsistent")
+          )
+          .crossJoin(broadcast(documents(s, d).agg(count(lit(1)).as("n_docs"))))
+          .select(
+            col("n_docs"),
+            lit(400).as("n_planted"),
+            lit(acc >= 0.95).as("holdout_accuracy_band"),
+            lit(l30 < l1).as("loss_decreases_band"),
+            lit(deterministic).as("determinism_band"),
+            (col("n_scored") === col("n_docs") && col("n_oor") === 0L).as("scores_in_range_band"),
+            (col("n_inconsistent") === 0L).as("keep_consistent_band")
+          )
       },
-      None
+      Some("""SELECT COUNT(*) AS n_docs, 400 AS n_planted,
+             |  TRUE AS holdout_accuracy_band, TRUE AS loss_decreases_band,
+             |  TRUE AS determinism_band, TRUE AS scores_in_range_band,
+             |  TRUE AS keep_consistent_band
+             |FROM documents""".stripMargin)
     ),
 
     // Fixed-size overlapping chunking (the RAG / context-window prep
@@ -1323,7 +1430,11 @@ object TextQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token"))
           .limit(v)
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))
+        // V-row domain: literal partition key = same single-partition plan,
+        // minus WindowExec's no-partition warning (bounded-domain claim
+        // made structural).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(col("n").desc, col("token"))
         top
           .withColumn("token_id", row_number().over(w))
           .select("token_id", "token", "n")

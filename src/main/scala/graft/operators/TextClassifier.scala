@@ -69,6 +69,39 @@ object TextClassifier {
     Model(w, b)
   }
 
+  /** Deterministic LCG stream (Knuth MMIX constants) so the planted corpus
+    * below is identical on every run and every JVM.
+    */
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  /** Planted separable corpus for accuracy gates: positives and negatives
+    * share a common vocabulary but each class mixes in ~25% tokens from its
+    * own marker pool — separable, not trivially so (every doc is mostly
+    * shared words). The driver corpus's synthetic `lang` labels carry no
+    * text signal (marker-word argmax lands near the base rate on them), so
+    * — exactly like the k-means suite's deliberate rejection of a
+    * label-purity gate — learning-accuracy claims live HERE, shared by
+    * ClassifierSpec and the registered q_quality_classifier audit.
+    * Convention: first 300 rows train, last 100 hold out.
+    */
+  lazy val plantedCorpus: Seq[(String, Boolean)] = {
+    val shared = Vector("table", "scan", "join", "filter", "group", "sort", "row", "key")
+    val posV   = Vector("sunlit", "meadow", "harvest", "orchard")
+    val negV   = Vector("gravel", "rusted", "derelict", "scrapyard")
+    val rnd    = lcg(0xC1A551F1E5L)
+    (0 until 400).map { i =>
+      val pos  = i % 2 == 0
+      val pool = if (pos) posV else negV
+      val words = (0 until 30).map { _ =>
+        val r = (rnd.next() >>> 8).toInt
+        if ((r & 3) == 0) pool((r >>> 2) % pool.length)
+        else shared((r >>> 2) % shared.length)
+      }
+      (words.mkString(" "), pos)
+    }
+  }
+
   /** Mean log loss of a model on a labeled sample (clamped away from
     * log(0)) — the training objective, exposed so specs can pin
     * "more epochs ⇒ lower loss" the way the k-means suite pins

@@ -17,31 +17,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ClassifierSpec extends AnyFunSuite with SparkSpec {
 
-  /** Deterministic LCG so the planted corpus is identical on every run. */
-  private def lcg(seed: Long): Iterator[Long] =
-    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
-
-  /** Planted corpus: positives and negatives share a common vocabulary but
-    * each class mixes in tokens from its own marker pool — separable, not
-    * trivially so (every doc is mostly shared words).
+  /** The planted separable corpus now lives on TextClassifier (shared with
+    * the registered q_quality_classifier audit) — same generator, same
+    * seed, same 300/100 split convention.
     */
-  private lazy val planted: Seq[(String, Boolean)] = {
-    val shared = Vector("table", "scan", "join", "filter", "group", "sort", "row", "key")
-    val posV   = Vector("sunlit", "meadow", "harvest", "orchard")
-    val negV   = Vector("gravel", "rusted", "derelict", "scrapyard")
-    val rnd    = lcg(0xC1A551F1E5L)
-    (0 until 400).map { i =>
-      val pos  = i % 2 == 0
-      val pool = if (pos) posV else negV
-      val words = (0 until 30).map { _ =>
-        val r = (rnd.next() >>> 8).toInt
-        // ~25% class-marker tokens, 75% shared tokens.
-        if ((r & 3) == 0) pool((r >>> 2) % pool.length)
-        else shared((r >>> 2) % shared.length)
-      }
-      (words.mkString(" "), pos)
-    }
-  }
+  private lazy val planted: Seq[(String, Boolean)] = TextClassifier.plantedCorpus
 
   private lazy val train    = planted.take(300)
   private lazy val holdout  = planted.drop(300)
@@ -77,8 +57,10 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q_quality_classifier: scoring is a single map pass, zero shuffles") {
-    val df = QueryRegistry.queries("q_quality_classifier")(spark, sfDir)
+  test("quality scoring is a single map pass, zero shuffles") {
+    // Production score table — the registered q_quality_classifier is its
+    // banded audit wrapper (which aggregates, so the pin lives here).
+    val df = TextQueries.qualityScores(spark, sfDir)
     val p  = df.queryExecution.executedPlan.toString()
     assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
     assert(p.toLowerCase.contains("lineartextscore"),

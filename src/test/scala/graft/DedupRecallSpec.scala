@@ -324,8 +324,10 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("kmeans clustering is deterministic, covers all k clusters, and Lloyd improves on the init") {
-    val a = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
-    val b = QueryRegistry.queries("q_kmeans_clusters")(spark, sfDir).collect()
+    // Production assignment table — the registered q_kmeans_clusters is
+    // its banded audit wrapper.
+    val a = SimilarityQueries.kmeansAssignments(spark, sfDir).collect()
+    val b = SimilarityQueries.kmeansAssignments(spark, sfDir).collect()
     // Strict Row equality is sound because training accumulates through
     // quantized-long sums (exact, order-independent — see
     // trainIvfCentroids): the centroids are bit-identical across runs

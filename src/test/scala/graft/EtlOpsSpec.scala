@@ -234,6 +234,86 @@ class EtlOpsSpec extends AnyFunSuite with SparkSpec {
       "hierarchical packing diverged from the naive prefix sum")
   }
 
+  test("topKPerKey + window equals the bare window under every partitioning, for both call-site orderings (r10 advice)") {
+    // The pre-cap's contract: `ord` must be a TOTAL order mirroring the
+    // downstream window's (value, unique-id tiebreak). This property test
+    // pins it for the two live call-site shapes — q_top_n_per_group's
+    // (key, price desc, orderkey asc) and q_embed_outliers' (label, dist
+    // desc, vec_id asc) — across adversarial partitionings, with heavy
+    // value TIES so an under-specified Ordering would actually bite.
+    import org.apache.spark.sql.expressions.Window
+    // Deterministic corpus: 4 keys × 60 rows, values drawn from just 5
+    // distinct levels → ties everywhere, ids unique.
+    val rows = (0L until 240L).map { i =>
+      (s"k${i % 4}", (i * 2654435761L % 5L).toDouble, i)
+    }
+    val k = 3
+    val better: Ordering[(String, Double, Long)] =
+      Ordering.by[(String, Double, Long), (Double, Long)](r => (-r._2, r._3))
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= k)
+      .select("key", "rn", "id", "v")
+      .collect().map(_.toSeq).toSet
+    val base = rows.toDF("key", "v", "id")
+    val bare = windowed(base)
+    val partitionings: Seq[org.apache.spark.sql.DataFrame] = Seq(
+      base.repartition(1),
+      base.repartition(13),
+      base.repartition(col("v")),               // all ties co-located
+      base.repartitionByRange(7, col("id").desc),
+      base.orderBy(col("id").desc).coalesce(2)  // reversed encounter order
+    )
+    for ((p, i) <- partitionings.zipWithIndex) {
+      val pre = EtlOps.topKPerKey(p.as[(String, Double, Long)], k)(_._1)(better)
+        .toDF("key", "v", "id")
+      assert(windowed(pre) == bare, s"partitioning #$i changed the top-k result")
+    }
+    // And the q_embed_outliers shape (Int key, Long id, Double score).
+    val rows2 = (0L until 240L).map(i => ((i % 4).toInt, i, (i * 2654435761L % 5L).toDouble))
+    val better2: Ordering[(Int, Long, Double)] =
+      Ordering.by[(Int, Long, Double), (Double, Long)](r => (-r._3, r._2))
+    def windowed2(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select("label", "rn", "vec_id", "dist")
+      .collect().map(_.toSeq).toSet
+    val base2 = rows2.toDF("label", "vec_id", "dist")
+    val bare2 = windowed2(base2)
+    val pre2 = EtlOps
+      .topKPerKey(base2.repartition(11).as[(Int, Long, Double)], k)(_._1)(better2)
+      .toDF("label", "vec_id", "dist")
+    assert(windowed2(pre2) == bare2)
+  }
+
+  test("an Ordering WITHOUT the unique-id tiebreak deterministically violates the pre-cap contract") {
+    // Why the contract demands the tiebreak: with all-tied values in one
+    // partition, the heap keeps the first k encountered, and `ord.lt` is
+    // false for ties — so when encounter order opposes the window's id
+    // tiebreak, the pre-cap provably drops the rows the window wants. This
+    // is the failure mode a future under-specified caller would ship; it
+    // must reproduce deterministically here, not as a rare oracle flake.
+    import org.apache.spark.sql.expressions.Window
+    val tied = Seq(("a", 1.0, 5L), ("a", 1.0, 4L), ("a", 1.0, 3L), ("a", 1.0, 2L), ("a", 1.0, 1L))
+    val underSpecified: Ordering[(String, Double, Long)] =
+      Ordering.by[(String, Double, Long), Double](r => -r._2) // ties unresolved
+    val pre = EtlOps
+      // createDataset preserves Seq order; coalesce(1) keeps it — ids
+      // arrive 5,4,3,2,1 so the heap keeps {5,4}.
+      .topKPerKey(spark.createDataset(tied).coalesce(1), 2)(_._1)(underSpecified)
+      .toDF("key", "v", "id")
+    val picked = pre
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= 2)
+      .select("id").as[Long].collect().toSet
+    assert(picked == Set(5L, 4L),
+      s"expected the under-specified ordering to surface ids {5,4}, got $picked")
+    assert(picked != Set(1L, 2L), "the bare window would have picked {1,2} — contract violated as designed")
+  }
+
   test("packShards bounds every window partition by blockSize regardless of stream skew") {
     val df = (0L until 10000L).map(i => (i, "en", "web", 10L)).toDF("doc_id", "lang", "source", "n_tok")
     val maxPart = df

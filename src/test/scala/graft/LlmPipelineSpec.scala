@@ -250,9 +250,10 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
     )
     val corpus = base.unionAll(planted)
 
-    // 1. Topic clustering: every base vector gets a cluster.
-    val clusters = QueryRegistry
-      .queries("q_kmeans_clusters")(spark, sfDir)
+    // 1. Topic clustering: every base vector gets a cluster. (Production
+    // assignment table — the registered query is its banded report.)
+    val clusters = SimilarityQueries
+      .kmeansAssignments(spark, sfDir)
       .select("vec_id", "cluster")
     assert(clusters.count() == total, "every base vector gets a topic cluster")
 

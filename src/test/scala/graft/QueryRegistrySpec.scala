@@ -335,7 +335,9 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
 
   test("q_bpe_segments is the token stream behind q_bpe_tokens' counts, doc for doc") {
     import org.apache.spark.sql.functions.col
-    val seg = QueryRegistry.queries("q_bpe_segments")(spark, sfDir)
+    // Production token-stream table — the registered q_bpe_segments is
+    // its per-doc segment audit wrapper.
+    val seg = TextQueries.bpeSegmentsTable(spark, sfDir)
     // Production budget table — the registered q_bpe_tokens is its banded
     // audit wrapper.
     val cnt = TextQueries.bpeTokenTable(spark, sfDir)
