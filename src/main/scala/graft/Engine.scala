@@ -26,6 +26,11 @@ object Engine {
       // join broadcasts a bloom of its keys so the big side's scan drops
       // non-matching rows before the shuffle — a fact-table win at scale.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // The testdata generator has shipped events.ts as TIMESTAMP(NANOS),
+      // which Spark's reader only accepts under this legacy conf. Set once
+      // at session build (r10 advice) so table loaders stay side-effect
+      // free; [[Tables.normalizeTs]] handles whichever flavor loads.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,7 +92,23 @@ object Tables {
     df.schema(tsCol).dataType match {
       case LongType =>
         // int64 nanos → truncate to µs (same truncation DuckDB applies).
-        df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` DIV 1000")))
+        // Guard (r10 advice): an UNANNOTATED int64 micros/millis footer also
+        // loads as LongType and would be silently misread 1000-6000x off.
+        // Epoch magnitude separates the flavors cleanly — every post-1973
+        // instant exceeds 1e17 in nanos, while a micros value cannot reach
+        // 1e17 until year 5138 — so rows below the floor raise instead of
+        // misconverting. Codegen'd conditional on the existing projection:
+        // no extra scan, and it works on the streaming path too (where no
+        // parquet footer is reachable from the DataFrame).
+        df.withColumn(
+          tsCol,
+          timestamp_micros(
+            when(col(tsCol) >= 100000000000000000L, expr(s"`$tsCol` DIV 1000"))
+              .otherwise(raise_error(concat(
+                lit(s"events.$tsCol: int64 value "),
+                col(tsCol).cast("string"),
+                lit(" is too small to be an epoch-nanos timestamp — " +
+                  "unannotated micros/millis footer? Extend Tables.normalizeTs for this flavor."))))))
       case TimestampNTZType =>
         // Naive µs: reinterpret in the session zone (UTC) — value-preserving.
         df.withColumn(tsCol, col(tsCol).cast(TimestampType))
@@ -106,11 +127,14 @@ object Tables {
     * partition-prune a date-partitioned table at scale) — the converted view
     * in [[events]] wraps `ts` in an expression, which can block pushdown on
     * the legacy-nanos path. Callers must branch on `schema("ts").dataType`.
+    *
+    * Side-effect free (r10 advice): the `nanosAsLong` legacy conf the NANOS
+    * footer needs is set once at [[Engine.session]] build, not mutated here
+    * per load. A session built elsewhere must carry that conf itself — the
+    * NANOS flavor then fails loudly in Spark's reader rather than quietly
+    * changing session state from inside a loader.
     */
-  def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-  }
+  def eventsRaw(s: SparkSession, d: String): DataFrame = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -93,6 +93,43 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     } finally writer.close()
   }
 
+  /** The AMBIGUOUS flavor the r10 advice warns about: a PLAIN unannotated
+    * int64 `ts` holding micros-scale values. It loads as LongType exactly
+    * like the legacy-nanos path (with or without the conf), so only
+    * normalizeTs' magnitude guard separates it from real nanos.
+    */
+  private def writePlainInt64Fixture(dir: String): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).named("ts") // no logical type annotation
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val factory = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withConf(conf)
+      .build()
+    try rows.foreach { case (id, us, u, t, v, p) =>
+      writer.write(
+        factory.newGroup()
+          .append("event_id", id)
+          .append("ts", us) // micros-scale — 1000x below any nanos epoch
+          .append("user_id", u)
+          .append("event_type", t)
+          .append("value", v)
+          .append("props", p))
+    } finally writer.close()
+  }
+
   private def writeMicrosFixture(dir: String): Unit = {
     import spark.implicits._
     surfaceSingleFile(
@@ -151,6 +188,20 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("an unannotated micros-scale int64 ts is rejected, not misread 1000x off") {
+    val d = Files.createTempDirectory("canary_plain_int64").toString
+    writePlainInt64Fixture(d)
+    // Indistinguishable from the legacy-nanos path at the schema level…
+    assert(Tables.eventsRaw(spark, d).schema("ts").dataType == LongType)
+    // …so the magnitude guard must refuse the DIV-1000 reinterpretation at
+    // evaluation time instead of silently returning 1970-vintage instants.
+    val e = intercept[Throwable] { Tables.events(spark, d).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).map(x => x.toString +: chain(x.getCause)).getOrElse(Seq.empty)
+    assert(chain(e).exists(_.contains("too small to be an epoch-nanos")),
+      s"expected the normalizeTs magnitude rejection, got: ${chain(e).mkString(" <- ")}")
+  }
+
   test("Tables.events normalizes all three flavors to identical TimestampType values") {
     val a = Tables.events(spark, nanosDir)
     val b = Tables.events(spark, microsDir)
@@ -179,6 +230,40 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_retention_cohorts", "q_group_quantiles_approx", "q_profile_approx",
     "q_scd2_intervals", "q_stream_dedup", "q_stream_sessionize"
   )
+
+  test("the hand list above covers EVERY registered events-consuming query (r10 advice)") {
+    // The r9 failure class this spec exists for: a new events-consuming
+    // query that nobody adds to `eventQueries` silently escapes the
+    // flavor-invariance canary. Derive the consumer set from the registry
+    // itself — build each batch query against the full sf0.001 star schema
+    // (plan-build only for most; a few train bounded driver state while
+    // building) and read the scanned table names off its file relations.
+    // Streaming queries are excluded from the walk (their registered fns
+    // EXECUTE a stream on invocation); the two hand-listed stream members
+    // cover the readStream seam.
+    def tablesOf(files: Array[String]): Set[String] =
+      files.flatMap(f =>
+        f.split('/').find(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))).toSet
+    val scans: Map[String, Set[String]] = QueryRegistry.queries.toSeq
+      .filterNot { case (n, _) => n.startsWith("q_stream_") }
+      .map { case (n, fn) => n -> tablesOf(fn(spark, sfDir).inputFiles) }
+      .toMap
+    val eventsOnly = scans.filter { case (_, ts) => ts == Set("events") }.keySet
+    val handBatch = eventQueries.filterNot(_.startsWith("q_stream_")).toSet
+    assert(handBatch == eventsOnly,
+      s"hand list out of sync with the registry — missing: ${(eventsOnly -- handBatch).toSeq.sorted}, " +
+        s"stale: ${(handBatch -- eventsOnly).toSeq.sorted}")
+    // A query scanning events ALONGSIDE other tables could not run on the
+    // single-table fixture dirs and would escape this canary entirely —
+    // none exist today; adding one requires a dedicated fixture, so fail
+    // loudly here until it gets one.
+    val mixed = scans.filter { case (_, ts) => ts.contains("events") && ts.size > 1 }.keySet
+    assert(mixed.isEmpty,
+      s"events+other-table queries need their own flavor fixture coverage: ${mixed.toSeq.sorted}")
+    // The hand-listed streaming members must stay real registry keys.
+    assert(eventQueries.filter(_.startsWith("q_stream_")).toSet
+      .subsetOf(QueryRegistry.queries.keySet))
+  }
 
   for (name <- eventQueries)
     test(s"$name runs under both footer flavors with identical results") {
