@@ -48,6 +48,63 @@ class SourceConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("uscrnbroken"))
   }
 
+  test("a duplicated key fails the parse instead of silent last-one-wins (r10 advice)") {
+    val bad = text + "uscrn.table = shadowed_main\n"
+    val e = intercept[IllegalArgumentException](SourceRegistry.parse(bad))
+    assert(e.getMessage.contains("duplicate") && e.getMessage.contains("uscrn.table"))
+    // The same contract guards the warehouse section.
+    val badWh = "warehouse.url = jdbc:derby:memory:a\nwarehouse.url = jdbc:derby:memory:b\n"
+    assert(intercept[IllegalArgumentException](SourceRegistry.warehouse(badWh))
+      .getMessage.contains("warehouse.url"))
+  }
+
+  test("backslashes in values follow documented Properties escaping") {
+    // `\\` in the file is one literal backslash after parsing; this is the
+    // documented contract, pinned so a format change can't silently alter
+    // stored paths.
+    val reg = SourceRegistry.parse("win.path = C:\\\\data\\\\staging\n")
+    assert(reg("win").extra("path") == "C:\\data\\staging")
+  }
+
+  test("the warehouse section parses to typed coordinates (reference gcp-config.yaml shape)") {
+    val wh = SourceRegistry.warehouse(
+      text +
+        """warehouse.url          = jdbc:derby:memory:graft_wh;create=true
+          |warehouse.table        = uscrn_main
+          |warehouse.audit_column = date_added_utc
+          |warehouse.batchsize    = 500
+          |""".stripMargin).get
+    assert(wh.url == "jdbc:derby:memory:graft_wh;create=true")
+    assert(wh.table.contains("uscrn_main"))
+    assert(wh.auditColumn == "date_added_utc")
+    assert(wh.credentials.isEmpty)
+    // Non-reserved fields become JDBC connection properties.
+    assert(wh.jdbcProps.getProperty("batchsize") == "500")
+    // The warehouse section never leaks into the per-source registry, and
+    // a config without the section simply has no warehouse.
+    assert(!SourceRegistry.parse(text + "warehouse.url = jdbc:x\n").contains("warehouse"))
+    assert(SourceRegistry.warehouse(text).isEmpty)
+  }
+
+  test("a half-declared warehouse (no url) fails at parse time") {
+    val e = intercept[IllegalArgumentException](
+      SourceRegistry.warehouse("warehouse.table = main_t\n"))
+    assert(e.getMessage.contains("warehouse.url"))
+  }
+
+  test("warehouse credentials load from a properties file, inline extras win") {
+    val f = java.nio.file.Files.createTempFile("wh_creds", ".properties")
+    java.nio.file.Files.writeString(f, "user = loader\npassword = s3cret\nbatchsize = 100\n")
+    val wh = SourceRegistry.warehouse(
+      s"""warehouse.url         = jdbc:derby:memory:graft_wh;create=true
+         |warehouse.credentials = ${f.toString.replace("\\", "\\\\")}
+         |warehouse.batchsize   = 500
+         |""".stripMargin).get
+    val p = wh.jdbcProps
+    assert(p.getProperty("user") == "loader" && p.getProperty("password") == "s3cret")
+    assert(p.getProperty("batchsize") == "500", "inline extras override the credentials file")
+  }
+
   test("schedule from config drives the cron scheduler") {
     val reg = SourceRegistry.parse(text)
     val cron = graft.pipeline.CronExpr.parse(reg("uscrn").schedule.get)

@@ -117,6 +117,27 @@ class WarehouseSinkSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.jdbc(url, "stream_main", props).count() == 3)
   }
 
+  test("a config-declared warehouse target drives the staging→main merge end-to-end") {
+    // The reference's gcp-config.yaml story: DAG code reads warehouse
+    // coordinates from config, never hard-codes them (utils.py:9). Same
+    // flow here — parse the typed WarehouseConfig and run the real Derby
+    // round trip entirely off its fields.
+    val wh = graft.pipeline.SourceRegistry.warehouse(
+      """warehouse.url          = jdbc:derby:memory:graftwh_cfg;create=true
+        |warehouse.table        = cfg_main
+        |warehouse.audit_column = date_added_utc
+        |""".stripMargin).get
+    val batch = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "value")
+    WarehouseSink.stage(batch, wh.url, wh.table.get, wh.jdbcProps)
+    WarehouseSink.mergeToMain(spark, wh.url, wh.table.get, Seq("id"), wh.jdbcProps, clock)
+    val main = spark.read.jdbc(wh.url, wh.table.get, wh.jdbcProps)
+    assert(main.count() == 2)
+    assert(main.columns.map(_.toLowerCase).contains(wh.auditColumn))
+    // Replay off the same config stays idempotent.
+    WarehouseSink.mergeToMain(spark, wh.url, wh.table.get, Seq("id"), wh.jdbcProps, clock)
+    assert(spark.read.jdbc(wh.url, wh.table.get, wh.jdbcProps).count() == 2)
+  }
+
   test("connection health check: reachable warehouse passes, bogus one reports") {
     assert(WarehouseSink.checkConnection(url, props).isRight)
     val bad = WarehouseSink.checkConnection("jdbc:derby:memory:nope", props, timeoutSec = 1)
