@@ -84,6 +84,32 @@ object HtmlTable {
     m.toMap
   }
 
+  /** The page-level "Last Update:" provenance text (reference
+    * utils.py:174-188 `get_last_update_nws`): the first <td> in document
+    * order whose text contains "Last Update:", normalized exactly as the
+    * reference does — strip the label, the space before am/pm, the AKST
+    * token and commas — leaving the "%I:%M%p %b %d %Y" shape the reference
+    * pushes through XComs (e.g. "2:07pm Jan 1 2024"). None when the page
+    * has no such cell, so one malformed fetch can't kill a corpus parse.
+    */
+  private[sources] def lastUpdateText(html0: String): Option[String] = {
+    val html = comments.replaceAllIn(html0, "")
+    spans(html, "td").map(text).find(_.contains("Last Update:"))
+      .map(_.replaceAll("Last Update: |\\s(?=pm|am)|AKST |,", ""))
+  }
+
+  private val lastUpdateUdf = udf { (html: String) =>
+    if (html == null) null else lastUpdateText(html).orNull
+  }
+
+  /** `last_update_nws` as a Column over raw page HTML — the reference
+    * stamps this on every extracted forecast row (utils.py:209-213 inserts
+    * the column into both table halves); here the stamp is a per-row
+    * projection callers attach alongside [[landscapeRecords]]' output, so
+    * the extracted rows carry the same page-level provenance column.
+    */
+  def lastUpdateNws(htmlCol: Column): Column = lastUpdateUdf(htmlCol)
+
   private val landscapeUdf =
     udf { (html: String, idx: Int, cellTag: String) =>
       // A failed fetch (null page) yields zero records, not a task-killing

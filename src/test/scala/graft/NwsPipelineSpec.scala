@@ -64,6 +64,9 @@ class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
             cols = Seq("Date", "Hour", "Temperature °F", "Gust (mph)", "Wind Chill °F"),
             cellTag = "font"
           )
+          // Page-level provenance stamped on every extracted row, exactly
+          // like the reference's last_update_nws column (utils.py:209-213).
+          .withColumn("last_update_nws", graft.sources.HtmlTable.lastUpdateNws(col("html")))
           .drop("html")
           // The transpose leaves '' in the gappy Date slots; the reference's
           // _ff_list treats '' as missing — make that explicit before ffill.
@@ -116,7 +119,14 @@ class NwsPipelineSpec extends AnyFunSuite with SparkSpec {
     val out = spark.read.parquet(main)
     assert(out.columns.toSet ==
       Set("location", "date", "hour", "temperature_f", "gust_mph", "wind_chill_f",
-        "lst_datetime", "utc_datetime", "date_added_utc"))
+        "lst_datetime", "utc_datetime", "date_added_utc", "last_update_nws"))
+
+    // The page-level provenance column round-trips extract→staging→main
+    // with the reference's exact normalization ("%I:%M%p %b %d %Y" — label,
+    // pre-am/pm space, AKST and commas stripped; utils.py:174-188).
+    val luByLoc = out.select("location", "last_update_nws").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(luByLoc == Map("ANC" -> "2:07pm Jan 1 2024", "FAI" -> "11:55am Jan 1 2024"))
 
     val rows = out
       .orderBy("location", "lst_datetime")
