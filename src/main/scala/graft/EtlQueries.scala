@@ -262,6 +262,48 @@ object EtlQueries {
              |FROM events""".stripMargin)
     ),
 
+    // 15b. MERGE/upsert into main (StagingSink.upsertToMain): the
+    //      update-in-place warehouse idiom the append-only staging→insert
+    //      pattern cannot express. Scenario: main = snapshot of events
+    //      before the Jan-20 cutoff; a revision batch from Jan-15 onward
+    //      (overlap → updates with doubled values, tail → inserts) is
+    //      upserted staged-wins. The whole MERGE — anti-join survivors,
+    //      replacement rows, audit restamping — sits inside the oracle's
+    //      keyed snapshot diff (main0 minus staged keys, union staged).
+    Q(
+      "q_upsert_merge",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+        val ev = events(s, d).select(col("event_id"), col("value"), col("ts"))
+        val c1 = lit("2024-01-15 00:00:00").cast("timestamp")
+        val c2 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+        val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+        graft.sources.StagingSink.stage(ev.filter(col("ts") < c2).drop("ts"), s"$base/staging0")
+        graft.sources.StagingSink
+          .mergeToMain(s, s"$base/staging0", s"$base/main", Seq("event_id"), clock = t0)
+        // value * 2 is an exact double op — bit-identical cross-engine.
+        graft.sources.StagingSink.stage(
+          ev.filter(col("ts") >= c1).drop("ts").withColumn("value", col("value") * 2),
+          s"$base/staging1")
+        graft.sources.StagingSink
+          .upsertToMain(s, s"$base/staging1", s"$base/main", Seq("event_id"), clock = t1)
+        s.read.parquet(s"$base/main")
+          .select(col("event_id"), col("value"), col("date_added_utc"))
+          .orderBy("event_id")
+      },
+      Some("""WITH main0 AS (
+             |  SELECT event_id, value, TIMESTAMP '2026-01-01 00:00:00' AS date_added_utc
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+             |staged AS (
+             |  SELECT event_id, value * 2 AS value, TIMESTAMP '2026-02-01 00:00:00' AS date_added_utc
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+             |SELECT event_id, value, date_added_utc FROM (
+             |  SELECT * FROM main0 WHERE event_id NOT IN (SELECT event_id FROM staged)
+             |  UNION ALL SELECT * FROM staged)
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // 16. Sorted export (final ORDER BY before load) with deterministic tie-break.
     Q(
       "q_sorted_export",

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-growth characterization harness (SURVEY.md §6): no sf1 testdata
+  * exists in this sandbox, so growth is SYNTHESIZED from sf0.1 — k ∈
+  * {1, 2, 4} shifted copies of `documents` written to a temp sf-dir and the
+  * REAL registered queries run against it. Each copy's text gets a per-copy
+  * alphabet rotation so tokens/windows/shingles don't collide across copies
+  * and document frequencies stay organic (verbatim copies would multiply
+  * every df by k — a different, easier regime: the vocabulary would stay
+  * constant while only the fact side grew). Embeddings, when a target query
+  * needs them, get a per-copy component roll (rolled-vector cosine is
+  * ~random, so no cross-copy near-dup explosion).
+  *
+  * Median-of-3 per point on an exclusive host; the reported exponent is the
+  * least-squares slope of log t over log k — a linear operator reads ~1.0
+  * once past fixed overhead, a quadratic pair-enumeration term would read
+  * ~2.0 (16× wall at ×4).
+  *
+  * Usage: `runMain graft.ScaleGrowth [srcSfDir] [query,query,...]`
+  */
+object ScaleGrowth {
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+
+  /** Caesar-rotate letters by `i` positions (identity for i == 0). */
+  private def rot(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    if (i == 0) c
+    else {
+      val lo = lower.drop(i % 26) + lower.take(i % 26)
+      val up = upper.drop(i % 26) + upper.take(i % 26)
+      translate(c, lower + upper, lo + up)
+    }
+
+  /** Write a ×k growth corpus for `documents` (and `embeddings` when
+    * present at the source) under `dst`.
+    */
+  def writeCorpus(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val copies = (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        rot(col("text"), i).as("text"),
+        col("lang"),
+        col("source"),
+        col("n_chars"))
+    }
+    copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val embPath = new java.io.File(s"$src/embeddings.parquet")
+    if (embPath.exists()) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      val ecopies = (0 until k).map { i =>
+        val roll = i % dims
+        emb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          (if (roll == 0) col("embedding")
+           else concat(slice(col("embedding"), roll + 1, dims - roll),
+             slice(col("embedding"), 1, roll))).as("embedding"),
+          col("label"))
+      }
+      ecopies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val targets = args.lift(1)
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("q_vocab_build", "q_collocations", "q_lm_quality", "q_oov_rate"))
+    val spark = Engine.session("local[32]", 32)
+    val base = java.nio.file.Files.createTempDirectory("graft_growth").toString
+    val ks = Seq(1, 2, 4)
+    ks.foreach(k => writeCorpus(spark, src, s"$base/x$k", k))
+
+    def once(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      t
+    }
+    val rows = targets.map { name =>
+      val med = ks.map { k =>
+        val dir = s"$base/x$k"
+        val ts = Seq(once(name, dir), once(name, dir), once(name, dir)).sorted
+        k -> ts(1)
+      }
+      // Least-squares slope of log t over log k.
+      val pts = med.map { case (k, t) => (math.log(k.toDouble), math.log(t)) }
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (name, med, slope)
+    }
+    println("| query | ×1 | ×2 | ×4 | observed exponent |")
+    println("|-------|----|----|----|-------------------|")
+    rows.foreach { case (name, med, slope) =>
+      val cells = med.map { case (_, t) => f"$t%.2f s" }.mkString(" | ")
+      println(f"| $name | $cells | $slope%.2f |")
+    }
+    spark.stop()
+  }
+}

@@ -153,6 +153,96 @@ object StagingSink {
     nFiles
   }
 
+  /** Delta-style MERGE (upsert): each staged row REPLACES the main row
+    * sharing its business key, or inserts when the key is new — the
+    * update-in-place idiom the append-only staging→insert pattern cannot
+    * express (whenMatched-update / whenNotMatched-insert with staged-wins
+    * semantics; the reference's warehouse has this as BigQuery MERGE, its
+    * DAGs only ever use the insert-only path). Updated and inserted rows
+    * get `date_added_utc = clock`; untouched rows keep theirs.
+    *
+    * Scale contract: on a PARTITIONED main (the 100 TB layout) only the
+    * partitions containing staged partition values are read and rewritten
+    * — the touched-partition values are collected (bounded driver state,
+    * the planner's norm) into a planning-time pruning predicate, the
+    * touched survivors union the staged batch, and Spark's dynamic
+    * partition overwrite replaces exactly those directories. Untouched
+    * history is never read or written. An unpartitioned main is a full
+    * rewrite through a temp dir with the same checked-rename swap
+    * compact() uses (main is never deleted until its replacement is in
+    * place; a crash between the renames leaves `__old` as the table,
+    * recovered on the next upsert).
+    */
+  def upsertToMain(
+      spark: SparkSession,
+      stagingPath: String,
+      mainPath: String,
+      keyCols: Seq[String],
+      clock: Column = current_timestamp(),
+      partitionCols: Seq[String] = Nil
+  ): Unit = {
+    // Crash recovery FIRST, before the exists check decides anything: a
+    // leftover __old with no main means a previous swap died between its
+    // renames — the old dir IS the table, and treating its absence as
+    // "first load" would clobber it.
+    locally {
+      val p = new Path(mainPath)
+      val oldP = new Path(mainPath + "__old")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(oldP) && !fs.exists(p))
+        require(fs.rename(oldP, p), s"recovery rename $oldP -> $p failed")
+    }
+    val staged = spark.read.parquet(stagingPath).withColumn("date_added_utc", clock)
+    def writeOut(df: DataFrame, path: String, dynamic: Boolean): Unit = {
+      val w0 = df.write.mode("overwrite")
+      val w = if (dynamic) w0.option("partitionOverwriteMode", "dynamic") else w0
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    }
+    if (!exists(spark, mainPath)) { writeOut(staged, mainPath, dynamic = false); return }
+
+    if (partitionCols.nonEmpty) {
+      // Touched partitions only: planning-time pruning predicate from the
+      // staged batch's distinct partition values, then survivors ∪ staged
+      // overwrite those directories dynamically. The union is materialized
+      // to a temp dir first — a file source cannot overwrite a path it is
+      // reading — and the double write is bounded by the touched
+      // partitions, not the table.
+      val touched = staged.select(partitionCols.map(col): _*).distinct().collect()
+      val pruning = touched
+        .map(r => partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _))
+        .reduceOption(_ || _)
+        .getOrElse(lit(false))
+      val survivors = spark.read.parquet(mainPath)
+        .where(pruning)
+        .join(staged.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val tmp = mainPath + "__upsert"
+      writeOut(survivors.unionByName(staged), tmp, dynamic = false)
+      writeOut(spark.read.parquet(tmp), mainPath, dynamic = true)
+      val tp = new Path(tmp)
+      tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    } else {
+      val p = new Path(mainPath)
+      val tmpP = new Path(mainPath + "__upsert")
+      val oldP = new Path(mainPath + "__old")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // The no-main recovery already ran at entry; a leftover __old
+      // alongside main is a superseded copy from a crash after the swap.
+      if (fs.exists(oldP)) require(fs.delete(oldP, true), s"could not delete stale $oldP")
+      if (fs.exists(tmpP)) require(fs.delete(tmpP, true), s"could not delete stale $tmpP")
+      val survivors = spark.read.parquet(mainPath)
+        .join(staged.select(keyCols.map(col): _*), keyCols, "left_anti")
+      writeOut(survivors.unionByName(staged), tmpP.toString, dynamic = false)
+      require(fs.rename(p, oldP), s"rename $p -> $oldP failed; table untouched")
+      if (!fs.rename(tmpP, p)) {
+        require(fs.rename(oldP, p), s"rollback rename $oldP -> $p failed — table is at $oldP")
+        throw new IllegalStateException(s"rename $tmpP -> $p failed; rolled back")
+      }
+      fs.delete(oldP, true)
+    }
+  }
+
   /** The incremental-extract cutoff: max `date_added_utc` in main, or None
     * when main does not exist yet (first load takes everything). The
     * reference derives its update watermark the same way (uscrn_dag.py:

@@ -228,6 +228,81 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(StagingSink.lastAdded(spark, main).map(_.toString).contains("2026-02-01 00:00:00.0"))
   }
 
+  test("upsertToMain replaces matched keys in place, inserts new ones, keeps survivors' audit") {
+    val base = Files.createTempDirectory("upsert").toString
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+
+    StagingSink.stage(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "k", "v"), staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), t0)
+
+    // Revision batch: key 2 updated in place, key 4 inserted.
+    StagingSink.stage(Seq((2L, "b2", 21.0), (4L, "d", 40.0)).toDF("id", "k", "v"), staging)
+    StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1)
+
+    // Collect once: the swap rewrites main's files, so a DataFrame listed
+    // before an upsert cannot be re-executed after it (standard overwrite
+    // staleness) — snapshot the rows instead.
+    val rows = spark.read.parquet(main).collect()
+    assert(rows.length == 4)
+    val byId = rows.map(r => r.getAs[Long]("id") ->
+      ((r.getAs[String]("k"), r.getAs[Double]("v"), r.getAs[java.sql.Timestamp]("date_added_utc").toString))).toMap
+    assert(byId(2L) == (("b2", 21.0, "2026-02-01 00:00:00.0")), "matched key must take the staged row + new audit")
+    assert(byId(4L) == (("d", 40.0, "2026-02-01 00:00:00.0")), "new key must insert")
+    assert(byId(1L)._3 == "2026-01-01 00:00:00.0" && byId(3L)._3 == "2026-01-01 00:00:00.0",
+      "survivors keep their original audit stamp")
+    // Replaying the same revision with the same clock is a no-op.
+    StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1)
+    assert(spark.read.parquet(main).collect().toSet == rows.toSet)
+    // No swap debris.
+    assert(!new java.io.File(s"${main}__upsert").exists() && !new java.io.File(s"${main}__old").exists())
+
+    // Crash recovery contract (same as compact): __old with no main IS the
+    // table — the next upsert must restore it before merging.
+    val fs = new org.apache.hadoop.fs.Path(main)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(main), new org.apache.hadoop.fs.Path(s"${main}__old")))
+    StagingSink.stage(Seq((5L, "e", 50.0)).toDF("id", "k", "v"), staging)
+    StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1)
+    assert(spark.read.parquet(main).count() == 5, "crashed-swap leftover must be recovered, not clobbered")
+  }
+
+  test("partitioned upsert rewrites ONLY the touched partitions (dynamic overwrite)") {
+    val base = Files.createTempDirectory("upsert_part").toString
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+
+    StagingSink.stage(
+      Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0), (3L, "2024-01-02", 30.0))
+        .toDF("id", "dt", "v"), staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), t0, partitionCols = Seq("dt"))
+
+    def files(dt: String): Set[String] = {
+      val d = new java.io.File(s"$main/dt=$dt")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val untouchedBefore = files("2024-01-01")
+
+    // Revision touches only dt=2024-01-02: update key 3, insert key 4.
+    StagingSink.stage(
+      Seq((3L, "2024-01-02", 31.0), (4L, "2024-01-02", 40.0)).toDF("id", "dt", "v"), staging)
+    StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1, partitionCols = Seq("dt"))
+
+    assert(files("2024-01-01") == untouchedBefore,
+      "an untouched partition's files must not be rewritten")
+    val out = spark.read.parquet(main)
+    assert(out.count() == 4)
+    assert(out.filter(col("dt") === "2024-01-02" && col("id") === 3L)
+      .select("v").as[Double].head() == 31.0)
+    assert(out.filter(col("dt") === "2024-01-01")
+      .select("date_added_utc").distinct().as[java.sql.Timestamp].head().toString == "2026-01-01 00:00:00.0")
+    assert(!new java.io.File(s"${main}__upsert").exists())
+  }
+
   test("HtmlTable: document-order table indexing, entity decode, landscape transpose") {
     val html =
       """<html><body>
