@@ -103,7 +103,12 @@ object Tables {
         df.withColumn(
           tsCol,
           timestamp_micros(
-            when(col(tsCol) >= 100000000000000000L, expr(s"`$tsCol` DIV 1000"))
+            // Null passes through as null (the pre-guard behavior): the
+            // magnitude comparison is null for a null ts, and without this
+            // arm a nullable nanos file would die in raise_error — with a
+            // null message, no less, since concat propagates the null.
+            when(col(tsCol).isNull, lit(null).cast("long"))
+              .when(col(tsCol) >= 100000000000000000L, expr(s"`$tsCol` DIV 1000"))
               .otherwise(raise_error(concat(
                 lit(s"events.$tsCol: int64 value "),
                 col(tsCol).cast("string"),

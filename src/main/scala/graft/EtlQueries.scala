@@ -273,7 +273,14 @@ object EtlQueries {
     Q(
       "q_upsert_merge",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+        // Deterministic scratch dir per sf-dir, recreated on every build:
+        // a fresh createTempDirectory here would strand a full copy of the
+        // events table per build (Verify, Bench, and the canary's registry
+        // walk each build this query), growing /tmp without bound.
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_upsert_${java.lang.Integer.toHexString(d.hashCode)}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
         val ev = events(s, d).select(col("event_id"), col("value"), col("ts"))
         val c1 = lit("2024-01-15 00:00:00").cast("timestamp")
         val c2 = lit("2024-01-20 00:00:00").cast("timestamp")

@@ -32,7 +32,6 @@ object StreamQueries {
     Q(
       "q_stream_windowed_agg",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val out = tmpDir("graft_wagg_out")
         val ckpt = tmpDir("graft_wagg_ckpt")
@@ -80,7 +79,6 @@ object StreamQueries {
     Q(
       "q_stream_dedup",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val out = tmpDir("graft_sdedup_out")
         val ckpt = tmpDir("graft_sdedup_ckpt")
@@ -118,7 +116,6 @@ object StreamQueries {
     Q(
       "q_stream_dedup_ttl",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val out = tmpDir("graft_sdedupttl_out")
         val ckpt = tmpDir("graft_sdedupttl_ckpt")
@@ -153,7 +150,6 @@ object StreamQueries {
     Q(
       "q_stream_join",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // Inner-join output is complete after the data batches; the extra
         // no-data micro-batch only advances the watermark to evict state —
         // hygiene an AvailableNow one-shot doesn't need, and worth a full
@@ -216,7 +212,6 @@ object StreamQueries {
     Q(
       "q_stream_anomaly",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val out = tmpDir("graft_sanom_out")
         val ckpt = tmpDir("graft_sanom_ckpt")
@@ -323,7 +318,6 @@ object StreamQueries {
     Q(
       "q_stream_topk",
       (s, d) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val out = tmpDir("graft_stopk_out")
         val ckpt = tmpDir("graft_stopk_ckpt")

@@ -153,25 +153,61 @@ object StagingSink {
     nFiles
   }
 
+  /** The relative paths of a partitioned table's leaf partition
+    * directories (every nested `name=value` level), e.g. `dt=2024-01-01`
+    * or `dt=2024-01-01/hour=3`. A dir with no `name=value` children is a
+    * leaf. Driver-side metadata walk, O(partitions) — the same listing
+    * partition discovery performs.
+    */
+  private def leafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
+    def walk(dir: Path, rel: Seq[String]): Seq[Seq[String]] = {
+      val dirs = fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (dirs.isEmpty) { if (rel.isEmpty) Nil else Seq(rel) }
+      else dirs.flatMap(d => walk(d.getPath, rel :+ d.getPath.getName))
+    }
+    walk(root, Nil).map(_.mkString("/"))
+  }
+
   /** Delta-style MERGE (upsert): each staged row REPLACES the main row
     * sharing its business key, or inserts when the key is new — the
     * update-in-place idiom the append-only staging→insert pattern cannot
     * express (whenMatched-update / whenNotMatched-insert with staged-wins
     * semantics; the reference's warehouse has this as BigQuery MERGE, its
     * DAGs only ever use the insert-only path). Updated and inserted rows
-    * get `date_added_utc = clock`; untouched rows keep theirs.
+    * get `date_added_utc = clock`; untouched rows keep theirs. An empty
+    * staging batch is a no-op (the zero-new-rows incremental run).
     *
     * Scale contract: on a PARTITIONED main (the 100 TB layout) only the
-    * partitions containing staged partition values are read and rewritten
-    * — the touched-partition values are collected (bounded driver state,
-    * the planner's norm) into a planning-time pruning predicate, the
-    * touched survivors union the staged batch, and Spark's dynamic
-    * partition overwrite replaces exactly those directories. Untouched
-    * history is never read or written. An unpartitioned main is a full
-    * rewrite through a temp dir with the same checked-rename swap
-    * compact() uses (main is never deleted until its replacement is in
-    * place; a crash between the renames leaves `__old` as the table,
-    * recovered on the next upsert).
+    * TOUCHED partitions are rewritten — their values are collected
+    * (bounded driver state, the planner's norm) into a planning-time
+    * pruning predicate (null-safe, so a null partition value prunes to
+    * the `__HIVE_DEFAULT_PARTITION__` directory rather than to nothing),
+    * the touched survivors union the staged batch into a temp dir, and
+    * the touched directories are swapped in with per-partition checked
+    * renames (old dirs parked under `__old` until every swap lands — a
+    * crash mid-swap is recovered on the next call, and an interrupted
+    * merge is completed by re-running the same batch, which is
+    * idempotent). A touched partition whose every row was replaced
+    * ends up deleted, as MERGE semantics require.
+    *
+    * Which partitions are touched: the staged rows' own partition values,
+    * PLUS — because a staged row may carry a DIFFERENT partition value
+    * than the main row it replaces (the stale copy must go) — the
+    * partitions of main rows whose key matches a staged key, found by a
+    * column-pruned key scan of main (keys + partition values only; the
+    * staged side broadcasts). That scan is skipped when it provably
+    * cannot matter (`partitionCols ⊆ keyCols`: equal keys force equal
+    * partition values) or when the caller asserts the functional
+    * dependency key → partition with `stablePartitionKeys = true` (the
+    * usual date-partitioned warehouse, where the partition column is
+    * derived from the immutable business date). Untouched history is
+    * never read or written — except by that opt-out-able key scan.
+    *
+    * An unpartitioned main is a full rewrite through a temp dir with the
+    * same checked-rename swap compact() uses (main is never deleted until
+    * its replacement is in place; a crash between the renames leaves
+    * `__old` as the table, recovered on the next upsert).
     */
   def upsertToMain(
       spark: SparkSession,
@@ -179,61 +215,111 @@ object StagingSink {
       mainPath: String,
       keyCols: Seq[String],
       clock: Column = current_timestamp(),
-      partitionCols: Seq[String] = Nil
+      partitionCols: Seq[String] = Nil,
+      stablePartitionKeys: Boolean = false
   ): Unit = {
+    val p = new Path(mainPath)
+    val tmpP = new Path(mainPath + "__upsert")
+    val oldP = new Path(mainPath + "__old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Crash recovery FIRST, before the exists check decides anything: a
     // leftover __old with no main means a previous swap died between its
     // renames — the old dir IS the table, and treating its absence as
     // "first load" would clobber it.
-    locally {
-      val p = new Path(mainPath)
-      val oldP = new Path(mainPath + "__old")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(oldP) && !fs.exists(p))
-        require(fs.rename(oldP, p), s"recovery rename $oldP -> $p failed")
+    if (fs.exists(oldP) && !fs.exists(p))
+      require(fs.rename(oldP, p), s"recovery rename $oldP -> $p failed")
+    // Partitioned-swap recovery: __old alongside main holds the parked
+    // copies of a swap that died mid-flight. Restore any leaf main lacks
+    // (its replacement never landed — conservative: never lose survivor
+    // rows; a restored stale partition is re-merged when the interrupted
+    // batch is re-run, which the failure contract requires anyway), then
+    // drop the rest (superseded — their replacements are in place).
+    else if (fs.exists(oldP)) {
+      leafPartitionDirs(fs, oldP).foreach { rel =>
+        val dst = new Path(p, rel)
+        if (!fs.exists(dst)) {
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(new Path(oldP, rel), dst), s"recovery rename $oldP/$rel -> $dst failed")
+        }
+      }
+      require(fs.delete(oldP, true), s"could not delete recovered $oldP")
     }
-    val staged = spark.read.parquet(stagingPath).withColumn("date_added_utc", clock)
-    def writeOut(df: DataFrame, path: String, dynamic: Boolean): Unit = {
-      val w0 = df.write.mode("overwrite")
-      val w = if (dynamic) w0.option("partitionOverwriteMode", "dynamic") else w0
+    if (fs.exists(tmpP)) require(fs.delete(tmpP, true), s"could not delete stale $tmpP")
+
+    val staged0 = spark.read.parquet(stagingPath)
+    if (staged0.isEmpty) return
+    val staged = staged0.withColumn("date_added_utc", clock)
+    def writeOut(df: DataFrame, path: String): Unit = {
+      val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
     }
-    if (!exists(spark, mainPath)) { writeOut(staged, mainPath, dynamic = false); return }
+    if (!exists(spark, mainPath)) { writeOut(staged, mainPath); return }
 
     if (partitionCols.nonEmpty) {
-      // Touched partitions only: planning-time pruning predicate from the
-      // staged batch's distinct partition values, then survivors ∪ staged
-      // overwrite those directories dynamically. The union is materialized
-      // to a temp dir first — a file source cannot overwrite a path it is
-      // reading — and the double write is bounded by the touched
-      // partitions, not the table.
-      val touched = staged.select(partitionCols.map(col): _*).distinct().collect()
+      val stagedParts = staged.select(partitionCols.map(col): _*).distinct().collect()
+      val keysPinPartition = partitionCols.forall(keyCols.contains) || stablePartitionKeys
+      val touched =
+        if (keysPinPartition) stagedParts
+        else {
+          val moved = spark.read.parquet(mainPath)
+            .join(staged.select(keyCols.map(col): _*), keyCols, "left_semi")
+            .select(partitionCols.map(col): _*)
+            .distinct()
+            .collect()
+          (stagedParts ++ moved).distinct
+        }
       val pruning = touched
         .map(r => partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
           .reduce(_ && _))
         .reduceOption(_ || _)
         .getOrElse(lit(false))
-      val survivors = spark.read.parquet(mainPath)
+      val main = spark.read.parquet(mainPath)
+      val survivors = main
         .where(pruning)
         .join(staged.select(keyCols.map(col): _*), keyCols, "left_anti")
-      val tmp = mainPath + "__upsert"
-      writeOut(survivors.unionByName(staged), tmp, dynamic = false)
-      writeOut(spark.read.parquet(tmp), mainPath, dynamic = true)
-      val tp = new Path(tmp)
-      tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+      // Materialize to a temp dir first — a file source cannot overwrite a
+      // path it is reading — bounded by the touched partitions, not the
+      // table. The existing touched directories are found from the files
+      // the pruned scan actually reads (no re-derivation of Hive partition-
+      // path escaping; `input_file_name` names them authoritatively).
+      writeOut(survivors.unionByName(staged), tmpP.toString)
+      val qualifiedMain = fs.makeQualified(p).toString
+      val mainTouched = main
+        .where(pruning)
+        .select(input_file_name().as("f"))
+        .distinct()
+        .collect()
+        .map { r =>
+          val dir = new Path(new java.net.URI(r.getString(0))).getParent
+          val rel = fs.makeQualified(dir).toString.stripPrefix(qualifiedMain).stripPrefix("/")
+          require(rel.nonEmpty && rel.contains("="), s"unexpected non-partition file dir $dir under $mainPath")
+          rel
+        }
+        .distinct
+      // Per-partition checked-rename swap: park each existing touched dir
+      // under __old, move the rewrite in, and only then drop __old — no
+      // point in the sequence loses data, each completed dir is complete
+      // (directory renames are atomic), and recovery above handles a crash
+      // anywhere in between. A touched dir absent from tmp had every row
+      // replaced — parking it IS its deletion.
+      mainTouched.foreach { rel =>
+        val bak = new Path(oldP, rel)
+        fs.mkdirs(bak.getParent)
+        require(fs.rename(new Path(p, rel), bak), s"rename $mainPath/$rel -> $bak failed")
+      }
+      leafPartitionDirs(fs, tmpP).foreach { rel =>
+        val dst = new Path(p, rel)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(new Path(tmpP, rel), dst), s"rename $tmpP/$rel -> $dst failed")
+      }
+      fs.delete(oldP, true)
+      fs.delete(tmpP, true)
     } else {
-      val p = new Path(mainPath)
-      val tmpP = new Path(mainPath + "__upsert")
-      val oldP = new Path(mainPath + "__old")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // The no-main recovery already ran at entry; a leftover __old
-      // alongside main is a superseded copy from a crash after the swap.
-      if (fs.exists(oldP)) require(fs.delete(oldP, true), s"could not delete stale $oldP")
-      if (fs.exists(tmpP)) require(fs.delete(tmpP, true), s"could not delete stale $tmpP")
+      // Recovery and stale-dir cleanup already ran at entry.
       val survivors = spark.read.parquet(mainPath)
         .join(staged.select(keyCols.map(col): _*), keyCols, "left_anti")
-      writeOut(survivors.unionByName(staged), tmpP.toString, dynamic = false)
+      writeOut(survivors.unionByName(staged), tmpP.toString)
       require(fs.rename(p, oldP), s"rename $p -> $oldP failed; table untouched")
       if (!fs.rename(tmpP, p)) {
         require(fs.rename(oldP, p), s"rollback rename $oldP -> $p failed — table is at $oldP")

@@ -202,6 +202,21 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
       s"expected the normalizeTs magnitude rejection, got: ${chain(e).mkString(" <- ")}")
   }
 
+  test("a NULL int64 ts normalizes to a null timestamp, not a raise_error crash") {
+    // normalizeTs dispatches on the loaded datatype, so an in-memory
+    // LongType frame exercises the legacy-nanos arm directly. The
+    // magnitude guard's comparison is null for a null ts — without the
+    // explicit null arm the row would fall into raise_error (with a NULL
+    // message, concat propagating the null) and kill a whole nullable
+    // nanos load on its first null row.
+    import spark.implicits._
+    val df = Seq(Some(1704067200L * 1000000000L), Option.empty[Long]).toDF("ts")
+    val out = Tables.normalizeTs(df).collect()
+    assert(out.length == 2)
+    assert(out.count(_.isNullAt(0)) == 1, "null ts must pass through as null")
+    assert(out.exists(r => !r.isNullAt(0) && r.getTimestamp(0).toString.startsWith("2024-01-01")))
+  }
+
   test("Tables.events normalizes all three flavors to identical TimestampType values") {
     val a = Tables.events(spark, nanosDir)
     val b = Tables.events(spark, microsDir)

@@ -269,7 +269,7 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(main).count() == 5, "crashed-swap leftover must be recovered, not clobbered")
   }
 
-  test("partitioned upsert rewrites ONLY the touched partitions (dynamic overwrite)") {
+  test("partitioned upsert rewrites ONLY the touched partitions (per-partition swap)") {
     val base = Files.createTempDirectory("upsert_part").toString
     val staging = s"$base/staging"
     val main = s"$base/main"
@@ -301,6 +301,105 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("dt") === "2024-01-01")
       .select("date_added_utc").distinct().as[java.sql.Timestamp].head().toString == "2026-01-01 00:00:00.0")
     assert(!new java.io.File(s"${main}__upsert").exists())
+  }
+
+  test("partitioned upsert removes the stale copy when a staged row moves a key's partition") {
+    val base = Files.createTempDirectory("upsert_move").toString
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+
+    StagingSink.stage(
+      Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0), (3L, "2024-01-02", 30.0))
+        .toDF("id", "dt", "v"), staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), t0, partitionCols = Seq("dt"))
+
+    // Key 1's revision lands in a DIFFERENT partition (a corrected event
+    // date). The default path must find and rewrite dt=2024-01-01 too —
+    // and since key 1 was its ONLY row, the partition must disappear, not
+    // keep a stale duplicate.
+    StagingSink.stage(Seq((1L, "2024-01-03", 11.0)).toDF("id", "dt", "v"), staging)
+    StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1, partitionCols = Seq("dt"))
+
+    val rows = spark.read.parquet(main).collect()
+    assert(rows.length == 3, s"stale moved-key copy must be deleted, got ${rows.mkString(";")}")
+    val k1 = rows.filter(_.getAs[Long]("id") == 1L)
+    // dt reads back as DATE via partition-value type inference.
+    assert(k1.length == 1 && String.valueOf(k1.head.getAs[Any]("dt")) == "2024-01-03"
+      && k1.head.getAs[Double]("v") == 11.0)
+    assert(!new java.io.File(s"$main/dt=2024-01-01").exists(),
+      "an emptied partition directory must be removed")
+    assert(!new java.io.File(s"${main}__upsert").exists() && !new java.io.File(s"${main}__old").exists())
+
+    // `stablePartitionKeys = true` asserts key → partition and skips the
+    // key-match scan; violating the assertion is the caller's bug — the
+    // stale copy then survives (the documented contract, pinned here so a
+    // behavior change is loud).
+    StagingSink.stage(Seq((2L, "2024-01-04", 21.0)).toDF("id", "dt", "v"), staging)
+    StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1,
+      partitionCols = Seq("dt"), stablePartitionKeys = true)
+    assert(spark.read.parquet(main).filter(col("id") === 2L).count() == 2,
+      "stablePartitionKeys skips the moved-key scan by contract")
+  }
+
+  test("upsert edge shapes: empty batch is a no-op; null partition values merge null-safely") {
+    val base = Files.createTempDirectory("upsert_edge").toString
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+
+    StagingSink.stage(
+      Seq((1L, Some("2024-01-01"), 10.0), (2L, None, 20.0), (3L, None, 30.0))
+        .toDF("id", "dt", "v"), staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), t0, partitionCols = Seq("dt"))
+
+    // Empty revision batch: the zero-new-rows incremental run must succeed
+    // and touch nothing (the read-back of an empty partitioned temp write
+    // used to crash schema inference here).
+    StagingSink.stage(Seq.empty[(Long, Option[String], Double)].toDF("id", "dt", "v"), staging)
+    StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1, partitionCols = Seq("dt"))
+    assert(spark.read.parquet(main).count() == 3)
+
+    // A staged row in the NULL partition: the pruning predicate must be
+    // null-safe — with plain === it reads zero survivors from
+    // __HIVE_DEFAULT_PARTITION__ and the rewrite silently drops key 3.
+    StagingSink.stage(Seq((2L, Option.empty[String], 21.0)).toDF("id", "dt", "v"), staging)
+    StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1, partitionCols = Seq("dt"))
+    val out = spark.read.parquet(main).collect()
+    assert(out.length == 3, s"null-partition survivors must be kept, got ${out.mkString(";")}")
+    assert(out.count(r => r.isNullAt(r.fieldIndex("dt"))) == 2)
+    assert(out.filter(_.getAs[Long]("id") == 2L).head.getAs[Double]("v") == 21.0)
+    assert(out.filter(_.getAs[Long]("id") == 3L).head.getAs[Double]("v") == 30.0)
+  }
+
+  test("partitioned upsert crash recovery restores a parked partition whose replacement never landed") {
+    val base = Files.createTempDirectory("upsert_crash").toString
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+
+    StagingSink.stage(
+      Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "dt", "v"), staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), t0, partitionCols = Seq("dt"))
+
+    // Simulate a swap that died after parking dt=2024-01-02 under __old
+    // but before its replacement moved in: the next upsert must restore
+    // the parked copy before merging (and then merge against it).
+    val fs = new org.apache.hadoop.fs.Path(main)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${main}__old"))
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$main/dt=2024-01-02"),
+      new org.apache.hadoop.fs.Path(s"${main}__old/dt=2024-01-02")))
+
+    StagingSink.stage(Seq((3L, "2024-01-03", 30.0)).toDF("id", "dt", "v"), staging)
+    StagingSink.upsertToMain(spark, staging, main, Seq("id"), t0, partitionCols = Seq("dt"))
+    val out = spark.read.parquet(main)
+    assert(out.count() == 3, "the parked partition must be restored, not lost")
+    assert(out.filter(col("dt") === "2024-01-02").count() == 1)
+    assert(!new java.io.File(s"${main}__old").exists())
   }
 
   test("HtmlTable: document-order table indexing, entity decode, landscape transpose") {
