@@ -169,6 +169,28 @@ object StagingSink {
     walk(root, Nil).map(_.mkString("/"))
   }
 
+  /** The distinct partition values of main rows whose business key matches
+    * a staged key — the partitions a MERGE must rewrite BEYOND the staged
+    * rows' own, because a staged row may carry a different partition value
+    * than the main row it replaces (the stale copy's partition). Exposed so
+    * the plan spec can pin the scan's scale shape: main reads ONLY the key
+    * columns (partition values come from directory names, data columns are
+    * pruned from ReadSchema), and the staged key set is the small side AQE
+    * broadcasts — the same full-table key scan Delta's MERGE performs when
+    * no pruning predicate bounds the match.
+    */
+  def matchedKeyPartitions(
+      spark: SparkSession,
+      stagingPath: String,
+      mainPath: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String]
+  ): DataFrame =
+    spark.read.parquet(mainPath)
+      .join(spark.read.parquet(stagingPath).select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select(partitionCols.map(col): _*)
+      .distinct()
+
   /** Delta-style MERGE (upsert): each staged row REPLACES the main row
     * sharing its business key, or inserts when the key is new — the
     * update-in-place idiom the append-only staging→insert pattern cannot
@@ -260,14 +282,9 @@ object StagingSink {
       val keysPinPartition = partitionCols.forall(keyCols.contains) || stablePartitionKeys
       val touched =
         if (keysPinPartition) stagedParts
-        else {
-          val moved = spark.read.parquet(mainPath)
-            .join(staged.select(keyCols.map(col): _*), keyCols, "left_semi")
-            .select(partitionCols.map(col): _*)
-            .distinct()
-            .collect()
-          (stagedParts ++ moved).distinct
-        }
+        else
+          (stagedParts ++
+            matchedKeyPartitions(spark, stagingPath, mainPath, keyCols, partitionCols).collect()).distinct
       val pruning = touched
         .map(r => partitionCols.zipWithIndex
           .map { case (c, i) => col(c) <=> lit(r.get(i)) }

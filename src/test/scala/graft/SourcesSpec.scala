@@ -194,6 +194,36 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(main).count() == 4)
   }
 
+  test("matchedKeyPartitions reads ONLY the key columns from main (column-pruned scan)") {
+    val base = Files.createTempDirectory("movedscan").toString
+    val staging = s"$base/staging"
+    val main = s"$base/main"
+    val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+    StagingSink.stage(
+      Seq((1L, "2024-01-01", "x" * 100, 1.0), (2L, "2024-01-02", "y" * 100, 2.0))
+        .toDF("id", "dt", "payload", "v"), staging)
+    StagingSink.mergeToMain(spark, staging, main, Seq("id"), clock, partitionCols = Seq("dt"))
+    StagingSink.stage(Seq((1L, "2024-01-03", "z", 1.5)).toDF("id", "dt", "payload", "v"), staging)
+
+    // The moved-key scan is the upsert's only touch of untouched history —
+    // its 100 TB cost is a key-column read, so the wide payload columns
+    // must be pruned from main's ReadSchema (the staged side broadcasts at
+    // runtime via AQE; column pruning is the planning-time property to pin).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val moved = StagingSink.matchedKeyPartitions(spark, staging, main, Seq("id"), Seq("dt"))
+      assert(moved.collect().map(r => String.valueOf(r.get(0))).toSeq == Seq("2024-01-01"))
+      val scans = moved.queryExecution.executedPlan
+        .collectWithSubqueries { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      val mainScan = scans.find(_.metadata("Location").contains("main")).get
+      val readSchema = mainScan.metadata("ReadSchema")
+      assert(!readSchema.contains("payload") && !readSchema.contains("v:"),
+        s"moved-key scan must read only keys, got $readSchema")
+      assert(readSchema.contains("id"), readSchema)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("StagingSink append is idempotent on the business key and stamps the audit column") {
     val base = Files.createTempDirectory("sink").toString
     val staging = s"$base/staging"
