@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * once past fixed overhead, a quadratic pair-enumeration term would read
   * ~2.0 (16× wall at ×4).
   *
-  * Usage: `runMain graft.ScaleGrowth [srcSfDir] [query,query,...]`
+  * Usage: `runMain graft.ScaleGrowth [srcSfDir] [query,query,...] [k,k,...]`
   */
 object ScaleGrowth {
 
@@ -73,7 +73,11 @@ object ScaleGrowth {
       .getOrElse(Seq("q_vocab_build", "q_collocations", "q_lm_quality", "q_oov_rate"))
     val spark = Engine.session("local[32]", 32)
     val base = java.nio.file.Files.createTempDirectory("graft_growth").toString
-    val ks = Seq(1, 2, 4)
+    // Growth points: override (e.g. `1,2,4,8`) to push past the
+    // fixed-overhead-dominated regime when an exponent needs a longer arm.
+    val ks = args.lift(2)
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 2, 4))
     ks.foreach(k => writeCorpus(spark, src, s"$base/x$k", k))
 
     def once(name: String, dir: String): Double = {
@@ -98,8 +102,8 @@ object ScaleGrowth {
       val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
       (name, med, slope)
     }
-    println("| query | ×1 | ×2 | ×4 | observed exponent |")
-    println("|-------|----|----|----|-------------------|")
+    println(s"| query | ${ks.map(k => s"×$k").mkString(" | ")} | observed exponent |")
+    println(s"|-------|${ks.map(_ => "----|").mkString}-------------------|")
     rows.foreach { case (name, med, slope) =>
       val cells = med.map { case (_, t) => f"$t%.2f s" }.mkString(" | ")
       println(f"| $name | $cells | $slope%.2f |")
