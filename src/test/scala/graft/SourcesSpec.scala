@@ -194,6 +194,52 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(main).count() == 4)
   }
 
+  test("upsertToMain matches an in-memory reference merge across random scenarios (property)") {
+    // Model-based check of the full MERGE contract: for random initial
+    // tables and random revision batches — including keys that MOVE
+    // partition, null partition values, pure inserts, pure updates, and
+    // empty batches — the on-disk result must equal the trivial in-memory
+    // model (staged wins by key; survivors keep their stamp). Runs the
+    // partitioned path (where all the swap/pruning machinery lives);
+    // the unpartitioned path shares the anti-join and is covered above.
+    val rnd = new scala.util.Random(20260814L)
+    val parts = Seq(Some("2024-01-01"), Some("2024-01-02"), Some("2024-01-03"), None)
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+    for (scenario <- 1 to 6) {
+      val base = Files.createTempDirectory(s"upsert_prop$scenario").toString
+      val staging = s"$base/staging"
+      val main = s"$base/main"
+      def randRows(keys: Seq[Long]): Seq[(Long, Option[String], Double)] =
+        keys.map(k => (k, parts(rnd.nextInt(parts.size)), rnd.nextInt(1000) / 10.0))
+      val initKeys = rnd.shuffle((0L to 19L).toList).take(3 + rnd.nextInt(15))
+      val batchKeys = rnd.shuffle((0L to 24L).toList).take(rnd.nextInt(12)) // may be empty
+      val init = randRows(initKeys)
+      val batch = randRows(batchKeys)
+
+      StagingSink.stage(init.toDF("id", "dt", "v"), staging)
+      StagingSink.mergeToMain(spark, staging, main, Seq("id"), t0, partitionCols = Seq("dt"))
+      StagingSink.stage(batch.toDF("id", "dt", "v"), staging)
+      StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1, partitionCols = Seq("dt"))
+
+      val expected = (init.filterNot(r => batchKeys.contains(r._1)).map(r => (r._1, r._2, r._3, "2026-01-01")) ++
+        batch.map(r => (r._1, r._2, r._3, "2026-02-01"))).toSet
+      val got = spark.read.parquet(main).collect().map { r =>
+        (r.getAs[Long]("id"),
+          Option(r.getAs[Any]("dt")).map(String.valueOf),
+          r.getAs[Double]("v"),
+          r.getAs[java.sql.Timestamp]("date_added_utc").toString.take(10))
+      }.toSet
+      assert(got == expected,
+        s"scenario $scenario diverged\n  init=$init\n  batch=$batch\n  missing=${expected -- got}\n  extra=${got -- expected}")
+      // Replay idempotence: the same batch with the same clock is a no-op.
+      if (batch.nonEmpty) {
+        StagingSink.upsertToMain(spark, staging, main, Seq("id"), t1, partitionCols = Seq("dt"))
+        assert(spark.read.parquet(main).count() == expected.size, s"scenario $scenario replay changed rows")
+      }
+    }
+  }
+
   test("matchedKeyPartitions reads ONLY the key columns from main (column-pruned scan)") {
     val base = Files.createTempDirectory("movedscan").toString
     val staging = s"$base/staging"
