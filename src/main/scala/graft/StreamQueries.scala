@@ -356,6 +356,53 @@ object StreamQueries {
              |    CAST(row_number() OVER (PARTITION BY window_start ORDER BY n DESC, user_id) AS INT) AS rank
              |  FROM c) r
              |WHERE rank <= 5""".stripMargin)
+    ),
+
+    // Per-user ingestion quota on the arbitrary-state v2 API
+    // (transformWithState + ValueState, Spark 4) — the streaming analogue
+    // of the batch cap_per_source curation cap: each user contributes at
+    // most 5 events, EVER; overflow is dropped at the operator so nothing
+    // downstream sees it. State is one long per key in the RocksDB
+    // provider the API requires (disk-backed live keys — the 100 TB
+    // deployment shape; the seam is scoped to this query's start and
+    // restored after, per its flip-before-start contract). Quota order is
+    // arrival across batches, (ts, event_id) within one — so on this
+    // bounded single-batch input the emitted set is exactly the batch
+    // row_number()-per-user prefix, which is the DuckDB oracle.
+    Q(
+      "q_stream_quota",
+      (s, d) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val out = tmpDir("graft_squota_out")
+        val ckpt = tmpDir("graft_squota_ckpt")
+        Engine.useRocksDbStateStore(s, enable = true)
+        try {
+          val capped = graft.streaming.QuotaLimiter.limit(
+            s.readStream
+              .schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(d)
+              .transform(Tables.normalizeTs(_))
+              .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+              .as[graft.streaming.QuotaLimiter.QuotaEvent],
+            cap = 5)
+          val q = capped.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally Engine.useRocksDbStateStore(s, enable = false)
+        s.read.parquet(out).orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM (
+             |  SELECT event_id, user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events) t
+             |WHERE rn <= 5 ORDER BY event_id""".stripMargin)
     )
   )
 }

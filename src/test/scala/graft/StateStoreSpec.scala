@@ -24,6 +24,42 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec {
     kids ++ kids.filter(_.isDirectory).flatMap(listRec)
   }
 
+  test("QuotaLimiter: cap persists across micro-batches; within-batch order is (ts, event_id)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.QuotaLimiter
+    import QuotaLimiter.{QuotaEvent, QuotaOut}
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_quota_ckpt").toString
+    withRocksDb {
+      val input = MemoryStream(implicitly[org.apache.spark.sql.Encoder[QuotaEvent]], spark)
+      def ev(id: Long, u: Long, tsSec: Long) =
+        QuotaEvent(id, u, new java.sql.Timestamp(tsSec * 1000L), id.toDouble)
+      // Batch 1: user 1 offers four events OUT of ts order against cap 3 —
+      // the three smallest (ts, id) win, not the first three seen.
+      input.addData(ev(4, 1, 40), ev(1, 1, 10), ev(3, 1, 30), ev(2, 1, 20), ev(10, 2, 100))
+      val q = QuotaLimiter.limit(input.toDS(), cap = 3)
+        .writeStream
+        .format("memory")
+        .queryName("quota_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        q.processAllAvailable()
+        val b1 = spark.table("quota_out").as[QuotaOut].collect().map(_.event_id).toSet
+        assert(b1 == Set(1L, 2L, 3L, 10L), s"batch 1 must take the ts-smallest within the cap, got $b1")
+        // Batch 2: user 1 is exhausted (nothing emits, even for earlier
+        // ts — quota is consumed in arrival order across batches); user 2
+        // has 2 left and takes the two ts-smallest of its three offers.
+        input.addData(ev(5, 1, 5), ev(11, 2, 110), ev(12, 2, 120), ev(13, 2, 90))
+        q.processAllAvailable()
+        val all = spark.table("quota_out").as[QuotaOut].collect().map(_.event_id).toSet
+        assert(all == Set(1L, 2L, 3L, 10L, 13L, 11L),
+          s"batch 2 must respect persisted quota state, got $all")
+      } finally q.stop()
+    }
+  }
+
   test("the seam engages RocksDB: checkpoint state artifacts are RocksDB's, not the default's") {
     // A minimal stateful stream with a spec-owned checkpoint dir, so the
     // state files can be inspected: the default provider writes .delta /
