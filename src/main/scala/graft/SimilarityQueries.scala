@@ -364,7 +364,22 @@ object SimilarityQueries {
       iters: Int = 3,
       sampleN: Int = 4096,
       stride: Int = 10
-  ): Array[Seq[Double]] = {
+  ): Array[Seq[Double]] =
+    trainIvfCentroidsWithInit(e0, k, iters, sampleN, stride)._2
+
+  /** [[trainIvfCentroids]], also returning the pre-Lloyd INIT centroids
+    * (the first k sample members) from the same sample materialization —
+    * callers that need both (the kmeans audit's Lloyd-beats-init flag)
+    * would otherwise pay a second full sample pipeline for a byproduct
+    * the training computes anyway.
+    */
+  private[graft] def trainIvfCentroidsWithInit(
+      e0: DataFrame,
+      k: Int = 16,
+      iters: Int = 3,
+      sampleN: Int = 4096,
+      stride: Int = 10
+  ): (Array[Seq[Double]], Array[Seq[Double]]) = {
     // Standard IVF/faiss practice: train the coarse quantizer on a BOUNDED
     // sample — centroid quality converges on a few thousand vectors, so
     // training cost is O(sampleN × dim) per iteration, independent of
@@ -384,12 +399,13 @@ object SimilarityQueries {
       .limit(sampleN)
       .repartition(col("vec_id"))
       .cache()
-    var cents: Array[Seq[Double]] = e
+    val init: Array[Seq[Double]] = e
       .orderBy("vec_id")
       .limit(k)
       .select("embedding")
       .collect()
       .map(vecToDouble(_, 0))
+    var cents = init
     val dim = if (cents.nonEmpty) cents.head.length else 0
     for (_ <- 1 to iters if dim > 0) {
       val cs = cents
@@ -422,7 +438,7 @@ object SimilarityQueries {
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }
     e.unpersist()
-    cents
+    (init, cents)
   }
 
   /** Two-level centroid forest for scale-unbounded cell counts: √k coarse
@@ -1621,11 +1637,14 @@ object SimilarityQueries {
       "q_kmeans_clusters",
       (s, d) => {
         val e  = embeddings(s, d)
-        val c1 = trainIvfCentroids(e, k = 10, iters = 5)
-        val c2 = trainIvfCentroids(e, k = 10, iters = 5)
-        val c0 = trainIvfCentroids(e, k = 10, iters = 0)
+        // TWO independent trainings (the determinism flag's whole point);
+        // the Lloyd baseline rides the first one's init centroids rather
+        // than paying a third sample pipeline for a byproduct.
+        val (c0, c1) = trainIvfCentroidsWithInit(e, k = 10, iters = 5)
+        val (i2, c2) = trainIvfCentroidsWithInit(e, k = 10, iters = 5)
         val deterministic = c1.length == c2.length &&
-          c1.zip(c2).forall { case (x, y) => x == y }
+          c1.zip(c2).forall { case (x, y) => x == y } &&
+          c0.length == i2.length && c0.zip(i2).forall { case (x, y) => x == y }
         def cosArr(cents: Array[Seq[Double]], v: Column) =
           array(cents.map(c => cosine(v, typedLit(c))).toIndexedSeq: _*)
         e.select(
