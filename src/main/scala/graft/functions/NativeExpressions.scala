@@ -21,6 +21,15 @@ object NativeExpressions {
 
   private[functions] def arrayElem(dt: DataType): DataType =
     dt.asInstanceOf[ArrayType].elementType
+
+  /** ARRAY<BIGINT> gate for the minhash kernels: UnsafeArrayData.getLong
+    * on an int-packed array reads across element slots — plausible-looking
+    * but garbage hashes — so reject anything else at analysis time.
+    */
+  private[functions] def requireLongArray(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$fn requires ARRAY<BIGINT>, got ${other.sql}")
+  }
 }
 
 /** `simhash64(text)` → 64-bit packed SimHash of the whitespace tokens. */
@@ -111,6 +120,8 @@ case class CharWindowHashes64(child: Expression, w: Int) extends UnaryExpression
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeExpressions.requireLongArray("minhash_signature", child.dataType)
   override protected def nullSafeEval(input: Any): Any =
     SketchImpl.minhashSignature(input.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -125,6 +136,8 @@ case class MinHashBands(child: Expression, k: Int, b: Int, r: Int) extends Unary
   require(b * r == k, s"bands($b) * rows($r) must equal signature size($k)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeExpressions.requireLongArray("minhash_bands", child.dataType)
   override protected def nullSafeEval(input: Any): Any =
     SketchImpl.minhashBands(input.asInstanceOf[ArrayData], k, b, r)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -145,7 +158,12 @@ case class MarkerCounts(child: Expression, markerSets: Seq[Seq[String]]) extends
   @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
     markerSets.map { ms =>
       val h = new java.util.HashSet[UTF8String]()
-      ms.foreach(m => h.add(UTF8String.fromString(m.toLowerCase)))
+      // Locale.ROOT: a tr-locale executor JVM lowercases "It" to dotless-ı
+      // while the input tokens go through locale-independent
+      // UTF8String.toLowerCase — the marker would never match there, and
+      // interpreted eval (which re-materializes this @transient set per
+      // JVM) would disagree with codegen (which ships the driver's sets).
+      ms.foreach(m => h.add(UTF8String.fromString(m.toLowerCase(java.util.Locale.ROOT))))
       h
     }.toArray
   override protected def nullSafeEval(input: Any): Any =
@@ -393,6 +411,10 @@ case class IvfAssign(child: Expression, coarse: Seq[Seq[Double]], fine: Seq[Seq[
   require(coarse.nonEmpty, "ivf_assign needs at least one coarse centroid")
   require(coarse.length == fine.length, "one sub-centroid group per coarse cell")
   require(fine.forall(_.nonEmpty), "every coarse cell needs >= 1 sub-centroid")
+  // Uniform dims, or the flattened plan-constant arrays read shifted
+  // offsets and every centroid after the malformed one misassigns.
+  require((coarse ++ fine.flatten).forall(_.length == coarse.head.length),
+    "ivf_assign: every centroid (coarse and fine) must share one dimension")
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   private def okElem(dt: DataType): Boolean = dt match {

@@ -65,10 +65,20 @@ object EtlOps {
     * Reference: uscrn_dag.py:226-233 (`drop_duplicates(subset=[...])`),
     * nws_dag.py:173-180. pandas keeps first-encountered row; a distributed
     * engine has no stable "first", so the winner is the min of `orderCol`
-    * (stable under any partitioning). One shuffle on the key columns.
+    * (stable under any partitioning) — PROVIDED (keys, orderCol) identifies
+    * one row. When orderCol can tie within a key, pass `tieCols` to break
+    * the tie deterministically; without them, row_number falls back to
+    * shuffle arrival order among the tied rows and a re-run or task retry
+    * may keep a different one. One shuffle on the key columns.
     */
-  def dedupByKey(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+  def dedupByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tieCols: Seq[String] = Nil
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).asc +: tieCols.map(col(_).asc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -215,10 +225,18 @@ object EtlOps {
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload
-      .foldLeft(tagged)((df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    // Carry the matched right ROW as one nullable struct, not per-column
+    // last(ignoreNulls): independent per-column carries would backfill a
+    // NULL payload field from an OLDER right row — compositing fields of
+    // two different right rows into a match that never existed, and making
+    // an intentional null update unable to overwrite an earlier value.
+    // The struct is null on left-tagged rows (when with no otherwise), so
+    // one ignoreNulls carry picks the whole latest right row or nothing.
+    tagged
+      .withColumn("__p", when(col("__tag") === 0, struct(payload.map(col): _*)))
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 
   /** Range join by time binning: match left rows to right INTERVALS
@@ -333,28 +351,34 @@ object EtlOps {
       idCol: String,
       target: Map[String, Double] = Map.empty
   ): DataFrame = {
-    val counts = df.groupBy(by).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Keys as Option: a NULL group value is a legitimate group (balance
+    // mode treats it like any other; target mode cannot name it, so its
+    // share defaults to 0 and it is dropped) — a raw getString would put
+    // a null key in the map and NPE in the sort below.
+    val counts = df.groupBy(by).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     require(counts.nonEmpty, s"balancedSample: no groups in '$by'")
     def hex(v: Long): String = f"$v%08x"
-    val thrFor: String => String =
+    val thrFor: Option[String] => String =
       if (target.isEmpty) {
         val mn = counts.values.min
         l => if (counts(l) <= mn) "g" else hex(math.floor(4294967296.0 * mn / counts(l)).toLong)
       } else {
-        val applicable = target.collect { case (l, t) if t > 0 && counts.contains(l) => counts(l) / t }
+        val applicable =
+          target.collect { case (l, t) if t > 0 && counts.contains(Some(l)) => counts(Some(l)) / t }
         require(
           applicable.nonEmpty,
           s"balancedSample: no positive-share target group matches the observed '$by' values " +
-            s"(observed: ${counts.keys.toSeq.sorted.mkString(",")}; target: ${target.keys.toSeq.sorted.mkString(",")})"
+            s"(observed: ${counts.keys.flatten.toSeq.sorted.mkString(",")}; target: ${target.keys.toSeq.sorted.mkString(",")})"
         )
         val scale = applicable.min
         l => {
-          val rate = target.getOrElse(l, 0.0) * scale / counts(l)
+          val rate = l.flatMap(target.get).getOrElse(0.0) * scale / counts(l)
           if (rate >= 1.0) "g" else hex(math.floor(rate * 4294967296.0).toLong)
         }
       }
-    val thrCol = counts.keys.toSeq.sorted.foldLeft(lit("0")) { case (acc, l) =>
-      when(col(by) === l, lit(thrFor(l))).otherwise(acc)
+    val thrCol = counts.keys.toSeq.sortBy(o => (o.isDefined, o.getOrElse(""))).foldLeft(lit("0")) {
+      case (acc, l) => when(col(by) <=> lit(l.orNull), lit(thrFor(l))).otherwise(acc)
     }
     df.filter(md5(concat(col(idCol).cast("string"), lit("_bal"))) < thrCol)
   }
@@ -397,7 +421,14 @@ object EtlOps {
     val keys = streamCols.map(col)
     val withBlk =
       df.withColumn("__blk", floor(col(orderCol) / lit(blockSize.toDouble)).cast("long"))
+    // ROWS frame, not the default RANGE: RANGE includes all ORDER BY peers
+    // in the running sum, so duplicate orderCol values would each see the
+    // whole peer group's tokens and overfill their shard past the budget.
+    // Contract: orderCol must uniquely order rows within a stream (the
+    // registered query packs by doc_id) — with ties, ROWS makes the
+    // tie-order partition-dependent rather than silently over-budget.
     val wLocal = Window.partitionBy(keys :+ col("__blk"): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withBlk.withColumn("__lp", sum(col(tokCol)).over(wLocal) - col(tokCol))
     val wOff = Window.partitionBy(keys: _*).orderBy(col("__blk"))
     val offsets = withBlk

@@ -207,7 +207,7 @@ object StagingSink {
     * the `__HIVE_DEFAULT_PARTITION__` directory rather than to nothing),
     * the touched survivors union the staged batch into a temp dir, and
     * the touched directories are swapped in with per-partition checked
-    * renames (old dirs parked under `__old` until every swap lands — a
+    * renames (old dirs parked under `__parked` until every swap lands — a
     * crash mid-swap is recovered on the next call, and an interrupted
     * merge is completed by re-running the same batch, which is
     * idempotent). A touched partition whose every row was replaced
@@ -243,6 +243,13 @@ object StagingSink {
     val p = new Path(mainPath)
     val tmpP = new Path(mainPath + "__upsert")
     val oldP = new Path(mainPath + "__old")
+    // The partitioned swap parks touched dirs under its OWN suffix, not
+    // __old: compact()'s recovery treats a __old alongside main as a
+    // superseded whole-table copy and DELETES it — if the partitioned
+    // upsert parked there, a routine compaction after an interrupted
+    // upsert would destroy the only copy of a not-yet-replaced partition.
+    // __parked has exactly one owner and one meaning.
+    val parkP = new Path(mainPath + "__parked")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Crash recovery FIRST, before the exists check decides anything: a
     // leftover __old with no main means a previous swap died between its
@@ -250,21 +257,26 @@ object StagingSink {
     // "first load" would clobber it.
     if (fs.exists(oldP) && !fs.exists(p))
       require(fs.rename(oldP, p), s"recovery rename $oldP -> $p failed")
-    // Partitioned-swap recovery: __old alongside main holds the parked
-    // copies of a swap that died mid-flight. Restore any leaf main lacks
-    // (its replacement never landed — conservative: never lose survivor
-    // rows; a restored stale partition is re-merged when the interrupted
-    // batch is re-run, which the failure contract requires anyway), then
-    // drop the rest (superseded — their replacements are in place).
-    else if (fs.exists(oldP)) {
-      leafPartitionDirs(fs, oldP).foreach { rel =>
+    else if (fs.exists(oldP))
+      // Superseded whole-table copy from a crash after the unpartitioned
+      // swap, before cleanup — same protocol (and safe mutual recovery)
+      // as compact().
+      require(fs.delete(oldP, true), s"could not delete stale $oldP")
+    // Partitioned-swap recovery: __parked holds the moved-out copies of a
+    // swap that died mid-flight. Restore any leaf main lacks (its
+    // replacement never landed — conservative: never lose survivor rows;
+    // a restored stale partition is re-merged when the interrupted batch
+    // is re-run, which the failure contract requires anyway), then drop
+    // the rest (superseded — their replacements are in place).
+    if (fs.exists(parkP)) {
+      leafPartitionDirs(fs, parkP).foreach { rel =>
         val dst = new Path(p, rel)
         if (!fs.exists(dst)) {
           fs.mkdirs(dst.getParent)
-          require(fs.rename(new Path(oldP, rel), dst), s"recovery rename $oldP/$rel -> $dst failed")
+          require(fs.rename(new Path(parkP, rel), dst), s"recovery rename $parkP/$rel -> $dst failed")
         }
       }
-      require(fs.delete(oldP, true), s"could not delete recovered $oldP")
+      require(fs.delete(parkP, true), s"could not delete recovered $parkP")
     }
     if (fs.exists(tmpP)) require(fs.delete(tmpP, true), s"could not delete stale $tmpP")
 
@@ -315,13 +327,13 @@ object StagingSink {
         }
         .distinct
       // Per-partition checked-rename swap: park each existing touched dir
-      // under __old, move the rewrite in, and only then drop __old — no
-      // point in the sequence loses data, each completed dir is complete
+      // under __parked, move the rewrite in, and only then drop __parked —
+      // no point in the sequence loses data, each completed dir is complete
       // (directory renames are atomic), and recovery above handles a crash
       // anywhere in between. A touched dir absent from tmp had every row
       // replaced — parking it IS its deletion.
       mainTouched.foreach { rel =>
-        val bak = new Path(oldP, rel)
+        val bak = new Path(parkP, rel)
         fs.mkdirs(bak.getParent)
         require(fs.rename(new Path(p, rel), bak), s"rename $mainPath/$rel -> $bak failed")
       }
@@ -330,7 +342,7 @@ object StagingSink {
         fs.mkdirs(dst.getParent)
         require(fs.rename(new Path(tmpP, rel), dst), s"rename $tmpP/$rel -> $dst failed")
       }
-      fs.delete(oldP, true)
+      fs.delete(parkP, true)
       fs.delete(tmpP, true)
     } else {
       // Recovery and stale-dir cleanup already ran at entry.

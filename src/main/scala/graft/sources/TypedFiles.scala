@@ -41,11 +41,21 @@ object TypedFiles {
   private def nameParsesAsType(f: StructField): Boolean = f.dataType match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
         _: DecimalType =>
-      scala.util.Try(java.lang.Double.parseDouble(f.name.trim)).isSuccess
+      // Spark's CSV numeric parse also accepts its nanValue/positiveInf/
+      // negativeInf spellings, which Double.parseDouble rejects — a
+      // column literally named "Inf" must count as parseable or its
+      // header line would land in the good split as data.
+      val t = f.name.trim.toLowerCase
+      scala.util.Try(java.lang.Double.parseDouble(t)).isSuccess ||
+        Set("inf", "+inf", "-inf", "infinity", "+infinity", "-infinity", "nan").contains(t)
     case BooleanType => Set("true", "false").contains(f.name.trim.toLowerCase)
-    case DateType => scala.util.Try(java.time.LocalDate.parse(f.name.trim)).isSuccess
-    case TimestampType =>
-      scala.util.Try(java.sql.Timestamp.valueOf(f.name.trim)).isSuccess
+    case DateType | TimestampType =>
+      // Spark's date/timestamp parsers accept more shapes than any single
+      // java.time/java.sql parse (ISO 'T' separators, zone offsets,
+      // lenient fractional seconds) — "provably unparseable" here means
+      // digit-free; any name containing a digit might parse and takes the
+      // per-row check instead.
+      f.name.exists(_.isDigit)
     case _ => true // StringType and anything exotic: assume parseable
   }
 

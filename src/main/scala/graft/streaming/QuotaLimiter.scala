@@ -32,9 +32,15 @@ object QuotaLimiter {
   case class QuotaEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class QuotaOut(event_id: Long, user_id: Long, value: Double)
 
-  /** Microsecond instant of a Timestamp (getTime alone truncates to ms). */
-  private def micros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+  /** Microsecond instant of a Timestamp. Via Instant, whose epoch-second
+    * is floored — a getTime/1000 division truncates toward zero, which
+    * flips the sign of the sub-second part for pre-1970 instants and
+    * would sort pre-epoch events AFTER post-epoch ones.
+    */
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
 
   class QuotaProcessor(cap: Int) extends StatefulProcessor[Long, QuotaEvent, QuotaOut] {
     @transient private var used: ValueState[Long] = _

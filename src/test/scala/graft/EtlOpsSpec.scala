@@ -132,6 +132,39 @@ class EtlOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> Some(102L), 2L -> Some(101L), 3L -> None, 4L -> None))
   }
 
+  test("asofJoin carries the matched right ROW whole: a null payload field is not backfilled") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), Some(101L), Some("gold")),
+      // The LATEST right row deliberately nulls its tier — the match must
+      // surface that null, not composite the older row's "gold" into it.
+      (10L, ts("2024-01-01 09:00:00"), Some(102L), Option.empty[String])
+    ).toDF("user_id", "signup_ts", "signup_id", "tier")
+    val out = EtlOps
+      .asofJoin(left, right, Seq("user_id"), "ts", "signup_ts", Seq("signup_id", "tier"))
+      .select("signup_id", "tier")
+      .as[(Option[Long], Option[String])]
+      .collect()
+      .toSeq
+    assert(out == Seq((Some(102L), None)),
+      s"payload must come from ONE right row (the latest), got $out")
+  }
+
+  test("balancedSample tolerates a NULL group value") {
+    val withNull = skewedDocs
+      .withColumn("lang", when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")))
+    // Balance mode: the null group is a group like any other — no NPE, and
+    // some of its rows survive the leveling.
+    val kept = EtlOps.balancedSample(withNull, by = "lang", idCol = "doc_id")
+    assert(kept.filter(col("lang").isNull).count() > 0)
+    // Target mode cannot name the null group: its rows drop, named ones keep.
+    val targeted = EtlOps
+      .balancedSample(withNull, by = "lang", idCol = "doc_id", target = Map("en" -> 1.0))
+    assert(targeted.filter(col("lang").isNull).count() == 0)
+    assert(targeted.filter(col("lang") === "en").count() > 0)
+  }
+
   test("asofJoin matches a brute-force reference on randomized data") {
     val rng = new scala.util.Random(42)
     val leftRows = (1 to 200).map { i =>

@@ -406,7 +406,7 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       && k1.head.getAs[Double]("v") == 11.0)
     assert(!new java.io.File(s"$main/dt=2024-01-01").exists(),
       "an emptied partition directory must be removed")
-    assert(!new java.io.File(s"${main}__upsert").exists() && !new java.io.File(s"${main}__old").exists())
+    assert(!new java.io.File(s"${main}__upsert").exists() && !new java.io.File(s"${main}__parked").exists())
 
     // `stablePartitionKeys = true` asserts key → partition and skips the
     // key-match scan; violating the assertion is the caller's bug — the
@@ -460,22 +460,31 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "dt", "v"), staging)
     StagingSink.mergeToMain(spark, staging, main, Seq("id"), t0, partitionCols = Seq("dt"))
 
-    // Simulate a swap that died after parking dt=2024-01-02 under __old
-    // but before its replacement moved in: the next upsert must restore
-    // the parked copy before merging (and then merge against it).
+    // Simulate a swap that died after parking dt=2024-01-02 under
+    // __parked but before its replacement moved in: the next upsert must
+    // restore the parked copy before merging (and then merge against it).
+    // __parked, NOT __old: the whole-table __old suffix is compact()'s
+    // protocol, whose recovery DELETES a __old found alongside main — the
+    // partitioned parking must be invisible to it (pinned below).
     val fs = new org.apache.hadoop.fs.Path(main)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${main}__old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${main}__parked"))
     require(fs.rename(
       new org.apache.hadoop.fs.Path(s"$main/dt=2024-01-02"),
-      new org.apache.hadoop.fs.Path(s"${main}__old/dt=2024-01-02")))
+      new org.apache.hadoop.fs.Path(s"${main}__parked/dt=2024-01-02")))
+
+    // A compaction scheduled between the crash and the re-run must NOT
+    // destroy the parked copy (the __old/__parked collision would have).
+    StagingSink.compact(spark, main)
+    assert(new java.io.File(s"${main}__parked/dt=2024-01-02").exists(),
+      "compact must leave the upsert's parked partitions alone")
 
     StagingSink.stage(Seq((3L, "2024-01-03", 30.0)).toDF("id", "dt", "v"), staging)
     StagingSink.upsertToMain(spark, staging, main, Seq("id"), t0, partitionCols = Seq("dt"))
     val out = spark.read.parquet(main)
     assert(out.count() == 3, "the parked partition must be restored, not lost")
     assert(out.filter(col("dt") === "2024-01-02").count() == 1)
-    assert(!new java.io.File(s"${main}__old").exists())
+    assert(!new java.io.File(s"${main}__parked").exists())
   }
 
   test("HtmlTable: document-order table indexing, entity decode, landscape transpose") {
