@@ -398,7 +398,11 @@ object AnalyticQueries {
           .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
-            (sum(when(col("r_name") === "ASIA", col("orev"))).cast("double") /
+            // otherwise(0): the oracle's CASE has ELSE 0.0 — without it a
+            // year with zero ASIA revenue sums all-NULL to NULL where the
+            // oracle says 0.0, a latent cross-engine hash divergence.
+            (sum(when(col("r_name") === "ASIA", col("orev"))
+              .otherwise(lit(0).cast("decimal(25,10)"))).cast("double") /
               sum(col("orev")).cast("double")).as("asia_share")
           )
           .orderBy(col("o_year"))

@@ -19,6 +19,23 @@ object EtlQueries {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(25,10)")).cast("double")
 
+  /** Deterministic per-(prefix, dataset-dir, JVM) scratch dir, WIPED and
+    * recreated on each call. The read-back queries (exports, upsert) need
+    * disk scratch per build; a fresh createTempDirectory each build would
+    * strand a data copy per Verify/Bench/canary walk and grow /tmp without
+    * bound, while a shared fixed path would let two concurrent JVMs
+    * clobber each other mid-build. md5 of the path, not String.hashCode —
+    * a colliding OTHER dataset dir must not share scratch.
+    */
+  private[graft] def scratchDir(prefix: String, datasetDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(datasetDir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    val pid = ProcessHandle.current().pid()
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"), s"${prefix}_${key}_$pid")
+    org.apache.commons.io.FileUtils.deleteQuietly(f)
+    f.toString
+  }
+
   val all: Seq[Q] = Seq(
     // 1. Group-by aggregate rollup (TPC-H Q1 shape — the dashboard agg surface).
     Q(
@@ -273,14 +290,15 @@ object EtlQueries {
     Q(
       "q_upsert_merge",
       (s, d) => {
-        // Deterministic scratch dir per sf-dir, recreated on every build:
-        // a fresh createTempDirectory here would strand a full copy of the
-        // events table per build (Verify, Bench, and the canary's registry
-        // walk each build this query), growing /tmp without bound.
-        val base = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_upsert_${java.lang.Integer.toHexString(d.hashCode)}").toString
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        // Deterministic scratch dir per (sf-dir, JVM), recreated on every
+        // build: a fresh createTempDirectory here would strand a full copy
+        // of the events table per build (Verify, Bench, and the canary's
+        // registry walk each build this query), growing /tmp without
+        // bound. Keyed by an md5 of the path (not String.hashCode — a
+        // colliding OTHER dataset dir must not share scratch) plus the
+        // JVM's pid, so two concurrent processes can't clobber each
+        // other's in-flight merge.
+        val base = EtlQueries.scratchDir("graft_upsert", d)
         val ev = events(s, d).select(col("event_id"), col("value"), col("ts"))
         val c1 = lit("2024-01-15 00:00:00").cast("timestamp")
         val c2 = lit("2024-01-20 00:00:00").cast("timestamp")
@@ -331,7 +349,7 @@ object EtlQueries {
     Q(
       "q_csv_export",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_csv_export").toString
+        val out = EtlQueries.scratchDir("graft_csv_export", d)
         graft.sources.CsvExport.write(
           orders(s, d)
             .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
@@ -361,7 +379,7 @@ object EtlQueries {
     Q(
       "q_json_export",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_json_export").toString
+        val out = EtlQueries.scratchDir("graft_json_export", d)
         graft.sources.JsonLines.write(
           orders(s, d)
             .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
@@ -389,7 +407,7 @@ object EtlQueries {
     Q(
       "q_orc_export",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_orc_export").toString
+        val out = EtlQueries.scratchDir("graft_orc_export", d)
         graft.sources.OrcStore.write(
           orders(s, d)
             .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")

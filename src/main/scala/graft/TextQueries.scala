@@ -583,23 +583,15 @@ object TextQueries {
       (s, d) => {
         import s.implicits._
         val n = 10
-        val pre = documents(s, d)
-          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-          .as[(Long, String, String, Long)]
-          .mapPartitions { it =>
-            val best = scala.collection.mutable.HashMap
-              .empty[String, scala.collection.mutable.PriorityQueue[(Long, String, String, Long)]]
-            it.foreach { r =>
-              val q = best.getOrElseUpdate(
-                r._2,
-                scala.collection.mutable.PriorityQueue
-                  .empty(Ordering.by[(Long, String, String, Long), Long](_._1))
-              )
-              if (q.size < n) q.enqueue(r)
-              else if (r._1 < q.head._1) { q.dequeue(); q.enqueue(r) } // max-heap: evict largest kept doc_id
-            }
-            best.valuesIterator.flatMap(_.iterator)
-          }
+        // Map-side pre-cap via the SHARED bounded-heap helper (the same
+        // one q_top_n_per_group and q_embed_outliers use — one eviction/
+        // ordering contract, one property spec): smallest-doc_id wins.
+        val pre = graft.operators.EtlOps
+          .topKPerKey(
+            documents(s, d)
+              .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+              .as[(Long, String, String, Long)],
+            n)(_._2)(Ordering.by(_._1))
           .toDF("doc_id", "source", "lang", "n_chars")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("source")).orderBy(col("doc_id"))

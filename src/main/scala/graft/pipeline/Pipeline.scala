@@ -185,7 +185,21 @@ final class Pipeline private (
               case e: Exception =>
                 lastError = e
                 alert(s"[$name] step '$stepName' attempt $attempt failed: ${e.getMessage}")
-                if (attempt <= retries) Thread.sleep(backoffMs)
+                // The backoff sleep is where a cancellation most often
+                // lands (including one re-flagged by the alert hook above)
+                // — it must fail the run like a body interrupt does, not
+                // escape run() as an uncaught InterruptedException that
+                // loses the recorded results and collected alerts.
+                if (attempt <= retries) {
+                  try Thread.sleep(backoffMs)
+                  catch {
+                    case ie: InterruptedException =>
+                      Thread.currentThread().interrupt()
+                      lastError = ie
+                      aborted = true
+                      alert(s"[$name] step '$stepName' interrupted during retry backoff")
+                  }
+                }
             }
           }
           val ms = (System.nanoTime() - t0) / 1000000L
