@@ -4,17 +4,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Bench temp space on a RAM disk when one exists: the four q_stream_*
+    // Bench temp space on a RAM disk when one exists: the q_stream_*
     // queries' run-to-run variance was dominated by fsync-heavy
     // checkpoint/state-store commits on disk-backed /tmp (r4 measured a
-    // 41% spread on q_stream_windowed_agg with no code change). Streaming
-    // sinks/checkpoints resolve through java.io.tmpdir, so repointing it
-    // here scopes the tmpfs to the BENCH process only — correctness runs
-    // and production deployments keep durable checkpoint storage.
+    // 41% spread on q_stream_windowed_agg with no code change). The
+    // streaming sinks/checkpoints resolve their base through
+    // System.getProperty("java.io.tmpdir") AT CALL TIME (EtlQueries
+    // .scratchDir) — NOT through the JDK's no-arg createTempDirectory,
+    // which snapshots the original property at VM startup and silently
+    // ignores this redirect. Scoped to the BENCH process only; the tmpfs
+    // dir is deleted on exit (tmpfs outlives the process otherwise —
+    // leaked state snapshots would eat RAM across rounds).
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
       val d = java.nio.file.Files.createTempDirectory(shm, "graft_bench_tmp")
       System.setProperty("java.io.tmpdir", d.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
     }
     // The engine's tuned session (AQE, UTC, broadcast threshold, bloom
     // pruning, GraftExtensions) IS the measured artifact.

@@ -40,9 +40,15 @@ object ScaleGrowth {
     */
   def writeCorpus(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    // Copy offset derived from the observed id range, never a fixed 1e7:
+    // on a source with more documents than the constant, copy i's high ids
+    // would collide with copy i+1's low ids — merged documents, silently
+    // wrong exponents. Keep 1e7 as the floor so small-corpus growth ids
+    // stay recognizable across rounds.
+    val off = math.max(10000000L, docs.agg(max(col("doc_id"))).head().getLong(0) + 1L)
     val copies = (0 until k).map { i =>
       docs.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i * off)).as("doc_id"),
         rot(col("text"), i).as("text"),
         col("lang"),
         col("source"),
@@ -53,10 +59,11 @@ object ScaleGrowth {
     if (embPath.exists()) {
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      val eoff = math.max(10000000L, emb.agg(max(col("vec_id"))).head().getLong(0) + 1L)
       val ecopies = (0 until k).map { i =>
         val roll = i % dims
         emb.select(
-          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          (col("vec_id") + lit(i * eoff)).as("vec_id"),
           (if (roll == 0) col("embedding")
            else concat(slice(col("embedding"), roll + 1, dims - roll),
              slice(col("embedding"), 1, roll))).as("embedding"),
@@ -78,6 +85,9 @@ object ScaleGrowth {
     val ks = args.lift(2)
       .map(_.split(",").toSeq.map(_.trim.toInt))
       .getOrElse(Seq(1, 2, 4))
+    // The least-squares slope needs two distinct points — with one, the
+    // denominator is zero and minutes of corpus-writing end in a NaN row.
+    require(ks.distinct.size >= 2, s"need >= 2 distinct growth points, got $ks")
     ks.foreach(k => writeCorpus(spark, src, s"$base/x$k", k))
 
     def once(name: String, dir: String): Double = {

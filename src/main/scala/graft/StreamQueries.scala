@@ -24,17 +24,25 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamQueries {
   import Tables._
 
-  /** Fresh sink/checkpoint dir under java.io.tmpdir, distinct per call. */
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Deterministic sink/checkpoint scratch dir per (prefix, dataset, JVM),
+    * WIPED and recreated per build (EtlQueries.scratchDir): a fresh
+    * createTempDirectory per invocation stranded two dirs of
+    * checkpoint/state data per stream query per bench run — unbounded
+    * /tmp growth. The base resolves through System.getProperty at call
+    * time, so Bench's RAM-disk redirect actually reaches these dirs (the
+    * JDK's no-arg createTempDirectory snapshots the original property at
+    * VM startup and would ignore it).
+    */
+  private def tmpDir(prefix: String, d: String): String =
+    EtlQueries.scratchDir(prefix, d)
 
   val all: Seq[Q] = Seq(
     Q(
       "q_stream_windowed_agg",
       (s, d) => {
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val out = tmpDir("graft_wagg_out")
-        val ckpt = tmpDir("graft_wagg_ckpt")
+        val out = tmpDir("graft_wagg_out", d)
+        val ckpt = tmpDir("graft_wagg_ckpt", d)
         val agg = s.readStream
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
@@ -80,8 +88,8 @@ object StreamQueries {
       "q_stream_dedup",
       (s, d) => {
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val out = tmpDir("graft_sdedup_out")
-        val ckpt = tmpDir("graft_sdedup_ckpt")
+        val out = tmpDir("graft_sdedup_out", d)
+        val ckpt = tmpDir("graft_sdedup_ckpt", d)
         val q = s.readStream
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
@@ -117,8 +125,8 @@ object StreamQueries {
       "q_stream_dedup_ttl",
       (s, d) => {
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val out = tmpDir("graft_sdedupttl_out")
-        val ckpt = tmpDir("graft_sdedupttl_ckpt")
+        val out = tmpDir("graft_sdedupttl_out", d)
+        val ckpt = tmpDir("graft_sdedupttl_ckpt", d)
         val q = s.readStream
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
@@ -157,40 +165,45 @@ object StreamQueries {
         // (restored below).
         val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        val schema = s.read.parquet(s"$d/events.parquet").schema
-        val out = tmpDir("graft_sjoin_out")
-        val ckpt = tmpDir("graft_sjoin_ckpt")
-        def src = s.readStream
-          .schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .transform(Tables.normalizeTs(_))
-        val clicks = src
-          .filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-          .withWatermark("click_ts", "1 hour")
-        val purchases = src
-          .filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("purchase_ts"))
-          .withWatermark("purchase_ts", "1 hour")
-        val q = clicks
-          .join(
-            purchases,
-            col("user_id") === col("p_user") &&
-              col("purchase_ts") >= col("click_ts") &&
-              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR")
-          )
-          .select(col("user_id"), col("click_id"), col("purchase_id"), col("click_ts"), col("purchase_ts"))
-          .writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-        s.read.parquet(out)
+        // The try starts HERE, not at awaitTermination: a failure in the
+        // schema read, scratch-dir setup, or stream start would otherwise
+        // skip the finally and leak the disabled conf to every later
+        // stateful query in the session (Verify/Bench catch and continue).
+        try {
+          val schema = s.read.parquet(s"$d/events.parquet").schema
+          val out = tmpDir("graft_sjoin_out", d)
+          val ckpt = tmpDir("graft_sjoin_ckpt", d)
+          def src = s.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .transform(Tables.normalizeTs(_))
+          val clicks = src
+            .filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+            .withWatermark("click_ts", "1 hour")
+          val purchases = src
+            .filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+            .withWatermark("purchase_ts", "1 hour")
+          val q = clicks
+            .join(
+              purchases,
+              col("user_id") === col("p_user") &&
+                col("purchase_ts") >= col("click_ts") &&
+                col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR")
+            )
+            .select(col("user_id"), col("click_id"), col("purchase_id"), col("click_ts"), col("purchase_ts"))
+            .writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(out)
+        } finally s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       },
       Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              |  c.ts AS click_ts, p.ts AS purchase_ts
@@ -213,8 +226,8 @@ object StreamQueries {
       "q_stream_anomaly",
       (s, d) => {
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val out = tmpDir("graft_sanom_out")
-        val ckpt = tmpDir("graft_sanom_ckpt")
+        val out = tmpDir("graft_sanom_out", d)
+        val ckpt = tmpDir("graft_sanom_ckpt", d)
         val stats = events(s, d)
           .groupBy(col("event_type"))
           .agg(
@@ -319,8 +332,8 @@ object StreamQueries {
       "q_stream_topk",
       (s, d) => {
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val out = tmpDir("graft_stopk_out")
-        val ckpt = tmpDir("graft_stopk_ckpt")
+        val out = tmpDir("graft_stopk_out", d)
+        val ckpt = tmpDir("graft_stopk_ckpt", d)
         val agg = s.readStream
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
@@ -374,8 +387,8 @@ object StreamQueries {
       (s, d) => {
         import s.implicits._
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val out = tmpDir("graft_squota_out")
-        val ckpt = tmpDir("graft_squota_ckpt")
+        val out = tmpDir("graft_squota_out", d)
+        val ckpt = tmpDir("graft_squota_ckpt", d)
         Engine.useRocksDbStateStore(s, enable = true)
         try {
           val capped = graft.streaming.QuotaLimiter.limit(

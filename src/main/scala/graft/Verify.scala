@@ -21,6 +21,11 @@ object Verify {
           .parquet(s"$outDir/$name.parquet")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
+        // Remove whatever sits at the keyed output path: a STALE artifact
+        // from a previous run (or a partial dir from a mid-write failure —
+        // overwrite deletes before it writes) would be graded as this
+        // round's result for a query that actually failed.
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir/$name.parquet"))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
