@@ -170,27 +170,32 @@ class EtlOpsSpec extends AnyFunSuite with SparkSpec {
     val leftRows = (1 to 200).map { i =>
       (i.toLong, (rng.nextInt(8) + 1).toLong, new java.sql.Timestamp(1700000000000L + rng.nextInt(100000) * 1000L))
     }
+    // A second, NULLABLE payload column (~1/3 null): the matched right row
+    // must arrive whole — per-column carries would backfill a null tier
+    // from an older row and this reference would catch it.
     val rightRows = (1 to 80).map { i =>
-      ((rng.nextInt(8) + 1).toLong, new java.sql.Timestamp(1700000000000L + rng.nextInt(100000) * 1000L), (1000 + i).toLong)
+      ((rng.nextInt(8) + 1).toLong, new java.sql.Timestamp(1700000000000L + rng.nextInt(100000) * 1000L), (1000 + i).toLong,
+        if (rng.nextInt(3) == 0) None else Some(s"t${rng.nextInt(4)}"))
     }.distinct
       // one right row per (key, ts): the operator's documented precondition
       // for a deterministic match (q_asof_join pre-dedups the same way)
       .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
     val left = leftRows.toDF("event_id", "user_id", "ts")
-    val right = rightRows.toDF("user_id", "signup_ts", "signup_id")
+    val right = rightRows.toDF("user_id", "signup_ts", "signup_id", "tier")
 
     val got = EtlOps
-      .asofJoin(left, right, Seq("user_id"), "ts", "signup_ts", Seq("signup_id"))
-      .select("event_id", "signup_id")
-      .as[(Long, Option[Long])]
+      .asofJoin(left, right, Seq("user_id"), "ts", "signup_ts", Seq("signup_id", "tier"))
+      .select("event_id", "signup_id", "tier")
+      .as[(Long, Option[Long], Option[String])]
       .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
       .toMap
     val expected = leftRows.map { case (id, key, ts) =>
-      id -> rightRows
+      val m = rightRows
         .filter(r => r._1 == key && !r._2.after(ts))
         .sortBy(r => (r._2.getTime, r._3))
         .lastOption
-        .map(_._3)
+      id -> ((m.map(_._3), m.flatMap(_._4)))
     }.toMap
     assert(got == expected)
   }

@@ -60,6 +60,31 @@ class StateStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("QuotaLimiter orders pre-1970 timestamps before post-1970 ones (floored micros)") {
+    // getTime/1000 truncates toward zero, flipping the sub-second sign for
+    // pre-epoch instants — a truncating conversion would sort 1969-12-31
+    // 23:59:59.5 AFTER the epoch and admit the wrong event under the cap.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.QuotaLimiter
+    import QuotaLimiter.{QuotaEvent, QuotaOut}
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_quota_preepoch").toString
+    withRocksDb {
+      val input = MemoryStream(implicitly[org.apache.spark.sql.Encoder[QuotaEvent]], spark)
+      input.addData(
+        QuotaEvent(1L, 9L, new java.sql.Timestamp(500L), 1.0),   // 1970-01-01 00:00:00.5
+        QuotaEvent(2L, 9L, new java.sql.Timestamp(-500L), 2.0))  // 1969-12-31 23:59:59.5
+      val q = QuotaLimiter.limit(input.toDS(), cap = 1)
+        .writeStream.format("memory").queryName("quota_preepoch")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        val kept = spark.table("quota_preepoch").as[QuotaOut].collect().map(_.event_id).toSeq
+        assert(kept == Seq(2L), s"the pre-epoch event is earlier and must win the cap, got $kept")
+      } finally q.stop()
+    }
+  }
+
   test("the seam engages RocksDB: checkpoint state artifacts are RocksDB's, not the default's") {
     // A minimal stateful stream with a spec-owned checkpoint dir, so the
     // state files can be inspected: the default provider writes .delta /
