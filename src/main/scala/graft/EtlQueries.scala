@@ -723,6 +723,83 @@ object EtlQueries {
              |  END, 6) AS value_interp
              |FROM w WHERE is_event = 0
              |ORDER BY user_id, grid_ts""".stripMargin)
+    ),
+
+    // 21. Small-files compaction PLAN — the metadata half of
+    //     StagingSink.compact: sequential (coalesce-style) packing of the
+    //     staged-file inventory into ≥4000-byte output bins per source,
+    //     exact integers, order preserved. The inventory here is derived
+    //     (documents grouped into per-source micro-batch "files" keyed by
+    //     doc_id DIV 32 — the incremental-load shape: many small appends
+    //     per source); a real deployment feeds the parquet footer listing.
+    //     At 100 TB the inventory is ~10⁶ rows (files, not data rows), so
+    //     the per-source window is metadata-cheap; the data files never
+    //     flow through this plan.
+    Q(
+      "q_compaction_plan",
+      (s, d) => {
+        val files = documents(s, d)
+          .groupBy(col("source"), expr("doc_id DIV 32").as("file_grp"))
+          .agg(sum(col("n_chars")).as("file_bytes"), count(lit(1)).as("n_docs"))
+        EtlOps.compactionPlan(files, Seq("source"), "file_grp", "file_bytes", 4000L)
+      },
+      Some("""WITH files AS (
+             |  SELECT source, doc_id // 32 AS file_grp,
+             |         CAST(SUM(n_chars) AS BIGINT) AS file_bytes, COUNT(*) AS n_docs
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (
+             |  SELECT source, file_grp, file_bytes, n_docs,
+             |         SUM(file_bytes) OVER (PARTITION BY source ORDER BY file_grp
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - file_bytes AS cstart
+             |  FROM files)
+             |SELECT source, file_grp, file_bytes, n_docs,
+             |       CAST(cstart // 4000 AS BIGINT) AS bin
+             |FROM c""".stripMargin)
+    ),
+
+    // 22. Z-order layout report — multi-dimensional data clustering (the
+    //     Delta/Iceberg OPTIMIZE ZORDER idiom): morton-interleave the low
+    //     8 bits of two dimension keys, bucket by the top z-bits, and
+    //     report each bucket's span in BOTH source dimensions. The morton
+    //     property the spec pins: 64 z-buckets over 8+8 bits ⇒ every
+    //     bucket spans ≤ 32 values in each dimension (vs 256 for a layout
+    //     sorted on either key alone) — so min/max file stats prune scans
+    //     filtered on EITHER column. The report is one partial-agg shuffle
+    //     on a bounded (≤64-value) key; the physical layout twin
+    //     (EtlOps.zorderLayout) range-partitions by zval and is
+    //     plan-pinned separately.
+    Q(
+      "q_zorder_layout",
+      (s, d) => {
+        val z = EtlOps.mortonKey(expr("l_partkey % 256"), expr("l_suppkey % 256"), 8)
+        lineitem(s, d)
+          .select(
+            expr("l_partkey % 256").as("px"),
+            expr("l_suppkey % 256").as("sx"),
+            z.as("zval"))
+          .groupBy(expr("zval DIV 1024").as("z_bucket"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("px")).as("px_min"), max(col("px")).as("px_max"),
+            min(col("sx")).as("sx_min"), max(col("sx")).as("sx_max"),
+            min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+      },
+      Some {
+        val terms = (0 until 8).flatMap { i =>
+          Seq(
+            s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
+            s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")
+        }
+        s"""WITH z AS (
+           |  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+           |         (${terms.mkString(" + ")}) AS zval
+           |  FROM lineitem)
+           |SELECT zval // 1024 AS z_bucket, COUNT(*) AS n_rows,
+           |       MIN(px) AS px_min, MAX(px) AS px_max,
+           |       MIN(sx) AS sx_min, MAX(sx) AS sx_max,
+           |       MIN(zval) AS z_min, MAX(zval) AS z_max
+           |FROM z GROUP BY 1""".stripMargin
+      }
     )
   )
 }

@@ -784,6 +784,41 @@ object TextQueries {
              |SELECT lang, cnt, n_total / (k * cnt) AS weight FROM c, t""".stripMargin)
     ),
 
+    // Weighted sampling WITHOUT replacement ∝ weight — the draw that
+    // q_sampling_weights' multipliers feed: "take k=100 documents with
+    // inclusion probability ∝ n_chars", by systematic sampling over a
+    // deterministic md5 order (EtlOps.weightedSystematicSample). Exact
+    // integer threshold arithmetic makes the selected SET engine- and
+    // partitioning-exact (no float RNG to disagree on), and the weight
+    // prefix sum is the packShards two-level hierarchical decomposition —
+    // blocks from the order key's high bits, so no window partition grows
+    // with the corpus and the big side shuffles exactly once. The naive
+    // single-window definition is what the oracle states; the spec pins
+    // hierarchical ≡ naive.
+    Q(
+      "q_weighted_sample",
+      (s, d) =>
+        graft.operators.EtlOps
+          .weightedSystematicSample(
+            documents(s, d).select("doc_id", "source", "n_chars"),
+            idCol = "doc_id",
+            weightCol = "n_chars",
+            k = 100L)
+          .select("doc_id", "source", "n_chars"),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_wsamp'), 1, 15)) AS BIGINT) AS rk
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_chars,
+             |    SUM(n_chars) OVER (ORDER BY rk, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci
+             |  FROM r),
+             |t AS (SELECT SUM(n_chars) AS tw FROM documents)
+             |SELECT doc_id, source, n_chars FROM c, t
+             |WHERE (ci * 100) // tw > ((ci - n_chars) * 100) // tw""".stripMargin)
+    ),
+
     // PMI collocations — document-level pointwise mutual information for
     // word bigrams: pmi = ln(N·df_ab / (df_a·df_b)) over DOCUMENT
     // frequencies, the classic collocation/phrase-mining signal (and the

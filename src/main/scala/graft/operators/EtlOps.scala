@@ -441,4 +441,148 @@ object EtlOps {
       .withColumn("shard_id", floor((col("__off") + col("__lp")) / lit(budget.toDouble)).cast("long"))
       .drop("__blk", "__lp", "__off")
   }
+
+  /** Weighted sampling WITHOUT replacement, inclusion probability ∝ weight
+    * (the corpus-assembly staple: "take k documents ∝ quality score /
+    * length"), by SYSTEMATIC sampling over a deterministic random order —
+    * exact integer arithmetic end to end, so the selected set is
+    * bit-reproducible across engines, partitionings, and retries.
+    *
+    * Mechanics: rows get a 60-bit uniform order key r = md5(id ‖ salt)
+    * (portable across engines — the q_deterministic_sample convention); in
+    * (r, id) order, a row whose inclusive weight prefix `ci` crosses one of
+    * the k equi-spaced thresholds j·W/k is selected:
+    * `(ci·k) DIV W > ((ci−w)·k) DIV W`. Exactly k rows come back whenever
+    * no single weight exceeds W/k (heavier rows are always selected —
+    * inclusion probability caps at 1, the textbook systematic-WOR
+    * behavior); the md5 order makes the between-thresholds placement
+    * uniform, so P(selected) = min(1, k·w/W).
+    *
+    * Scale shape: the weight prefix sum is the same two-level hierarchical
+    * decomposition as [[packShards]] — blocks come from the HIGH BITS of r
+    * (uniform, so blocks are balanced by construction at any corpus size
+    * and the per-block window never hot-spots), per-block subtotals get a
+    * bounded-domain window (2^blockBits rows), and a broadcast join
+    * re-bases local prefixes. The big side shuffles once (hash on block);
+    * no global sort, no single-reducer window. W·k must fit in a signed
+    * 64-bit (guarded with a raise_error on the broadcast total — at the
+    * 100 TB extreme, segment the corpus or move the two products to
+    * DECIMAL(38,0)).
+    */
+  def weightedSystematicSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Long,
+      salt: String = "_wsamp",
+      blockBits: Int = 12
+  ): DataFrame = {
+    require(k > 0, "weightedSystematicSample: k must be positive")
+    require(blockBits >= 1 && blockBits <= 32, "weightedSystematicSample: blockBits in [1,32]")
+    val r = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+    // Weights must be positive for the prefix-crossing rule to mean
+    // "inclusion ∝ weight" (zero-weight rows can never cross; negative
+    // weights would make the prefix non-monotone and select garbage).
+    val guardedW = when(col(weightCol) > 0, col(weightCol))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSystematicSample: non-positive weight in `$weightCol`: "),
+        col(weightCol).cast("string"))))
+    val withBlk = df
+      .withColumn("__w", guardedW.cast("long"))
+      .withColumn("__r", r)
+      .withColumn("__blk", shiftrightunsigned(col("__r"), 60 - blockBits))
+    // Global (r, id) order == (block, r, id) order: same r → same block,
+    // and r1 < r2 ⇒ blk1 ≤ blk2 (block is r's high bits). So per-block
+    // running sums re-based by per-block offsets ARE the global prefix.
+    val wLocal = Window.partitionBy(col("__blk")).orderBy(col("__r"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withBlk.withColumn("__ci_local", sum(col("__w")).over(wLocal))
+    val wOff = Window.partitionBy(boundedWindowKey(col("__blk"))).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withBlk
+      .groupBy(col("__blk"))
+      .agg(sum(col("__w")).as("__bt"))
+      .withColumn("__off", sum(col("__bt")).over(wOff) - col("__bt"))
+      .select(col("__blk"), col("__off"))
+    val total = withBlk.agg(sum(col("__w")).as("__tw")).select(
+      when(col("__tw") <= lit(Long.MaxValue / k), col("__tw"))
+        .otherwise(raise_error(lit(
+          s"weightedSystematicSample: total weight × k=$k overflows int64 — " +
+            "segment the corpus or widen the threshold arithmetic to DECIMAL(38,0)")))
+        .as("__tw"))
+    local
+      .join(broadcast(offsets), "__blk")
+      .crossJoin(broadcast(total))
+      .withColumn("__ci", col("__off") + col("__ci_local"))
+      .filter(expr(s"(__ci * $k) DIV __tw > ((__ci - __w) * $k) DIV __tw"))
+      .drop("__blk", "__r", "__w", "__ci_local", "__off", "__tw", "__ci")
+  }
+
+  /** Small-files compaction PLANNER: assign each staged file to a
+    * target-size output bin by sequential (coalesce-style) packing — the
+    * metadata half of [[graft.sources.StagingSink.compact]], and the same
+    * cumulative-size DIV rule Spark's own file-scan coalescing applies
+    * (`maxPartitionBytes`). Files are packed in `orderCol` order within
+    * each `groupCols` prefix (order preserved so downstream readers keep
+    * min/max pruning), bin = exclusive-size-prefix DIV target: the
+    * cumulative size through every non-final bin reaches that bin's
+    * boundary (no bin closes early), and a bin exceeds `targetBytes` by
+    * less than one file. Exact integer arithmetic — plans are
+    * reproducible.
+    *
+    * Scale shape: this runs over the FILE INVENTORY (≈ rows/10⁶ of the
+    * data itself — a 100 TB table at 128 MB files is ~10⁶ rows), windowed
+    * per group key; for a pathological single-group inventory the
+    * [[packShards]] hierarchical decomposition applies unchanged. The data
+    * files themselves never move through this plan — the planner emits the
+    * bin → files assignment a rewrite job then executes per bin.
+    */
+  def compactionPlan(
+      files: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      sizeCol: String,
+      targetBytes: Long
+  ): DataFrame = {
+    require(targetBytes > 0, "compactionPlan: targetBytes must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("__cstart", sum(col(sizeCol)).over(w) - col(sizeCol))
+      .withColumn("bin", expr(s"__cstart DIV $targetBytes"))
+      .drop("__cstart")
+  }
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
+    * dimension columns: bit i of x lands at z-bit 2i, bit i of y at 2i+1.
+    * Contiguous z-ranges are axis-aligned squares, so range-partitioning by
+    * z clusters BOTH dimensions at once — a file sorted into a z-bucket of
+    * width 4^b spans ≤ 2^b values in each dimension, and min/max file
+    * stats prune scans filtered on either column (the Delta/Iceberg
+    * OPTIMIZE ZORDER layout idiom). Pure bit arithmetic (shifts, masks,
+    * adds of disjoint bits) — codegen'd, portable to the SQL oracle
+    * verbatim.
+    */
+  def mortonKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "mortonKey: bits in [1,31]")
+    (0 until bits).map { i =>
+      (shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        + shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Physical Z-order layout: compute the morton key over two dimension
+    * columns and RANGE-partition into `numFiles` output splits — each
+    * written file then covers one contiguous z-range (a bounded rectangle
+    * in (x, y)), which is what makes the min/max-stat pruning in
+    * [[mortonKey]]'s contract real. The range exchange samples bounds at
+    * runtime (no driver-side quantile pass), and the z column is kept so
+    * writers can sort within files for finer-grained page-level skipping.
+    */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String, bits: Int, numFiles: Int): DataFrame = {
+    require(numFiles > 0, "zorderLayout: numFiles must be positive")
+    df.withColumn("zval", mortonKey(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("zval"))
+  }
 }

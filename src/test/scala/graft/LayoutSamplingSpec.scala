@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EtlOps
+
+/** Gates for the data-layout / weighted-draw operators added in round 11:
+  * weighted systematic sampling (q_weighted_sample), the compaction planner
+  * (q_compaction_plan), and the Z-order layout family (q_zorder_layout +
+  * EtlOps.zorderLayout). The registered queries are DuckDB-oracled; these
+  * specs pin the properties the hash gate cannot state — hierarchical ≡
+  * naive prefix equivalence, inclusion ∝ weight, bin-capacity bounds, the
+  * morton bit contract, and the physical range partitioning.
+  */
+class LayoutSamplingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ---------------- weightedSystematicSample ----------------
+
+  /** Naive single-window restatement of the sampler (the oracle's form). */
+  private def naiveWeightedSample(
+      df: org.apache.spark.sql.DataFrame,
+      k: Long,
+      salt: String = "_wsamp"): Seq[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val r = conv(substring(md5(concat(col("id").cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.orderBy(col("__r"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.agg(sum(col("w")).as("tw")).as[Long].head()
+    df.withColumn("__r", r)
+      .withColumn("__ci", sum(col("w")).over(w))
+      .filter(expr(s"(__ci * $k) DIV $tot > ((__ci - w) * $k) DIV $tot"))
+      .select("id")
+      .as[Long]
+      .collect()
+      .toSeq
+      .sorted
+  }
+
+  private def sampleIds(
+      df: org.apache.spark.sql.DataFrame,
+      k: Long,
+      salt: String = "_wsamp",
+      blockBits: Int = 12): Seq[Long] =
+    EtlOps
+      .weightedSystematicSample(df, "id", "w", k, salt = salt, blockBits = blockBits)
+      .select("id")
+      .as[Long]
+      .collect()
+      .toSeq
+      .sorted
+
+  test("weightedSystematicSample: hierarchical prefix ≡ naive single window") {
+    // blockBits=2 forces multi-block re-basing on 4 blocks; adversarial
+    // partitioning shakes out any partition-order dependence.
+    val df = (1L to 400L).map(i => (i, 1L + (i * 7) % 13)).toDF("id", "w").repartition(7)
+    assert(sampleIds(df, 37, blockBits = 2) == naiveWeightedSample(df, 37))
+  }
+
+  test("weightedSystematicSample: exactly k when no weight exceeds W/k; heavy row always in") {
+    val uniform = (1L to 300L).map(i => (i, 10L)).toDF("id", "w")
+    assert(sampleIds(uniform, 25).size == 25)
+
+    // One row holding >1/k of the mass crosses a threshold regardless of
+    // where the md5 order lands it.
+    for (salt <- Seq("_a", "_b", "_c", "_d")) {
+      val skewed = ((1L to 99L).map(i => (i, 1L)) :+ (100L, 1000L)).toDF("id", "w")
+      assert(sampleIds(skewed, 10, salt = salt).contains(100L), s"salt=$salt lost the heavy row")
+    }
+  }
+
+  test("weightedSystematicSample: inclusion frequency ∝ weight across salts") {
+    // 100 rows of weight 1 vs 100 of weight 5 → P(sel) = k·w/W with
+    // W=600, k=20: p₁=1/30, p₅=1/6. Across 40 independent salts the
+    // selected-count ratio concentrates near 5.
+    val df = ((1L to 100L).map(i => (i, 1L)) ++ (101L to 200L).map(i => (i, 5L)))
+      .toDF("id", "w")
+      .cache()
+    var light = 0
+    var heavy = 0
+    for (s <- 1 to 40) {
+      val ids = sampleIds(df, 20, salt = s"_freq$s")
+      light += ids.count(_ <= 100L)
+      heavy += ids.count(_ > 100L)
+    }
+    df.unpersist()
+    val ratio = heavy.toDouble / math.max(light, 1)
+    assert(ratio > 3.5 && ratio < 6.5, s"weight-5 rows selected ${ratio}x weight-1 rows, expected ≈5x")
+    assert(light + heavy == 40 * 20, "uniform small weights must fill all k slots every draw")
+  }
+
+  test("weightedSystematicSample: non-positive weight fails loudly") {
+    val df = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] { sampleIds(df, 1) }
+    assert(e.getMessage.contains("non-positive weight"), e.getMessage)
+  }
+
+  // ---------------- compactionPlan ----------------
+
+  test("compactionPlan: sequential bins — boundaries covered, overshoot < one file") {
+    val files = (1L to 60L)
+      .map(i => (if (i % 2 == 0) "a" else "b", i, 100L + (i * 37) % 400))
+      .toDF("src", "fid", "bytes")
+    val target = 700L
+    val plan = EtlOps
+      .compactionPlan(files, Seq("src"), "fid", "bytes", target)
+      .select("src", "fid", "bytes", "bin")
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .toSeq
+
+    for ((src, group) <- plan.groupBy(_._1)) {
+      val bins = group.groupBy(_._4).toSeq.sortBy(_._1)
+      // Bin ids are dense from 0 and files pack in fid order.
+      assert(bins.map(_._1) == bins.indices.map(_.toLong), s"$src: bins not dense")
+      val ordered = group.sortBy(_._2)
+      assert(ordered.map(_._4) == ordered.map(_._4).sorted, s"$src: bin not monotone in file order")
+      val maxFile = group.map(_._3).max
+      var cum = 0L
+      for ((bin, fs) <- bins) {
+        val sz = fs.map(_._3).sum
+        cum += sz
+        // No bin closes early: the running total through bin b reaches the
+        // (b+1)·target boundary — otherwise its last file would still have
+        // started inside bin b's range. (A single bin CAN be small when the
+        // previous bin's last file overshot into its range, so a per-bin
+        // lower bound does not hold; the boundary-coverage form does.)
+        if (bin < bins.size - 1)
+          assert(cum >= (bin + 1) * target, s"$src bin $bin closed early: cum=$cum")
+        assert(sz < target + maxFile, s"$src bin $bin overshoots by ≥ one file: $sz")
+      }
+    }
+  }
+
+  // ---------------- mortonKey / zorderLayout ----------------
+
+  /** Bit-by-bit reference interleave. */
+  private def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+
+  test("mortonKey matches the reference interleave on randoms") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(300)((rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong))
+    val out = pts
+      .toDF("x", "y")
+      .select(col("x"), col("y"), EtlOps.mortonKey(col("x"), col("y"), 12).as("z"))
+      .as[(Long, Long, Long)]
+      .collect()
+    out.foreach { case (x, y, z) => assert(z == mortonRef(x, y, 12), s"($x,$y)") }
+  }
+
+  test("q_zorder_layout: every z-bucket spans ≤ 32 values in BOTH dimensions") {
+    // 64 buckets over an 8+8-bit morton key fix the top 3 bits of each
+    // dimension — the locality property that makes min/max file stats
+    // prune on either column. A single-key sort would span the full 256
+    // in the other dimension.
+    val rows = QueryRegistry
+      .queries("q_zorder_layout")(spark, sfDir)
+      .select("px_min", "px_max", "sx_min", "sx_max")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (pxn, pxx, sxn, sxx) =>
+      assert(pxx - pxn <= 31, s"px span ${pxx - pxn}")
+      assert(sxx - sxn <= 31, s"sx span ${sxx - sxn}")
+    }
+  }
+
+  test("zorderLayout: physical layout is a range exchange on zval") {
+    val df = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+    val laid = EtlOps.zorderLayout(df, "l_partkey", "l_suppkey", bits = 8, numFiles = 4)
+    val p = laid.queryExecution.executedPlan.toString()
+    assert(p.contains("rangepartitioning(zval"), s"expected a range exchange on zval:\n$p")
+
+    // Each range split covers a contiguous, non-overlapping z-range.
+    val bounds = laid
+      .select(spark_partition_id().as("pid"), col("zval"))
+      .groupBy("pid")
+      .agg(min("zval").as("lo"), max("zval").as("hi"))
+      .orderBy("pid")
+      .as[(Int, Long, Long)]
+      .collect()
+    assert(bounds.length > 1)
+    bounds.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2, s"overlapping z-ranges: $hi1 > $lo2")
+      case _                               =>
+    }
+  }
+}

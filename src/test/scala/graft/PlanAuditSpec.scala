@@ -336,6 +336,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("rangepartitioning"), s"packing must not global-sort:\n$p")
   }
 
+  test("q_weighted_sample: hierarchical prefix — blocked windows, broadcast re-base, no global sort") {
+    // Same contract as the q_pack_context pin: the heavy weight-prefix
+    // window must carry the bounded __blk sub-key (blocks come from the
+    // md5 order key's high bits, balanced at any corpus size), offsets and
+    // the 1-row total re-base via broadcast, and nothing range-sorts the
+    // corpus.
+    val p = plan("q_weighted_sample")
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"expected window operators:\n$p")
+    windowLines.foreach { l =>
+      assert(l.contains("__blk"), s"window without the block sub-key (hot-partition hazard):\n$l\n$p")
+    }
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"offsets/total must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-base must not sort-merge:\n$p")
+    assert(!p.contains("rangepartitioning"), s"sampling must not global-sort:\n$p")
+  }
+
+  test("q_compaction_plan: planner reads only the inventory columns, never range-sorts") {
+    val p = plan("q_compaction_plan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"inventory derivation must prune the text column:\n$p")
+    assert(!p.contains("rangepartitioning"), s"planning must not global-sort:\n$p")
+  }
+
+  test("q_zorder_layout: one partial-agg shuffle over a pruned two-column scan") {
+    val p = plan("q_zorder_layout")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"only the two morton dims may be read:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one hash exchange (partial-agg'd z_bucket rollup), got $exchanges:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"report must be pure aggregation:\n$p")
+  }
+
   test("q_top_n_per_group: two-stage — map-side pre-cap before the 5-key rank window") {
     // Same contract as the q_cap_per_source pin: the SerializeFromObject
     // of the mapPartitions pre-cap must sit BELOW the window's exchange,
