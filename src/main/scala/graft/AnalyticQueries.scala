@@ -1089,6 +1089,78 @@ object AnalyticQueries {
              |WINDOW w AS (ORDER BY datediff('day', DATE '1990-01-01', day)
              |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
              |ORDER BY day""".stripMargin)
+    ),
+
+    // PageRank centrality over the event-transition graph — the link-graph
+    // authority signal curation stacks use as a quality prior (domain
+    // ranking over a hyperlink graph; here the graph is per-user
+    // event_type transitions so the whole shape is oracle-checkable).
+    // Arithmetic is FIXED-POINT INTEGER (GraphOps: ranks in
+    // parts-per-1e9, every division a DIV), bit-identical across Spark,
+    // DuckDB, retries, and partitionings. d = 0.85, 10 iterations,
+    // dangling mass redistributed uniformly.
+    //
+    // Scale shape: the ONLY corpus-sized pass is the edge build — one
+    // user_id window shuffle (per-user history is bounded; the key grows
+    // with the data, no hot window) + a partial-agg'd (src, dst) rollup
+    // that collapses to the K²-bounded transition matrix map-side. The
+    // node domain here is bounded by construction (event types — the
+    // lang/source-cardinality contract), so the iterate runs on the
+    // driver over the collected K²-row edge list, the k-means
+    // centroid-loop pattern: zero per-iteration Spark jobs. Web-scale
+    // node sets (domain graphs, ~1e7 nodes at 100 TB) use
+    // GraphOps.rankDistributed — ranks stay a distributed table, one
+    // equi-join + partial agg per localCheckpoint'ed iteration —
+    // spec-pinned to produce THE SAME integers (GraphCalibrationSpec).
+    Q(
+      "q_event_pagerank",
+      (s, d) => {
+        val R = graft.operators.GraphOps.DefaultScale
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val edges = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("dst", lead(col("event_type"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("cnt"))
+        val nodes = events(s, d).select(col("event_type").as("node")).distinct()
+        import s.implicits._
+        val edgeList = edges.as[(String, String, Long)].collect().toSeq
+        val nodeList = nodes.as[String].collect().toSeq.sorted
+        val ranks = graft.operators.GraphOps.rankBoundedGraph(edgeList, nodeList, iters = 10)
+        nodeList
+          .map(v => (v, ranks(v), ranks(v).toDouble / R.toDouble))
+          .toDF("node", "rank_ppb", "rank")
+      },
+      Some {
+        val R = 1000000000L
+        val iters = 10
+        // The iterate CTEs are each referenced twice (dangling + contrib) —
+        // AS MATERIALIZED stops DuckDB inlining them into a 2^10 blowup,
+        // the SQL spelling of the Spark side's localCheckpoint.
+        val head =
+          s"""t AS MATERIALIZED (SELECT user_id, ts, event_id, event_type FROM events),
+             |trans AS (SELECT event_type AS src,
+             |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM t),
+             |edges AS MATERIALIZED (SELECT src, dst, COUNT(*) AS cnt FROM trans WHERE dst IS NOT NULL GROUP BY 1, 2),
+             |outd AS MATERIALIZED (SELECT src, CAST(SUM(cnt) AS BIGINT) AS out_cnt FROM edges GROUP BY 1),
+             |nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM t),
+             |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+             |dnodes AS MATERIALIZED (SELECT node FROM nodes n WHERE NOT EXISTS (SELECT 1 FROM outd o WHERE o.src = n.node)),
+             |r0 AS MATERIALIZED (SELECT node, CAST($R // n AS BIGINT) AS rnk FROM nodes, nn)""".stripMargin
+        val steps = (1 to iters).map { i =>
+          val p = i - 1
+          s"""d$i AS (SELECT CAST(COALESCE(SUM(rnk), 0) AS BIGINT) AS dang
+             |  FROM r$p JOIN dnodes USING (node)),
+             |c$i AS (SELECT e.dst AS node, CAST(SUM((r.rnk * e.cnt) // o.out_cnt) AS BIGINT) AS contrib
+             |  FROM edges e JOIN r$p r ON r.node = e.src JOIN outd o ON o.src = e.src GROUP BY 1),
+             |r$i AS MATERIALIZED (SELECT n.node,
+             |  CAST((CAST(15 AS BIGINT) * $R) // (100 * nn.n) + (85 * (COALESCE(c.contrib, 0) + d.dang // nn.n)) // 100 AS BIGINT) AS rnk
+             |  FROM nodes n CROSS JOIN nn CROSS JOIN d$i d LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+        }
+        (Seq("WITH " + head) ++ steps).mkString(",\n") +
+          s"\nSELECT node, rnk AS rank_ppb, CAST(rnk AS DOUBLE) / $R AS rank FROM r$iters"
+      }
     )
   )
 }

@@ -819,6 +819,48 @@ object TextQueries {
              |WHERE (ci * 100) // tw > ((ci - n_chars) * 100) // tw""".stripMargin)
     ),
 
+    // Percentile-rank normalization per language — the score-calibration
+    // step before mixing corpora: raw quality signals (here n_chars) are
+    // not comparable across languages, their per-lang percentile IS. The
+    // oracle states the textbook percent_rank() window — but a percent_rank
+    // PARTITION BY lang is the O(100)-cardinality hot-key window this repo
+    // bans (a full language through ONE reducer at 100 TB). The Spark plan
+    // instead aggregates to per-(lang, value) counts (partial-agg'd, the
+    // shuffle carries ≤ |value domain| rows per lang), runs the cumulative
+    // window over that BOUNDED domain, and broadcast-joins the CDF back
+    // onto the unshuffled fact scan — bit-identical to percent_rank
+    // because (cum_less)/(n−1) with tied values sharing their min rank IS
+    // percent_rank's definition, and both engines compute one integer÷
+    // integer double division. Continuous scores at 100 TB: quantize or
+    // feed thresholds from the approx_percentile sketch
+    // (q_group_quantiles_approx) — same broadcast-back shape.
+    Q(
+      "q_percentile_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d).select("doc_id", "lang", "n_chars")
+        val wCdf = Window.partitionBy("lang").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val counts = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+        val cdf = counts.withColumn("cum_less", sum(col("cnt")).over(wCdf) - col("cnt"))
+        // Totals re-aggregate the K·V-row counts table, not the corpus —
+        // the documents scan feeding the CDF side happens exactly once.
+        val totals = counts.groupBy("lang").agg(sum(col("cnt")).as("n_l"))
+        docs
+          .join(broadcast(cdf.join(totals, "lang")), Seq("lang", "n_chars"))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("n_chars"),
+            when(col("n_l") === 1, lit(0.0))
+              .otherwise(col("cum_less").cast("double") / (col("n_l") - 1))
+              .as("pr"))
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+             |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+             |FROM documents""".stripMargin)
+    ),
+
     // PMI collocations — document-level pointwise mutual information for
     // word bigrams: pmi = ln(N·df_ab / (df_a·df_b)) over DOCUMENT
     // frequencies, the classic collocation/phrase-mining signal (and the

@@ -370,6 +370,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("windowspecdefinition"), s"report must be pure aggregation:\n$p")
   }
 
+  test("q_percentile_normalize: CDF broadcast back onto an unshuffled fact scan — no hot-key window") {
+    // The textbook percent_rank() PARTITION BY lang is an O(100)-key
+    // window — a full language through one reducer at 100 TB. The plan of
+    // record: counts collapse to the bounded (lang, value) domain FIRST,
+    // the cumulative window runs over that aggregate, and the fact side
+    // meets the CDF through a broadcast join (never a shuffle or a sort
+    // of the corpus).
+    val p = plan("q_percentile_normalize")
+    assert(p.contains("BroadcastHashJoin"), s"CDF must broadcast onto the fact scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for the join:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no global sort:\n$p")
+    // The only window runs post-aggregation: its input carries the count
+    // column, not raw doc_ids.
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(!_.contains("doc_id")),
+      s"window must run over the aggregated CDF, not the corpus:\n$p")
+  }
+
   test("q_top_n_per_group: two-stage — map-side pre-cap before the 5-key rank window") {
     // Same contract as the q_cap_per_source pin: the SerializeFromObject
     // of the mapPartitions pre-cap must sit BELOW the window's exchange,
