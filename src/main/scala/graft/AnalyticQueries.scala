@@ -1125,8 +1125,15 @@ object AnalyticQueries {
           .agg(count(lit(1)).as("cnt"))
         val nodes = events(s, d).select(col("event_type").as("node")).distinct()
         import s.implicits._
-        val edgeList = edges.as[(String, String, Long)].collect().toSeq
+        // Nodes first: rankBoundedGraph's bounded-domain guard (≤ 65536
+        // nodes) must fire BEFORE the K²-sized edge list is collected —
+        // the other order would OOM the driver on a high-cardinality
+        // column before the guard could refuse it.
         val nodeList = nodes.as[String].collect().toSeq.sorted
+        require(
+          nodeList.size <= 65536,
+          s"q_event_pagerank: ${nodeList.size} nodes — use GraphOps.rankDistributed for web-scale graphs")
+        val edgeList = edges.as[(String, String, Long)].collect().toSeq
         val ranks = graft.operators.GraphOps.rankBoundedGraph(edgeList, nodeList, iters = 10)
         nodeList
           .map(v => (v, ranks(v), ranks(v).toDouble / R.toDouble))

@@ -919,6 +919,61 @@ object SimilarityQueries {
     verifiedJaccardPairs(s, d, keepFrac = 0.85, b = 16, r = 4, jaccardMin = 0.5)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Today's batch for the incremental near-dup shape
+    * (q_dedup_incremental_ngram): the ≡4 (mod 5) docs are genuinely new
+    * content, the +1e6-id rows are 85%-truncated variants of the ≡0 docs —
+    * planted near-dups of the index corpus. */
+  private[graft] def incrementalNearBatch(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.filter(pmod(col("doc_id"), lit(5)) === 4).select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(1), (col("n_chars") * 0.85).cast("int")).as("text")))
+  }
+
+  /** Yesterday's corpus for the incremental near-dup shape. */
+  private[graft] def incrementalNearIndex(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 4).select(col("doc_id"), col("text"))
+
+  /** PRODUCTION twin of q_dedup_incremental_ngram for 100 TB: the corpus
+    * side is a persisted minhash BAND index (built once at index time —
+    * here computed inline from [[incrementalNearIndex]]; a deployment
+    * stores exactly the (band_idx, band_hash, doc_id) table plus the
+    * shingle sets, StagingSink-style, and appends each day's batch to it).
+    * The day's batch is shingled + banded, probes the index by bucket
+    * equi-join (never |batch|·|index|; over-occupied index buckets are
+    * df-capped like [[bandedPairs]]'s cold path), and only candidates
+    * fetch shingle sets for the exact Jaccard ≥ 0.5 verify. Returns the
+    * verified (batch_id, match_id, jaccard) matches; survivors are the
+    * batch anti-join. IncrementalDedupSpec pins recall ≥ 0.95 of the exact
+    * inverted-index match set and zero sub-threshold matches.
+    */
+  private[graft] def incrementalMinhashMatches(s: SparkSession, d: String): DataFrame = {
+    val batchSig = incrementalNearBatch(s, d)
+      .withColumn("sh", hashedShingles(col("text")))
+      .withColumn("bands", minhashBands(col("sh")))
+    val idxSig = incrementalNearIndex(s, d)
+      .withColumn("sh", hashedShingles(col("text")))
+      .withColumn("bands", minhashBands(col("sh")))
+    val wb = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val idxBands = idxSig
+      .select(col("doc_id").as("match_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .withColumn("occ", count(lit(1)).over(wb))
+      .filter(col("occ") <= 4096)
+      .select("match_id", "band_idx", "band_hash")
+    val batchBands = batchSig
+      .select(col("doc_id").as("batch_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = batchBands
+      .join(idxBands, Seq("band_idx", "band_hash"))
+      .select("batch_id", "match_id")
+      .distinct()
+    cand
+      .join(batchSig.select(col("doc_id"), col("sh")).as("sa"), col("batch_id") === col("sa.doc_id"))
+      .join(idxSig.select(col("doc_id"), col("sh")).as("sb"), col("match_id") === col("sb.doc_id"))
+      .select(col("batch_id"), col("match_id"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** Exact n-gram Jaccard pairs (doc_a < doc_b, J ≥ 0.4) over the planted-
     * duplicate corpus — the pair generator behind q_ngram_jaccard AND the
     * clustering query. Unlike the minhash pipeline, every step here is
@@ -1983,6 +2038,103 @@ object SimilarityQueries {
              |  FROM documents WHERE doc_id % 5 <> 4)
              |SELECT doc_id, text_hash FROM batch
              |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.text_hash = batch.text_hash)""".stripMargin)
+    ),
+
+    // Incremental NEAR-dup dedup — the production daily shape one step past
+    // q_dedup_incremental's exact hashes: today's batch against yesterday's
+    // corpus, where a batch doc counts as a duplicate if any corpus doc is
+    // within Jaccard ≥ 0.5 (boilerplate re-crawls, lightly-edited reposts
+    // that exact hashing misses). Batch = the ≡4 (mod 5) docs (genuinely
+    // new → must survive) plus 85%-truncated variants of the ≡0 docs
+    // (near-dups of the index → must be caught); index = the ≢4 corpus.
+    // The registered form runs the deterministic exact inverted index
+    // (the q_ngram_jaccard machinery restricted to CROSS batch×index
+    // candidates — Σ|block|² with df ≤ 50, never |batch|·|index|), so the
+    // whole report is DuckDB-hash-checked: one row per verified
+    // (batch, match) pair plus one is_new row per survivor. At 100 TB the
+    // exact index is swapped for the PERSISTED minhash band index —
+    // [[incrementalMinhashMatches]], the production twin: the corpus is
+    // shingled/banded ONCE at index build, each day's batch bands probe it
+    // by bucket equi-join and only candidates fetch shingle sets for the
+    // exact verify; spec-pinned (IncrementalDedupSpec) to recall ≥ 0.95 of
+    // this exact match set with zero sub-threshold matches.
+    Q(
+      "q_dedup_incremental_ngram",
+      (s, d) => {
+        val batch = incrementalNearBatch(s, d).withColumn("side", lit("b"))
+        val idxDocs = incrementalNearIndex(s, d).withColumn("side", lit("i"))
+        val sh64 = batch.unionAll(idxDocs)
+          .select(col("doc_id"), col("side"), hashedShingles64(col("text")).as("sh"))
+        val w = Window.partitionBy(col("sh_key"))
+        val inv = sh64
+          .select(col("doc_id"), col("side"), explode(col("sh")).as("sh_key"))
+          .withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= 50)
+          .select("doc_id", "side", "sh_key")
+        val cand = inv.filter(col("side") === "b").as("a")
+          .hint("merge")
+          .join(inv.filter(col("side") === "i").as("b").hint("merge"),
+            col("a.sh_key") === col("b.sh_key"))
+          .groupBy(col("a.doc_id").as("batch_id"), col("b.doc_id").as("match_id"))
+          .agg(count(lit(1)).as("n_common_lowdf"))
+          .filter(col("n_common_lowdf") >= 3)
+          .select("batch_id", "match_id")
+        val matched = cand
+          .join(sh64.as("sa"), col("batch_id") === col("sa.doc_id"))
+          .join(sh64.as("sb"), col("match_id") === col("sb.doc_id"))
+          .select(
+            col("batch_id"),
+            col("match_id"),
+            jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+        batch
+          .join(matched, col("doc_id") === col("batch_id"), "left")
+          .select(
+            col("doc_id"),
+            col("match_id"),
+            col("jaccard"),
+            col("match_id").isNull.as("is_new"))
+      },
+      Some(raw"""WITH idx_docs AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+           |batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |         substr(text, 1, CAST(trunc(n_chars * 0.85) AS INT)) AS text
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |allc AS (
+           |  SELECT doc_id, 'i' AS side, text FROM idx_docs
+           |  UNION ALL
+           |  SELECT doc_id, 'b' AS side, text FROM batch),
+           |w AS (SELECT doc_id, side, string_split_regex(trim(text), '\s+') AS w FROM allc),
+           |g AS (
+           |  SELECT DISTINCT doc_id, side, array_to_string(w[i:i+2], ' ') AS gram
+           |  FROM w, unnest(range(1, len(w) - 1)) AS t(i)
+           |  WHERE len(w) >= 3),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+           |idx AS (
+           |  SELECT doc_id, side, gram FROM g
+           |  QUALIFY COUNT(*) OVER (PARTITION BY gram) <= 50),
+           |cand AS (
+           |  SELECT a.doc_id AS batch_id, b.doc_id AS match_id
+           |  FROM idx a JOIN idx b ON a.gram = b.gram AND a.side = 'b' AND b.side = 'i'
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+           |common AS (
+           |  SELECT c.batch_id, c.match_id, COUNT(*) AS nc
+           |  FROM cand c
+           |  JOIN g ga ON ga.doc_id = c.batch_id
+           |  JOIN g gb ON gb.doc_id = c.match_id AND gb.gram = ga.gram
+           |  GROUP BY 1, 2),
+           |matched AS (
+           |  SELECT batch_id, match_id,
+           |         CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+           |  FROM common
+           |  JOIN sz sa ON sa.doc_id = batch_id
+           |  JOIN sz sb ON sb.doc_id = match_id
+           |  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.5)
+           |SELECT b.doc_id, m.match_id, m.jaccard, m.match_id IS NULL AS is_new
+           |FROM batch b LEFT JOIN matched m ON m.batch_id = b.doc_id""".stripMargin)
     ),
 
     // Embedding-corpus norm profile — the vector-side data-quality gate

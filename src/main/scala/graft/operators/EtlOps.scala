@@ -479,6 +479,20 @@ object EtlOps {
   ): DataFrame = {
     require(k > 0, "weightedSystematicSample: k must be positive")
     require(blockBits >= 1 && blockBits <= 32, "weightedSystematicSample: blockBits in [1,32]")
+    // Integral weights only: a fractional weight would silently FLOOR in
+    // the long cast below — a 0.7-weight row could never be selected while
+    // still looking valid. Fractional scores should be pre-scaled to
+    // integer units by the caller (e.g. ×1000) so the exact-integer
+    // threshold arithmetic stays exact.
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"weightedSystematicSample: `$weightCol` must be an integral type, got $other — " +
+            "scale fractional weights to integer units first")
+    }
     val r = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15), 16, 10)
       .cast("long")
     // Weights must be positive for the prefix-crossing rule to mean

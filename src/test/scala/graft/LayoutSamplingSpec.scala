@@ -97,6 +97,16 @@ class LayoutSamplingSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("non-positive weight"), e.getMessage)
   }
 
+  test("weightedSystematicSample: fractional weight column is rejected, not floored") {
+    // A double weight of 0.7 would silently floor to 0 in the long cast
+    // and the row could never be selected — refuse the type instead.
+    val df = Seq((1L, 1.5), (2L, 0.7)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      EtlOps.weightedSystematicSample(df, "id", "w", 1)
+    }
+    assert(e.getMessage.contains("integral type"), e.getMessage)
+  }
+
   // ---------------- compactionPlan ----------------
 
   test("compactionPlan: sequential bins — boundaries covered, overshoot < one file") {

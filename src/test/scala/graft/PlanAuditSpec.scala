@@ -61,7 +61,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("LSH pipelines generate candidates by equi-join only — no cross join") {
     for (name <- Seq("q_ngram_jaccard",
         "q_dedup_embedding", "q_decontaminate", "q_range_join",
-        "q_dedup_substrings", "q_dedup_containment")) {
+        "q_dedup_substrings", "q_dedup_containment", "q_dedup_incremental_ngram")) {
       val p = plan(name)
       assert(
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
