@@ -771,34 +771,108 @@ object EtlQueries {
     Q(
       "q_zorder_layout",
       (s, d) => {
-        val z = EtlOps.mortonKey(expr("l_partkey % 256"), expr("l_suppkey % 256"), 8)
+        val z = EtlOps.mortonKey(expr("l_partkey % 256"), expr("l_orderkey % 256"), 8)
         lineitem(s, d)
           .select(
             expr("l_partkey % 256").as("px"),
-            expr("l_suppkey % 256").as("sx"),
+            expr("l_orderkey % 256").as("ox"),
             z.as("zval"))
           .groupBy(expr("zval DIV 1024").as("z_bucket"))
           .agg(
             count(lit(1)).as("n_rows"),
             min(col("px")).as("px_min"), max(col("px")).as("px_max"),
-            min(col("sx")).as("sx_min"), max(col("sx")).as("sx_max"),
+            min(col("ox")).as("ox_min"), max(col("ox")).as("ox_max"),
             min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
       },
       Some {
         val terms = (0 until 8).flatMap { i =>
           Seq(
             s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
-            s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")
+            s"((((l_orderkey % 256) >> $i) & 1) << ${2 * i + 1})")
         }
         s"""WITH z AS (
-           |  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+           |  SELECT l_partkey % 256 AS px, l_orderkey % 256 AS ox,
            |         (${terms.mkString(" + ")}) AS zval
            |  FROM lineitem)
            |SELECT zval // 1024 AS z_bucket, COUNT(*) AS n_rows,
            |       MIN(px) AS px_min, MAX(px) AS px_max,
-           |       MIN(sx) AS sx_min, MAX(sx) AS sx_max,
+           |       MIN(ox) AS ox_min, MAX(ox) AS ox_max,
            |       MIN(zval) AS z_min, MAX(zval) AS z_max
            |FROM z GROUP BY 1""".stripMargin
+      }
+    ),
+
+    // 23. Data-skipping effectiveness report — the quantified payoff of
+    //     q_zorder_layout: for a two-dimensional box predicate
+    //     (px ∈ [64, 95] ∧ sx ∈ [128, 159]), how many files (and rows)
+    //     can min/max footer stats skip under each candidate layout?
+    //     A file is skippable when its [min, max] range is disjoint from
+    //     the predicate on EITHER dimension — exactly the parquet
+    //     row-group / Delta file-stat pruning rule. Layouts compared on
+    //     identical 64-file budgets: morton z-buckets (bounded spans in
+    //     BOTH dims) vs a single-key px sort (perfect on px, blind on
+    //     sx). The report is the planning artifact a table-maintenance
+    //     job uses to decide whether an OPTIMIZE ZORDER rewrite pays for
+    //     itself; all arithmetic integer-exact, one scan per layout over
+    //     the same two pruned columns.
+    Q(
+      "q_skipping_stats",
+      (s, d) => {
+        val z = EtlOps.mortonKey(expr("l_partkey % 256"), expr("l_orderkey % 256"), 8)
+        val base = lineitem(s, d).select(
+          expr("l_partkey % 256").as("px"),
+          expr("l_orderkey % 256").as("ox"),
+          z.as("zval"))
+        def layoutReport(name: String, fileKey: org.apache.spark.sql.Column) = {
+          val files = base
+            .groupBy(fileKey.as("f"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              min(col("px")).as("px_min"), max(col("px")).as("px_max"),
+              min(col("ox")).as("ox_min"), max(col("ox")).as("ox_max"))
+          val skippable = col("px_max") < 64 || col("px_min") > 95 ||
+            col("ox_max") < 128 || col("ox_min") > 159
+          files.agg(
+            lit(name).as("layout"),
+            count(lit(1)).as("n_files"),
+            sum(when(skippable, 1L).otherwise(0L)).as("files_skipped"),
+            sum(when(skippable, col("n_rows")).otherwise(0L)).as("rows_skipped"),
+            sum(col("n_rows")).as("n_rows_total"))
+        }
+        layoutReport("zorder", expr("zval DIV 1024"))
+          .unionAll(layoutReport("px_sorted", expr("px DIV 4")))
+      },
+      Some {
+        val terms = (0 until 8).flatMap { i =>
+          Seq(
+            s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
+            s"((((l_orderkey % 256) >> $i) & 1) << ${2 * i + 1})")
+        }
+        s"""WITH b AS (
+           |  SELECT l_partkey % 256 AS px, l_orderkey % 256 AS ox,
+           |         (${terms.mkString(" + ")}) AS zval
+           |  FROM lineitem),
+           |zf AS (
+           |  SELECT zval // 1024 AS f, COUNT(*) AS n_rows,
+           |         MIN(px) AS px_min, MAX(px) AS px_max,
+           |         MIN(ox) AS ox_min, MAX(ox) AS ox_max
+           |  FROM b GROUP BY 1),
+           |pf AS (
+           |  SELECT px // 4 AS f, COUNT(*) AS n_rows,
+           |         MIN(px) AS px_min, MAX(px) AS px_max,
+           |         MIN(ox) AS ox_min, MAX(ox) AS ox_max
+           |  FROM b GROUP BY 1)
+           |SELECT 'zorder' AS layout, COUNT(*) AS n_files,
+           |  CAST(SUM(CASE WHEN px_max < 64 OR px_min > 95 OR ox_max < 128 OR ox_min > 159 THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+           |  CAST(SUM(CASE WHEN px_max < 64 OR px_min > 95 OR ox_max < 128 OR ox_min > 159 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+           |  CAST(SUM(n_rows) AS BIGINT) AS n_rows_total
+           |FROM zf
+           |UNION ALL
+           |SELECT 'px_sorted', COUNT(*),
+           |  CAST(SUM(CASE WHEN px_max < 64 OR px_min > 95 OR ox_max < 128 OR ox_min > 159 THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(SUM(CASE WHEN px_max < 64 OR px_min > 95 OR ox_max < 128 OR ox_min > 159 THEN n_rows ELSE 0 END) AS BIGINT),
+           |  CAST(SUM(n_rows) AS BIGINT)
+           |FROM pf""".stripMargin
       }
     )
   )

@@ -519,7 +519,10 @@ object EtlOps {
       .agg(sum(col("__w")).as("__bt"))
       .withColumn("__off", sum(col("__bt")).over(wOff) - col("__bt"))
       .select(col("__blk"), col("__off"))
-    val total = withBlk.agg(sum(col("__w")).as("__tw")).select(
+    // coalesce first: an EMPTY input sums to null, which would fall through
+    // to the raise_error arm and crash with a misleading overflow message —
+    // with 0 the threshold DIV nulls out and the sample is simply empty.
+    val total = withBlk.agg(coalesce(sum(col("__w")), lit(0L)).as("__tw")).select(
       when(col("__tw") <= lit(Long.MaxValue / k), col("__tw"))
         .otherwise(raise_error(lit(
           s"weightedSystematicSample: total weight × k=$k overflows int64 — " +

@@ -97,6 +97,11 @@ class LayoutSamplingSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("non-positive weight"), e.getMessage)
   }
 
+  test("weightedSystematicSample: empty input yields an empty sample, not a crash") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "w")
+    assert(sampleIds(df, 5).isEmpty)
+  }
+
   test("weightedSystematicSample: fractional weight column is rejected, not floored") {
     // A double weight of 0.7 would silently floor to 0 in the long cast
     // and the row could never be selected — refuse the type instead.
@@ -168,19 +173,40 @@ class LayoutSamplingSpec extends AnyFunSuite with SparkSpec {
     // in the other dimension.
     val rows = QueryRegistry
       .queries("q_zorder_layout")(spark, sfDir)
-      .select("px_min", "px_max", "sx_min", "sx_max")
+      .select("px_min", "px_max", "ox_min", "ox_max")
       .as[(Long, Long, Long, Long)]
       .collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (pxn, pxx, sxn, sxx) =>
+    rows.foreach { case (pxn, pxx, oxn, oxx) =>
       assert(pxx - pxn <= 31, s"px span ${pxx - pxn}")
-      assert(sxx - sxn <= 31, s"sx span ${sxx - sxn}")
+      assert(oxx - oxn <= 31, s"ox span ${oxx - oxn}")
     }
   }
 
+  test("q_skipping_stats: zorder layout skips a strictly larger file fraction on the 2-D box") {
+    val rows = QueryRegistry
+      .queries("q_skipping_stats")(spark, sfDir)
+      .select("layout", "n_files", "files_skipped", "rows_skipped", "n_rows_total")
+      .as[(String, Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    val zo = rows("zorder")
+    val px = rows("px_sorted")
+    // Same corpus under both layouts.
+    assert(zo._5 == px._5)
+    // The px sort prunes only its own dimension; morton buckets bound BOTH
+    // dims, so the skipped-file fraction must be strictly higher.
+    assert(zo._3.toDouble / zo._2 > px._3.toDouble / px._2,
+      s"zorder ${zo._3}/${zo._2} vs px ${px._3}/${px._2}")
+    // A 2-D box over one 32-aligned band pair leaves at most a handful of
+    // live buckets under morton; sanity-floor the effect size.
+    assert(zo._3 >= zo._2 - 4, s"zorder should skip nearly all buckets: ${zo._3}/${zo._2}")
+  }
+
   test("zorderLayout: physical layout is a range exchange on zval") {
-    val df = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
-    val laid = EtlOps.zorderLayout(df, "l_partkey", "l_suppkey", bits = 8, numFiles = 4)
+    val df = Tables.lineitem(spark, sfDir).select("l_partkey", "l_orderkey")
+    val laid = EtlOps.zorderLayout(df, "l_partkey", "l_orderkey", bits = 8, numFiles = 4)
     val p = laid.queryExecution.executedPlan.toString()
     assert(p.contains("rangepartitioning(zval"), s"expected a range exchange on zval:\n$p")
 

@@ -363,7 +363,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("q_zorder_layout: one partial-agg shuffle over a pruned two-column scan") {
     val p = plan("q_zorder_layout")
-    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
       s"only the two morton dims may be read:\n$p")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected exactly one hash exchange (partial-agg'd z_bucket rollup), got $exchanges:\n$p")
