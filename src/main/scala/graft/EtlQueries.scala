@@ -36,6 +36,18 @@ object EtlQueries {
     f.toString
   }
 
+  /** DuckDB spelling of EtlOps.mortonKey over the two layout dimensions —
+    * ONE generator shared by the q_zorder_layout and q_skipping_stats
+    * oracles so the morton convention can never silently diverge between
+    * the layout report and its skipping-payoff report.
+    */
+  private def mortonTermsSql(bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(
+        s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
+        s"((((l_orderkey % 256) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
   val all: Seq[Q] = Seq(
     // 1. Group-by aggregate rollup (TPC-H Q1 shape — the dashboard agg surface).
     Q(
@@ -784,22 +796,16 @@ object EtlQueries {
             min(col("ox")).as("ox_min"), max(col("ox")).as("ox_max"),
             min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
       },
-      Some {
-        val terms = (0 until 8).flatMap { i =>
-          Seq(
-            s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
-            s"((((l_orderkey % 256) >> $i) & 1) << ${2 * i + 1})")
-        }
+      Some(
         s"""WITH z AS (
            |  SELECT l_partkey % 256 AS px, l_orderkey % 256 AS ox,
-           |         (${terms.mkString(" + ")}) AS zval
+           |         (${mortonTermsSql(8)}) AS zval
            |  FROM lineitem)
            |SELECT zval // 1024 AS z_bucket, COUNT(*) AS n_rows,
            |       MIN(px) AS px_min, MAX(px) AS px_max,
            |       MIN(ox) AS ox_min, MAX(ox) AS ox_max,
            |       MIN(zval) AS z_min, MAX(zval) AS z_max
-           |FROM z GROUP BY 1""".stripMargin
-      }
+           |FROM z GROUP BY 1""".stripMargin)
     ),
 
     // 23. Data-skipping effectiveness report — the quantified payoff of
@@ -842,15 +848,10 @@ object EtlQueries {
         layoutReport("zorder", expr("zval DIV 1024"))
           .unionAll(layoutReport("px_sorted", expr("px DIV 4")))
       },
-      Some {
-        val terms = (0 until 8).flatMap { i =>
-          Seq(
-            s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
-            s"((((l_orderkey % 256) >> $i) & 1) << ${2 * i + 1})")
-        }
+      Some(
         s"""WITH b AS (
            |  SELECT l_partkey % 256 AS px, l_orderkey % 256 AS ox,
-           |         (${terms.mkString(" + ")}) AS zval
+           |         (${mortonTermsSql(8)}) AS zval
            |  FROM lineitem),
            |zf AS (
            |  SELECT zval // 1024 AS f, COUNT(*) AS n_rows,
@@ -872,8 +873,7 @@ object EtlQueries {
            |  CAST(SUM(CASE WHEN px_max < 64 OR px_min > 95 OR ox_max < 128 OR ox_min > 159 THEN 1 ELSE 0 END) AS BIGINT),
            |  CAST(SUM(CASE WHEN px_max < 64 OR px_min > 95 OR ox_max < 128 OR ox_min > 159 THEN n_rows ELSE 0 END) AS BIGINT),
            |  CAST(SUM(n_rows) AS BIGINT)
-           |FROM pf""".stripMargin
-      }
+           |FROM pf""".stripMargin)
     )
   )
 }

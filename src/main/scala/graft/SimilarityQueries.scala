@@ -661,6 +661,27 @@ object SimilarityQueries {
   private[graft] def documentsCount(s: SparkSession, d: String): Long =
     docCountCache.getOrElseUpdate(d, documents(s, d).count())
 
+  /** Memoized max doc_id per sf dir — guards every fixture that derives
+    * planted ids with the +1e6 offset convention (corpusWithDups,
+    * incrementalNearBatch): on an id space reaching 1e6, a planted id
+    * would COLLIDE with a genuine doc and the doc_id-keyed joins
+    * downstream would silently score the wrong text. The guard turns
+    * that into a loud failure (the oracle SQL hardcodes the same +1e6,
+    * so a dynamic offset would have to thread through every oracle
+    * string; the testdata contract keeps ids ≪ 1e6 at every sf).
+    */
+  private val maxDocIdCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def requirePlantedIdHeadroom(s: SparkSession, d: String): Unit = {
+    val mx = maxDocIdCache.getOrElseUpdate(
+      d,
+      documents(s, d).agg(max(col("doc_id"))).head().getLong(0))
+    require(
+      mx < 1000000L,
+      s"planted-id fixture: max doc_id $mx reaches the +1e6 planted-id offset — " +
+        "planted ids would collide with genuine docs; regenerate with a larger offset " +
+        "threaded through the oracle SQL")
+  }
+
   /** Ball-audit sample modulus: a FIXED-SIZE sample (~500 base docs →
     * ~1000 signatures → ~500k brute-force comparisons), not a fixed
     * fraction — a mod-53 rule alone keeps the crossJoin O((n/53)²),
@@ -924,6 +945,7 @@ object SimilarityQueries {
     * content, the +1e6-id rows are 85%-truncated variants of the ≡0 docs —
     * planted near-dups of the index corpus. */
   private[graft] def incrementalNearBatch(s: SparkSession, d: String): DataFrame = {
+    requirePlantedIdHeadroom(s, d)
     val docs = documents(s, d)
     docs.filter(pmod(col("doc_id"), lit(5)) === 4).select(col("doc_id"), col("text"))
       .unionAll(docs.filter(pmod(col("doc_id"), lit(5)) === 0).select(

@@ -514,15 +514,20 @@ object EtlOps {
     val local = withBlk.withColumn("__ci_local", sum(col("__w")).over(wLocal))
     val wOff = Window.partitionBy(boundedWindowKey(col("__blk"))).orderBy(col("__blk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = withBlk
-      .groupBy(col("__blk"))
-      .agg(sum(col("__w")).as("__bt"))
+    // Both the offsets window AND the grand total derive from this ONE
+    // per-block subtotal aggregate — Spark's ReuseExchange serves the
+    // second consumer from the same shuffle files, so the corpus is read
+    // for the window pass and the subtotal pass only (a separate
+    // total-agg would have been a third full scan re-running the weight
+    // guard per row).
+    val blockTotals = withBlk.groupBy(col("__blk")).agg(sum(col("__w")).as("__bt"))
+    val offsets = blockTotals
       .withColumn("__off", sum(col("__bt")).over(wOff) - col("__bt"))
       .select(col("__blk"), col("__off"))
     // coalesce first: an EMPTY input sums to null, which would fall through
     // to the raise_error arm and crash with a misleading overflow message —
     // with 0 the threshold DIV nulls out and the sample is simply empty.
-    val total = withBlk.agg(coalesce(sum(col("__w")), lit(0L)).as("__tw")).select(
+    val total = blockTotals.agg(coalesce(sum(col("__bt")), lit(0L)).as("__tw")).select(
       when(col("__tw") <= lit(Long.MaxValue / k), col("__tw"))
         .otherwise(raise_error(lit(
           s"weightedSystematicSample: total weight × k=$k overflows int64 — " +

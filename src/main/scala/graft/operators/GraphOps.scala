@@ -49,6 +49,18 @@ object GraphOps {
       nodes.size <= 65536,
       s"rankBoundedGraph: ${nodes.size} nodes — bounded-domain driver state only; " +
         "use rankDistributed for web-scale node sets")
+    // rnk ≤ scale (mass is conserved-or-leaked, never created), so the
+    // contribution product rnk·cnt is bounded by scale·cnt — guard the
+    // edge counts once instead of letting a hot transition cell wrap
+    // int64 into silent garbage ranks. At the 1e12-event extreme, shrink
+    // `scale` (precision trades linearly) or pre-divide edge counts by a
+    // common factor (the recurrence only reads cnt/out ratios).
+    val cntCap = Long.MaxValue / scale
+    edges.find(_._3 > cntCap).foreach { e =>
+      throw new IllegalArgumentException(
+        s"rankBoundedGraph: edge count ${e._3} × scale $scale overflows int64 — " +
+          "use a smaller scale or pre-scale edge counts (ratios are what matters)")
+    }
     val n = nodes.size.toLong
     val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     var rnk = nodes.map(_ -> scale / n).toMap
@@ -77,7 +89,16 @@ object GraphOps {
       iters: Int,
       scale: Long = DefaultScale
   ): DataFrame = {
-    val e = edges.localCheckpoint(true)
+    // Same overflow guard as rankBoundedGraph, evaluated once on the edge
+    // materialization: rnk ≤ scale, so rnk·cnt ≤ scale·cnt must fit int64.
+    val cntCap = Long.MaxValue / scale
+    val e = edges
+      .withColumn(
+        "cnt",
+        when(col("cnt") <= cntCap, col("cnt")).otherwise(raise_error(concat(
+          lit(s"rankDistributed: edge count "), col("cnt").cast("string"),
+          lit(s" × scale $scale overflows int64 — use a smaller scale or pre-scale edge counts")))))
+      .localCheckpoint(true)
     val outd = e.groupBy("src").agg(sum(col("cnt")).as("out_cnt")).localCheckpoint(true)
     val nd = nodes.localCheckpoint(true)
     val dnodes = nd.join(outd.select(col("src").as("node")), Seq("node"), "left_anti")

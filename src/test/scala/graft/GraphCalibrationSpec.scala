@@ -87,6 +87,14 @@ class GraphCalibrationSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("overflow guard: an edge count that would wrap rnk·cnt is rejected loudly") {
+    val hot = Long.MaxValue / R + 1
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.GraphOps.rankBoundedGraph(Seq(("a", "b", hot)), Seq("a", "b"), iters = 1)
+    }
+    assert(e.getMessage.contains("overflows int64"), e.getMessage)
+  }
+
   test("q_event_pagerank: mass conserved up to deterministic truncation leak; ranks ≥ teleport floor") {
     val df = QueryRegistry.queries("q_event_pagerank")(spark, sfDir)
     val rows = df.select("node", "rank_ppb").as[(String, Long)].collect()

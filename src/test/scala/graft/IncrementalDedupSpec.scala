@@ -55,6 +55,10 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
       .toSet
     val twin = SimilarityQueries.incrementalMinhashMatches(spark, sfDir)
     val twinPairs = twin.select(col("batch_id"), col("match_id")).as[(Long, Long)].collect().toSet
+    // Nonempty FIRST: with zero twin matches, min(jaccard) below is NULL
+    // and decoding it into a primitive Double would NPE — this assertion
+    // is the diagnosis that failure mode deserves.
+    assert(twinPairs.nonEmpty, "minhash twin returned zero matches")
     val recall = (exact & twinPairs).size.toDouble / exact.size
     assert(recall >= 0.95, s"minhash twin recall $recall over ${exact.size} exact matches")
     // Soundness: the twin's own verify floor holds.
