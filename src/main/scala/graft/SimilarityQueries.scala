@@ -1857,10 +1857,12 @@ object SimilarityQueries {
 
     // Multimodal plumbing: opaque binary media column + typed metadata.
     // graft.operators.MultimodalOps carries the real mapPartitions decode
-    // pipeline — actual PNG/BMP/JPEG pixels via ImageIO and GIF frame
-    // sequences with disposal-aware delta compositing; the deterministic
-    // stub remains only for codecs the JDK lacks (video/audio). This query
-    // exercises the metadata/schema plumbing on an oracle-checkable shape.
+    // pipeline — actual PNG/BMP/JPEG pixels via ImageIO, GIF frame
+    // sequences with disposal-aware delta compositing, and WAV audio via
+    // javax.sound.sampled (q_audio_features below); the deterministic
+    // stub remains only for codecs the JDK lacks (video/MP3/OGG). This
+    // query exercises the metadata/schema plumbing on an oracle-checkable
+    // shape.
     Q(
       "q_multimodal_meta",
       (s, d) =>
@@ -1880,6 +1882,63 @@ object SimilarityQueries {
              |  64 + n_chars % 1856 AS fake_width,
              |  64 + (n_chars * 7) % 1016 AS fake_height,
              |  1 + n_chars % 24 AS n_frames
+             |FROM documents""".stripMargin)
+    ),
+
+    // REAL audio decode through the JDK's own WAV codec — the audio arm of
+    // the multimodal surface, mirroring the image path's real-pixel gate:
+    // each doc's metadata derives deterministic synthesis parameters
+    // (sample rate, length, volume), a genuine 16-bit PCM WAV is written
+    // through AudioSystem's encoder and parsed BACK through
+    // AudioSystem's decoder inside one narrow mapPartitions, and the
+    // DECODED header/frame values are what the report emits — DuckDB
+    // independently predicts them from the documents metadata, so a broken
+    // header parse, sample conversion, or frame count flips the hash.
+    // The two banded flags gate the sample math the oracle can't state:
+    // rms_in_band (decoded RMS within 16-bit quantization noise — ±0.001 —
+    // of the exact pre-quantization source waveform's RMS, so the
+    // encoder→decoder→sample-conversion round trip is pinned with no
+    // analytic slack) and fp_volume_invariant (the 64-bit
+    // energy-contour fingerprint of a half-volume re-synthesis within
+    // hamming ≤ 4 of the original — the property that makes it a
+    // near-dup key for re-levelled audio). MP3/OGG (no JDK decoder) ride
+    // the documented stub seam in MultimodalOps.audioFeatures; this gate
+    // pins the REAL path.
+    Q(
+      "q_audio_features",
+      (s, d) => {
+        import s.implicits._
+        val params = documents(s, d).select(
+          col("doc_id"),
+          (lit(8000) * (lit(1) + col("doc_id") % 2)).cast("int").as("sr"),
+          (lit(800) + (col("n_chars") % 160) * 10).cast("int").as("ns"),
+          (lit(0.4) + (col("doc_id") % 5).cast("double") * 0.1).as("amp"))
+        params.as[(Long, Int, Int, Double)].mapPartitions { rows =>
+          rows.map { case (id, sr, ns, amp) =>
+            val wav = graft.operators.MultimodalOps.synthWav(id, sr, ns, amp)
+            val (dsr, _, _, frames, samples) =
+              graft.operators.MultimodalOps.decodeAudio(wav).getOrElse(
+                throw new IllegalStateException(s"doc $id: JDK failed to parse its own WAV"))
+            val rms = graft.operators.MultimodalOps.audioRms(samples)
+            val expect = graft.operators.MultimodalOps.audioRms(
+              graft.operators.MultimodalOps.synthSamples(id, sr, ns, amp))
+            val fp = graft.operators.MultimodalOps.audioFingerprint64(samples)
+            val scaled = graft.operators.MultimodalOps
+              .decodeAudio(graft.operators.MultimodalOps.synthWav(id, sr, ns, amp * 0.5))
+              .map(t => graft.operators.MultimodalOps.audioFingerprint64(t._5))
+              .getOrElse(0L)
+            (id, dsr, frames, if (dsr > 0) frames * 1000L / dsr else 0L,
+              math.abs(rms - expect) < 0.001,
+              java.lang.Long.bitCount(fp ^ scaled) <= 4)
+          }
+        }.toDF("doc_id", "sample_rate", "n_frames", "duration_ms", "rms_in_band", "fp_volume_invariant")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(8000 * (1 + doc_id % 2) AS INT) AS sample_rate,
+             |  CAST(800 + (n_chars % 160) * 10 AS BIGINT) AS n_frames,
+             |  ((800 + (n_chars % 160) * 10) * 1000) // (8000 * (1 + doc_id % 2)) AS duration_ms,
+             |  TRUE AS rms_in_band,
+             |  TRUE AS fp_volume_invariant
              |FROM documents""".stripMargin)
     ),
 

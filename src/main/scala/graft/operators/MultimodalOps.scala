@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Still images decode for REAL through the JDK's own codec
   * ([[decodeImage]]: `javax.imageio` — PNG/BMP/GIF/JPEG, no external
-  * dependency); payloads ImageIO cannot parse (exotic codecs, audio,
-  * video — no decoders in this container) fall back to the clearly-marked
-  * deterministic STUB ([[decodeStub]]), which derives frame geometry and
-  * pixel bytes from the payload deterministically. Everything around the
-  * codec seam — schema, partitioning, batch shape, feature extraction —
-  * is the same real pipeline either way.
+  * dependency), and WAV audio decodes for REAL through
+  * `javax.sound.sampled` ([[decodeAudio]] — header + PCM frames, 8/16-bit,
+  * multi-channel averaged); payloads the JDK cannot parse (exotic image
+  * codecs, MP3/OGG, video — no decoders in this container) fall back to
+  * the clearly-marked deterministic STUB ([[decodeStub]] / the flagged
+  * arm of [[audioFeatures]]), which derives features from the payload
+  * deterministically. Everything around the codec seam — schema,
+  * partitioning, batch shape, feature extraction — is the same real
+  * pipeline either way.
   */
 object MultimodalOps {
 
@@ -378,5 +381,175 @@ object MultimodalOps {
         }
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Audio: real WAV decode through the JDK's own codec
+  // (javax.sound.sampled — no external dependency), mirroring the image
+  // path. MP3/OGG/video stay on the deterministic stub (no JDK decoder);
+  // everything around the codec seam — mapPartitions shape, feature
+  // extraction, fingerprinting — is the same real pipeline either way.
+  // ------------------------------------------------------------------
+
+  /** Deterministic 16-bit mono PCM WAV: a two-sine mix keyed by `seed`
+    * (distinct seeds → distinct spectra → far-apart fingerprints), written
+    * through the REAL `AudioSystem` WAV encoder so [[decodeAudio]]
+    * exercises a genuine header + PCM parse. `amp` scales the waveform —
+    * the volume knob the fingerprint must be invariant to.
+    */
+  /** The pre-quantization waveform [[synthWav]] encodes: a two-sine mix
+    * keyed by `seed`. Exposed so gates can compare DECODED samples against
+    * the exact source signal (quantization noise only — no analytic slack;
+    * note certain seeds make f1 = f2, a coherent sum whose RMS differs
+    * from the incoherent two-tone formula, which is why the gate compares
+    * against THIS, not a closed form).
+    */
+  def synthSamples(seed: Long, sampleRate: Int, nSamples: Int, amp: Double): Array[Double] = {
+    val f1 = 220.0 + (math.floorMod(seed, 17L)) * 20.0
+    val f2 = 440.0 + (math.floorMod(seed * 31L + 7L, 13L)) * 30.0
+    Array.tabulate(nSamples) { i =>
+      val t = i.toDouble / sampleRate
+      amp * (0.6 * math.sin(2 * math.Pi * f1 * t) + 0.4 * math.sin(2 * math.Pi * f2 * t))
+    }
+  }
+
+  def synthWav(seed: Long, sampleRate: Int, nSamples: Int, amp: Double): Array[Byte] = {
+    require(sampleRate > 0 && nSamples > 0 && amp > 0 && amp <= 1.0, "synthWav: bad params")
+    val wave = synthSamples(seed, sampleRate, nSamples, amp)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = math.max(-32767, math.min(32767, math.round(wave(i) * 32767.0))).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: parse the container header and PCM frames via
+    * `AudioSystem`. Returns (sampleRate, channels, bitsPerSample, frames,
+    * samples normalized to [-1, 1], channels averaged); None for payloads
+    * the JDK cannot parse (MP3/OGG/video → the stub seam, exactly like
+    * ImageIO's None on exotic codecs). Supports the 8/16-bit PCM shapes
+    * WAV actually uses.
+    */
+  def decodeAudio(media: Array[Byte]): Option[(Int, Int, Int, Long, Array[Double])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(media))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        if ((bits != 16 && bits != 8) || fmt.getEncoding.toString.indexOf("PCM") < 0) None
+        else {
+          val raw = ais.readAllBytes()
+          val bytesPerSample = bits / 8
+          val nFrames = raw.length / (bytesPerSample * ch)
+          val out = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * bytesPerSample
+              val v =
+                if (bits == 16) {
+                  val lo = raw(o) & 0xff
+                  val hi = raw(o + 1).toInt
+                  ((hi << 8) | lo).toShort.toDouble / 32768.0
+                } else (raw(o) & 0xff).toDouble / 127.5 - 1.0 // 8-bit WAV is unsigned
+              acc += v
+              c += 1
+            }
+            out(f) = acc / ch
+            f += 1
+          }
+          Some((fmt.getSampleRate.toInt, ch, bits, nFrames.toLong, out))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Root-mean-square loudness of a normalized sample buffer. */
+  def audioRms(samples: Array[Double]): Double =
+    if (samples.isEmpty) 0.0
+    else math.sqrt(samples.map(s => s * s).sum / samples.length)
+
+  /** 64-bit energy-contour fingerprint: RMS energy over 65 equal windows,
+    * bit i = energy(i+1) > energy(i) — the audio analogue of [[dhash64]].
+    * Sign-of-delta makes it VOLUME-INVARIANT (scaling every sample scales
+    * every window energy by the same factor, preserving comparisons up to
+    * quantization noise), so re-levelled copies of a clip fingerprint to
+    * within a few bits while different material lands far apart.
+    */
+  def audioFingerprint64(samples: Array[Double]): Long = {
+    if (samples.length < 65) return 0L
+    val win = samples.length / 65
+    val e = new Array[Double](65)
+    var w = 0
+    while (w < 65) {
+      var acc = 0.0
+      var i = w * win
+      val end = i + win
+      while (i < end) { acc += samples(i) * samples(i); i += 1 }
+      e(w) = acc
+      w += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (e(b + 1) > e(b)) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** One decoded audio clip's features. */
+  case class AudioFeatures(
+      doc_id: Long,
+      decoded: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      rms: Double,
+      fingerprint: Long
+  )
+
+  /** Executor-side audio feature extraction over a media table — same
+    * mapPartitions contract as [[decodeFrames]]: one decode per row,
+    * streaming, no shuffle. Real WAV parses feed real features; payloads
+    * the JDK cannot decode fall back to deterministic stub features
+    * (flagged `decoded = false`) so the pipeline shape survives a mixed
+    * corpus.
+    */
+  def audioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val ds = media.select("doc_id", "media").as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { rows =>
+      rows.map { case (docId, payload) =>
+        decodeAudio(payload) match {
+          case Some((sr, ch, _, frames, samples)) =>
+            AudioFeatures(
+              docId, decoded = true, sr, ch, frames,
+              if (sr > 0) frames * 1000L / sr else 0L,
+              audioRms(samples), audioFingerprint64(samples))
+          case None =>
+            val n = if (payload == null) 0 else payload.length
+            AudioFeatures(
+              docId, decoded = false, 0, 0, n.toLong, 0L, 0.0,
+              // Deterministic stub fingerprint from the payload bytes.
+              payload != null match {
+                case true  => payload.foldLeft(1125899906842597L)((h, b) => h * 31 + b)
+                case false => 0L
+              })
+        }
+      }
+    }(Encoders.product[AudioFeatures])
   }
 }
