@@ -1133,7 +1133,19 @@ object AnalyticQueries {
         require(
           nodeList.size <= 65536,
           s"q_event_pagerank: ${nodeList.size} nodes — use GraphOps.rankDistributed for web-scale graphs")
-        val edgeList = edges.as[(String, String, Long)].collect().toSeq
+        // The node guard bounds K, but the (src, dst) rollup collected next
+        // is K²-sized in the worst case (4.3e9 pairs at the node cap) — a
+        // distributed count (cheap: the rollup is already partial-agg'd)
+        // must ALSO clear a driver-safe row budget before collect().
+        val cached = edges.persist()
+        val edgeList =
+          try {
+            val edgeCount = cached.count()
+            require(
+              edgeCount <= 4000000L,
+              s"q_event_pagerank: $edgeCount distinct edges — use GraphOps.rankDistributed for dense graphs")
+            cached.as[(String, String, Long)].collect().toSeq
+          } finally cached.unpersist()
         val ranks = graft.operators.GraphOps.rankBoundedGraph(edgeList, nodeList, iters = 10)
         nodeList
           .map(v => (v, ranks(v), ranks(v).toDouble / R.toDouble))

@@ -537,7 +537,11 @@ object EtlOps {
       .join(broadcast(offsets), "__blk")
       .crossJoin(broadcast(total))
       .withColumn("__ci", col("__off") + col("__ci_local"))
-      .filter(expr(s"(__ci * $k) DIV __tw > ((__ci - __w) * $k) DIV __tw"))
+      // `__tw > 0` makes the empty-input case explicit: without it the
+      // empty sample relied on non-ANSI `x DIV 0 = null` dropping every
+      // row, which under spark.sql.ansi.enabled=true raises DIVIDE_BY_ZERO
+      // instead. (__tw = 0 ⟺ zero input rows — weights are guarded > 0.)
+      .filter(col("__tw") > 0 && expr(s"(__ci * $k) DIV __tw > ((__ci - __w) * $k) DIV __tw"))
       .drop("__blk", "__r", "__w", "__ci_local", "__off", "__tw", "__ci")
   }
 

@@ -447,7 +447,17 @@ object MultimodalOps {
         val fmt = ais.getFormat
         val bits = fmt.getSampleSizeInBits
         val ch = fmt.getChannels
-        if ((bits != 16 && bits != 8) || fmt.getEncoding.toString.indexOf("PCM") < 0) None
+        // The sample-conversion loop below assumes little-endian 16-bit
+        // SIGNED and 8-bit UNSIGNED PCM (the shapes WAV actually uses).
+        // Anything else AudioSystem can parse — big-endian AIFF/AU,
+        // signed 8-bit AIFF — would decode to byte-swapped or offset
+        // garbage, so those fall to the flagged stub seam instead.
+        val enc = fmt.getEncoding
+        val shapeOk =
+          (bits == 16 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            !fmt.isBigEndian) ||
+            (bits == 8 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+        if (!shapeOk) None
         else {
           val raw = ais.readAllBytes()
           val bytesPerSample = bits / 8

@@ -49,6 +49,49 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
     assert(far.count(_ >= 10) >= 8, s"cross-seed hammings too close: $far")
   }
 
+  test("decodeAudio: formats outside the assumed sample shapes fall to the stub seam") {
+    // The conversion loop assumes little-endian 16-bit SIGNED / 8-bit
+    // UNSIGNED PCM. AIFF is big-endian (16-bit) and signed (8-bit) — both
+    // parse fine in AudioSystem but would decode to byte-swapped or offset
+    // garbage, so decodeAudio must return None for them rather than a
+    // decoded=true result with a wrong RMS/fingerprint.
+    def encode(bits: Int, bigEndian: Boolean, signed: Boolean,
+        tpe: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      val sr = 8000
+      val n = 800
+      val wave = MultimodalOps.synthSamples(11L, sr, n, 0.5)
+      val bytesPer = bits / 8
+      val data = new Array[Byte](n * bytesPer)
+      var i = 0
+      while (i < n) {
+        if (bits == 16) {
+          val s = math.round(wave(i) * 32767.0).toInt
+          if (bigEndian) { data(2 * i) = ((s >> 8) & 0xff).toByte; data(2 * i + 1) = (s & 0xff).toByte }
+          else { data(2 * i) = (s & 0xff).toByte; data(2 * i + 1) = ((s >> 8) & 0xff).toByte }
+        } else {
+          val s = math.round(wave(i) * 127.0).toInt
+          data(i) = (if (signed) s else s + 128).toByte
+        }
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, bits, 1, signed, bigEndian)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val aiffT = javax.sound.sampled.AudioFileFormat.Type.AIFF
+    // Big-endian 16-bit signed AIFF: parses, wrong endianness → None.
+    assert(MultimodalOps.decodeAudio(encode(16, bigEndian = true, signed = true, aiffT)).isEmpty,
+      "big-endian 16-bit AIFF must fall to the stub seam")
+    // Signed 8-bit AIFF: parses, wrong signedness for the 8-bit arm → None.
+    assert(MultimodalOps.decodeAudio(encode(8, bigEndian = false, signed = true, aiffT)).isEmpty,
+      "signed 8-bit AIFF must fall to the stub seam")
+    // Control: the supported WAV shape still decodes.
+    assert(MultimodalOps.decodeAudio(MultimodalOps.synthWav(11L, 8000, 800, 0.5)).isDefined)
+  }
+
   test("audioFeatures: real WAVs decode, garbage falls back to the flagged stub") {
     val wav = MultimodalOps.synthWav(3L, 8000, 1600, 0.5)
     val junk = Array.tabulate[Byte](512)(i => (i * 37).toByte)

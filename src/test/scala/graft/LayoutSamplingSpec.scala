@@ -102,6 +102,22 @@ class LayoutSamplingSpec extends AnyFunSuite with SparkSpec {
     assert(sampleIds(df, 5).isEmpty)
   }
 
+  test("weightedSystematicSample: empty input stays empty under ANSI mode (no DIVIDE_BY_ZERO)") {
+    // Pre-fix, the empty case leaned on non-ANSI `x DIV 0 = null` dropping
+    // every row; under spark.sql.ansi.enabled=true the same plan raised
+    // DIVIDE_BY_ZERO. The explicit `__tw > 0` guard must make the behavior
+    // config-independent.
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val df = Seq.empty[(Long, Long)].toDF("id", "w")
+      assert(sampleIds(df, 5).isEmpty)
+      // And a non-empty draw still selects under ANSI too.
+      val some = Seq((1L, 3L), (2L, 3L), (3L, 3L)).toDF("id", "w")
+      assert(sampleIds(some, 2).nonEmpty)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("weightedSystematicSample: fractional weight column is rejected, not floored") {
     // A double weight of 0.7 would silently floor to 0 in the long cast
     // and the row could never be selected — refuse the type instead.
