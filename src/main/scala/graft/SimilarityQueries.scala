@@ -743,8 +743,19 @@ object SimilarityQueries {
     * per side). The registered q_dedup_simhash is the banded audit
     * report over this table.
     */
-  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val exploded = simhashSigs(s, d)
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame =
+    byteBandPairs(simhashSigs(s, d))
+
+  /** Shared byte-band near-dup self-join over any (doc_id, sig) 64-bit
+    * sketch table — the machinery behind simhash, image dHash, AND audio
+    * energy-contour pairing: 8 byte-bands via posexplode (pigeonhole-
+    * complete for hamming ≤ 7), merge-hinted self-join so ReuseExchange
+    * computes the sketch+explode once, hamming cut INSIDE the band join
+    * (hot buckets stream through the verify instead of materializing an
+    * unfiltered candidate set).
+    */
+  private[graft] def byteBandPairs(sigs: DataFrame): DataFrame = {
+    val exploded = sigs
       .select(col("doc_id"), col("sig"), posexplode(simhashByteBands(col("sig"))).as(Seq("band_idx", "band_hash")))
     exploded
       .as("a")
@@ -795,31 +806,58 @@ object SimilarityQueries {
     * self-join with the hamming cut inside the band join. The registered
     * q_dedup_images is the banded audit report over this table.
     */
-  private[graft] def imageDedupPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = imageSigs(s, d)
-    val exploded = sigs.select(
-      col("doc_id"),
-      col("sig"),
-      posexplode(simhashByteBands(col("sig"))).as(Seq("band_idx", "band_hash"))
-    )
-    exploded
-      .as("a")
-      .hint("merge")
-      .join(
-        exploded.as("b").hint("merge"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          hammingPacked(col("a.sig"), col("b.sig")) <= 7
-      )
+  private[graft] def imageDedupPairs(s: SparkSession, d: String): DataFrame =
+    byteBandPairs(imageSigs(s, d))
+
+  /** Energy-contour fingerprint signatures for the given base documents'
+    * synthesized audio clips plus their planted HALF-VOLUME re-levelled
+    * variants at doc_id+1e6 — the real synth→AudioSystem-encode→decode→
+    * fingerprint path (one narrow mapPartitions, no shuffle), sharing
+    * q_audio_features' per-doc synthesis parameters (sample rate / length /
+    * volume from doc metadata). Taking the doc set as input lets the audit
+    * report synthesize ONLY its fixed-size sample for the brute-force ball
+    * check instead of re-decoding the corpus (the imageSigsFrom pattern).
+    */
+  private[graft] def audioSigsFrom(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.operators.MultimodalOps
+    docs
       .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        hammingPacked(col("a.sig"), col("b.sig")).as("hamming")
+        col("doc_id"),
+        (lit(8000) * (lit(1) + col("doc_id") % 2)).cast("int").as("sr"),
+        (lit(800) + (col("n_chars") % 160) * 10).cast("int").as("ns"),
+        (lit(0.4) + (col("doc_id") % 5).cast("double") * 0.1).as("amp")
       )
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+      .as[(Long, Int, Int, Double)]
+      .mapPartitions(_.flatMap { case (id, sr, ns, amp) =>
+        def fp(a: Double): Long = {
+          val samples = MultimodalOps
+            .decodeAudio(MultimodalOps.synthWav(id, sr, ns, a))
+            .getOrElse(throw new IllegalStateException(s"doc $id: JDK failed to parse its own WAV"))
+            ._5
+          MultimodalOps.audioFingerprint64(samples)
+        }
+        Iterator((id, fp(amp)), (id + 1000000L, fp(amp * 0.5)))
+      })
+      .toDF("doc_id", "sig")
   }
+
+  private[graft] def audioSigs(s: SparkSession, d: String): DataFrame = {
+    requirePlantedIdHeadroom(s, d)
+    audioSigsFrom(documents(s, d))(s)
+  }
+
+  /** The production audio near-dup pair table: the volume-invariant 64-bit
+    * energy-contour fingerprint through the shared [[byteBandPairs]]
+    * machinery (8 byte-bands, pigeonhole-complete for hamming ≤ 7 — wider
+    * than the proven ≤ 4 re-levelling drift, so re-levelled copies band
+    * together). The registered q_dedup_audio is the banded audit report
+    * over this table. At 100 TB the synth step is a media-store scan +
+    * per-row codec pass; everything after the 8-byte sketch is
+    * corpus-size-bounded banding, identical to the image family.
+    */
+  private[graft] def audioDedupPairs(s: SparkSession, d: String): DataFrame =
+    byteBandPairs(audioSigs(s, d))
 
   /** The production per-vector topic-assignment table: spherical k-means
     * trained on a bounded deterministic sample (trainIvfCentroids — driver
@@ -2082,6 +2120,56 @@ object SimilarityQueries {
             // STRICT > 0.9, matching DedupRecallSpec's gate on the same
             // quantity exactly (>= would let the two gates disagree when
             // recall lands precisely on the floor).
+            (col("n_planted_found") > col("n_docs") * 0.9).as("planted_recall_band"),
+            (col("n_mismatch") === 0L).as("ball_band")
+          )
+      },
+      Some("""SELECT COUNT(*) AS n_docs, TRUE AS planted_recall_band,
+             |  TRUE AS ball_band
+             |FROM documents""".stripMargin)
+    ),
+
+    // Audio near-dup by volume-invariant fingerprint — the audio arm of
+    // the perceptual dedup family, completing what q_audio_features
+    // starts: every document keys a deterministic WAV synthesized AND
+    // decoded through the real AudioSystem codec path, plus a planted
+    // HALF-VOLUME re-levelled variant at doc_id+1e6 (the re-mastered /
+    // re-normalized regime the energy-contour fingerprint absorbs —
+    // proven hamming ≤ 4 under re-levelling, AudioSpec); each clip maps
+    // to its 64-bit fingerprint, then pairing is EXACTLY the shared
+    // byteBandPairs machinery (8 byte-bands, pigeonhole-complete for
+    // hamming ≤ 7, merge-hinted self-join with the hamming cut inside the
+    // band join). Registered form = the banded audit report (the pair
+    // table is audioDedupPairs, spec-consumed): n_docs cross-engine
+    // exact, planted_recall_band drives every planted re-levelled variant
+    // through the full synth→decode→fingerprint→band path, and ball_band
+    // re-asserts pigeonhole-completeness at gate time — on the fixed-size
+    // doc sample, the banded pair set restricted to the sample must EQUAL
+    // the brute-force hamming≤7 ball over the sampled fingerprints, both
+    // directions (DedupRecallSpec proves the same equality exhaustively
+    // at spec scale).
+    Q(
+      "q_dedup_audio",
+      (s, d) => {
+        val pairs = audioDedupPairs(s, d)
+        // Synthesize only the fixed-size sample for the ball branch —
+        // base-id sampling keeps each sampled original's planted variant,
+        // and the second codec pass costs ~500 docs at ANY corpus size.
+        val mod = sampleModulus(documentsCount(s, d))
+        val sampled =
+          audioSigsFrom(documents(s, d).filter(inSampleBase(mod)(col("doc_id"))))(s)
+        val mismatch = sampledBallAudit(sampled, pairs, mod)
+        val recall = pairs
+          .filter(col("doc_b") === col("doc_a") + 1000000L)
+          .agg(count(lit(1)).as("n_planted_found"))
+        documents(s, d)
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(recall))
+          .crossJoin(broadcast(mismatch))
+          .select(
+            col("n_docs"),
+            // STRICT > 0.9, matching DedupRecallSpec's gate on the same
+            // quantity exactly.
             (col("n_planted_found") > col("n_docs") * 0.9).as("planted_recall_band"),
             (col("n_mismatch") === 0L).as("ball_band")
           )

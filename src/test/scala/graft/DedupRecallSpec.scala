@@ -201,6 +201,49 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     out.unpersist()
   }
 
+  test("audio fingerprint dedup: planted re-levelled variants pair with their originals; banding equals brute force") {
+    import graft.operators.MultimodalOps
+    // Production pair table — the registered q_dedup_audio is its banded
+    // audit report.
+    val out = SimilarityQueries.audioDedupPairs(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    // Recall through the FULL path (synth → AudioSystem encode → decode →
+    // fingerprint → band → verify): half-volume re-levelling preserves the
+    // energy-contour comparisons up to quantization noise, so nearly every
+    // variant stays within hamming 7 of its original.
+    val planted = out.filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(planted.toDouble / total > 0.9, s"audio planted recall ${planted.toDouble / total}")
+    // Byte-banding is pigeonhole-complete for hamming <= 7, so the banded
+    // pair set must EQUAL the brute-force hamming ball over the same
+    // deterministic sketch table — both directions, no tolerance.
+    val params = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .collect()
+    val sigs = params.flatMap { case (id, nChars) =>
+      val sr = (8000 * (1 + id % 2)).toInt
+      val ns = (800 + (nChars % 160) * 10).toInt
+      val amp = 0.4 + (id % 5).toDouble * 0.1
+      def fp(a: Double): Long =
+        MultimodalOps.audioFingerprint64(
+          MultimodalOps.decodeAudio(MultimodalOps.synthWav(id, sr, ns, a)).get._5)
+      Seq(id -> fp(amp), (id + 1000000L) -> fp(amp * 0.5))
+    }
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 7
+    } yield {
+      val (ida, idb) = (sigs(i)._1, sigs(j)._1)
+      if (ida < idb) (ida, idb) else (idb, ida)
+    }).toSet
+    val got = out.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"banded != brute force: missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+    out.unpersist()
+  }
+
   test("semdedup drops most planted copies with the exact keeper and never a base vector") {
     // The production drop table — the registered q_semdedup is its banded
     // report wrapper.
