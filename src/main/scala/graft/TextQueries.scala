@@ -135,6 +135,71 @@ object TextQueries {
       TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens")
     )
 
+  /** Whitespace tokenization as an ARRAY (empties filtered) — the
+    * unexploded form [[tokenIdStream]] maps over so the corpus never
+    * shuffles; element-wise identical to the exploded stream
+    * q_vocab_build / q_token_count count over.
+    */
+  private[graft] def wsTokenArray(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Train the top-V vocabulary (q_vocab_build's exact (count desc, token
+    * asc) id assignment) and return it as a bounded driver-side list —
+    * the O(V) plan parameter [[tokenIdStream]] compiles in, the
+    * trainIvfCentroids / TextClassifier pattern: one distinct-token-
+    * bounded agg + TakeOrderedAndProject, V rows to the driver, never
+    * O(corpus) state.
+    */
+  private[graft] def trainWsVocab(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      v: Int = 200
+  ): Seq[(String, Int)] =
+    documents(s, d)
+      .select(explode(wsTokenArray(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(v)
+      .select("token")
+      .collect()
+      .map(_.getString(0))
+      .zipWithIndex
+      .map { case (t, i) => (t, i + 1) }
+      .toSeq
+
+  /** The production token-id stream — the actual trainer input the
+    * tokenize→vocab chain was building toward: each document's ordered
+    * token-id sequence under a fixed vocabulary, OOV → `unkId`. The
+    * vocabulary rides into the plan as ONE map literal (V entries — a
+    * bounded parameter like the classifier weights), looked up per
+    * element with `try_element_at` inside a single `transform` over the
+    * UNEXPLODED token array: zero joins, zero shuffles, config-
+    * independent under ANSI (try_element_at nulls on miss instead of
+    * raising). At a vocabulary too large for a plan literal (≳10⁵
+    * entries) the same stream falls back to explode + broadcast-join on
+    * the V-row vocab + ordered re-aggregation — the corpus side still
+    * never shuffles for the lookup itself. Ids egress comma-joined (the
+    * pcaProjections array convention) so the stream is hash-comparable
+    * across engines.
+    */
+  private[graft] def tokenIdStream(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: org.apache.spark.sql.Column,
+      vocab: Seq[(String, Int)],
+      unkId: Int = 0
+  ): org.apache.spark.sql.DataFrame = {
+    val vm = typedLit(vocab.toMap)
+    docs
+      .withColumn("__ids", transform(wsTokenArray(textCol), t => coalesce(try_element_at(vm, t), lit(unkId))))
+      .select(
+        col("doc_id"),
+        size(col("__ids")).cast("long").as("n_tokens"),
+        size(filter(col("__ids"), i => i === unkId)).cast("long").as("n_oov"),
+        array_join(col("__ids"), ",").as("ids")
+      )
+  }
+
   private[graft] def compressionRatioTable(
       s: org.apache.spark.sql.SparkSession,
       d: String
@@ -605,6 +670,99 @@ object TextQueries {
              |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
              |  FROM documents) t
              |WHERE rk <= 10""".stripMargin)
+    ),
+
+    // URL canonicalization — the ingest-hygiene step BETWEEN fetch and
+    // q_cap_per_source's domain capping: without it `HTTP://WWW.X.COM:80/
+    // a/../b?utm_source=f` and `http://x.com/b` count as different pages
+    // and the frontier over-crawls every site. UrlFunctions.canonicalizeUrl
+    // is pure codegen'd regexp/string builtins in the RE2∩Java dialect
+    // (the q_redact_pii rule): fragment dropped, scheme/host lowercased,
+    // www. and default ports stripped, dot segments resolved, %7E decoded,
+    // tracking params (utm_*/ref/fbclid/gclid/mc_eid) removed order-
+    // preserving. One map pass, zero shuffles at any corpus size. The
+    // corpus has no URL column, so (the q_redact_pii pattern) each doc
+    // derives a deterministic MESSY url — three shapes covering case/port/
+    // dot-segment/tracking/fragment dirt — and the oracle rebuilds and
+    // canonicalizes it with the same regex steps (its fixture resolves
+    // fully within two ../ passes; the library's extra passes are no-ops
+    // there, so the engines agree exactly).
+    Q(
+      "q_url_canonical",
+      (s, d) => {
+        import graft.functions.UrlFunctions
+        val url = when(
+          pmod(col("doc_id"), lit(3)) === 0,
+          concat(
+            lit("HTTP://WWW."), col("source"),
+            lit(".Example.COM:80/a/./b/../c%7Ed/?utm_source=feed&id="),
+            (col("doc_id") % 100).cast("string"), lit("&ref=tw#sec")))
+          .when(
+            pmod(col("doc_id"), lit(3)) === 1,
+            concat(
+              lit("https://CDN."), col("source"),
+              lit(".example.com:443/img/x/../y/z.png?gclid=g&size="),
+              (col("doc_id") % 9).cast("string"), lit("px")))
+          .otherwise(
+            concat(
+              lit("http://"), col("source"), lit(".example.com/docs/"),
+              (col("doc_id") % 5).cast("string"), lit("/index.html")))
+        documents(s, d).select(
+          col("doc_id"),
+          url.as("url"),
+          UrlFunctions.canonicalizeUrl(url).as("canonical_url"),
+          UrlFunctions.urlHost(url).as("host")
+        )
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE CAST(doc_id % 3 AS INT)
+             |      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/a/./b/../c%7Ed/?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=tw#sec'
+             |      WHEN 1 THEN 'https://CDN.' || source || '.example.com:443/img/x/../y/z.png?gclid=g&size=' || CAST(doc_id % 9 AS VARCHAR) || 'px'
+             |      ELSE 'http://' || source || '.example.com/docs/' || CAST(doc_id % 5 AS VARCHAR) || '/index.html'
+             |    END AS url
+             |  FROM documents),
+             |parts AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+             |  FROM u),
+             |hostp AS (
+             |  SELECT *,
+             |    CASE WHEN scheme = 'http'
+             |           THEN regexp_replace(regexp_replace(auth, '^www\.', ''), ':80$', '')
+             |         WHEN scheme = 'https'
+             |           THEN regexp_replace(regexp_replace(auth, '^www\.', ''), ':443$', '')
+             |         ELSE regexp_replace(auth, '^www\.', '') END AS host
+             |  FROM parts),
+             |pathp AS (
+             |  SELECT *,
+             |    regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(regexp_replace(regexp_replace(
+             |        regexp_replace(regexp_replace(
+             |          regexp_replace(
+             |            CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
+             |            '%7[Ee]', '~', 'g'),
+             |          '/(\./)+', '/', 'g'),
+             |        '/\.$', '/', 'g'),
+             |      '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\./', '/', 'g'), '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\.$', '/', 'g'), '^(/\.\.)+/', '/', 'g'),
+             |      '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\./', '/', 'g'), '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\.$', '/', 'g'), '^(/\.\.)+/', '/', 'g')
+             |      AS cpath
+             |  FROM hostp),
+             |qp AS (
+             |  SELECT *,
+             |    regexp_replace(
+             |      regexp_replace('&' || rawq, '&(utm_[^=&]*|ref|fbclid|gclid|mc_eid)=[^&]*', '', 'g'),
+             |      '^&+', '', 'g') AS cq
+             |  FROM pathp)
+             |SELECT doc_id, url,
+             |  CASE WHEN scheme = '' THEN url
+             |       ELSE scheme || '://' || host || cpath ||
+             |            CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canonical_url,
+             |  host
+             |FROM qp""".stripMargin)
     ),
 
     // Language-balanced rate sampling — downsample the dominant language
@@ -1518,6 +1676,51 @@ object TextQueries {
              |  GROUP BY 1 ORDER BY n DESC, token LIMIT 200)
              |SELECT row_number() OVER (ORDER BY n DESC, token) AS token_id, token, n
              |FROM counts""".stripMargin)
+    ),
+
+    // Token-id stream — the join the tokenize→vocab chain was building
+    // toward and the actual trainer input: every document as its ordered
+    // token-id sequence under q_vocab_build's EXACT vocabulary (same
+    // (count desc, token asc) contiguous ids), OOV → unk id 0. The
+    // whole derivation is SQL-expressible, so the stream itself — ids in
+    // order, token and OOV counts — is cross-engine hash-checked, not
+    // banded. Plan shape (pinned): the vocab collapses to a V-entry map
+    // literal and the lookup runs per element inside one transform over
+    // the unexploded token array — the corpus scan has NO join and NO
+    // exchange; empty docs keep a row (n_tokens 0, ids '') because
+    // nothing ever explodes. The oracle rebuilds the vocab, explodes
+    // positionally, left-joins, and re-aggregates ordered — same stream.
+    Q(
+      "q_token_ids",
+      (s, d) => tokenIdStream(documents(s, d), col("text"), trainWsVocab(s, d, v = 200)),
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents),
+             |counts AS (
+             |  SELECT token, COUNT(*) AS n FROM toks WHERE length(token) > 0
+             |  GROUP BY 1 ORDER BY n DESC, token LIMIT 200),
+             |vocab AS (
+             |  SELECT row_number() OVER (ORDER BY n DESC, token) AS token_id, token
+             |  FROM counts),
+             |dt AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS token,
+             |    unnest(range(1, 1 + length(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)))) AS pos
+             |  FROM documents),
+             |ids AS (
+             |  SELECT doc_id, pos, COALESCE(v.token_id, 0) AS tid
+             |  FROM dt LEFT JOIN vocab v USING (token)),
+             |agg AS (
+             |  SELECT doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |    string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
+             |  FROM ids GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(a.n_tokens, 0) AS n_tokens,
+             |  COALESCE(a.n_oov, 0) AS n_oov,
+             |  COALESCE(a.ids, '') AS ids
+             |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)
     )
   )
 }

@@ -43,4 +43,78 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
   test("stopwordRatio on a half-stopword sentence") {
     assert(one[Double](stopwordRatio(col("text")), "the dog") == 0.5)
   }
+
+  test("canonicalizeUrl: case, ports, www, dot segments, tracking params, fragment") {
+    import graft.functions.UrlFunctions
+    def canon(u: String): String = one[String](UrlFunctions.canonicalizeUrl(col("text")), u)
+    // The full dirt spectrum in one URL.
+    assert(canon("HTTP://WWW.Ex.COM:80/a/./b/../c%7Ed/?utm_source=f&id=7&ref=tw#sec")
+      == "http://ex.com/a/c~d/?id=7")
+    // Deep ../ nesting resolves (4 levels, well under the 8-pass bound).
+    assert(canon("https://x.com/a/b/c/d/../../../../e") == "https://x.com/e")
+    // Leading ../ with nothing to consume collapses to root.
+    assert(canon("http://x.com/../../a") == "http://x.com/a")
+    // Tracking-only query drops its '?'; non-default port survives.
+    assert(canon("https://x.com:8443/p?utm_a=1&gclid=g") == "https://x.com:8443/p")
+    // :443 stripped only for https, :80 only for http.
+    assert(canon("https://x.com:443/p") == "https://x.com/p")
+    assert(canon("http://x.com:443/p") == "http://x.com:443/p")
+    // Empty path becomes '/', surviving params keep their order.
+    assert(canon("http://x.com?b=2&a=1") == "http://x.com/?b=2&a=1")
+    // Not an absolute URL: passes through untouched.
+    assert(canon("not a url at all") == "not a url at all")
+    assert(canon("/relative/path?utm_a=1") == "/relative/path?utm_a=1")
+  }
+
+  test("tokenIdStream: ordered ids, OOV->unk, empty doc keeps a row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "  "),
+      (3L, "THE unknownword the")
+    ).toDF("doc_id", "text")
+    val vocab = Seq(("the", 1), ("cat", 2), ("mat", 3))
+    val out = TextQueries
+      .tokenIdStream(docs, col("text"), vocab)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)]
+      .collect()
+    // Order preserved, case-folded lookup, OOV -> 0.
+    assert(out(0) == ((1L, 6L, 2L, "1,2,0,0,1,3")))
+    // Whitespace-only doc keeps its row with an empty stream.
+    assert(out(1) == ((2L, 0L, 0L, "")))
+    assert(out(2) == ((3L, 3L, 1L, "1,0,1")))
+  }
+
+  test("tokenIdStream over bpeSegmentsTable: the BPE trainer input — symbol ids, zero OOV under a full symbol vocab") {
+    import spark.implicits._
+    // The segments column is space-joined symbols, so the whitespace
+    // tokenization tokenIdStream applies recovers exactly the symbol
+    // sequence — the id stream a trainer consumes. A vocab built over
+    // ALL distinct symbols makes every symbol resolvable: n_tokens must
+    // equal the kernel's own n_bpe_tokens and n_oov must be zero.
+    val segs = TextQueries.bpeSegmentsTable(spark, sfDir).cache()
+    val symVocab = segs
+      .select(explode(split(col("segments"), " ")).as("sym"))
+      .filter(length(col("sym")) > 0)
+      .groupBy("sym")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("sym"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1) }
+      .toSeq
+    val ids = TextQueries.tokenIdStream(segs, col("segments"), symVocab)
+    val joined = ids
+      .join(segs.select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+      .select(
+        (col("n_tokens") === col("n_bpe_tokens")).as("count_agree"),
+        (col("n_oov") === 0L).as("no_oov"))
+      .as[(Boolean, Boolean)]
+      .collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(_._1), "symbol-id stream length must equal the kernel token count")
+    assert(joined.forall(_._2), "full symbol vocab must leave zero OOV")
+    segs.unpersist()
+  }
 }
