@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the ingest-hygiene step between fetch and
+  * domain-capping (q_cap_per_source keys on a source/domain; a crawl
+  * frontier that doesn't canonicalize counts `HTTP://WWW.X.COM/a/../b`
+  * and `http://x.com/b` as different pages and over-crawls every site).
+  *
+  * Built ENTIRELY from codegen'd regexp/string builtins in the RE2∩Java
+  * dialect (the q_redact_pii rule), so the exact same steps restate in
+  * DuckDB SQL for the oracle and the whole pass stays inside
+  * whole-stage codegen — one map over the URL column, zero shuffles at
+  * any corpus size.
+  *
+  * Canonical form (documented contract, applied in this order):
+  *   1. fragment dropped (never reaches the server);
+  *   2. scheme and authority lowercased; a leading `www.` stripped;
+  *      default ports dropped (`:80` for http, `:443` for https);
+  *   3. path: `%7E`/`%7e` decoded to `~` (the one unreserved octet that
+  *      commonly appears encoded), `/./` runs collapsed, `..` segments
+  *      resolved up to [[DotDotPasses]] levels of nesting (RFC 3986
+  *      remove_dot_segments is a loop; eight fixed passes cover any URL
+  *      a crawler meets — deeper chains would need a native kernel);
+  *      empty path becomes `/`;
+  *   4. query: tracking parameters removed (`utm_*`, `ref`, `fbclid`,
+  *      `gclid`, `mc_eid`), surviving parameters kept IN ORDER (order-
+  *      preserving canonicalization — sorting would need an explode or
+  *      a native kernel for no dedup gain on real-world URLs, which are
+  *      emitted param-stable); an emptied query drops its `?`;
+  *   5. anything without a `scheme://` prefix passes through unchanged
+  *      (relative references are not canonicalized, they're resolved —
+  *      a different operation needing a base URL).
+  */
+object UrlFunctions {
+
+  /** Fixed pass count for `..` resolution — bounds regex application
+    * while covering any realistic nesting depth.
+    */
+  val DotDotPasses = 8
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Lowercased scheme, or '' when the value is not an absolute URL. */
+  def urlScheme(u: Column): Column = lower(regexp_extract(u, schemeRe, 1))
+
+  /** Canonical host[:port]: authority lowercased, leading `www.`
+    * stripped, default port for the scheme dropped. The domain key
+    * cap_per_source / PageRank-style frontier logic groups on.
+    */
+  def urlHost(u: Column): Column = {
+    val auth = lower(regexp_extract(u, schemeRe + "([^/?#]*)", 2))
+    val noWww = regexp_replace(auth, "^www\\.", "")
+    when(urlScheme(u) === "http", regexp_replace(noWww, ":80$", ""))
+      .when(urlScheme(u) === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+  }
+
+  /** Canonical path: %7E decoded, dot segments resolved, '' → '/'. */
+  private[graft] def canonicalPath(u: Column): Column = {
+    val raw = regexp_extract(u, schemeRe + "[^/?#]*([^?#]*)", 2)
+    val nonEmpty = when(raw === "", lit("/")).otherwise(raw)
+    val decoded = regexp_replace(nonEmpty, "%7[Ee]", "~")
+    // '/./' runs collapse in one pass with a quantified group; a bare
+    // trailing '/.' normalizes to '/'.
+    val noDot = regexp_replace(regexp_replace(decoded, "/(\\./)+", "/"), "/\\.$", "/")
+    // Each pass removes one level of '/segment/../' nesting (leftmost,
+    // non-overlapping), plus a trailing '/segment/..' and any leading
+    // '/../' left with nothing to consume. The segment alternation
+    // excludes the literal '.' and '..' segments WITHOUT lookahead (RE2
+    // has none): a bare [^/]+ would match '..' itself and let
+    // '/../../' self-annihilate instead of popping real segments.
+    val seg = "([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+    (1 to DotDotPasses).foldLeft(noDot) { (p, _) =>
+      regexp_replace(
+        regexp_replace(regexp_replace(p, s"/$seg/\\.\\./", "/"), s"/$seg/\\.\\.$$", "/"),
+        "^(/\\.\\.)+/",
+        "/")
+    }
+  }
+
+  /** Canonical query string (no leading '?'): tracking params removed,
+    * survivors kept in order; '' when nothing survives.
+    */
+  private[graft] def canonicalQuery(u: Column): Column = {
+    val q = regexp_extract(u, "\\?([^#]*)", 1)
+    val stripped =
+      regexp_replace(concat(lit("&"), q), "&(utm_[^=&]*|ref|fbclid|gclid|mc_eid)=[^&]*", "")
+    regexp_replace(stripped, "^&+", "")
+  }
+
+  /** The full canonical URL (see object doc for the contract). */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val query = canonicalQuery(u)
+    val canon = concat(
+      scheme,
+      lit("://"),
+      urlHost(u),
+      canonicalPath(u),
+      when(query === "", lit("")).otherwise(concat(lit("?"), query))
+    )
+    when(scheme === "", u).otherwise(canon)
+  }
+}

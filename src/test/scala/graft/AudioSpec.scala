@@ -107,6 +107,15 @@ class AudioSpec extends AnyFunSuite with SparkSpec {
     assert(again(4L).fingerprint == stub.fingerprint)
   }
 
+  test("q_dedup_audio: banded report flags true, n_docs exact") {
+    val row = QueryRegistry.queries("q_dedup_audio")(spark, sfDir).collect()
+    assert(row.length == 1)
+    val n = Tables.documents(spark, sfDir).count()
+    assert(row(0).getLong(0) == n, s"n_docs ${row(0).getLong(0)} != $n")
+    assert(row(0).getBoolean(1), "planted_recall_band false")
+    assert(row(0).getBoolean(2), "ball_band false")
+  }
+
   test("q_audio_features: all banded flags true on the registered corpus") {
     val rows = QueryRegistry
       .queries("q_audio_features")(spark, sfDir)

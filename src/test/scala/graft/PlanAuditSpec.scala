@@ -124,7 +124,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_ngram_jaccard" -> QueryRegistry.queries("q_ngram_jaccard")(spark, sfDir),
       "q_dedup_embedding" -> QueryRegistry.queries("q_dedup_embedding")(spark, sfDir),
       "q_dedup_substrings" -> QueryRegistry.queries("q_dedup_substrings")(spark, sfDir),
-      "imageDedupPairs" -> SimilarityQueries.imageDedupPairs(spark, sfDir)
+      "imageDedupPairs" -> SimilarityQueries.imageDedupPairs(spark, sfDir),
+      "audioDedupPairs" -> SimilarityQueries.audioDedupPairs(spark, sfDir)
     )
     for ((name, df) <- pinned) {
       df.collect()
@@ -307,6 +308,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plan("q_chunk_docs")
     assert(!p.contains("Exchange"), s"chunking 100 TB must stay map-only:\n$p")
     assert(p.contains("Generate posexplode"), s"chunk fan-out must be a Generate:\n$p")
+  }
+
+  test("q_token_ids: vocab is a plan literal — corpus scan has no join and no exchange") {
+    // The V-entry vocabulary must ride into the plan as one map literal
+    // looked up inside a single transform over the unexploded token
+    // array: the corpus side of the trainer-input stream never joins,
+    // never explodes, never shuffles (the vocab training agg is a
+    // separate bounded job, not part of this plan).
+    val p = plan("q_token_ids")
+    assert(!p.contains("Exchange"), s"token-id lookup must stay map-only:\n$p")
+    assert(!p.contains("Join"), s"vocab must be a plan literal, not a join:\n$p")
+    assert(!p.contains("Generate"), s"the token array must not explode:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"only doc_id+text may be read:\n$p")
+  }
+
+  test("q_url_canonical: canonicalization is a zero-shuffle map over codegen regexp builtins") {
+    val p = plan("q_url_canonical")
+    assert(!p.contains("Exchange"), s"URL canonicalization at 100 TB must stay map-only:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"only doc_id+source may be read:\n$p")
   }
 
   test("q_pack_context: hierarchical prefix sum — no full-stream window, offsets broadcast") {
