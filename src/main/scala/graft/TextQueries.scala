@@ -765,6 +765,64 @@ object TextQueries {
              |FROM qp""".stripMargin)
     ),
 
+    // HTML main-content extraction — boilerplate/chrome removal, the
+    // gate between raw crawl HTML and EVERY text-quality operator above
+    // (which all assume clean prose; nav/footer/link-farm chrome would
+    // otherwise dominate token counts and poison dedup shingles).
+    // HtmlContent applies the simplified jusText/Boilerpipe text-density
+    // rule: script/style/head dropped, block segmentation at block-level
+    // tags, a block is content iff ≥30 visible chars AND link density
+    // ≤ 0.33. The corpus has no HTML column, so (the q_url_canonical /
+    // q_redact_pii pattern) each doc renders a deterministic full page —
+    // nav chrome, heading, the doc's text as two <p> halves, one static
+    // inline-decorated entity-bearing paragraph, a long link farm (only
+    // the DENSITY rule can reject it), a short footer — and the REAL
+    // extractor runs over real markup on the Spark side while the oracle
+    // states the ground truth directly from documents: a missed script
+    // payload, a split inline tag, an undecoded entity, or a
+    // misclassified block all flip the hash. Extraction is one map-only
+    // UDF pass (plan-pinned) — a million cached pages extract with no
+    // shuffle; fixture-page behavior on REAL NWS pages is spec-pinned
+    // alongside the table pipeline (HtmlContentSpec).
+    Q(
+      "q_html_extract",
+      (s, d) => {
+        val h = floor(length(col("text")) / lit(2)).cast("int")
+        val p1 = col("text").substr(lit(1), h)
+        val p2 = col("text").substr(h + lit(1), length(col("text")))
+        val page = concat(
+          lit("<html><head><title>Doc</title><style>body { color: #333; }</style></head><body>" +
+            "<script>var tracker = \"analytics\";</script>" +
+            "<div class=\"nav\"><a href=\"/\">Home</a> | <a href=\"/about\">About</a> | <a href=\"/contact\">Contact</a></div>" +
+            "<h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), p1, lit("</p><p>"), p2,
+          lit("</p><p>Figures include <b>bold</b> and <i>italic</i> runs &amp; entities for style checks in this paragraph.</p>" +
+            "<div class=\"related\"><a href=\"/a\">Read more about our related articles</a> <a href=\"/b\">Subscribe to the weekly newsletter</a></div>" +
+            "<div class=\"footer\">&#169; 2024 Example | <a href=\"/tos\">Terms</a></div>" +
+            "</body></html>")
+        )
+        graft.sources.HtmlContent
+          .extractMain(documents(s, d).select(col("doc_id"), page.as("html")), col("html"))
+          .select("doc_id", "content", "n_blocks", "n_content_blocks")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    trim(substr(text, 1, CAST(floor(length(text) / 2) AS INT))) AS p1,
+             |    trim(substr(text, CAST(floor(length(text) / 2) AS INT) + 1)) AS p2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  concat_ws(chr(10),
+             |    CASE WHEN length(p1) >= 30 THEN p1 END,
+             |    CASE WHEN length(p2) >= 30 THEN p2 END,
+             |    'Figures include bold and italic runs & entities for style checks in this paragraph.') AS content,
+             |  5 + CASE WHEN length(p1) > 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p2) > 0 THEN 1 ELSE 0 END AS n_blocks,
+             |  1 + CASE WHEN length(p1) >= 30 THEN 1 ELSE 0 END
+             |    + CASE WHEN length(p2) >= 30 THEN 1 ELSE 0 END AS n_content_blocks
+             |FROM h""".stripMargin)
+    ),
+
     // Language-balanced rate sampling — downsample the dominant language
     // instead of capping it, preserving within-language distribution. The
     // keep rates are DERIVED from the observed language counts (uniform

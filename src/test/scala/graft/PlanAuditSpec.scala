@@ -324,6 +324,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"only doc_id+text may be read:\n$p")
   }
 
+  test("q_html_extract: main-content extraction is a zero-shuffle per-page map") {
+    val p = plan("q_html_extract")
+    assert(!p.contains("Exchange"), s"HTML extraction at 100 TB must stay map-only:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"only doc_id+text may be read:\n$p")
+  }
+
   test("q_url_canonical: canonicalization is a zero-shuffle map over codegen regexp builtins") {
     val p = plan("q_url_canonical")
     assert(!p.contains("Exchange"), s"URL canonicalization at 100 TB must stay map-only:\n$p")
