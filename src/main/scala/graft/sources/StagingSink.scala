@@ -28,6 +28,12 @@ object StagingSink {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Whether a main table exists at `path` — the first-load check the
+    * streaming CDC upsert needs before its stale-guard scan of main.
+    */
+  private[graft] def mainExists(spark: SparkSession, path: String): Boolean =
+    exists(spark, path)
+
   /** Compact a parquet table's small files: incremental loads append one
     * file per batch-partition, and a year of hourly merges leaves main as
     * thousands of KB-sized files whose open/footer costs dominate every

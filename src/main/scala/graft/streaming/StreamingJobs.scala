@@ -197,6 +197,103 @@ object StreamingJobs {
       }
       .start()
 
+  /** One micro-batch of the CDC upsert — the foreachBatch body of
+    * [[cdcUpsert]], exposed so a replayed batch (checkpoint loss, driver
+    * restart mid-commit) can be re-driven directly in tests and
+    * recovery tooling. Three steps, each scale-shaped:
+    *
+    *  1. within-batch last-wins: one partial-agg'd groupBy on the key
+    *     collapsing each key to its max-`seqCol` row (`max(struct(seq,
+    *     payload…))` — ties on seq resolve by the struct's lexicographic
+    *     tail, deterministically);
+    *  2. stale-guard: a column-pruned (key, seq) scan of main is semi-
+    *     joined down to the batch's keys (batch keys broadcast — the
+    *     probe is map-side, main never shuffles), partial-aggs to one
+    *     max-seq row per matched key (batch-bounded), and that small
+    *     result broadcasts back onto the batch, dropping staged rows
+    *     with `seq` ≤ the copy main already holds. This is what makes
+    *     ANY replay idempotent — not just the crashed-batch re-run, but
+    *     a stale batch re-delivered after newer data landed (pure
+    *     key-replacement would regress values); it is MERGE's
+    *     `WHEN MATCHED AND s.seq > m.seq THEN UPDATE` arm;
+    *  3. `StagingSink.upsertToMain` merges the survivors (replace
+    *     matched keys, insert new ones, touched-partition-only rewrite
+    *     on a partitioned main).
+    *
+    * An emptied batch (everything stale) short-circuits before staging.
+    */
+  def cdcUpsertBatch(
+      batch: org.apache.spark.sql.DataFrame,
+      stagingPath: String,
+      mainPath: String,
+      keyCols: Seq[String],
+      seqCol: String,
+      clock: org.apache.spark.sql.Column,
+      partitionCols: Seq[String] = Nil
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val payload = batch.columns.filterNot(keyCols.contains).toSeq
+    require(payload.contains(seqCol), s"cdcUpsertBatch: seq column `$seqCol` must be a non-key column")
+    val latest = batch
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct((seqCol +: payload.filterNot(_ == seqCol)).map(col): _*)).as("__m"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__m.$c")): _*)
+    val guarded =
+      if (!graft.sources.StagingSink.mainExists(spark, mainPath)) latest
+      else {
+        val matchedMaxSeq = spark.read.parquet(mainPath)
+          .select((keyCols :+ seqCol).map(col): _*)
+          .join(broadcast(latest.select(keyCols.map(col): _*)), keyCols, "left_semi")
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(col(seqCol)).as("__main_seq"))
+        latest
+          .join(broadcast(matchedMaxSeq), keyCols, "left")
+          .filter(col("__main_seq").isNull || col(seqCol) > col("__main_seq"))
+          .drop("__main_seq")
+      }
+    if (!guarded.isEmpty) {
+      graft.sources.StagingSink.stage(guarded, stagingPath)
+      graft.sources.StagingSink.upsertToMain(
+        spark, stagingPath, mainPath, keyCols, clock, partitionCols)
+    }
+  }
+
+  /** The CDC deployment shape one step past [[stagedLoad]]: each
+    * micro-batch UPSERTS into main (replace matched keys with the
+    * batch's latest image, insert new ones) instead of append-with-
+    * dedup — the change-stream → warehouse-table pattern. Same
+    * triggers/checkpoint contract as stagedLoad; idempotent under batch
+    * replay by the seq-guarded upsert semantics of [[cdcUpsertBatch]]
+    * (MultimodalStreamingSpec drives a replay through it and checks the
+    * end state against the batch MERGE oracle).
+    */
+  def cdcUpsert(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stagingPath: String,
+      mainPath: String,
+      keyCols: Seq[String],
+      seqCol: String,
+      checkpoint: String,
+      clock: org.apache.spark.sql.Column,
+      partitionCols: Seq[String] = Nil,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
+      .parquet(srcDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        cdcUpsertBatch(batch, stagingPath, mainPath, keyCols, seqCol, clock, partitionCols)
+      }
+      .start()
+  }
+
   /** Gap-based sessionization with explicit per-user state (batch form). */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
     implicit val stateEnc = Encoders.product[OpenSession]

@@ -78,6 +78,59 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(main).count() == 3)
   }
 
+  test("streaming CDC upsert: per-batch MERGE into main, idempotent under crashed-batch AND stale replays") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("cdc").toString
+    val src = s"$base/src"; val staging = s"$base/staging"
+    val main = s"$base/main"; val ckpt = s"$base/ckpt"
+    val clock = lit("2026-01-01 00:00:00").cast("timestamp")
+
+    // CDC change stream: (id, seq, v). File 1 carries an IN-batch update
+    // (id 1 twice — last-wins on seq must keep v=11); file 2 updates id 2
+    // across batches and inserts id 3.
+    val file1 = Seq((1L, 1L, 10.0), (1L, 2L, 11.0), (2L, 1L, 20.0)).toDF("id", "seq", "v")
+    val file2 = Seq((2L, 3L, 21.0), (3L, 1L, 30.0)).toDF("id", "seq", "v")
+    file1.write.parquet(src)
+    file2.write.mode("append").parquet(src)
+
+    def runStream(): Unit = {
+      val q = graft.streaming.StreamingJobs.cdcUpsert(
+        spark, src, file1.schema, staging, main, Seq("id"), "seq", ckpt, clock,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    def state(): Set[(Long, Long, Double)] =
+      spark.read.parquet(main).select("id", "seq", "v").as[(Long, Long, Double)].collect().toSet
+
+    runStream()
+    // The batch MERGE oracle: latest image per key by seq over the WHOLE
+    // source — what one non-streaming MERGE of all the data would leave.
+    val oracle = spark.read.parquet(src)
+      .groupBy("id").agg(max(struct(col("seq"), col("v"))).as("m"))
+      .select(col("id"), col("m.seq"), col("m.v")).as[(Long, Long, Double)].collect().toSet
+    assert(oracle == Set((1L, 2L, 11.0), (2L, 3L, 21.0), (3L, 1L, 30.0)))
+    assert(state() == oracle, "streamed per-batch upserts must equal the batch MERGE")
+    assert(spark.read.parquet(main).columns.contains("date_added_utc"))
+
+    // Injected replay 1: the LAST batch re-runs after a simulated crash
+    // mid-commit — re-driving the foreachBatch body with the same data
+    // must leave the table unchanged (equal seqs are dropped, not
+    // re-merged).
+    graft.streaming.StreamingJobs.cdcUpsertBatch(file2, staging, main, Seq("id"), "seq", clock)
+    assert(state() == oracle, "crashed-batch replay must be a no-op")
+
+    // Injected replay 2: a STALE batch re-delivered after newer data —
+    // pure key-replacement would regress id 2 back to v=20; the seq
+    // guard must drop every row.
+    graft.streaming.StreamingJobs.cdcUpsertBatch(file1, staging, main, Seq("id"), "seq", clock)
+    assert(state() == oracle, "stale replay must not regress newer rows")
+
+    // Checkpoint loss: the whole source replays through the stream.
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    runStream()
+    assert(state() == oracle, "full-source replay after checkpoint loss must converge to the same table")
+  }
+
   test("real JDK codec decodes actual PNG/BMP pixels; stub stays the fallback") {
     import javax.imageio.ImageIO
     import java.awt.image.BufferedImage
