@@ -1,9 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-query timings of the PREVIOUS bench record (the bench.json sitting
+    * in cwd before this run overwrites it). Cross-round wall-clock totals
+    * have never been directly comparable — the host drifts 1.5-2× same-code
+    * between rounds (r11 measured 84.7-154 s for identical bits) and each
+    * round adds queries — so every comparison so far needed by-hand
+    * archaeology: restrict both runs to the shared query set, sum, ratio.
+    * This run computes that ratio itself and carries it in the emitted
+    * record as `shared_sum_vs_prev` (this run's shared-set sum ÷ previous
+    * record's shared-set sum; > 1 means this run was slower on identical
+    * queries — host drift or regression, to be told apart per-query) with
+    * `shared_n` as the overlap size. Parsed with the Jackson that ships in
+    * Spark's own classpath; a missing/unparseable previous file degrades to
+    * an absent field, never a failed bench.
+    */
+  private def prevQueryTimes(path: java.nio.file.Path): Map[String, Double] =
+    try {
+      if (!java.nio.file.Files.isRegularFile(path)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          java.nio.file.Files.readString(path))
+        val qs = root.path("queries")
+        if (!qs.isObject) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          qs.propertyStream().forEach { e =>
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Snapshot the previous record BEFORE the end-of-run overwrite.
+    val prev = prevQueryTimes(java.nio.file.Paths.get("bench.json"))
     // Bench temp space on a RAM disk when one exists: the q_stream_*
     // queries' run-to-run variance was dominated by fsync-heavy
     // checkpoint/state-store commits on disk-backed /tmp (r4 measured a
@@ -122,6 +157,20 @@ object Bench {
     }.toMap
     val skewJson = s"""{"salted":${r4(skew(true))},"unsalted":${r4(skew(false))}}"""
 
+    // Host-drift normalization (the r11 ledger item): ratio of this run's
+    // shared-query sum to the previous record's. Queries only this run has
+    // (surface growth) or only the previous record has (renames) are
+    // excluded — the ratio compares identical work on the two hosts/days.
+    val shared = ok.filter { case (k, _, _, _) => prev.contains(k) }
+    val sharedJson =
+      if (shared.isEmpty) ""
+      else {
+        val prevSum = shared.map { case (k, _, _, _) => prev(k) }.sum
+        val curSum = shared.map(_._2).sum
+        if (prevSum <= 0) ""
+        else s""","shared_sum_vs_prev":${r4(curSum / prevSum)},"shared_n":${shared.size}"""
+      }
+
     // The driver parses only the last ~2000 chars of stdout: the stdout
     // line stays MINIMAL (total + counts + failures + skew + envelope,
     // ~300 chars — immune to query-count growth); the full per-query
@@ -130,7 +179,7 @@ object Bench {
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${ok.size},""" +
         s""""failed":$failedJson,"skew_demo":$skewJson,"spread_median_pct":${pct(0.5)},""" +
         s""""spread_p90_pct":${pct(0.9)},"stream_spread_median_pct":${streamPct(0.5)},""" +
-        s""""stream_spread_p90_pct":${streamPct(0.9)},"method":"min3_med5","detail":"bench.json","sf":"$sfDir"}"""
+        s""""stream_spread_p90_pct":${streamPct(0.9)}$sharedJson,"method":"min3_med5","detail":"bench.json","sf":"$sfDir"}"""
     val qs = ok.map { case (k, v, _, _) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val spreads = ok.map { case (k, _, sp, _) => s"\"" + k + "\":" + r4(sp) }.mkString("{", ",", "}")
     val runsJson = ok.map { case (k, _, _, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")

@@ -11,6 +11,80 @@ import graft.functions.TextFunctions._
 object TextQueries {
   import Tables._
 
+  /** The deterministic MESSY-url fixture shared by q_url_canonical and
+    * q_url_dedup (the corpus has no URL column — the q_redact_pii
+    * pattern): three shapes covering case/port/dot-segment/tracking/
+    * fragment dirt. The bounded id moduli (100/9/5) guarantee genuine
+    * cross-document collisions after canonicalization, so the dedup
+    * operator demonstrably fires.
+    */
+  private def messyUrl: org.apache.spark.sql.Column =
+    when(
+      pmod(col("doc_id"), lit(3)) === 0,
+      concat(
+        lit("HTTP://WWW."), col("source"),
+        lit(".Example.COM:80/a/./b/../c%7Ed/?utm_source=feed&id="),
+        (col("doc_id") % 100).cast("string"), lit("&ref=tw#sec")))
+      .when(
+        pmod(col("doc_id"), lit(3)) === 1,
+        concat(
+          lit("https://CDN."), col("source"),
+          lit(".example.com:443/img/x/../y/z.png?gclid=g&size="),
+          (col("doc_id") % 9).cast("string"), lit("px")))
+      .otherwise(
+        concat(
+          lit("http://"), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 5).cast("string"), lit("/index.html")))
+
+  /** DuckDB-side canonicalization of [[messyUrl]] (CTE chain ending in a
+    * relation `qp` exposing doc_id, url, scheme, host, cpath, cq) — shared
+    * textually by the q_url_canonical and q_url_dedup oracles.
+    */
+  private val duckCanonicalCte: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/a/./b/../c%7Ed/?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=tw#sec'
+      |      WHEN 1 THEN 'https://CDN.' || source || '.example.com:443/img/x/../y/z.png?gclid=g&size=' || CAST(doc_id % 9 AS VARCHAR) || 'px'
+      |      ELSE 'http://' || source || '.example.com/docs/' || CAST(doc_id % 5 AS VARCHAR) || '/index.html'
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |  FROM u),
+      |hostp AS (
+      |  SELECT *,
+      |    CASE WHEN scheme = 'http'
+      |           THEN regexp_replace(regexp_replace(auth, '^www\.', ''), ':80$', '')
+      |         WHEN scheme = 'https'
+      |           THEN regexp_replace(regexp_replace(auth, '^www\.', ''), ':443$', '')
+      |         ELSE regexp_replace(auth, '^www\.', '') END AS host
+      |  FROM parts),
+      |pathp AS (
+      |  SELECT *,
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |        regexp_replace(regexp_replace(
+      |          regexp_replace(
+      |            CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
+      |            '%7[Ee]', '~', 'g'),
+      |          '/(\./)+', '/', 'g'),
+      |        '/\.$', '/', 'g'),
+      |      '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\./', '/', 'g'), '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\.$', '/', 'g'), '^(/\.\.)+/', '/', 'g'),
+      |      '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\./', '/', 'g'), '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\.$', '/', 'g'), '^(/\.\.)+/', '/', 'g')
+      |      AS cpath
+      |  FROM hostp),
+      |qp AS (
+      |  SELECT *,
+      |    regexp_replace(
+      |      regexp_replace('&' || rawq, '&(utm_[^=&]*|ref|fbclid|gclid|mc_eid)=[^&]*', '', 'g'),
+      |      '^&+', '', 'g') AS cq
+      |  FROM pathp)""".stripMargin
+
   /** DuckDB-side marker score, kept textually in lockstep with
     * TextFunctions.markerScore.
     */
@@ -691,22 +765,7 @@ object TextQueries {
       "q_url_canonical",
       (s, d) => {
         import graft.functions.UrlFunctions
-        val url = when(
-          pmod(col("doc_id"), lit(3)) === 0,
-          concat(
-            lit("HTTP://WWW."), col("source"),
-            lit(".Example.COM:80/a/./b/../c%7Ed/?utm_source=feed&id="),
-            (col("doc_id") % 100).cast("string"), lit("&ref=tw#sec")))
-          .when(
-            pmod(col("doc_id"), lit(3)) === 1,
-            concat(
-              lit("https://CDN."), col("source"),
-              lit(".example.com:443/img/x/../y/z.png?gclid=g&size="),
-              (col("doc_id") % 9).cast("string"), lit("px")))
-          .otherwise(
-            concat(
-              lit("http://"), col("source"), lit(".example.com/docs/"),
-              (col("doc_id") % 5).cast("string"), lit("/index.html")))
+        val url = messyUrl
         documents(s, d).select(
           col("doc_id"),
           url.as("url"),
@@ -714,55 +773,50 @@ object TextQueries {
           UrlFunctions.urlHost(url).as("host")
         )
       },
-      Some("""WITH u AS (
-             |  SELECT doc_id,
-             |    CASE CAST(doc_id % 3 AS INT)
-             |      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/a/./b/../c%7Ed/?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=tw#sec'
-             |      WHEN 1 THEN 'https://CDN.' || source || '.example.com:443/img/x/../y/z.png?gclid=g&size=' || CAST(doc_id % 9 AS VARCHAR) || 'px'
-             |      ELSE 'http://' || source || '.example.com/docs/' || CAST(doc_id % 5 AS VARCHAR) || '/index.html'
-             |    END AS url
-             |  FROM documents),
-             |parts AS (
-             |  SELECT doc_id, url,
-             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
-             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-             |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
-             |  FROM u),
-             |hostp AS (
-             |  SELECT *,
-             |    CASE WHEN scheme = 'http'
-             |           THEN regexp_replace(regexp_replace(auth, '^www\.', ''), ':80$', '')
-             |         WHEN scheme = 'https'
-             |           THEN regexp_replace(regexp_replace(auth, '^www\.', ''), ':443$', '')
-             |         ELSE regexp_replace(auth, '^www\.', '') END AS host
-             |  FROM parts),
-             |pathp AS (
-             |  SELECT *,
-             |    regexp_replace(regexp_replace(regexp_replace(
-             |      regexp_replace(regexp_replace(regexp_replace(
-             |        regexp_replace(regexp_replace(
-             |          regexp_replace(
-             |            CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
-             |            '%7[Ee]', '~', 'g'),
-             |          '/(\./)+', '/', 'g'),
-             |        '/\.$', '/', 'g'),
-             |      '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\./', '/', 'g'), '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\.$', '/', 'g'), '^(/\.\.)+/', '/', 'g'),
-             |      '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\./', '/', 'g'), '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\.$', '/', 'g'), '^(/\.\.)+/', '/', 'g')
-             |      AS cpath
-             |  FROM hostp),
-             |qp AS (
-             |  SELECT *,
-             |    regexp_replace(
-             |      regexp_replace('&' || rawq, '&(utm_[^=&]*|ref|fbclid|gclid|mc_eid)=[^&]*', '', 'g'),
-             |      '^&+', '', 'g') AS cq
-             |  FROM pathp)
-             |SELECT doc_id, url,
-             |  CASE WHEN scheme = '' THEN url
-             |       ELSE scheme || '://' || host || cpath ||
-             |            CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canonical_url,
-             |  host
-             |FROM qp""".stripMargin)
+      Some(duckCanonicalCte +
+        """
+          |SELECT doc_id, url,
+          |  CASE WHEN scheme = '' THEN url
+          |       ELSE scheme || '://' || host || cpath ||
+          |            CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canonical_url,
+          |  host
+          |FROM qp""".stripMargin)
+    ),
+
+    // Canonical-URL dedup — the composition the two pieces above exist
+    // for: after canonicalization, pages that differed only by chrome
+    // (case, default port, tracking params, dot segments, fragments)
+    // collapse to ONE canonical key; keep the lowest doc_id as the
+    // deterministic survivor and count the collapsed group. Scale shape:
+    // the canonicalize pass is the same zero-shuffle map as
+    // q_url_canonical, then ONE partial-agg'd groupBy on the canonical
+    // string — min(doc_id)/count combine map-side, so a mega-duplicated
+    // URL (the 100 TB frontier's landing pages) collapses to one row per
+    // input partition before the exchange; no window, no hot reducer.
+    // Exact oracle end-to-end: DuckDB re-canonicalizes the fixture
+    // step-for-step and re-derives the survivor and group size.
+    Q(
+      "q_url_dedup",
+      (s, d) => {
+        import graft.functions.UrlFunctions
+        documents(s, d)
+          .select(col("doc_id"), UrlFunctions.canonicalizeUrl(messyUrl).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(
+            min(col("doc_id")).as("keep_doc_id"),
+            count(lit(1)).as("n_pages"))
+          .orderBy("canonical_url")
+      },
+      Some(duckCanonicalCte +
+        """
+          |, canon AS (
+          |  SELECT doc_id,
+          |    CASE WHEN scheme = '' THEN url
+          |         ELSE scheme || '://' || host || cpath ||
+          |              CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canonical_url
+          |  FROM qp)
+          |SELECT canonical_url, min(doc_id) AS keep_doc_id, COUNT(*) AS n_pages
+          |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
     // HTML main-content extraction — boilerplate/chrome removal, the
@@ -1368,6 +1422,80 @@ object TextQueries {
              |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS n_chars_nows,
              |  TRUE AS rejoin_band, TRUE AS count_agree_band, TRUE AS wellformed_band
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // BPE merge TRAINING — the third of the tokenizer lifecycle the two
+    // queries above apply and q_token_ids consumes: learn the merge table
+    // from the corpus itself (the public Sennrich learn_bpe algorithm —
+    // the one GPT-2's merges.txt was built with). Scale split is the
+    // trainer-family contract: the corpus collapses to its pre-token
+    // word-frequency dictionary through ONE partial-agg'd groupBy (the
+    // only corpus-scale work — map-side combine makes the exchange
+    // vocabulary-sized), and the merge loop runs over the bounded
+    // top-4096 dictionary head driver-side (the kmeans/PQ/classifier
+    // bounded-sample pattern). Registered form = the banded training
+    // audit: the DICTIONARY layer is cross-engine EXACT — dict_words,
+    // the top word + its count, and the FIRST learned merge + its pair
+    // count are all independently re-derived by DuckDB from the same
+    // pre-tokenization (regexp alternation = the kernel's scan; every
+    // tie breaks in UTF-8 byte order on both engines) — so a drifted
+    // tokenizer scan, a wrong pair count, or a broken tie-break flips
+    // the hash. The iterative loop beyond rank 0 is not SQL-expressible;
+    // its invariants ride the flags: deterministic (a second training
+    // run returns the identical table), wellformed (every merge's
+    // symbols are single code points or products of EARLIER merges —
+    // prefix closure, what makes greedy application sound), and
+    // compresses (the learned table strictly reduces total corpus tokens
+    // vs the unmerged baseline through the NATIVE apply kernel — train
+    // and apply segmentation proven drift-free end-to-end).
+    Q(
+      "q_bpe_train",
+      (s, d) => {
+        import graft.operators.BpeTrainer
+        val k = 32
+        val maxDict = 4096
+        val dict = BpeTrainer.wordFrequencies(documents(s, d), col("text"), maxDict)
+        val learned = BpeTrainer.learnMerges(dict, k)
+        val merges = learned.map(_._1)
+        val again = BpeTrainer.learnMerges(dict, k).map(_._1)
+        val (topWord, topCount) = dict.head
+        documents(s, d)
+          .agg(
+            sum(TextFunctions.bpeTokenCount(col("text"), merges)).as("t_merged"),
+            sum(TextFunctions.bpeTokenCount(col("text"), Seq.empty)).as("t_base"))
+          .select(
+            lit(dict.size).as("dict_words"),
+            lit(topWord).as("top_word"),
+            lit(topCount).as("top_word_count"),
+            lit(merges.head).as("first_pair"),
+            lit(learned.head._2).as("first_pair_count"),
+            lit(merges.size).as("n_merges"),
+            lit(merges == again).as("deterministic_band"),
+            lit(BpeTrainer.wellFormed(merges)).as("wellformed_band"),
+            (col("t_merged") < col("t_base")).as("compresses_band"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(regexp_extract_all(lower(text),
+             |    '''(?:s|t|m|d|re|ve|ll)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS w
+             |  FROM documents),
+             |dict AS (
+             |  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+             |  ORDER BY c DESC, w LIMIT 4096),
+             |pairs AS (
+             |  SELECT substr(w, CAST(i AS INT), 1) || ' ' || substr(w, CAST(i AS INT) + 1, 1) AS pair,
+             |         CAST(SUM(c) AS BIGINT) AS pc
+             |  FROM dict, unnest(range(1, length(w))) AS t(i)
+             |  WHERE length(w) >= 2
+             |  GROUP BY 1),
+             |best AS (SELECT pair, pc FROM pairs ORDER BY pc DESC, pair LIMIT 1),
+             |top AS (SELECT w, c FROM dict ORDER BY c DESC, w LIMIT 1)
+             |SELECT (SELECT CAST(COUNT(*) AS INT) FROM dict) AS dict_words,
+             |  top.w AS top_word, top.c AS top_word_count,
+             |  best.pair AS first_pair, best.pc AS first_pair_count,
+             |  32 AS n_merges,
+             |  TRUE AS deterministic_band, TRUE AS wellformed_band,
+             |  TRUE AS compresses_band
+             |FROM top, best""".stripMargin)
     ),
 
     // Heavy-hitter word counts via Count-Min sketch — the missing member of

@@ -253,6 +253,25 @@ case class BpeSegments(child: Expression, merges: Seq[String]) extends UnaryExpr
   override protected def withNewChildInternal(newChild: Expression): BpeSegments = copy(child = newChild)
 }
 
+/** `bpe_words(text)` → the lowercased PRE-TOKEN stream (no merges),
+  * space-joined: the "word" units BPE training counts frequencies over.
+  * Same pre-tokenizer scan as [[BpeTokenCount]]/[[BpeSegments]], so merges
+  * learned over these words apply through those kernels with zero
+  * segmentation drift between training and tokenization.
+  */
+case class BpeWords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bpe_words requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.preTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.preTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeWords = copy(child = newChild)
+}
+
 /** `char_entropy(text)` → Shannon entropy (nats) of the code-point
   * distribution, one compiled pass per row — the binary-junk detector.
   */

@@ -596,6 +596,23 @@ object SketchImpl {
     UTF8String.fromString(out.toString)
   }
 
+  /** The PRE-TOKEN stream itself (no merges applied): the lowercased
+    * GPT-2-style segments space-joined — the "word" units BPE training
+    * counts frequencies over. Shares [[preTokenize]] with the count and
+    * segments kernels, so a merge table learned over these words applies
+    * through [[bpeTokenCount]]/[[bpeSegments]] with zero segmentation
+    * drift (the train/apply mismatch that silently inflates fertility).
+    */
+  def preTokens(s: UTF8String): UTF8String = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new java.lang.StringBuilder(str.length)
+    preTokenize(str, { (start, end) =>
+      if (out.length > 0) out.append(' ')
+      out.append(str, start, end)
+    })
+    UTF8String.fromString(out.toString)
+  }
+
   /** The GPT-2-style pre-tokenizer scan shared by the BPE kernels: invokes
     * `f(start, end)` for each segment of the (already lowercased) string —
     * contraction suffixes, letter runs, number runs, punctuation runs;

@@ -76,6 +76,13 @@ object TextFunctions {
   def bpeSegments(text: Column, merges: Seq[String] = demoBpeMerges): Column =
     toCol(BpeSegments(toExpr(text), merges))
 
+  /** The lowercased pre-token stream, space-joined (native [[BpeWords]]
+    * expression, no merges applied) — the word units BPE TRAINING counts
+    * frequencies over; sharing the apply kernels' pre-tokenizer scan keeps
+    * train and apply segmentation drift-free by construction.
+    */
+  def bpeWords(text: Column): Column = toCol(BpeWords(toExpr(text)))
+
   /** Load a GPT-2-format merges file: one "left right" pair per line, rank
     * = line order; blank and '#'-prefixed header/comment lines skipped —
     * the standard public artifact (merges.txt) a production tokenizer

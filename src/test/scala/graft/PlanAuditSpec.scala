@@ -338,6 +338,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"only doc_id+source may be read:\n$p")
   }
 
+  test("q_url_dedup: ONE partial-agg'd exchange on the canonical key, no window") {
+    // min(doc_id)/count combine map-side, so a mega-duplicated URL
+    // collapses to one row per input partition BEFORE the shuffle; a
+    // window (rank-then-filter) would send the hot URL's whole row set to
+    // one reducer instead.
+    val p = plan("q_url_dedup")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"canonical-URL dedup must be one agg shuffle (+driver sort):\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"the survivor agg must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no rank window on the URL key:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"only doc_id+source may be read:\n$p")
+  }
+
+  test("q_bpe_train: the corpus-scale pieces are partial-agg'd; no join, no window") {
+    // Training's only corpus-scale work is (a) the word-frequency groupBy
+    // feeding the bounded dictionary and (b) the token-total agg through
+    // the native apply kernel; both must combine map-side. The merge loop
+    // itself is bounded driver state and never appears in the plan.
+    val p = plan("q_bpe_train")
+    assert(!p.contains("Join"), s"training must not join the corpus:\n$p")
+    assert(!p.contains("Window"), s"no window in the training plan:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"only text may be read for the token totals:\n$p")
+  }
+
   test("q_pack_context: hierarchical prefix sum — no full-stream window, offsets broadcast") {
     // (lang, source) cardinality is O(100) at any corpus size; a window
     // partitioned on it alone would force ~1 TB through one reducer at
