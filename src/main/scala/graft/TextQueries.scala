@@ -217,6 +217,80 @@ object TextQueries {
   private[graft] def wsTokenArray(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
 
+  /** Inverted-index posting-list summary per term: df, collection
+    * frequency, max tf, and the deterministic top doc (highest tf, tie →
+    * lowest doc_id). Two partial-agg'd shuffles — (term, doc) tf combines
+    * map-side, then the term rollup carries best-doc as a lexicographic
+    * max(struct(tf, -doc_id)) inside the SAME aggregate, so there is no
+    * window and no second pass over the tf table.
+    */
+  private[graft] def invertedIndex(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(wsTokenArray(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        max(col("tf")).as("max_tf"),
+        max(struct(col("tf"), (-col("doc_id")).as("nd"))).as("m")
+      )
+      .select(col("term"), col("df"), col("cf"), col("max_tf"), (-col("m.nd")).as("top_doc"))
+
+  /** BM25 (Okapi, k1 = 1.2, b = 0.75) top-k retrieval for a FIXED term
+    * query. The query being a bounded plan parameter is what shapes the
+    * plan: per-term tf is a row-local size(filter(tokens)) over the
+    * unexploded array — the corpus never explodes, never joins, never
+    * shuffles; (N, avgdl, per-term df) collapse to ONE 1-row aggregate
+    * broadcast back; matched docs filter before scoring; top-k is a
+    * TakeOrderedAndProject. Scores round to 6 decimals and tie-break on
+    * doc_id, so the ranking is deterministic cross-engine.
+    */
+  private[graft] def bm25Rank(
+      docs: org.apache.spark.sql.DataFrame,
+      qterms: Seq[String],
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    // Tokenize ONCE into a named column; CollapseProject keeps the
+    // two-step projection because the array is referenced several times
+    // (dl + one tf per query term), so the split runs once per row.
+    val perDoc = docs
+      .select(col("doc_id"), wsTokenArray(col("text")).as("toks"))
+      .select(
+        (col("doc_id") +: size(col("toks")).cast("double").as("dl") +:
+          qterms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("toks"), x => x === t)).cast("double").as(s"tf$i")
+          }): _*
+      )
+    val statAggs =
+      count(lit(1)).cast("double").as("n") +: avg(col("dl")).as("avgdl") +:
+        qterms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    // Per-term contributions add in FIXED textual order (a float sum's
+    // value depends on order; an agg-style sum would be partition-order
+    // nondeterministic and could flip the 6-decimal rounding).
+    val score = qterms.indices
+      .map { i =>
+        val tf = col(s"tf$i")
+        val df = col(s"df$i")
+        log((col("n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+          tf * lit(2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      }
+      .reduce(_ + _)
+    val matched = qterms.indices
+      .map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    perDoc
+      .filter(qterms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"), matched.as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Train the top-V vocabulary (q_vocab_build's exact (count desc, token
     * asc) id assignment) and return it as a bounded driver-side list —
     * the O(V) plan parameter [[tokenIdStream]] compiles in, the
@@ -1907,6 +1981,79 @@ object TextQueries {
              |  COALESCE(a.n_oov, 0) AS n_oov,
              |  COALESCE(a.ids, '') AS ids
              |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)
+    ),
+
+    // Inverted-index build — the posting-list summary a corpus search /
+    // retrieval layer materializes per term (df, collection frequency,
+    // max tf, and the top-scoring doc). Scale shape: TWO partial-agg'd
+    // shuffles and nothing else — (term, doc) tf combines map-side
+    // (tokens repeat within a doc's partition), then the term-level
+    // rollup combines again, so a 100 TB corpus reduces to
+    // O(distinct-term) state and the per-term "best doc" rides the SAME
+    // aggregate as a lexicographic max(struct(tf, -doc_id)) — no window,
+    // no second join against the tf table, no hot reducer beyond the
+    // term key itself (stopword-grade terms still combine map-side
+    // before the exchange). The oracle restates best-doc as a
+    // row_number window — same rows, different plan, which is the point.
+    Q(
+      "q_inverted_index",
+      (s, d) => invertedIndex(documents(s, d)).orderBy("term"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS term
+             |  FROM documents),
+             |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |r AS (SELECT term, doc_id, tf,
+             |        row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+             |      FROM tf)
+             |SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+             |  CAST(MAX(tf) AS BIGINT) AS max_tf,
+             |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS top_doc
+             |FROM r GROUP BY term ORDER BY term""".stripMargin)
+    ),
+
+    // BM25 ranked retrieval (Robertson/Sparck Jones; the Okapi scoring
+    // behind Lucene/Elasticsearch defaults, k1 = 1.2, b = 0.75) for a
+    // fixed query over the corpus — retrieval-based quality filtering and
+    // targeted decontamination both reduce to exactly this scan. Scale
+    // shape: because the query's terms are a bounded plan parameter, tf
+    // per term is a row-local size(filter(tokens)) — the corpus NEVER
+    // explodes and never shuffles; corpus stats (N, avgdl, per-term df)
+    // collapse to ONE 1-row aggregate broadcast-cross-joined back (the
+    // q_tfidf N pattern), matched docs filter BEFORE scoring, and top-k
+    // is a TakeOrderedAndProject (no global sort materializes). The
+    // doc-length sums are integer-valued doubles, so avgdl is exact and
+    // order-independent; ln() is IEEE-identical across engines (the
+    // q_tfidf contract) and the three per-term contributions add in
+    // FIXED textual order on both sides, so the rounded score
+    // hash-matches.
+    Q(
+      "q_bm25",
+      (s, d) => bm25Rank(documents(s, d), Seq("spark", "merge", "window"), k = 20),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'spark')) AS DOUBLE) AS tf0,
+             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'merge')) AS DOUBLE) AS tf1,
+             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'window')) AS DOUBLE) AS tf2
+             |  FROM documents),
+             |g AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+             |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM p)
+             |SELECT doc_id,
+             |  round(
+             |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+             |    6) AS score,
+             |  (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_matched
+             |FROM p, g
+             |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
     )
   )
 }

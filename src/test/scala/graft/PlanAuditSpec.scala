@@ -571,6 +571,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the next-reading frame must run over the reversed sort, not a following frame:\n$p")
   }
 
+  test("q_inverted_index: two partial-agg'd shuffles, best-doc inside the agg — no window, no join") {
+    // (term, doc) tf combines map-side, the term rollup combines again,
+    // and the per-term top doc rides the SAME aggregate as a
+    // lexicographic max(struct) — a row_number window (the oracle's
+    // formulation) would send each term's whole posting list to one
+    // reducer; a join back against the tf table would shuffle it twice.
+    val p = plan("q_inverted_index")
+    assert(!p.contains("Window"), s"no rank window over posting lists:\n$p")
+    assert(!p.contains("Join"), s"best-doc must ride the aggregate, not a join:\n$p")
+    val ex = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(ex == 2, s"expected exactly the two agg shuffles, saw $ex:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"only doc_id+text may be read:\n$p")
+  }
+
+  test("q_bm25: corpus never explodes or shuffles; stats broadcast back; top-k never global-sorts") {
+    // The fixed query makes tf a row-local size(filter(tokens)) — no
+    // Generate, no exchange on the corpus scan (the only exchange is the
+    // 1-row stats aggregate); ranking is a TakeOrderedAndProject.
+    val p = plan("q_bm25")
+    assert(!p.contains("Generate"), s"the token array must not explode:\n$p")
+    assert(!p.contains("Window"), s"no window in the scoring plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    val ex = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(ex == 0, s"the corpus scan must not shuffle (stats agg is single-partition):\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"only doc_id+text may be read:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final

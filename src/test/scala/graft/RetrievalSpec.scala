@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the retrieval family (q_inverted_index / q_bm25) on
+  * hand-computed fixtures: posting-list stats, the deterministic top-doc
+  * tie-break, and BM25's two defining monotonicities (more occurrences
+  * score higher at equal length; equal occurrences score lower in a
+  * longer doc).
+  */
+class RetrievalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("invertedIndex: df/cf/max_tf and top-doc tie-break (highest tf, then lowest doc_id)") {
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "b c"),
+      (3L, "B a a") // case-folds; ties doc 1 on tf(a)=2 -> doc 1 wins
+    ).toDF("doc_id", "text")
+    val out = TextQueries
+      .invertedIndex(docs)
+      .orderBy("term")
+      .as[(String, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(
+      out == Seq(
+        ("a", 2L, 4L, 2L, 1L), // df 2 (docs 1,3), cf 4, max tf 2, tie 1 vs 3 -> 1
+        ("b", 3L, 3L, 1L, 1L), // every doc once; lowest doc_id wins
+        ("c", 1L, 1L, 1L, 2L)
+      )
+    )
+  }
+
+  test("bm25Rank: hand-computed score, monotonicities, non-matches excluded, k respected") {
+    // Four docs, query = {x}: N = 4, df = 3, avgdl = (2+2+4+2)/4 = 2.5.
+    val docs = Seq(
+      (1L, "x y"), // tf 1, dl 2
+      (2L, "x x"), // tf 2, dl 2 — more occurrences, same length: must beat doc 1
+      (3L, "x y z w"), // tf 1, dl 4 — same tf, longer: must score below doc 1
+      (4L, "y z") // no match: excluded
+    ).toDF("doc_id", "text")
+    val out = TextQueries
+      .bm25Rank(docs, Seq("x"), k = 10)
+      .as[(Long, Double, Int)]
+      .collect()
+      .toSeq
+    assert(out.map(_._1) == Seq(2L, 1L, 3L), s"ranking wrong: $out")
+    assert(out.forall(_._3 == 1))
+    // Hand computation for doc 1: idf = ln((4 - 3 + 0.5)/(3 + 0.5) + 1),
+    // denom = 1 + 1.2 * (0.25 + 0.75 * 2/2.5).
+    val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    val expected1 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 2.5))
+    assert(math.abs(out.find(_._1 == 1L).get._2 - expected1) < 1e-6)
+  }
+
+  test("bm25Rank: k caps the result and multi-term matches count n_matched") {
+    val docs = Seq(
+      (1L, "x y"),
+      (2L, "x q"),
+      (3L, "y q"),
+      (4L, "x y q")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.bm25Rank(docs, Seq("x", "y"), k = 2).as[(Long, Double, Int)].collect()
+    assert(out.length == 2)
+    // Doc 4 matches both terms but is longer; doc 1 matches both at dl 2 —
+    // doc 1 must lead, and both report n_matched = 2.
+    assert(out.head._1 == 1L && out.head._3 == 2)
+  }
+}
