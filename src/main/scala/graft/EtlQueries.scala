@@ -874,6 +874,102 @@ object EtlQueries {
            |  CAST(SUM(CASE WHEN px_max < 64 OR px_min > 95 OR ox_max < 128 OR ox_min > 159 THEN n_rows ELSE 0 END) AS BIGINT),
            |  CAST(SUM(n_rows) AS BIGINT)
            |FROM pf""".stripMargin)
+    ),
+
+    // Data-quality constraint suite (the Deequ/Great-Expectations shape):
+    // a declarative set of table constraints evaluated in ONE pass and
+    // reported as (check, compliance metric, threshold, verdict) rows —
+    // the gate a warehouse load runs before promoting a batch. Every
+    // metric is a compliance FRACTION in [0, 1] against threshold 1.0
+    // (uniform semantics; Deequ's convention), so a failing check
+    // carries its violation rate, not just a boolean. Scale shape: five
+    // of the six checks ride ONE partial-agg'd full scan (conditional
+    // sums — no per-check scans, the way naive validators burn 6× the
+    // I/O); uniqueness adds the unavoidable distinct on the key pair
+    // (two-phase, partial-agg'd); referential integrity is a LEFT ANTI
+    // count against orders (plain equi-join — broadcastable when the
+    // parent's keys fit, shuffle otherwise, never row-multiplying). The
+    // three 1-row aggregates cross-join into one 6-row report. On this
+    // data: uniqueness FAILS (the synthetic lineitem reuses
+    // (l_orderkey, l_linenumber)) and the 0.08 discount cap FAILS
+    // (discounts run to 0.10) — the report proves it actually fires.
+    Q(
+      "q_dq_checks",
+      (s, d) => EtlOps.dqChecks(lineitem(s, d), orders(s, d)),
+      Some("""WITH m AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+             |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_ship,
+             |    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) AS n_key,
+             |    CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS DOUBLE) AS disc_viol,
+             |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS DOUBLE) AS flag_viol,
+             |    CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS price_viol
+             |  FROM lineitem),
+             |o AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS orphan_rows
+             |  FROM lineitem l LEFT JOIN orders ON l.l_orderkey = o_orderkey
+             |  WHERE o_orderkey IS NULL)
+             |SELECT * FROM (
+             |  SELECT 'completeness_l_shipdate' AS check_name, 1.0 - null_ship / n_rows AS metric,
+             |    CAST(1.0 AS DOUBLE) AS threshold, null_ship = 0 AS passed FROM m
+             |  UNION ALL
+             |  SELECT 'uniqueness_orderkey_linenumber', n_key / n_rows, 1.0, n_key = n_rows FROM m
+             |  UNION ALL
+             |  SELECT 'range_l_discount_le_0.08', 1.0 - disc_viol / n_rows, 1.0, disc_viol = 0 FROM m
+             |  UNION ALL
+             |  SELECT 'set_l_returnflag', 1.0 - flag_viol / n_rows, 1.0, flag_viol = 0 FROM m
+             |  UNION ALL
+             |  SELECT 'nonneg_l_extendedprice', 1.0 - price_viol / n_rows, 1.0, price_viol = 0 FROM m
+             |  UNION ALL
+             |  SELECT 'referential_l_orderkey', 1.0 - orphan_rows / (SELECT n_rows FROM m), 1.0, orphan_rows = 0 FROM o
+             |) ORDER BY check_name""".stripMargin)
+    ),
+
+    // Freshness / completeness monitoring per feed (event_type): last-seen
+    // timestamp, lag against the corpus watermark, and calendar days with
+    // ZERO events inside the feed's observed global range — the "which
+    // upstream feed is stale or gappy" report a scheduled pipeline
+    // (reference: Airflow DAG cadence) alerts on. One partial-agg'd
+    // groupBy on the bounded event_type domain + a 1-row global watermark
+    // aggregate broadcast back; lag computes in exact integer micros (no
+    // float time arithmetic). fresh = lag ≤ 30 min against the corpus
+    // max, so the check is self-relative and needs no wall clock (the
+    // audit-clock determinism rule q_audit_append follows).
+    Q(
+      "q_dq_freshness",
+      (s, d) => {
+        val ev = events(s, d)
+        val g = ev.agg(
+          max(col("ts")).as("gmax"),
+          min(to_date(col("ts"))).as("gmin_d"),
+          max(to_date(col("ts"))).as("gmax_d"))
+        ev.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            max(col("ts")).as("last_ts"),
+            countDistinct(to_date(col("ts"))).as("n_days"))
+          .crossJoin(broadcast(g))
+          .select(
+            col("event_type"),
+            col("n_events"),
+            col("last_ts"),
+            expr("(unix_micros(gmax) - unix_micros(last_ts)) div 60000000").as("lag_minutes"),
+            (datediff(col("gmax_d"), col("gmin_d")) + 1 - col("n_days")).cast("long").as("missing_days"),
+            expr("(unix_micros(gmax) - unix_micros(last_ts)) div 60000000 <= 30").as("fresh")
+          )
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT MAX(ts) AS gmax, MIN(CAST(ts AS DATE)) AS gmin_d, MAX(CAST(ts AS DATE)) AS gmax_d
+             |  FROM events),
+             |f AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(ts) AS last_ts,
+             |    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, n_events, last_ts,
+             |  (epoch_us(gmax) - epoch_us(last_ts)) // 60000000 AS lag_minutes,
+             |  CAST(date_diff('day', gmin_d, gmax_d) + 1 - n_days AS BIGINT) AS missing_days,
+             |  (epoch_us(gmax) - epoch_us(last_ts)) // 60000000 <= 30 AS fresh
+             |FROM f, g ORDER BY event_type""".stripMargin)
     )
   )
 }

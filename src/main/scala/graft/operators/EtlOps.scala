@@ -611,4 +611,41 @@ object EtlOps {
     df.withColumn("zval", mortonKey(col(xCol), col(yCol), bits))
       .repartitionByRange(numFiles, col("zval"))
   }
+
+  /** Data-quality constraint suite over lineitem (the Deequ /
+    * Great-Expectations shape): completeness, key uniqueness, a range cap,
+    * set membership, non-negativity, and referential integrity against
+    * orders — each reported as (check_name, compliance fraction in [0,1],
+    * threshold 1.0, passed). Five checks ride ONE conditional-sum scan;
+    * uniqueness adds the two-phase distinct on the key pair; the
+    * referential check is a LEFT ANTI count. All three collapse to 1-row
+    * aggregates cross-joined into the 6-row report, so the report itself
+    * is driver-trivial at any table size.
+    */
+  def dqChecks(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val base = lineitem.agg(
+      count(lit(1)).cast("double").as("n_rows"),
+      sum(when(col("l_shipdate").isNull, 1).otherwise(0)).cast("double").as("null_ship"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).cast("double").as("n_key"),
+      sum(when(col("l_discount") > 0.08, 1).otherwise(0)).cast("double").as("disc_viol"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)).cast("double").as("flag_viol"),
+      sum(when(col("l_extendedprice") < 0, 1).otherwise(0)).cast("double").as("price_viol")
+    )
+    val orphans = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("double").as("orphan_rows"))
+    base
+      .crossJoin(orphans)
+      .selectExpr(
+        """stack(6,
+          |  'completeness_l_shipdate', 1.0 - null_ship / n_rows, CAST(1.0 AS DOUBLE), null_ship = 0.0,
+          |  'uniqueness_orderkey_linenumber', n_key / n_rows, CAST(1.0 AS DOUBLE), n_key = n_rows,
+          |  'range_l_discount_le_0.08', 1.0 - disc_viol / n_rows, CAST(1.0 AS DOUBLE), disc_viol = 0.0,
+          |  'set_l_returnflag', 1.0 - flag_viol / n_rows, CAST(1.0 AS DOUBLE), flag_viol = 0.0,
+          |  'nonneg_l_extendedprice', 1.0 - price_viol / n_rows, CAST(1.0 AS DOUBLE), price_viol = 0.0,
+          |  'referential_l_orderkey', 1.0 - orphan_rows / n_rows, CAST(1.0 AS DOUBLE), orphan_rows = 0.0
+          |) AS (check_name, metric, threshold, passed)""".stripMargin
+      )
+      .orderBy("check_name")
+  }
 }

@@ -600,6 +600,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"only doc_id+text may be read:\n$p")
   }
 
+  test("q_dq_checks: six checks, two lineitem scans — conditional sums share one, no window") {
+    // Five constraints must ride ONE conditional-sum scan (a per-check
+    // scan burns 6× the I/O at 100 TB); only the referential anti-join
+    // legitimately reads lineitem a second time. The distinct for
+    // uniqueness shares the base-aggregate scan via expand.
+    val p = plan("q_dq_checks")
+    assert(!p.contains("Window"), s"no window in a constraint report:\n$p")
+    val liScans = p.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 2, s"expected <= 2 lineitem scans (metrics + anti-join), saw $liScans:\n$p")
+    assert(p.contains("LeftAnti"), s"referential check must be an anti-join:\n$p")
+  }
+
+  test("q_dq_freshness: one partial-agg'd feed rollup + a broadcast watermark; integer time math") {
+    val p = plan("q_dq_freshness")
+    assert(!p.contains("Window"), s"no window in the freshness report:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 1-row watermark must broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<ts:timestamp,event_type:string>")
+      || p.contains("ReadSchema: struct<event_type:string,ts:timestamp>")
+      || p.contains("ts:timestamp_ntz"),
+      s"only ts+event_type may be read:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final
