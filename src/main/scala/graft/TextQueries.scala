@@ -85,6 +85,100 @@ object TextQueries {
       |      '^&+', '', 'g') AS cq
       |  FROM pathp)""".stripMargin
 
+  /** The deterministic crawl-page fixture shared by q_link_extract and
+    * q_url_frontier: five links exercising every RFC 3986 resolution case
+    * (absolute with port/case/dot/tracking dirt, relative, parent-
+    * relative, root-relative with a tracking param, protocol-relative)
+    * plus a fragment-only self-reference the extractor must drop. Bounded
+    * moduli (7/9/3/5) guarantee genuine cross-document URL collisions, so
+    * the frontier's referrer counts are non-trivial.
+    */
+  private def linkFixturePage: org.apache.spark.sql.Column = {
+    val j = (col("doc_id") % 7).cast("string")
+    val k = (col("doc_id") % 9).cast("string")
+    val r = (col("doc_id") % 3).cast("string")
+    concat(
+      lit("<html><body><p>Crawl fixture</p>" +
+        "<a href=\"HTTPS://Ext.Example.ORG:443/lib/x/../p"), j,
+      lit(".html?utm_source=feed&q="), r,
+      lit("#frag\">ext</a><a href=\"sub/page"), k,
+      lit(".html\">rel</a><a href=\"../up/idx"), r,
+      lit(".html\">parent</a><a href=\"/search?q="), j,
+      lit("&gclid=zz\">root</a><a href=\"//cdn.example.net/lib.js\">proto</a>" +
+        "<a href=\"#toc\">toc</a></body></html>")
+    )
+  }
+
+  /** The fixture page's base URL (the q_url_canonical fixture's clean
+    * third shape — already canonical, so resolution dirt is attributable
+    * to the links alone).
+    */
+  private def linkFixtureBase: org.apache.spark.sql.Column =
+    concat(
+      lit("http://"), col("source"), lit(".example.com/docs/"),
+      (col("doc_id") % 5).cast("string"), lit("/index.html"))
+
+  /** The real extract→resolve→canonicalize chain over the fixture pages:
+    * (doc_id, pos, href, url). One Generate, zero exchanges.
+    */
+  private[graft] def extractedLinks(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame = {
+    import graft.functions.UrlFunctions
+    documents(s, d)
+      .select(col("doc_id"), linkFixtureBase.as("base"), linkFixturePage.as("page"))
+      .select(
+        col("doc_id"),
+        col("base"),
+        posexplode(regexp_extract_all(col("page"), lit("href=\"([^\"]*)\""), lit(1)))
+          .as(Seq("pos", "href")))
+      .filter(!col("href").startsWith("#"))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        col("href"),
+        UrlFunctions.canonicalizeUrl(UrlFunctions.resolveUrl(col("base"), col("href"))).as("url"))
+  }
+
+  /** DuckDB ground truth for [[extractedLinks]]: each link's raw href and
+    * FINAL resolved+canonicalized URL (and its host) stated directly from
+    * doc_id/source arithmetic — the oracle never re-runs extraction,
+    * resolution or canonicalization, so a defect anywhere in the Spark
+    * chain flips the hash.
+    */
+  private val duckLinkCte: String =
+    """WITH l AS (
+      |  SELECT doc_id, 0 AS pos,
+      |    'HTTPS://Ext.Example.ORG:443/lib/x/../p' || CAST(doc_id % 7 AS VARCHAR) || '.html?utm_source=feed&q=' || CAST(doc_id % 3 AS VARCHAR) || '#frag' AS href,
+      |    'https://ext.example.org/lib/p' || CAST(doc_id % 7 AS VARCHAR) || '.html?q=' || CAST(doc_id % 3 AS VARCHAR) AS url,
+      |    'ext.example.org' AS host
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 1,
+      |    'sub/page' || CAST(doc_id % 9 AS VARCHAR) || '.html',
+      |    'http://' || source || '.example.com/docs/' || CAST(doc_id % 5 AS VARCHAR) || '/sub/page' || CAST(doc_id % 9 AS VARCHAR) || '.html',
+      |    source || '.example.com'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2,
+      |    '../up/idx' || CAST(doc_id % 3 AS VARCHAR) || '.html',
+      |    'http://' || source || '.example.com/docs/up/idx' || CAST(doc_id % 3 AS VARCHAR) || '.html',
+      |    source || '.example.com'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    '/search?q=' || CAST(doc_id % 7 AS VARCHAR) || '&gclid=zz',
+      |    'http://' || source || '.example.com/search?q=' || CAST(doc_id % 7 AS VARCHAR),
+      |    source || '.example.com'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 4,
+      |    '//cdn.example.net/lib.js',
+      |    'http://cdn.example.net/lib.js',
+      |    'cdn.example.net'
+      |  FROM documents)""".stripMargin
+
   /** DuckDB-side marker score, kept textually in lockstep with
     * TextFunctions.markerScore.
     */
@@ -891,6 +985,83 @@ object TextQueries {
           |  FROM qp)
           |SELECT canonical_url, min(doc_id) AS keep_doc_id, COUNT(*) AS n_pages
           |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Link extraction + reference resolution — the step that turns a
+    // fetched page into frontier candidates: harvest hrefs from real
+    // markup, resolve each against the page's base URL (RFC 3986 §5:
+    // absolute / protocol-relative / root-relative / parent-relative
+    // shapes), then canonicalize. The corpus has no HTML column, so (the
+    // q_html_extract pattern) each doc renders a deterministic page whose
+    // five links exercise every resolution case plus port/case/dot/
+    // tracking dirt, and the REAL extractor+resolver+canonicalizer chain
+    // runs over real markup on the Spark side while the oracle states the
+    // GROUND-TRUTH href and final URL per link directly from doc_id/source
+    // arithmetic — a missed href, a mis-spliced base directory, an
+    // unresolved '..' or a surviving tracking param all flip the hash.
+    // Plan: regexp_extract_all + posexplode + codegen'd string builtins —
+    // one Generate, ZERO exchanges; a million pages extract map-only
+    // (plan-pinned). Fragment-only hrefs (same-document refs) are
+    // filtered before resolution, keeping their array position visible in
+    // `pos` for the links that survive.
+    Q(
+      "q_link_extract",
+      (s, d) => extractedLinks(s, d).orderBy("doc_id", "pos"),
+      Some(duckLinkCte +
+        """
+          |SELECT doc_id, pos, href, url FROM l ORDER BY doc_id, pos""".stripMargin)
+    ),
+
+    // Crawl-frontier scheduling — the composition the URL family builds
+    // toward: extracted links collapse to one row per canonical URL with
+    // a referrer count, already-crawled URLs drop out (deterministic
+    // md5-prefix membership standing in for the crawl ledger — the
+    // q_deterministic_sample device), and each host keeps its top-10
+    // candidates by (referrer count, url) — in-degree-prioritized,
+    // politeness-capped fetch scheduling. Scale shape: the URL rollup is
+    // ONE partial-agg'd groupBy (a mega-referenced URL collapses map-side
+    // per input partition); host extraction runs on the POST-agg distinct
+    // set, not the raw link stream; and the per-host cap is the
+    // q_cap_per_source two-stage shape — a shuffle-free bounded-heap
+    // pre-cap, then a window over ≤ 10 rows per host per input partition
+    // — so a mega-host (the 100 TB frontier's top domain) never funnels
+    // its whole URL set through one reducer.
+    Q(
+      "q_url_frontier",
+      (s, d) => {
+        import s.implicits._
+        val n = 10
+        val refs = extractedLinks(s, d)
+          .groupBy("url")
+          .agg(count(lit(1)).as("n_refs"))
+          .filter(!substring(md5(col("url")), 1, 1).isin("0", "1", "2"))
+          .select(
+            col("url"),
+            graft.functions.UrlFunctions.urlHost(col("url")).as("host"),
+            col("n_refs"))
+        val pre = graft.operators.EtlOps
+          .topKPerKey(refs.as[(String, String, Long)], n)(_._2)(
+            Ordering.by(t => (-t._3, t._1)))
+          .toDF("url", "host", "n_refs")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"))
+          .orderBy(col("n_refs").desc, col("url"))
+        pre
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= n)
+          .select("host", "url", "n_refs", "rk")
+          .orderBy("host", "rk")
+      },
+      Some(duckLinkCte +
+        """
+          |, refs AS (
+          |  SELECT url, host, CAST(COUNT(*) AS BIGINT) AS n_refs
+          |  FROM l GROUP BY 1, 2),
+          |f AS (SELECT * FROM refs WHERE substr(md5(url), 1, 1) NOT IN ('0', '1', '2')),
+          |r AS (SELECT host, url, n_refs,
+          |        row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, url) AS rk
+          |      FROM f)
+          |SELECT host, url, n_refs, rk FROM r WHERE rk <= 10 ORDER BY host, rk""".stripMargin)
     ),
 
     // HTML main-content extraction — boilerplate/chrome removal, the

@@ -90,6 +90,41 @@ object UrlFunctions {
     regexp_replace(stripped, "^&+", "")
   }
 
+  /** Resolve an href against its page's base URL (RFC 3986 §5 reference
+    * resolution, the subset a crawler meets) — the step between link
+    * extraction and canonicalization. Same implementation rule as the
+    * canonicalizer: pure codegen'd string/regexp builtins, one map pass,
+    * zero shuffles. Cases, in documented order:
+    *   - absolute (`scheme://…`): kept as-is;
+    *   - protocol-relative (`//host/p`): base's scheme attached;
+    *   - root-relative (`/p`): base's raw authority attached;
+    *   - query-only (`?q=1`): replaces the base's query, keeps its path;
+    *   - fragment-only (`#x`): resolves to the base itself minus its own
+    *     fragment (a same-document reference — frontier callers filter
+    *     these before resolution);
+    *   - relative path (`p`, `../p`): spliced onto the base's directory
+    *     (path up to the last '/'); the resulting `..`/`.` segments are
+    *     NOT resolved here — that is [[canonicalizeUrl]]'s job, so the
+    *     two compose without duplicating the dot-segment logic.
+    * The base's authority is used RAW (not canonicalized): resolution and
+    * canonicalization stay orthogonal, `canonicalizeUrl(resolveUrl(b, h))`
+    * is the full pipeline.
+    */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val scheme = urlScheme(base)
+    val auth = regexp_extract(base, schemeRe + "([^/?#]*)", 2)
+    val rawPath = regexp_extract(base, schemeRe + "[^/?#]*([^?#]*)", 2)
+    val basePath = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    val origin = concat(scheme, lit("://"), auth)
+    when(href.rlike(schemeRe), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .when(href.startsWith("?"), concat(origin, basePath, href))
+      .when(href.startsWith("#"), concat(origin, basePath, regexp_extract(base, "(\\?[^#]*)", 1)))
+      .otherwise(concat(origin, baseDir, href))
+  }
+
   /** The full canonical URL (see object doc for the contract). */
   def canonicalizeUrl(u: Column): Column = {
     val scheme = urlScheme(u)

@@ -623,6 +623,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"only ts+event_type may be read:\n$p")
   }
 
+  test("q_link_extract: extract+resolve+canonicalize is one Generate, zero exchanges") {
+    // A million cached pages must harvest their frontier candidates
+    // map-only: regexp_extract_all + posexplode + string builtins, no
+    // shuffle anywhere (the driver-side orderBy in the registered query
+    // sorts the bounded verify output, not the extraction).
+    val p = plan("q_link_extract")
+    assert(p.contains("Generate posexplode"), s"href fan-out must be a Generate:\n$p")
+    val ex = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(ex == 0, s"extraction must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"only doc_id+source may be read:\n$p")
+  }
+
+  test("q_url_frontier: one partial-agg'd URL rollup, pre-capped host window, no cartesian") {
+    // The URL rollup combines map-side; the per-host cap follows the
+    // q_cap_per_source two-stage shape (mapPartitions bounded-heap
+    // pre-cap, then the window over <= 10 rows per host per partition) so
+    // a mega-host never funnels its full URL set through one reducer.
+    val p = plan("q_url_frontier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"), s"final per-host rank must be windowed:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"the bounded-heap pre-cap must precede the window:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final

@@ -66,6 +66,32 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(canon("/relative/path?utm_a=1") == "/relative/path?utm_a=1")
   }
 
+  test("resolveUrl: every RFC 3986 reference-resolution case") {
+    def res(base: String, href: String): String =
+      Seq((base, href))
+        .toDF("base", "href")
+        .select(graft.functions.UrlFunctions.resolveUrl(col("base"), col("href")).as("r"))
+        .as[String]
+        .head()
+    val base = "http://x.com/a/b/index.html?p=1#top"
+    // Absolute passes through untouched (even a different scheme).
+    assert(res(base, "https://y.org/z") == "https://y.org/z")
+    // Protocol-relative takes the base's scheme.
+    assert(res(base, "//cdn.y.org/l.js") == "http://cdn.y.org/l.js")
+    // Root-relative takes the base's raw authority.
+    assert(res(base, "/top") == "http://x.com/top")
+    // Query-only keeps the base's path.
+    assert(res(base, "?q=2") == "http://x.com/a/b/index.html?q=2")
+    // Fragment-only resolves to the base minus its own fragment.
+    assert(res(base, "#sec") == "http://x.com/a/b/index.html?p=1")
+    // Relative splices onto the base's directory; dots are left for the
+    // canonicalizer (the two compose).
+    assert(res(base, "c.html") == "http://x.com/a/b/c.html")
+    assert(res(base, "../up.html") == "http://x.com/a/b/../up.html")
+    // A base with no path resolves relatives against '/'.
+    assert(res("http://x.com", "p.html") == "http://x.com/p.html")
+  }
+
   test("tokenIdStream: ordered ids, OOV->unk, empty doc keeps a row") {
     import spark.implicits._
     val docs = Seq(
