@@ -416,6 +416,56 @@ object StreamQueries {
              |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
              |  FROM events) t
              |WHERE rn <= 5 ORDER BY event_id""".stripMargin)
+    ),
+
+    // Stream-static enrichment — the one standard streaming join shape the
+    // stream-stream q_stream_join doesn't cover: a live event stream
+    // joined against a slowly-changing DIMENSION (here nation via
+    // user_id % 25, the wbanno×locations analogue of the reference's
+    // uscrn join re-expressed on the stream). The static side is a plain
+    // batch DataFrame BROADCAST into every micro-batch — no state store,
+    // no watermark requirement on the dimension, re-resolved per batch
+    // (which is exactly how a dimension refresh reaches a 100 TB/day
+    // stream without restarting it). The rolled-up per-nation totals are
+    // group-cardinality-bounded, so complete mode + foreachBatch
+    // overwrite keeps the sink equal to the latest full result; on
+    // AvailableNow bounded input that equals the batch join-aggregate the
+    // oracle states. Decimal-accumulated sum (the dsum rule) keeps the
+    // double bit-identical across engines and micro-batch partitionings.
+    Q(
+      "q_stream_enrich",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val out = tmpDir("graft_senrich_out", d)
+        val ckpt = tmpDir("graft_senrich_ckpt", d)
+        val dim = s.read.parquet(s"$d/nation.parquet").select("n_nationkey", "n_name")
+        val enriched = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .select(col("user_id"), col("value"))
+          .withColumn("nkey", col("user_id") % 25)
+          .join(broadcast(dim), col("nkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(25,10)")).cast("double").as("total_value")
+          )
+        val q = enriched.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy("n_name")
+      },
+      Some("""SELECT n_name, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS total_value
+             |FROM events JOIN nation ON (user_id % 25) = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
     )
   )
 }

@@ -346,6 +346,32 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       "flatMapGroupsWithState sessionization must be row-identical to the oracled window form")
   }
 
+  test("stream-static enrichment equals the batch join-aggregate; the dimension broadcasts") {
+    // q_stream_enrich joins the event stream against a static nation
+    // dimension broadcast into every micro-batch. On bounded AvailableNow
+    // input the streamed result must equal the batch formulation of the
+    // SAME join-aggregate, bit-for-bit (decimal-accumulated sum).
+    val streamed = QueryRegistry.queries("q_stream_enrich")(spark, sfDir)
+    val dim = spark.read.parquet(s"$sfDir/nation.parquet").select("n_nationkey", "n_name")
+    val batch = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("value"))
+      .withColumn("nkey", col("user_id") % 25)
+      .join(org.apache.spark.sql.functions.broadcast(dim), col("nkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,10)")).cast("double").as("total_value"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed enrichment must equal the batch join-aggregate on bounded input")
+    // The dimension side must plan as a broadcast hash join (the
+    // micro-batch planner applies the same strategy to the same hinted
+    // join each batch — a sort-merge here would shuffle every micro-batch).
+    val p = batch.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"dimension join must broadcast:\n$p")
+  }
+
   test("bounded-state streaming dedup: dropDuplicatesWithinWatermark matches DISTINCT") {
     // q_stream_dedup's dropDuplicates holds every key forever — correct on
     // bounded input, unbounded state on an unbounded stream. The
