@@ -924,6 +924,61 @@ object EtlQueries {
              |) ORDER BY check_name""".stripMargin)
     ),
 
+    // Schema-drift detection — the metadata gate between q_dq_checks and a
+    // staging→main load: diff the incoming batch's ACTUAL parquet-footer
+    // schema against main's and report added / dropped / type-changed /
+    // unchanged per column, so an upstream producer change is caught
+    // BEFORE a load corrupts or fails mid-write (the reference's typed
+    // schema load, nws_dag.py, assumes the shape; this checks it). The
+    // drifted batch is synthesized through a REAL write→read round trip
+    // (props dropped, value narrowed double→float, session_id added), so
+    // the Spark side diffs footer-derived StructTypes — a wrong reader
+    // schema, a silent cast, or a diff bug flips the hash against the
+    // oracle's stated ground truth. Schema diffing is driver-side BY
+    // NATURE (schemas are bounded metadata — the q_compaction_plan rule:
+    // the report's input is O(columns), never the data); type names are
+    // emitted only for type_changed rows, keeping the report invariant to
+    // the testdata ts-flavor drift the events canary tracks.
+    Q(
+      "q_schema_drift",
+      (s, d) => {
+        import s.implicits._
+        val mainSchema = s.read.parquet(s"$d/events.parquet").schema
+        val scratch = scratchDir("graft_drift", d)
+        s.read
+          .parquet(s"$d/events.parquet")
+          .limit(1000)
+          .drop("props")
+          .withColumn("value", col("value").cast("float"))
+          .withColumn("session_id", lit("s0"))
+          .write
+          .mode("overwrite")
+          .parquet(s"$scratch/batch")
+        val batchSchema = s.read.parquet(s"$scratch/batch").schema
+        val m = mainSchema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+        val b = batchSchema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+        val rows = (m.keySet ++ b.keySet).toSeq.sorted.map { c =>
+          (m.get(c), b.get(c)) match {
+            case (Some(_), None) => (c, "dropped", None: Option[String], None: Option[String])
+            case (None, Some(_)) => (c, "added", None: Option[String], None: Option[String])
+            case (Some(t0), Some(t1)) if t0 != t1 => (c, "type_changed", Some(t0), Some(t1))
+            case _ => (c, "unchanged", None: Option[String], None: Option[String])
+          }
+        }
+        rows.toDF("column_name", "status", "main_type", "batch_type")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('event_id', 'unchanged', NULL, NULL),
+             |  ('event_type', 'unchanged', NULL, NULL),
+             |  ('props', 'dropped', NULL, NULL),
+             |  ('session_id', 'added', NULL, NULL),
+             |  ('ts', 'unchanged', NULL, NULL),
+             |  ('user_id', 'unchanged', NULL, NULL),
+             |  ('value', 'type_changed', 'double', 'float')
+             |) AS t(column_name, status, main_type, batch_type)
+             |ORDER BY column_name""".stripMargin)
+    ),
+
     // Freshness / completeness monitoring per feed (event_type): last-seen
     // timestamp, lag against the corpus watermark, and calendar days with
     // ZERO events inside the feed's observed global range — the "which

@@ -1458,6 +1458,59 @@ object SimilarityQueries {
              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // Near-dup graph audit: node/edge counts, max degree, and TRIANGLE
+    // count over the verified exact-Jaccard pair graph — the structural
+    // density signal that distinguishes "chains of borderline matches"
+    // (few triangles; clustering will over-merge via transitivity) from
+    // "tight duplicate cliques" (triangle-rich; safe to collapse to one
+    // canonical doc). Triangle enumeration uses the standard ordered-
+    // orientation trick: edges are already min→max (doc_a < doc_b), so a
+    // triangle {x<y<z} is counted EXACTLY once as (xy)(yz) closed by
+    // (xz) — two equi-joins on an oriented edge list, no per-vertex
+    // neighborhood materialization, no double counting to divide out. At
+    // scale the join fanout is bounded because the pair generator's df≤50
+    // inverted index caps how many edges any document can acquire; the
+    // three references to the pair pipeline collapse via exchange reuse.
+    Q(
+      "q_graph_triangles",
+      (s, d) => {
+        val e = ngramJaccardPairs(s, d).select("doc_a", "doc_b")
+        val deg = e
+          .select(col("doc_a").as("v"))
+          .unionAll(e.select(col("doc_b").as("v")))
+          .groupBy("v")
+          .agg(count(lit(1)).as("deg"))
+          .agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
+        val edges = e.agg(count(lit(1)).as("n_edges"))
+        val tri = e
+          .as("e1")
+          .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+          .join(
+            e.as("e3"),
+            col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        deg
+          .crossJoin(broadcast(edges))
+          .crossJoin(broadcast(tri))
+          .select("n_nodes", "n_edges", "n_triangles", "max_degree")
+      },
+      Some(s"""WITH ${ngramPairsSqlCtes()},
+              |e AS (SELECT doc_a, doc_b FROM pairs),
+              |deg AS (
+              |  SELECT v, COUNT(*) AS deg FROM (
+              |    SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e)
+              |  GROUP BY 1),
+              |t AS (
+              |  SELECT COUNT(*) AS n_triangles
+              |  FROM e e1
+              |  JOIN e e2 ON e1.doc_b = e2.doc_a
+              |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+              |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+              |  (SELECT CAST(n_triangles AS BIGINT) FROM t) AS n_triangles,
+              |  (SELECT CAST(MAX(deg) AS BIGINT) FROM deg) AS max_degree""".stripMargin)
+    ),
+
     // Fuzzy-dedup clustering: connected components over the verified
     // exact-Jaccard pair graph (ngramJaccardPairs — the SQL-expressible
     // pair generator, so the WHOLE query is driver-hash-checked: pair
@@ -2355,6 +2408,66 @@ object SimilarityQueries {
              |  round(min(norm), 6) AS min_norm,
              |  round(max(norm), 6) AS max_norm
              |FROM norms GROUP BY label ORDER BY label""".stripMargin)
+    ),
+
+    // Truncation-energy profile (the Matryoshka/MRL question: how much of
+    // each vector's energy lives in its leading dims?) — the planning
+    // artifact that decides whether ANN can run on truncated vectors at a
+    // fraction of the memory/compute. For each candidate dim k, report
+    // the corpus distribution of ‖x[:k]‖²/‖x‖²: average (decimal-exact),
+    // worst case, and how many vectors clear 90%. Per-row energy is the
+    // same sequential left-fold as q_embed_norms (Spark's aggregate HOF ≡
+    // DuckDB's list_sum, both walk in order); the three k-slices unpivot
+    // via stack into ONE partial-agg shuffle on a 3-value key. One map
+    // pass over the scan, no joins, no windows.
+    Q(
+      "q_embed_truncate",
+      (s, d) => {
+        def ssq(c: org.apache.spark.sql.Column) =
+          aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+        val dims = Seq(8, 16, 32)
+        val per = embeddings(s, d).select(
+          (greatest(ssq(col("embedding")), lit(1e-12)).as("full") +:
+            dims.map(k => ssq(slice(col("embedding"), 1, k)).as(s"ssq$k"))): _*
+        )
+        per
+          .selectExpr(
+            """stack(3,
+              |  8, ssq8 / full,
+              |  16, ssq16 / full,
+              |  32, ssq32 / full
+              |) AS (trunc_dim, frac)""".stripMargin)
+          .groupBy("trunc_dim")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            round(sum(col("frac").cast("decimal(25,10)")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_energy_frac"),
+            round(min(col("frac")), 6).as("min_energy_frac"),
+            sum(when(col("frac") >= 0.9, 1L).otherwise(0L)).as("n_above_90")
+          )
+          .orderBy("trunc_dim")
+      },
+      Some("""WITH p AS (
+             |  SELECT vec_id,
+             |    greatest(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1e-12) AS fullsq,
+             |    list_sum(list_transform(embedding[1:8],
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS s8,
+             |    list_sum(list_transform(embedding[1:16],
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS s16,
+             |    list_sum(list_transform(embedding[1:32],
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS s32
+             |  FROM embeddings),
+             |u AS (
+             |  SELECT 8 AS trunc_dim, s8 / fullsq AS frac FROM p
+             |  UNION ALL SELECT 16, s16 / fullsq FROM p
+             |  UNION ALL SELECT 32, s32 / fullsq FROM p)
+             |SELECT trunc_dim, COUNT(*) AS n_vecs,
+             |  round(CAST(SUM(CAST(frac AS DECIMAL(25,10))) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_energy_frac,
+             |  round(min(frac), 6) AS min_energy_frac,
+             |  CAST(SUM(CASE WHEN frac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_90
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
     // Embedding-outlier pruning (the curation pass before ANN indexing /

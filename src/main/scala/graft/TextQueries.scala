@@ -134,11 +134,22 @@ object TextQueries {
         posexplode(regexp_extract_all(col("page"), lit("href=\"([^\"]*)\""), lit(1)))
           .as(Seq("pos", "href")))
       .filter(!col("href").startsWith("#"))
+      // Resolve into a NAMED column before canonicalizing: canonicalizeUrl
+      // references its input ~10 times, so inlining the resolve tree there
+      // multiplies it tenfold — a generated-code blowup that trips janino
+      // and drops the whole Generate stage to interpreted execution.
+      // CollapseProject keeps the two projections apart exactly because
+      // the non-cheap `resolved` reference would be duplicated.
       .select(
         col("doc_id"),
         col("pos"),
         col("href"),
-        UrlFunctions.canonicalizeUrl(UrlFunctions.resolveUrl(col("base"), col("href"))).as("url"))
+        UrlFunctions.resolveUrl(col("base"), col("href")).as("resolved"))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        col("href"),
+        UrlFunctions.canonicalizeUrl(col("resolved")).as("url"))
   }
 
   /** DuckDB ground truth for [[extractedLinks]]: each link's raw href and

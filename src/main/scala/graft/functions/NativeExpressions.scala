@@ -305,6 +305,29 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NormalizeText = copy(child = newChild)
 }
 
+/** `canonicalize_url(url)` → the canonical form per UrlFunctions' contract,
+  * as ONE compiled kernel call. Exists for generated-code size: the
+  * equivalent builtin tree is ~40 nested regexp nodes, and optimizer
+  * substitutions (predicate pushdown through an aggregate's grouping alias)
+  * legitimately DUPLICATE the tree — q_url_frontier's crawled-set filter
+  * blew the stage past janino's limits and dropped it to interpreted
+  * execution. The kernel survives any number of substitutions as a single
+  * static invoke; byte-identical to the builtin formulation (SketchImpl
+  * applies the same java.util.regex patterns in the same order).
+  */
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NativeExpressions.isStr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"canonicalize_url requires STRING, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.canonicalizeUrl(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.canonicalizeUrl($c)")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrl = copy(child = newChild)
+}
+
 /** `cosine_sim(a, b)` over float/double arrays, double accumulation in
   * element order (bit-matches the DuckDB oracle fold).
   */

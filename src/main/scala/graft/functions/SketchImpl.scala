@@ -845,4 +845,83 @@ object SketchImpl {
     }
     1.0 / (1.0 + math.exp(-z))
   }
+
+  // --- URL canonicalization kernel ---------------------------------------
+  // One compiled pass replicating UrlFunctions' documented contract STEP FOR
+  // STEP with the same java.util.regex patterns the Column builtins compile
+  // to, so outputs are byte-identical to the regexp-builtin formulation (and
+  // to the DuckDB oracle that mirrors it textually). The kernel exists for
+  // code-size, not semantics: the composed builtin tree is ~40 nested regexp
+  // nodes, and any plan that duplicates it (predicate pushdown substituting
+  // the grouping alias into a filter, as q_url_frontier's crawled-set cut
+  // does) blows the generated stage past janino's limits and drops the whole
+  // stage to interpreted execution. As one static call it survives any
+  // number of substitutions.
+
+  private val UrlSchemeP = java.util.regex.Pattern.compile("^([A-Za-z][A-Za-z0-9+.-]*)://")
+  private val WwwPrefixP = java.util.regex.Pattern.compile("^www\\.")
+  private val Port80P = java.util.regex.Pattern.compile(":80$")
+  private val Port443P = java.util.regex.Pattern.compile(":443$")
+  private val TildeP = java.util.regex.Pattern.compile("%7[Ee]")
+  private val DotRunsP = java.util.regex.Pattern.compile("/(\\./)+")
+  private val TrailDotP = java.util.regex.Pattern.compile("/\\.$")
+  // The segment alternation excludes literal '.' and '..' WITHOUT lookahead
+  // (kept in the RE2∩Java dialect even though the kernel never reaches RE2 —
+  // the oracle's regexes must stay textually derivable from these).
+  private val UrlSeg = "([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+  private val SegUpP = java.util.regex.Pattern.compile("/" + UrlSeg + "/\\.\\./")
+  private val SegUpEndP = java.util.regex.Pattern.compile("/" + UrlSeg + "/\\.\\.$")
+  private val LeadUpP = java.util.regex.Pattern.compile("^(/\\.\\.)+/")
+  private val TrackParamsP =
+    java.util.regex.Pattern.compile("&(utm_[^=&]*|ref|fbclid|gclid|mc_eid)=[^&]*")
+  private val LeadAmpsP = java.util.regex.Pattern.compile("^&+")
+
+  /** Lowercase via UTF8String (exactly the builtin `lower()`). */
+  @inline private def lowerUtf8(s: String): String =
+    UTF8String.fromString(s).toLowerCase.toString
+
+  def canonicalizeUrl(u0: UTF8String): UTF8String = {
+    val u = u0.toString
+    val sm = UrlSchemeP.matcher(u)
+    // Not an absolute URL: passes through unchanged (relative references
+    // are resolved, not canonicalized).
+    if (!sm.lookingAt()) return u0
+    val scheme = lowerUtf8(sm.group(1))
+    val n = u.length
+    var i = sm.end()
+    val authStart = i
+    while (i < n && { val c = u.charAt(i); c != '/' && c != '?' && c != '#' }) i += 1
+    val noWww = WwwPrefixP.matcher(lowerUtf8(u.substring(authStart, i))).replaceAll("")
+    val host = scheme match {
+      case "http"  => Port80P.matcher(noWww).replaceAll("")
+      case "https" => Port443P.matcher(noWww).replaceAll("")
+      case _       => noWww
+    }
+    val pathStart = i
+    while (i < n && { val c = u.charAt(i); c != '?' && c != '#' }) i += 1
+    var p = if (pathStart == i) "/" else u.substring(pathStart, i)
+    p = TrailDotP.matcher(DotRunsP.matcher(TildeP.matcher(p).replaceAll("~")).replaceAll("/")).replaceAll("/")
+    var pass = 0
+    while (pass < UrlFunctions.DotDotPasses) {
+      p = LeadUpP
+        .matcher(SegUpEndP.matcher(SegUpP.matcher(p).replaceAll("/")).replaceAll("/"))
+        .replaceAll("/")
+      pass += 1
+    }
+    // Query: the builtin's regexp_extract(u, "\?([^#]*)", 1) — first '?'
+    // anywhere in the string, captured until '#' or end.
+    val qIdx = u.indexOf('?')
+    val rawQ =
+      if (qIdx < 0) ""
+      else {
+        var j = qIdx + 1
+        while (j < n && u.charAt(j) != '#') j += 1
+        u.substring(qIdx + 1, j)
+      }
+    val cq = LeadAmpsP.matcher(TrackParamsP.matcher("&" + rawQ).replaceAll("")).replaceAll("")
+    val out = new java.lang.StringBuilder(scheme.length + host.length + p.length + cq.length + 4)
+    out.append(scheme).append("://").append(host).append(p)
+    if (!cq.isEmpty) out.append('?').append(cq)
+    UTF8String.fromString(out.toString)
+  }
 }

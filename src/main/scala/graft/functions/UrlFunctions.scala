@@ -125,8 +125,25 @@ object UrlFunctions {
       .otherwise(concat(origin, baseDir, href))
   }
 
-  /** The full canonical URL (see object doc for the contract). */
+  /** The full canonical URL (see object doc for the contract), as ONE
+    * native kernel call ([[graft.functions.CanonicalizeUrl]]): the
+    * composed-builtin formulation below generates ~40 nested regexp nodes,
+    * and optimizer substitutions that duplicate it (predicate pushdown
+    * through a groupBy's canonical-url grouping alias) pushed generated
+    * stages past janino's compile limits — the kernel applies the SAME
+    * java.util.regex steps in one static invoke, byte-identical output.
+    */
   def canonicalizeUrl(u: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(CanonicalizeUrl(toExpr(u)))
+  }
+
+  /** The composed-builtin formulation of [[canonicalizeUrl]] — kept as the
+    * executable cross-check that the kernel and the regexp-builtin steps
+    * (which the DuckDB oracles restate textually) agree byte for byte
+    * (UrlKernelParitySpec asserts equality on the fixture corpus).
+    */
+  private[graft] def canonicalizeUrlBuiltins(u: Column): Column = {
     val scheme = urlScheme(u)
     val query = canonicalQuery(u)
     val canon = concat(

@@ -648,6 +648,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the bounded-heap pre-cap must precede the window:\n$p")
   }
 
+  test("q_embed_truncate: one map pass + one 3-key partial agg; embedding-only scan") {
+    // Per-row energy folds are row-local; the only exchange is the
+    // partial-agg'd rollup on the 3-value trunc_dim key. vec_id is unused
+    // and must be pruned from the scan.
+    val p = plan("q_embed_truncate")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    val ex = p.linesIterator.count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(ex <= 1, s"expected only the trunc_dim rollup exchange, saw $ex:\n$p")
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"only the embedding column may be read:\n$p")
+  }
+
+  test("q_graph_triangles: oriented-edge joins, no cartesian, pair pipeline reused") {
+    // The three references to the pair pipeline must not triple-compute
+    // it — after execution the adaptive plan shows reused stages — and
+    // triangle closure must be equi-joins on the oriented edge list.
+    val df = QueryRegistry.queries("q_graph_triangles")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"triangle closure must be equi-joins:\n$p")
+    // The only nested-loop joins allowed are the report assembly's 1-row
+    // aggregate crossJoins (BuildRight, Cross) — every edge-closure join
+    // must be a hash or sort-merge equi-join.
+    // The adaptive plan string prints Final AND Initial sections; count
+    // only the final one.
+    val finalSection = p.split("== Initial Plan ==").head
+    val bnlj = finalSection.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the two 1-row report crossJoins may nested-loop, saw $bnlj:\n$p")
+    assert(
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"edge closure must be an equi-join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage")),
+      s"the pair pipeline must be computed once and reused:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The canonicalize-url kernel's two contracts: (1) byte-identical to the
+  * composed regexp-builtin formulation the DuckDB oracles restate
+  * textually, across every fixture shape and a battery of adversarial
+  * URLs; (2) small enough generated code that the URL-family plans stay
+  * COMPILED — q_url_frontier's crawled-set filter, pushed through the
+  * aggregate, duplicates the canonical tree and used to trip janino into
+  * an interpreted fallback (collect with codegen.fallback=false proves the
+  * whole plan compiles).
+  */
+class UrlKernelParitySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("kernel output equals the builtin formulation on fixtures and adversarial URLs") {
+    val adversarial = Seq(
+      "HTTP://WWW.A.Example.COM:80/a/./b/../c%7Ed/?utm_source=f&id=7&ref=tw#sec",
+      "https://CDN.x.example.com:443/img/x/../y/z.png?gclid=g&size=3px",
+      "http://x.example.com/docs/2/index.html",
+      "http://x.com", // no path
+      "http://x.com#frag", // fragment, no path/query
+      "http://x.com?b=2&a=1", // query, no path
+      "http://x.com/?utm_a=1&utm_b=2", // tracking-only query
+      "https://x.com/a/b/c/../../../d", // deep parent chain
+      "http://x.com/../..", // leading dot-dots, nothing to pop
+      "http://x.com/a/.././b/./", // mixed dot runs
+      "http://x.com/%7Euser/%7e2/", // both tilde encodings
+      "ftp://Files.X.com:21/pub/./a", // non-http scheme keeps its port
+      "http://x.com/p#f?not=query", // '?' after '#': builtin still captures it
+      "not a url at all",
+      "/relative/path?utm_a=1",
+      "//protocol.relative/x"
+    ).toDF("url")
+    val cmp = adversarial.select(
+      col("url"),
+      graft.functions.UrlFunctions.canonicalizeUrl(col("url")).as("kernel"),
+      graft.functions.UrlFunctions.canonicalizeUrlBuiltins(col("url")).as("builtin")
+    )
+    val bad = cmp.filter(col("kernel") =!= col("builtin")).collect()
+    assert(bad.isEmpty, s"kernel/builtin divergence:\n${bad.mkString("\n")}")
+
+    // And across the real link-extraction fixture outputs: kernel/builtin
+    // parity on every extracted URL, which (the urls being already
+    // canonical) also proves canonicalization is idempotent.
+    val links = TextQueries.extractedLinks(spark, sfDir)
+    val fix = links.select(
+      col("url"),
+      graft.functions.UrlFunctions.canonicalizeUrl(col("url")).as("kernel"),
+      graft.functions.UrlFunctions.canonicalizeUrlBuiltins(col("url")).as("builtin")
+    )
+    assert(
+      fix.filter(col("kernel") =!= col("builtin") || col("kernel") =!= col("url")).isEmpty,
+      "fixture divergence or non-idempotent canonicalization")
+  }
+
+  test("the URL-family plans compile end to end (no interpreted fallback)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for (q <- Seq("q_url_canonical", "q_url_dedup", "q_link_extract", "q_url_frontier"))
+        assert(QueryRegistry.queries(q)(spark, sfDir).collect().nonEmpty, s"$q returned no rows")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+}
