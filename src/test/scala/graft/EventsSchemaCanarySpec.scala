@@ -244,7 +244,13 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_asof_join", "q_range_join", "q_profile", "q_funnel",
     "q_retention_cohorts", "q_group_quantiles_approx", "q_profile_approx",
     "q_scd2_intervals", "q_upsert_merge", "q_stream_dedup", "q_stream_sessionize",
-    "q_stream_quota" // ts-ORDERED quota consumption — flavor drift would reorder it
+    "q_stream_quota", // ts-ORDERED quota consumption — flavor drift would reorder it
+    "q_dq_freshness", // integer-micros lag math rides the normalized ts
+    // Reads events.parquet RAW on purpose (footer-schema diffing is the
+    // operator); returns a LocalRelation, so the scan walk can't see it —
+    // hand-listed like q_upsert_merge. Flavor-invariant because ts types
+    // are only emitted for type_changed rows and ts passes through.
+    "q_schema_drift"
   )
 
   test("the hand list above covers EVERY registered events-consuming query (r10 advice)") {
@@ -269,7 +275,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     // returns the re-read) hide their events lineage from the scan walk —
     // they must be added HERE and to eventQueries by hand; their actual
     // flavor coverage comes from the per-query invariance tests below.
-    val indirect = Set("q_upsert_merge")
+    val indirect = Set("q_upsert_merge", "q_schema_drift")
     val handBatch = eventQueries.filterNot(_.startsWith("q_stream_")).toSet
     assert(indirect.subsetOf(handBatch), "indirect consumers must be canary-covered too")
     assert(handBatch -- indirect == eventsOnly,
