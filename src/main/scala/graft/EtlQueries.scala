@@ -899,7 +899,9 @@ object EtlQueries {
       Some("""WITH m AS (
              |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
              |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_ship,
-             |    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) AS n_key,
+             |    CAST(COUNT(DISTINCT concat_ws('|',
+             |      coalesce(CAST(l_orderkey AS VARCHAR), '~'),
+             |      coalesce(CAST(l_linenumber AS VARCHAR), '~'))) AS DOUBLE) AS n_key,
              |    CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS DOUBLE) AS disc_viol,
              |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS DOUBLE) AS flag_viol,
              |    CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS price_viol

@@ -168,20 +168,20 @@ object TextQueries {
       |  UNION ALL
       |  SELECT doc_id, 1,
       |    'sub/page' || CAST(doc_id % 9 AS VARCHAR) || '.html',
-      |    'http://' || source || '.example.com/docs/' || CAST(doc_id % 5 AS VARCHAR) || '/sub/page' || CAST(doc_id % 9 AS VARCHAR) || '.html',
-      |    source || '.example.com'
+      |    'http://' || lower(source) || '.example.com/docs/' || CAST(doc_id % 5 AS VARCHAR) || '/sub/page' || CAST(doc_id % 9 AS VARCHAR) || '.html',
+      |    lower(source) || '.example.com'
       |  FROM documents
       |  UNION ALL
       |  SELECT doc_id, 2,
       |    '../up/idx' || CAST(doc_id % 3 AS VARCHAR) || '.html',
-      |    'http://' || source || '.example.com/docs/up/idx' || CAST(doc_id % 3 AS VARCHAR) || '.html',
-      |    source || '.example.com'
+      |    'http://' || lower(source) || '.example.com/docs/up/idx' || CAST(doc_id % 3 AS VARCHAR) || '.html',
+      |    lower(source) || '.example.com'
       |  FROM documents
       |  UNION ALL
       |  SELECT doc_id, 3,
       |    '/search?q=' || CAST(doc_id % 7 AS VARCHAR) || '&gclid=zz',
-      |    'http://' || source || '.example.com/search?q=' || CAST(doc_id % 7 AS VARCHAR),
-      |    source || '.example.com'
+      |    'http://' || lower(source) || '.example.com/search?q=' || CAST(doc_id % 7 AS VARCHAR),
+      |    lower(source) || '.example.com'
       |  FROM documents
       |  UNION ALL
       |  SELECT doc_id, 4,
@@ -929,8 +929,10 @@ object TextQueries {
     // q_cap_per_source's domain capping: without it `HTTP://WWW.X.COM:80/
     // a/../b?utm_source=f` and `http://x.com/b` count as different pages
     // and the frontier over-crawls every site. UrlFunctions.canonicalizeUrl
-    // is pure codegen'd regexp/string builtins in the RE2∩Java dialect
-    // (the q_redact_pii rule): fragment dropped, scheme/host lowercased,
+    // is ONE native kernel call (SketchImpl.canonicalizeUrl — the builtin
+    // regexp tree it replaced survives as canonicalizeUrlBuiltins with a
+    // byte-parity spec, and the oracle still restates those regex steps
+    // textually): fragment dropped, scheme/host lowercased,
     // www. and default ports stripped, dot segments resolved, %7E decoded,
     // tracking params (utm_*/ref/fbclid/gclid/mc_eid) removed order-
     // preserving. One map pass, zero shuffles at any corpus size. The

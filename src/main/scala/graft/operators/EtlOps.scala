@@ -623,10 +623,20 @@ object EtlOps {
     * is driver-trivial at any table size.
     */
   def dqChecks(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    // NULL-safe key fingerprint for the uniqueness check: SQL's
+    // COUNT(DISTINCT a, b) silently DROPS rows with any NULL key — on a DQ
+    // suite that's exactly the dirty data being gated, and it also
+    // diverges from DuckDB's row-value counting. Stringify with a
+    // non-numeric sentinel so NULL-keyed rows count as distinct key values
+    // on both engines (keys are numeric, so the cast is collision-free).
+    val keyFp = concat_ws(
+      "|",
+      coalesce(col("l_orderkey").cast("string"), lit("~")),
+      coalesce(col("l_linenumber").cast("string"), lit("~")))
     val base = lineitem.agg(
       count(lit(1)).cast("double").as("n_rows"),
       sum(when(col("l_shipdate").isNull, 1).otherwise(0)).cast("double").as("null_ship"),
-      countDistinct(col("l_orderkey"), col("l_linenumber")).cast("double").as("n_key"),
+      countDistinct(keyFp).cast("double").as("n_key"),
       sum(when(col("l_discount") > 0.08, 1).otherwise(0)).cast("double").as("disc_viol"),
       sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)).cast("double").as("flag_viol"),
       sum(when(col("l_extendedprice") < 0, 1).otherwise(0)).cast("double").as("price_viol")

@@ -37,6 +37,24 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
     assert(byName("referential_l_orderkey") == (("referential_l_orderkey", 0.75, 1.0, false)))
   }
 
+  test("dqChecks: NULL-keyed rows count as distinct key values, not silently dropped") {
+    // COUNT(DISTINCT a, b) drops NULL-bearing tuples — exactly the dirty
+    // rows a DQ gate exists to see. The sentinel fingerprint must count
+    // them: two NULL-key rows collapse to ONE distinct key (they carry the
+    // same (~,~) fingerprint), so 4 rows / 3 distinct keys = 0.75.
+    val li = Seq(
+      (Option(1L), Option(1), 10.0, 100.0, 0.05, "A", Date.valueOf("2024-01-01")),
+      (Option(2L), Option(1), 10.0, 100.0, 0.05, "N", Date.valueOf("2024-01-02")),
+      (Option.empty[Long], Option.empty[Int], 10.0, 100.0, 0.05, "R", Date.valueOf("2024-01-03")),
+      (Option.empty[Long], Option.empty[Int], 10.0, 100.0, 0.05, "A", Date.valueOf("2024-01-04"))
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+    val orders = Seq(1L, 2L).toDF("o_orderkey")
+    val out = graft.operators.EtlOps.dqChecks(li, orders).as[(String, Double, Double, Boolean)].collect()
+    val uniq = out.find(_._1 == "uniqueness_orderkey_linenumber").get
+    assert(uniq._2 == 0.75 && !uniq._4,
+      s"NULL keys must participate in the uniqueness metric, got $uniq")
+  }
+
   test("dqChecks: a clean table passes every check at metric 1.0") {
     val li = Seq(
       (1L, 1, 10.0, 100.0, 0.05, "A", Date.valueOf("2024-01-01")),

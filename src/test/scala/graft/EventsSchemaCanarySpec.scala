@@ -151,13 +151,24 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
       dir)
   }
 
+  /** The flavor dirs also carry nation.parquet so stream-static consumers
+    * (q_stream_enrich joins events × nation) run under both footers — an
+    * events-only fixture would silently exclude them from the canary.
+    */
+  private def addNation(d: String): Unit =
+    spark.read
+      .parquet(s"$sfDir/nation.parquet")
+      .write
+      .mode("overwrite")
+      .parquet(s"$d/nation.parquet")
+
   private lazy val nanosDir: String = {
     val d = Files.createTempDirectory("canary_nanos").toString
-    writeNanosFixture(d); d
+    writeNanosFixture(d); addNation(d); d
   }
   private lazy val microsDir: String = {
     val d = Files.createTempDirectory("canary_micros").toString
-    writeMicrosFixture(d); d
+    writeMicrosFixture(d); addNation(d); d
   }
   private lazy val tzDir: String = {
     val d = Files.createTempDirectory("canary_tz").toString
@@ -246,6 +257,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_scd2_intervals", "q_upsert_merge", "q_stream_dedup", "q_stream_sessionize",
     "q_stream_quota", // ts-ORDERED quota consumption — flavor drift would reorder it
     "q_dq_freshness", // integer-micros lag math rides the normalized ts
+    "q_stream_enrich", // stream×nation broadcast join (fixtures carry nation.parquet)
     // Reads events.parquet RAW on purpose (footer-schema diffing is the
     // operator); returns a LocalRelation, so the scan walk can't see it —
     // hand-listed like q_upsert_merge. Flavor-invariant because ts types

@@ -617,10 +617,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), s"no window in the freshness report:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"the 1-row watermark must broadcast:\n$p")
-    assert(p.contains("ReadSchema: struct<ts:timestamp,event_type:string>")
-      || p.contains("ReadSchema: struct<event_type:string,ts:timestamp>")
-      || p.contains("ts:timestamp_ntz"),
-      s"only ts+event_type may be read:\n$p")
+    // The footer flavor varies (timestamp vs timestamp_ntz vs legacy
+    // int64), so match the full two-column ReadSchema structurally rather
+    // than a substring a wider scan would also contain.
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    // (The 1-row watermark aggregate scans ts alone — a scan may prune
+    // FURTHER, never wider.)
+    assert(readSchemas.nonEmpty && readSchemas.forall { s =>
+      val cols = s.split(",").map(_.takeWhile(_ != ':')).toSet
+      cols.subsetOf(Set("ts", "event_type"))
+    }, s"only ts+event_type may be read, got $readSchemas:\n$p")
   }
 
   test("q_link_extract: extract+resolve+canonicalize is one Generate, zero exchanges") {
