@@ -2238,6 +2238,47 @@ object TextQueries {
              |FROM p, g
              |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+    ),
+
+    // Positional phrase search — the third leg of the retrieval family:
+    // q_inverted_index materializes postings, q_bm25 ranks bags of words,
+    // this finds EXACT adjacent-token phrases ("batch window") via
+    // positional-posting intersection — the algorithm a search index runs
+    // (Lucene's phrase scorer): postings for the phrase's terms only,
+    // intersected on (doc, pos+1 = pos). At 100 TB the postings come from
+    // a materialized positional index partitioned by term; here they
+    // filter out of the scan (two terms survive the explode), so the join
+    // carries candidate positions only — never the full token stream.
+    // The oracle deliberately uses a DIFFERENT algorithm (direct 1-based
+    // array adjacency indexing over the split text) — cross-algorithm
+    // agreement is the check, not restatement.
+    Q(
+      "q_phrase_search",
+      (s, d) => {
+        val Seq(t1, t2) = Seq("batch", "window")
+        val toks = documents(s, d)
+          .select(
+            col("doc_id"),
+            posexplode(wsTokenArray(col("text"))).as(Seq("pos0", "token")))
+          .filter(col("token").isin(t1, t2))
+          .select(col("doc_id"), (col("pos0") + 1).cast("long").as("i"), col("token"))
+        val a = toks.filter(col("token") === t1).select(col("doc_id"), col("i"))
+        val b = toks.filter(col("token") === t2).select(col("doc_id").as("doc_b"), col("i").as("j"))
+        a.join(b, col("doc_id") === col("doc_b") && col("i") + 1 === col("j"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occ"), min(col("i")).as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS w
+             |  FROM documents),
+             |occ AS (
+             |  SELECT doc_id, i
+             |  FROM t, unnest(range(1, len(w))) AS u(i)
+             |  WHERE w[i] = 'batch' AND w[i + 1] = 'window')
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ, CAST(MIN(i) AS BIGINT) AS first_pos
+             |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -690,6 +690,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the pair pipeline must be computed once and reused:\n$p")
   }
 
+  test("q_phrase_search: postings filter before the intersection; equi-join only") {
+    // The term filter must cut the exploded token stream BEFORE the
+    // positional join, and the (doc, pos) intersection must be an
+    // equi-join — a theta/cartesian form would pair every posting of
+    // term1 with every posting of term2 per doc.
+    val p = plan("q_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"positional intersection must be an equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"only doc_id+text may be read:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 /** Semantics of the retrieval family (q_inverted_index / q_bm25) on
   * hand-computed fixtures: posting-list stats, the deterministic top-doc
@@ -52,6 +53,27 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0)
     val expected1 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 2.5))
     assert(math.abs(out.find(_._1 == 1L).get._2 - expected1) < 1e-6)
+  }
+
+  test("q_phrase_search semantics: adjacency only, repeats counted, 1-based first position") {
+    val docs = Seq(
+      (1L, "batch window start"), // match at pos 1
+      (2L, "a batch window batch window"), // two matches, first at 2
+      (3L, "batch a window"), // not adjacent
+      (4L, "window batch"), // wrong order
+      (5L, "batch batch window") // only the second 'batch' matches
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("phrase_fix").toString
+    docs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = QueryRegistry
+      .queries("q_phrase_search")(spark, dir)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 2L, 2L), (5L, 1L, 2L)), s"got $out")
   }
 
   test("bm25Rank: k caps the result and multi-term matches count n_matched") {
