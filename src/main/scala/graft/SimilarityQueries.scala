@@ -1474,14 +1474,39 @@ object SimilarityQueries {
     Q(
       "q_graph_triangles",
       (s, d) => {
-        val e = ngramJaccardPairs(s, d).select("doc_a", "doc_b")
-        val deg = e
-          .select(col("doc_a").as("v"))
-          .unionAll(e.select(col("doc_b").as("v")))
+        // The audit references the edge list FOUR times (degree rollup +
+        // three triangle-closure legs); without a materialization barrier
+        // each reference re-derives the whole pair pipeline (shingle
+        // index + candidate join + verify) — measured ~15 s vs ~4 s at
+        // sf0.1. The pair set is corpus-REDUCED (near-dup pairs ≪ docs
+        // at any scale), so derive ONCE into scratch parquet and read it
+        // back (the exports/upsert read-back pattern — localCheckpoint
+        // was tried first and measured 4× SLOWER: it materializes the
+        // non-adaptive plan, losing the merge-hinted stage reuse inside
+        // the pair derivation). repartition(1), NOT coalesce(1): coalesce
+        // propagates the one-task constraint upstream into the pair-verify
+        // stage and serialized it (measured ×2.8 per doubling at ×4);
+        // the repartition shuffle moves only the reduced edge set. A
+        // 100 TB deployment keeps the natural partitioning.
+        val scratch = EtlQueries.scratchDir("graft_tri", d)
+        ngramJaccardPairs(s, d)
+          .select("doc_a", "doc_b")
+          .repartition(1)
+          .write
+          .mode("overwrite")
+          .parquet(s"$scratch/edges")
+        val e = s.read.parquet(s"$scratch/edges")
+        // Degrees via ONE explode pass; n_edges = Σdeg/2 exactly (every
+        // edge contributes two endpoint entries), so no separate count
+        // pass over e.
+        val stats = e
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
           .groupBy("v")
           .agg(count(lit(1)).as("deg"))
-          .agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
-        val edges = e.agg(count(lit(1)).as("n_edges"))
+          .agg(
+            count(lit(1)).as("n_nodes"),
+            (sum(col("deg")) / 2).cast("long").as("n_edges"),
+            max(col("deg")).as("max_degree"))
         val tri = e
           .as("e1")
           .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
@@ -1489,8 +1514,7 @@ object SimilarityQueries {
             e.as("e3"),
             col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
           .agg(count(lit(1)).as("n_triangles"))
-        deg
-          .crossJoin(broadcast(edges))
+        stats
           .crossJoin(broadcast(tri))
           .select("n_nodes", "n_edges", "n_triangles", "max_degree")
       },

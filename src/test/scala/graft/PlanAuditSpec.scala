@@ -667,27 +667,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"only the embedding column may be read:\n$p")
   }
 
-  test("q_graph_triangles: oriented-edge joins, no cartesian, pair pipeline reused") {
-    // The three references to the pair pipeline must not triple-compute
-    // it — after execution the adaptive plan shows reused stages — and
-    // triangle closure must be equi-joins on the oriented edge list.
+  test("q_graph_triangles: oriented-edge joins, no cartesian, pair pipeline runs once") {
+    // The audit references the edge list five times; the localCheckpoint
+    // barrier must make the pair pipeline run ONCE, and triangle closure
+    // must be equi-joins on the oriented edge list.
     val df = QueryRegistry.queries("q_graph_triangles")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"triangle closure must be equi-joins:\n$p")
-    // The only nested-loop joins allowed are the report assembly's 1-row
-    // aggregate crossJoins (BuildRight, Cross) — every edge-closure join
-    // must be a hash or sort-merge equi-join.
-    // The adaptive plan string prints Final AND Initial sections; count
-    // only the final one.
+    // The only nested-loop join allowed is the report assembly's 1-row
+    // aggregate crossJoin — every edge-closure join must be a hash or
+    // sort-merge equi-join. (The adaptive plan string prints Final AND
+    // Initial sections; count only the final one.)
     val finalSection = p.split("== Initial Plan ==").head
     val bnlj = finalSection.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj <= 2, s"only the two 1-row report crossJoins may nested-loop, saw $bnlj:\n$p")
+    assert(bnlj <= 1, s"only the 1-row report crossJoin may nested-loop, saw $bnlj:\n$p")
     assert(
       p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
       s"edge closure must be an equi-join:\n$p")
-    assert(p.linesIterator.exists(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage")),
-      s"the pair pipeline must be computed once and reused:\n$p")
+    // Every edge reference must consume the materialized scratch edges —
+    // the corpus-scale shingle pipeline must not appear in this plan.
+    assert(p.contains("edges"), s"edge list must be scratch-materialized:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"the report must not re-derive pairs from the corpus:\n$p")
   }
 
   test("q_phrase_search: postings filter before the intersection; equi-join only") {
