@@ -2279,6 +2279,60 @@ object TextQueries {
              |  WHERE w[i] = 'batch' AND w[i + 1] = 'window')
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ, CAST(MIN(i) AS BIGINT) AS first_pos
              |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Incremental index maintenance — the production retrieval shape at
+    // 100 TB: the corpus is indexed ONCE and the per-term stats persist;
+    // each day's new batch indexes ALONE and MERGES in, because (df, cf)
+    // are algebraic — they add across disjoint doc sets, so the merge is
+    // one partial-agg'd full-outer join on term, never a corpus rescan
+    // (the q_dedup_incremental framing: "batch" = doc_id ≡ 4 (mod 5),
+    // "index" = the rest; dedup upstream guarantees disjointness, which
+    // is exactly what makes df additive). The report carries the merged
+    // stats plus the batch's contribution and an is-new-term flag — what
+    // an index-refresh job logs.
+    Q(
+      "q_index_merge",
+      (s, d) => {
+        def postings(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), explode(wsTokenArray(col("text"))).as("term"))
+            .groupBy("term", "doc_id")
+            .agg(count(lit(1)).as("tf"))
+            .groupBy("term")
+            .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        val docs = documents(s, d)
+        val idx = postings(docs.filter(pmod(col("doc_id"), lit(5)) =!= 4))
+          .select(col("term"), col("df").as("df_i"), col("cf").as("cf_i"))
+        val batch = postings(docs.filter(pmod(col("doc_id"), lit(5)) === 4))
+          .select(col("term"), col("df").as("df_b"), col("cf").as("cf_b"))
+        idx
+          .join(batch, Seq("term"), "full_outer")
+          .select(
+            col("term"),
+            (coalesce(col("df_i"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"),
+            (coalesce(col("cf_i"), lit(0L)) + coalesce(col("cf_b"), lit(0L))).as("cf"),
+            coalesce(col("df_b"), lit(0L)).as("df_batch"),
+            col("df_i").isNull.as("is_new_term"))
+          .orderBy("term")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS term
+             |  FROM documents),
+             |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_i, CAST(SUM(tf) AS BIGINT) AS cf_i
+             |  FROM tf WHERE doc_id % 5 <> 4 GROUP BY term),
+             |b AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_b, CAST(SUM(tf) AS BIGINT) AS cf_b
+             |  FROM tf WHERE doc_id % 5 = 4 GROUP BY term)
+             |SELECT COALESCE(idx.term, b.term) AS term,
+             |  COALESCE(df_i, 0) + COALESCE(df_b, 0) AS df,
+             |  COALESCE(cf_i, 0) + COALESCE(cf_b, 0) AS cf,
+             |  COALESCE(df_b, 0) AS df_batch,
+             |  df_i IS NULL AS is_new_term
+             |FROM idx FULL OUTER JOIN b ON idx.term = b.term
+             |ORDER BY term""".stripMargin)
     )
   )
 }

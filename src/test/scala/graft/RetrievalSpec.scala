@@ -76,6 +76,19 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((1L, 1L, 1L), (2L, 2L, 2L), (5L, 1L, 2L)), s"got $out")
   }
 
+  test("q_index_merge: merged stats equal a from-scratch full-corpus index (mergeability)") {
+    // The whole point of incremental maintenance: indexing the batch
+    // alone and adding is indistinguishable from re-indexing everything.
+    val merged = QueryRegistry
+      .queries("q_index_merge")(spark, sfDir)
+      .select("term", "df", "cf")
+    val full = TextQueries
+      .invertedIndex(Tables.documents(spark, sfDir))
+      .select("term", "df", "cf")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "merge must equal the from-scratch index")
+  }
+
   test("bm25Rank: k caps the result and multi-term matches count n_matched") {
     val docs = Seq(
       (1L, "x y"),
