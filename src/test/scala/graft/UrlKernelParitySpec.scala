@@ -56,6 +56,45 @@ class UrlKernelParitySpec extends AnyFunSuite with SparkSpec {
       "fixture divergence or non-idempotent canonicalization")
   }
 
+  test("fuzzed kernel/builtin parity: 400 structured-random URLs agree byte for byte") {
+    // Randomized URL components (mixed-case schemes/hosts, ports, dot
+    // segments, tilde encodings, tracking and surviving params,
+    // fragments) — the generator's support deliberately exceeds the
+    // fixture battery, so a semantic gap between the kernel's
+    // java.util.regex steps and the builtin tree surfaces here first.
+    // Fixed seeds (the SketchKernelPropertySpec convention): failures
+    // reproduce deterministically.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val seg = Gen.oneOf("a", "B2", "x.y", "..z", ".", "..", "c%7Ed", "%7e", "idx9")
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp", "")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("x.com", "Ext.Example.ORG", "a-b.NET")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      nSegs <- Gen.choose(0, 5)
+      segs <- Gen.listOfN(nSegs, seg)
+      trailing <- Gen.oneOf("", "/")
+      params <- Gen.someOf(Seq("utm_source=f", "ref=tw", "q=1", "gclid=g", "a=b", "mc_eid=x"))
+      frag <- Gen.oneOf("", "#sec", "#a?b")
+    } yield {
+      val path = if (segs.isEmpty) trailing else segs.mkString("/", "/", trailing)
+      val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      if (scheme.isEmpty) s"$www$host$path$query$frag"
+      else s"$scheme://$www$host$port$path$query$frag"
+    }
+    val urls = samples(urlGen, 400)
+    val cmp = urls.toDF("url").select(
+      col("url"),
+      graft.functions.UrlFunctions.canonicalizeUrl(col("url")).as("kernel"),
+      graft.functions.UrlFunctions.canonicalizeUrlBuiltins(col("url")).as("builtin")
+    )
+    val bad = cmp.filter(col("kernel") =!= col("builtin")).collect()
+    assert(bad.isEmpty, s"kernel/builtin divergence on fuzzed URLs:\n${bad.take(10).mkString("\n")}")
+  }
+
   test("the URL-family plans compile end to end (no interpreted fallback)") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
