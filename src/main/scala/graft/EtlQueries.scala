@@ -769,6 +769,69 @@ object EtlQueries {
              |FROM c""".stripMargin)
     ),
 
+    // 21b. Snapshot-retention / VACUUM planner — the third member of the
+    //     table-maintenance family (compaction → layout → retention; the
+    //     Delta VACUUM + time-travel-retention idiom): over the file
+    //     INVENTORY, each (source, slot) holds versioned files; only the
+    //     LATEST version is referenced by the current snapshot. Files
+    //     that are superseded AND older than the 7-day retention window
+    //     (against the inventory's own watermark — no wall clock, the
+    //     audit-determinism rule) plan as 'delete'; superseded-but-recent
+    //     files plan as 'retain_tt' (still reachable by time travel);
+    //     active files 'keep'. Same scale contract as q_compaction_plan:
+    //     the planner's input is ~10⁶ inventory rows at 100 TB — one
+    //     partial-agg'd active-version rollup joined back (inventory-
+    //     sized, AQE broadcasts it) + a 1-row watermark broadcast; data
+    //     files never flow through the plan.
+    Q(
+      "q_vacuum_plan",
+      (s, d) => {
+        val files = documents(s, d)
+          .groupBy(col("source"), expr("doc_id DIV 32").as("file_grp"))
+          .agg(sum(col("n_chars")).as("file_bytes"))
+          .select(
+            col("source"),
+            expr("file_grp DIV 4").as("slot"),
+            (col("file_grp") % 4).as("version"),
+            col("file_bytes"),
+            ((col("file_grp") * 7) % 30).as("created_day"))
+        val wm = files.agg(max(col("created_day")).as("wm_day"))
+        val active = files
+          .groupBy("source", "slot")
+          .agg(max(col("version")).as("active_version"))
+        files
+          .join(active, Seq("source", "slot"))
+          .crossJoin(broadcast(wm))
+          .select(
+            col("source"),
+            col("slot"),
+            col("version"),
+            col("file_bytes"),
+            col("created_day"),
+            when(col("version") === col("active_version"), "keep")
+              .when(col("created_day") < col("wm_day") - 7, "delete")
+              .otherwise("retain_tt")
+              .as("verdict"))
+          .orderBy("source", "slot", "version")
+      },
+      Some("""WITH files AS (
+             |  SELECT source, doc_id // 32 AS file_grp,
+             |         CAST(SUM(n_chars) AS BIGINT) AS file_bytes
+             |  FROM documents GROUP BY 1, 2),
+             |v AS (
+             |  SELECT source, file_grp // 4 AS slot, file_grp % 4 AS version,
+             |         file_bytes, (file_grp * 7) % 30 AS created_day
+             |  FROM files),
+             |wm AS (SELECT MAX(created_day) AS wm_day FROM v),
+             |a AS (SELECT source, slot, MAX(version) AS active_version FROM v GROUP BY 1, 2)
+             |SELECT v.source, v.slot, v.version, v.file_bytes, v.created_day,
+             |  CASE WHEN v.version = a.active_version THEN 'keep'
+             |       WHEN v.created_day < wm.wm_day - 7 THEN 'delete'
+             |       ELSE 'retain_tt' END AS verdict
+             |FROM v JOIN a ON v.source = a.source AND v.slot = a.slot, wm
+             |ORDER BY v.source, v.slot, v.version""".stripMargin)
+    ),
+
     // 22. Z-order layout report — multi-dimensional data clustering (the
     //     Delta/Iceberg OPTIMIZE ZORDER idiom): morton-interleave the low
     //     8 bits of two dimension keys, bucket by the top z-bits, and

@@ -171,6 +171,27 @@ class LayoutSamplingSpec extends AnyFunSuite with SparkSpec {
   private def mortonRef(x: Long, y: Long, bits: Int): Long =
     (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
 
+  test("q_vacuum_plan verdicts: one keep per slot (the max version), deletes only old superseded files") {
+    val out = QueryRegistry
+      .queries("q_vacuum_plan")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getString(5)))
+      .toSeq
+    val bySlot = out.groupBy(t => (t._1, t._2))
+    val wm = out.map(_._4).max
+    bySlot.foreach { case (slot, files) =>
+      val keeps = files.filter(_._5 == "keep")
+      assert(keeps.size == 1, s"slot $slot must keep exactly one file, got $files")
+      assert(keeps.head._3 == files.map(_._3).max, s"the kept file must be the max version: $files")
+      files.filterNot(_._5 == "keep").foreach { f =>
+        val expected = if (f._4 < wm - 7) "delete" else "retain_tt"
+        assert(f._5 == expected, s"superseded file $f: expected $expected")
+      }
+    }
+    // The fixture must exercise all three verdicts, or the oracle gates nothing.
+    assert(Set("keep", "delete", "retain_tt").subsetOf(out.map(_._5).toSet))
+  }
+
   test("mortonKey matches the reference interleave on randoms") {
     val rnd = new scala.util.Random(7)
     val pts = Seq.fill(300)((rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong))
