@@ -95,6 +95,57 @@ class UrlKernelParitySpec extends AnyFunSuite with SparkSpec {
     assert(bad.isEmpty, s"kernel/builtin divergence on fuzzed URLs:\n${bad.take(10).mkString("\n")}")
   }
 
+  test("resolveUrl∘canonicalizeUrl agrees with the JDK's RFC 3986 resolver on fuzzed pairs") {
+    // java.net.URI.resolve is an INDEPENDENT RFC 3986 §5 implementation
+    // (it resolves dot segments itself, where our pipeline defers them to
+    // the canonicalizer) — canonicalizing BOTH results absorbs that split
+    // of labor, so the comparison checks the end-to-end semantics against
+    // a reference we didn't write. Fragment-only hrefs are excluded (URI
+    // keeps the fragment, we return the base; the canonicalizer drops
+    // fragments so they'd agree anyway, but the extractor filters them
+    // before resolution — out of contract).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val seg = Gen.oneOf("a", "b2", "x.y", "idx9", "..")
+    val baseGen: Gen[String] = for {
+      host <- Gen.oneOf("x.com", "ext.example.org")
+      n <- Gen.choose(1, 4)
+      segs <- Gen.listOfN(n, Gen.oneOf("a", "b2", "docs", "v1"))
+      page <- Gen.oneOf("index.html", "p.html", "")
+      q <- Gen.oneOf("", "?p=1")
+    } yield s"http://$host${segs.mkString("/", "/", "/")}$page$q"
+    val hrefGen: Gen[String] = for {
+      kind <- Gen.choose(0, 4)
+      segs <- Gen.listOfN(2, seg)
+      q <- Gen.oneOf("", "?q=2", "?utm_source=f&k=1")
+    } yield kind match {
+      case 0 => s"https://other.net/${segs.mkString("/")}$q"
+      case 1 => s"//cdn.net/${segs.mkString("/")}"
+      case 2 => s"/${segs.mkString("/")}$q"
+      case 3 => s"${segs.mkString("/")}.html$q"
+      case _ => s"../${segs.mkString("/")}$q"
+    }
+    val pairs = samples(Gen.zip(baseGen, hrefGen), 300)
+    // JDK resolution driver-side; both canonicalizations in ONE DF pass.
+    val withJdk = pairs.map { case (b, h) => (b, h, new java.net.URI(b).resolve(h).toString) }
+    val bad = withJdk
+      .toDF("base", "href", "jdk")
+      .select(
+        col("base"),
+        col("href"),
+        col("jdk"),
+        graft.functions.UrlFunctions
+          .canonicalizeUrl(graft.functions.UrlFunctions.resolveUrl(col("base"), col("href")))
+          .as("ours"),
+        graft.functions.UrlFunctions.canonicalizeUrl(col("jdk")).as("jdk_canon"))
+      .filter(col("ours") =!= col("jdk_canon"))
+      .collect()
+    assert(bad.isEmpty,
+      s"divergence from java.net.URI on ${bad.length} pairs:\n${bad.take(10).mkString("\n")}")
+  }
+
   test("the URL-family plans compile end to end (no interpreted fallback)") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
