@@ -725,6 +725,63 @@ object AnalyticQueries {
              |FROM events""".stripMargin)
     ),
 
+    // Watermark-tuning lateness profile — the planning artifact behind
+    // every `withWatermark` delay choice in §2.4: how late do events
+    // actually arrive, and what fraction would each candidate delay
+    // drop? Lateness = how far an event's time sits below the running
+    // event-time high-water mark in ARRIVAL order (event_id as the
+    // ingestion sequence — the deterministic arrival proxy), which is
+    // exactly the quantity a Structured Streaming watermark of delay D
+    // compares against. The oracle states the textbook one-reducer
+    // global running max; the plan computes it hierarchically
+    // (EtlOps.arrivalLatenessMicros — balanced arrival blocks + a
+    // bounded ≤4096-row prefix-max broadcast, the weightedSystematicSample
+    // device for MAX), spec-proven row-identical. Integer-micros
+    // arithmetic end to end; the drop fractions are int/int doubles.
+    Q(
+      "q_late_arrival_profile",
+      (s, d) => {
+        val lat = graft.operators.EtlOps.arrivalLatenessMicros(
+          events(s, d).select(col("event_id"), col("ts")),
+          "ts",
+          "event_id")
+        val delays = Seq(0L, 10L, 30L, 60L, 360L)
+        val aggs = count(lit(1)).cast("double").as("n") +:
+          delays.map(m =>
+            sum(when(col("lateness_us") > m * 60000000L, 1).otherwise(0))
+              .cast("double").as(s"l$m"))
+        val one = lat.agg(aggs.head, aggs.tail: _*)
+        one.selectExpr(
+          s"""stack(${delays.size},
+             |${delays.map(m => s"  CAST($m AS BIGINT), CAST(l$m AS BIGINT), l$m / n").mkString(",\n")}
+             |) AS (delay_minutes, n_late, frac_late)""".stripMargin)
+          .orderBy("delay_minutes")
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, epoch_us(ts) AS t,
+             |    max(epoch_us(ts)) OVER (ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM events),
+             |x AS (
+             |  SELECT CASE WHEN pm IS NULL THEN 0 ELSE greatest(0, pm - t) END AS late
+             |  FROM l),
+             |g AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS l0,
+             |    CAST(SUM(CASE WHEN late > 600000000 THEN 1 ELSE 0 END) AS DOUBLE) AS l10,
+             |    CAST(SUM(CASE WHEN late > 1800000000 THEN 1 ELSE 0 END) AS DOUBLE) AS l30,
+             |    CAST(SUM(CASE WHEN late > 3600000000 THEN 1 ELSE 0 END) AS DOUBLE) AS l60,
+             |    CAST(SUM(CASE WHEN late > 21600000000 THEN 1 ELSE 0 END) AS DOUBLE) AS l360
+             |  FROM x)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS delay_minutes, CAST(l0 AS BIGINT) AS n_late, l0 / n AS frac_late FROM g
+             |  UNION ALL SELECT 10, CAST(l10 AS BIGINT), l10 / n FROM g
+             |  UNION ALL SELECT 30, CAST(l30 AS BIGINT), l30 / n FROM g
+             |  UNION ALL SELECT 60, CAST(l60 AS BIGINT), l60 / n FROM g
+             |  UNION ALL SELECT 360, CAST(l360 AS BIGINT), l360 / n FROM g
+             |) ORDER BY delay_minutes""".stripMargin)
+    ),
+
     // Full CUBE (status × order-year): all four grouping-set levels from
     // ONE scan — the slice-any-way dashboard surface. Same single-shuffle
     // partial-agg re-aggregation story as q_rollup_sales; CUBE adds the

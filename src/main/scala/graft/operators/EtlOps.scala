@@ -545,6 +545,68 @@ object EtlOps {
       .drop("__blk", "__r", "__w", "__ci_local", "__off", "__tw", "__ci")
   }
 
+  /** Per-event LATENESS against the running event-time high-water mark in
+    * arrival order — the measurement behind watermark tuning: an event's
+    * lateness is how far its event time sits BELOW the maximum event time
+    * of everything that arrived strictly before it (0 for in-order
+    * arrivals), i.e. exactly the quantity a Structured Streaming
+    * watermark of delay D compares against when deciding to drop.
+    * `arrivalCol` must be a monotone arrival proxy (ingestion sequence).
+    *
+    * Scale shape — the weightedSystematicSample blocked-prefix device,
+    * now for MAX: a single `ORDER BY arrival` running max is the banned
+    * one-reducer global window, so block by the arrival id's DIV (global
+    * arrival order ≡ (block, arrival) order because blocks are the id's
+    * high bits), run the exclusive running max WITHIN balanced blocks,
+    * roll per-block maxima up, and take the exclusive prefix max across
+    * the bounded block table; the row's prefix = greatest(block-local
+    * exclusive max, prior-blocks max). The block COUNT is fixed
+    * (`blocks`, default 4096) with the block size derived from the
+    * observed arrival range — a fixed block SIZE would make the block
+    * table O(events) and unbroadcastable at 100 TB, while a fixed count
+    * keeps it a bounded broadcast at any scale (the
+    * weightedSystematicSample high-bits rule, restated for an arbitrary
+    * id domain). Appends `lateness_us` (long ≥ 0).
+    */
+  def arrivalLatenessMicros(
+      df: DataFrame,
+      tsCol: String,
+      arrivalCol: String,
+      blocks: Int = 4096
+  ): DataFrame = {
+    require(blocks > 0, "arrivalLatenessMicros: blocks must be positive")
+    val sentinel = Long.MinValue
+    val bs = df.agg(
+      (coalesce(max(col(arrivalCol)).cast("long"), lit(0L)) / blocks + 1L).cast("long").as("__bs"))
+    val withBlk = df
+      .crossJoin(broadcast(bs))
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__blk", expr(s"$arrivalCol DIV __bs"))
+    val wLocal = Window
+      .partitionBy(col("__blk"))
+      .orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withBlk.withColumn("__lm", max(col("__t")).over(wLocal))
+    val blockMax = withBlk.groupBy(col("__blk")).agg(max(col("__t")).as("__bm"))
+    val wOff = Window
+      .partitionBy(boundedWindowKey(col("__blk")))
+      .orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = blockMax
+      .withColumn("__pm", max(col("__bm")).over(wOff))
+      .select(col("__blk"), col("__pm"))
+    local
+      .join(broadcast(prior), "__blk")
+      .withColumn(
+        "__hwm",
+        greatest(coalesce(col("__lm"), lit(sentinel)), coalesce(col("__pm"), lit(sentinel))))
+      .withColumn(
+        "lateness_us",
+        when(col("__hwm") === sentinel, lit(0L))
+          .otherwise(greatest(lit(0L), col("__hwm") - col("__t"))))
+      .drop("__t", "__blk", "__lm", "__pm", "__hwm", "__bs")
+  }
+
   /** Small-files compaction PLANNER: assign each staged file to a
     * target-size output bin by sequential (coalesce-style) packing — the
     * metadata half of [[graft.sources.StagingSink.compact]], and the same

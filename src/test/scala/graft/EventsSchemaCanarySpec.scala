@@ -257,6 +257,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_scd2_intervals", "q_upsert_merge", "q_stream_dedup", "q_stream_sessionize",
     "q_stream_quota", // ts-ORDERED quota consumption — flavor drift would reorder it
     "q_dq_freshness", // integer-micros lag math rides the normalized ts
+    "q_late_arrival_profile", // arrival-order lateness over the normalized ts
     "q_stream_enrich", // stream×nation broadcast join (fixtures carry nation.parquet)
     // Reads events.parquet RAW on purpose (footer-schema diffing is the
     // operator); returns a LocalRelation, so the scan walk can't see it —

@@ -171,6 +171,47 @@ class LayoutSamplingSpec extends AnyFunSuite with SparkSpec {
   private def mortonRef(x: Long, y: Long, bits: Int): Long =
     (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
 
+  test("arrivalLatenessMicros: hierarchical prefix-max ≡ naive global window; hand-computed lateness") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.expressions.Window
+    // Hand fixture: arrivals 1..6 with one in-order run, one late event,
+    // one very late event, and a tie with the high-water mark.
+    val ts = Seq(
+      (1L, "2024-01-01 10:00:00"), // hwm 10:00
+      (2L, "2024-01-01 11:00:00"), // hwm 11:00
+      (3L, "2024-01-01 10:30:00"), // 30 min late
+      (4L, "2024-01-01 11:00:00"), // ties the hwm: lateness 0
+      (5L, "2024-01-01 05:00:00"), // 6 h late
+      (6L, "2024-01-01 12:00:00") // in order
+    ).map { case (id, t) => (id, Timestamp.valueOf(t)) }.toDF("event_id", "ts")
+    val out = graft.operators.EtlOps
+      .arrivalLatenessMicros(ts, "ts", "event_id", blocks = 2)
+      .orderBy("event_id")
+      .select("lateness_us")
+      .as[Long]
+      .collect()
+      .toSeq
+    assert(out == Seq(0L, 0L, 1800000000L, 0L, 21600000000L, 0L), s"got $out")
+
+    // Hierarchical ≡ the naive one-reducer global window, row for row,
+    // on real events at sf0.001 — under a block count that forces many
+    // non-trivial block boundaries.
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("ts"))
+    val hier = graft.operators.EtlOps
+      .arrivalLatenessMicros(ev, "ts", "event_id", blocks = 7)
+      .select("event_id", "lateness_us")
+    val w = Window.orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val naive = ev
+      .withColumn("pm", max(unix_micros(col("ts"))).over(w))
+      .select(
+        col("event_id"),
+        when(col("pm").isNull, 0L)
+          .otherwise(greatest(lit(0L), col("pm") - unix_micros(col("ts"))))
+          .as("lateness_us"))
+    assert(hier.exceptAll(naive).isEmpty && naive.exceptAll(hier).isEmpty,
+      "blocked prefix-max must equal the global running max")
+  }
+
   test("q_vacuum_plan verdicts: one keep per slot (the max version), deletes only old superseded files") {
     val out = QueryRegistry
       .queries("q_vacuum_plan")(spark, sfDir)

@@ -692,6 +692,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the report must not re-derive pairs from the corpus:\n$p")
   }
 
+  test("q_late_arrival_profile: every event-scale window carries the __blk sub-key") {
+    // The oracle's formulation — one global ORDER BY arrival running max —
+    // is the banned single-reducer window; the plan must run every
+    // event-scale window partitioned by the balanced __blk blocks, with
+    // the only unblocked window the bounded (<= 4096-row) block-table
+    // prefix (which rides the boundedWindowKey literal partition).
+    val p = plan("q_late_arrival_profile")
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"expected window operators:\n$p")
+    windowLines.foreach { l =>
+      assert(l.contains("__blk") || l.contains("coalesce"),
+        s"unblocked event-scale window crept in:\n$l")
+    }
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_phrase_search: postings filter before the intersection; equi-join only") {
     // The term filter must cut the exploded token stream BEFORE the
     // positional join, and the (doc, pos) intersection must be an
