@@ -1505,7 +1505,10 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("deg"))
           .agg(
             count(lit(1)).as("n_nodes"),
-            (sum(col("deg")) / 2).cast("long").as("n_edges"),
+            // coalesce: an EMPTY edge set sums to null where the oracle's
+            // COUNT says 0 — a correct no-duplicates corpus must not read
+            // as a cross-engine drift.
+            (coalesce(sum(col("deg")), lit(0L)) / 2).cast("long").as("n_edges"),
             max(col("deg")).as("max_degree"))
         val tri = e
           .as("e1")

@@ -576,12 +576,22 @@ object EtlOps {
   ): DataFrame = {
     require(blocks > 0, "arrivalLatenessMicros: blocks must be positive")
     val sentinel = Long.MinValue
+    // Block by the OBSERVED RANGE, rebased to the minimum: blocking on the
+    // raw id assumes ids start near zero — an offset ingestion sequence
+    // (resumed counters, snowflake-style ids) would collapse every row
+    // into the last block and silently degenerate into the banned
+    // one-reducer window, and negative ids would NULL the DIV. (max−min)
+    // ≥ 0 keeps the size ≥ 1 on any input including empty.
     val bs = df.agg(
-      (coalesce(max(col(arrivalCol)).cast("long"), lit(0L)) / blocks + 1L).cast("long").as("__bs"))
+      coalesce(min(col(arrivalCol)).cast("long"), lit(0L)).as("__mn"),
+      ((coalesce(max(col(arrivalCol)).cast("long"), lit(0L)) -
+        coalesce(min(col(arrivalCol)).cast("long"), lit(0L))) / blocks + 1L)
+        .cast("long")
+        .as("__bs"))
     val withBlk = df
       .crossJoin(broadcast(bs))
       .withColumn("__t", unix_micros(col(tsCol)))
-      .withColumn("__blk", expr(s"$arrivalCol DIV __bs"))
+      .withColumn("__blk", expr(s"($arrivalCol - __mn) DIV __bs"))
     val wLocal = Window
       .partitionBy(col("__blk"))
       .orderBy(col(arrivalCol))
@@ -604,7 +614,7 @@ object EtlOps {
         "lateness_us",
         when(col("__hwm") === sentinel, lit(0L))
           .otherwise(greatest(lit(0L), col("__hwm") - col("__t"))))
-      .drop("__t", "__blk", "__lm", "__pm", "__hwm", "__bs")
+      .drop("__t", "__blk", "__lm", "__pm", "__hwm", "__bs", "__mn")
   }
 
   /** Small-files compaction PLANNER: assign each staged file to a

@@ -193,6 +193,20 @@ class LayoutSamplingSpec extends AnyFunSuite with SparkSpec {
       .toSeq
     assert(out == Seq(0L, 0L, 1800000000L, 0L, 21600000000L, 0L), s"got $out")
 
+    // Offset arrival domain (a resumed ingestion sequence / snowflake-
+    // style ids): blocking must rebase to the observed minimum — a raw
+    // id DIV would collapse everything into the last block and quietly
+    // become the banned one-reducer window. Same fixture, ids + 1e9.
+    val shifted = graft.operators.EtlOps
+      .arrivalLatenessMicros(
+        ts.withColumn("event_id", col("event_id") + 1000000000L), "ts", "event_id", blocks = 2)
+      .orderBy("event_id")
+      .select("lateness_us")
+      .as[Long]
+      .collect()
+      .toSeq
+    assert(shifted == out, s"offset ids must not change lateness: $shifted")
+
     // Hierarchical ≡ the naive one-reducer global window, row for row,
     // on real events at sf0.001 — under a block count that forces many
     // non-trivial block boundaries.

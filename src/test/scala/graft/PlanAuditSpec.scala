@@ -668,9 +668,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q_graph_triangles: oriented-edge joins, no cartesian, pair pipeline runs once") {
-    // The audit references the edge list five times; the localCheckpoint
-    // barrier must make the pair pipeline run ONCE, and triangle closure
-    // must be equi-joins on the oriented edge list.
+    // The audit references the edge list four times; the scratch-parquet
+    // barrier (derive once into EtlQueries.scratchDir, read back — chosen
+    // over localCheckpoint, which measured 4x slower by materializing the
+    // non-adaptive plan) must make the pair pipeline run ONCE, and
+    // triangle closure must be equi-joins on the oriented edge list.
     val df = QueryRegistry.queries("q_graph_triangles")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -687,7 +689,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"edge closure must be an equi-join:\n$p")
     // Every edge reference must consume the materialized scratch edges —
     // the corpus-scale shingle pipeline must not appear in this plan.
-    assert(p.contains("edges"), s"edge list must be scratch-materialized:\n$p")
+    assert(p.contains("graft_tri"),
+      s"edge list must scan the scratch materialization (graft_tri dir):\n$p")
     assert(!p.contains("documents.parquet"),
       s"the report must not re-derive pairs from the corpus:\n$p")
   }

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
 class UrlKernelParitySpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  /** Fixed-seed deterministic sampling (the SketchKernelPropertySpec
+    * convention) — one copy serving both fuzz tests.
+    */
+  private def samples[A](g: org.scalacheck.Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+
   test("kernel output equals the builtin formulation on fixtures and adversarial URLs") {
     val adversarial = Seq(
       "HTTP://WWW.A.Example.COM:80/a/./b/../c%7Ed/?utm_source=f&id=7&ref=tw#sec",
@@ -65,9 +72,6 @@ class UrlKernelParitySpec extends AnyFunSuite with SparkSpec {
     // Fixed seeds (the SketchKernelPropertySpec convention): failures
     // reproduce deterministically.
     import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
-    def samples[A](g: Gen[A], n: Int): Seq[A] =
-      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
     val seg = Gen.oneOf("a", "B2", "x.y", "..z", ".", "..", "c%7Ed", "%7e", "idx9")
     val urlGen: Gen[String] = for {
       scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp", "")
@@ -105,9 +109,6 @@ class UrlKernelParitySpec extends AnyFunSuite with SparkSpec {
     // fragments so they'd agree anyway, but the extractor filters them
     // before resolution — out of contract).
     import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
-    def samples[A](g: Gen[A], n: Int): Seq[A] =
-      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
     val seg = Gen.oneOf("a", "b2", "x.y", "idx9", "..")
     val baseGen: Gen[String] = for {
       host <- Gen.oneOf("x.com", "ext.example.org")
