@@ -36,6 +36,43 @@ object StreamQueries {
   private def tmpDir(prefix: String, d: String): String =
     EtlQueries.scratchDir(prefix, d)
 
+  /** Builds and STARTS the q_stream_enrich stream: event stream joined to a
+    * broadcast static nation dimension, rolled up per nation, complete-mode
+    * foreachBatch overwrite into `out`. Factored out of the registry entry
+    * so MultimodalStreamingSpec can assert BroadcastHashJoin on THIS
+    * handle's lastExecution — the actual micro-batch plan — rather than on
+    * a batch restatement of the same join (r12 advice).
+    */
+  private[graft] def startEnrichStream(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      out: String,
+      ckpt: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val dim = s.read.parquet(s"$d/nation.parquet").select("n_nationkey", "n_name")
+    val enriched = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .select(col("user_id"), col("value"))
+      .withColumn("nkey", col("user_id") % 25)
+      .join(broadcast(dim), col("nkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,10)")).cast("double").as("total_value")
+      )
+    enriched.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_stream_windowed_agg",
@@ -435,30 +472,9 @@ object StreamQueries {
     Q(
       "q_stream_enrich",
       (s, d) => {
-        val schema = s.read.parquet(s"$d/events.parquet").schema
         val out = tmpDir("graft_senrich_out", d)
         val ckpt = tmpDir("graft_senrich_ckpt", d)
-        val dim = s.read.parquet(s"$d/nation.parquet").select("n_nationkey", "n_name")
-        val enriched = s.readStream
-          .schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .select(col("user_id"), col("value"))
-          .withColumn("nkey", col("user_id") % 25)
-          .join(broadcast(dim), col("nkey") === col("n_nationkey"))
-          .groupBy(col("n_name"))
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(25,10)")).cast("double").as("total_value")
-          )
-        val q = enriched.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("overwrite").parquet(out)
-          }
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
+        val q = startEnrichStream(s, d, out, ckpt)
         q.awaitTermination()
         s.read.parquet(out).orderBy("n_name")
       },

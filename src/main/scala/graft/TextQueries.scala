@@ -1072,7 +1072,7 @@ object TextQueries {
           |  FROM l GROUP BY 1, 2),
           |f AS (SELECT * FROM refs WHERE substr(md5(url), 1, 1) NOT IN ('0', '1', '2')),
           |r AS (SELECT host, url, n_refs,
-          |        row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, url) AS rk
+          |        CAST(row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, url) AS INT) AS rk
           |      FROM f)
           |SELECT host, url, n_refs, rk FROM r WHERE rk <= 10 ORDER BY host, rk""".stripMargin)
     ),

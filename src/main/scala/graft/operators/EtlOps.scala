@@ -582,11 +582,15 @@ object EtlOps {
     // into the last block and silently degenerate into the banned
     // one-reducer window, and negative ids would NULL the DIV. (max−min)
     // ≥ 0 keeps the size ≥ 1 on any input including empty.
+    // Block size in INTEGER arithmetic: Column `/` is double division, and
+    // for arrival-id ranges past 2^53 (snowflake-style ids) the double
+    // rounds — the ≤`blocks` bound this derivation promises could drift by
+    // a block. DIV keeps the whole derivation exact on int64.
     val bs = df.agg(
       coalesce(min(col(arrivalCol)).cast("long"), lit(0L)).as("__mn"),
-      ((coalesce(max(col(arrivalCol)).cast("long"), lit(0L)) -
-        coalesce(min(col(arrivalCol)).cast("long"), lit(0L))) / blocks + 1L)
-        .cast("long")
+      expr(
+        s"(coalesce(CAST(MAX(`$arrivalCol`) AS BIGINT), 0L) - " +
+          s"coalesce(CAST(MIN(`$arrivalCol`) AS BIGINT), 0L)) DIV $blocks + 1L")
         .as("__bs"))
     val withBlk = df
       .crossJoin(broadcast(bs))

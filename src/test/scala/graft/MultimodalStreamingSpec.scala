@@ -364,12 +364,22 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
         sum(col("value").cast("decimal(25,10)")).cast("double").as("total_value"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "streamed enrichment must equal the batch join-aggregate on bounded input")
-    // The dimension side must plan as a broadcast hash join (the
-    // micro-batch planner applies the same strategy to the same hinted
-    // join each batch — a sort-merge here would shuffle every micro-batch).
-    val p = batch.queryExecution.executedPlan.toString
+    // The dimension side must broadcast IN THE MICRO-BATCH PLAN — asserted
+    // on the production stream's own lastExecution (r12 advice: the batch
+    // formulation above proves values, not what the stream planned; a
+    // stream that silently sort-merges would shuffle every micro-batch).
+    // lastExecution is reached reflectively: StreamingQueryWrapper /
+    // StreamExecution are private[sql], and this is the one public-ish
+    // seam that exposes the IncrementalExecution after termination.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("enrichplan").toString
+    val q = StreamQueries.startEnrichStream(spark, sfDir, s"$base/out", s"$base/ckpt")
+    q.awaitTermination()
+    val exec = q.getClass.getMethod("streamingQuery").invoke(q)
+    val lastExec = exec.getClass.getMethod("lastExecution").invoke(exec)
+    val p = lastExec.getClass.getMethod("executedPlan").invoke(lastExec).toString
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
-      s"dimension join must broadcast:\n$p")
+      s"dimension join must broadcast in the streaming micro-batch plan:\n$p")
   }
 
   test("bounded-state streaming dedup: dropDuplicatesWithinWatermark matches DISTINCT") {

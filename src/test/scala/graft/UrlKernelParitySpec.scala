@@ -148,10 +148,18 @@ class UrlKernelParitySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("the URL-family plans compile end to end (no interpreted fallback)") {
+    // Restore the conf to its PRIOR state, not a hard-coded "true": the
+    // shared SparkSpec session outlives this test, and clobbering a
+    // session-level setting would silently change later suites' codegen
+    // behavior (the EventsSchemaCanarySpec save/restore convention).
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       for (q <- Seq("q_url_canonical", "q_url_dedup", "q_link_extract", "q_url_frontier"))
         assert(QueryRegistry.queries(q)(spark, sfDir).collect().nonEmpty, s"$q returned no rows")
-    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 }
