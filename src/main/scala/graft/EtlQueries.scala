@@ -832,6 +832,70 @@ object EtlQueries {
              |ORDER BY v.source, v.slot, v.version""".stripMargin)
     ),
 
+    // 21c. Time-travel READ — the query the retention planner above plans
+    //     FOR: reconstruct the table snapshot AS OF a past day from the
+    //     SAME versioned file inventory as q_vacuum_plan. The two queries
+    //     together state the maintenance contract from both sides: this
+    //     read's as-of lag (10 days) deliberately EXCEEDS the vacuum's
+    //     7-day retention, and on this inventory half the picks land on
+    //     files the vacuum plans as 'delete' — i.e. a deployment must set
+    //     retention ≥ its supported time-travel horizon or reads like
+    //     this one break (the Delta VACUUM footgun, made measurable). Per
+    //     (source, slot), the snapshot's file is the LATEST one created at
+    //     or before the as-of day (created_day DESC, version DESC — the
+    //     SCD2-read rule restated on the file ledger); slots whose first
+    //     file postdates the as-of day are absent (they didn't exist
+    //     yet). The as-of point derives from the inventory's own
+    //     watermark (max(created_day) − 10 — no wall clock, the
+    //     audit-determinism rule). Scale shape, shared with the rest of
+    //     the maintenance family: the inventory is ~10⁶ rows at 100 TB;
+    //     one 1-row as-of broadcast, one partial-agg'd groupBy where the
+    //     picked file rides the aggregate as max(struct(...)) — no
+    //     window over the inventory, no second join, and the data files
+    //     never flow through the plan.
+    Q(
+      "q_time_travel",
+      (s, d) => {
+        val files = documents(s, d)
+          .groupBy(col("source"), expr("doc_id DIV 32").as("file_grp"))
+          .agg(sum(col("n_chars")).as("file_bytes"))
+          .select(
+            col("source"),
+            expr("file_grp DIV 4").as("slot"),
+            (col("file_grp") % 4).as("version"),
+            col("file_bytes"),
+            ((col("file_grp") * 7) % 30).as("created_day"))
+        val asof = files.agg((max(col("created_day")) - 10L).as("asof_day"))
+        files
+          .crossJoin(broadcast(asof))
+          .filter(col("created_day") <= col("asof_day"))
+          .groupBy(col("source"), col("slot"), col("asof_day"))
+          .agg(max(struct(col("created_day"), col("version"), col("file_bytes"))).as("pick"))
+          .select(
+            col("source"),
+            col("slot"),
+            col("pick.version").as("version"),
+            col("pick.file_bytes").as("file_bytes"),
+            col("pick.created_day").as("created_day"),
+            col("asof_day"))
+          .orderBy("source", "slot")
+      },
+      Some("""WITH files AS (
+             |  SELECT source, doc_id // 32 AS file_grp,
+             |         CAST(SUM(n_chars) AS BIGINT) AS file_bytes
+             |  FROM documents GROUP BY 1, 2),
+             |v AS (
+             |  SELECT source, file_grp // 4 AS slot, file_grp % 4 AS version,
+             |         file_bytes, (file_grp * 7) % 30 AS created_day
+             |  FROM files),
+             |a AS (SELECT MAX(created_day) - 10 AS asof_day FROM v),
+             |e AS (SELECT v.*, a.asof_day FROM v, a WHERE v.created_day <= a.asof_day),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source, slot
+             |        ORDER BY created_day DESC, version DESC) AS rk FROM e)
+             |SELECT source, slot, version, file_bytes, created_day, asof_day
+             |FROM r WHERE rk = 1 ORDER BY source, slot""".stripMargin)
+    ),
+
     // 22. Z-order layout report — multi-dimensional data clustering (the
     //     Delta/Iceberg OPTIMIZE ZORDER idiom): morton-interleave the low
     //     8 bits of two dimension keys, bucket by the top z-bits, and

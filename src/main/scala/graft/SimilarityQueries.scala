@@ -671,16 +671,33 @@ object SimilarityQueries {
     * string; the testdata contract keeps ids ≪ 1e6 at every sf).
     */
   private val maxDocIdCache = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private[graft] def requirePlantedIdHeadroom(s: SparkSession, d: String): Unit = {
-    val mx = maxDocIdCache.getOrElseUpdate(
+  private[graft] def maxDocId(s: SparkSession, d: String): Long =
+    maxDocIdCache.getOrElseUpdate(
       d,
       documents(s, d).agg(max(col("doc_id"))).head().getLong(0))
+
+  private[graft] def requirePlantedIdHeadroom(s: SparkSession, d: String): Unit = {
+    val mx = maxDocId(s, d)
     require(
       mx < 1000000L,
       s"planted-id fixture: max doc_id $mx reaches the +1e6 planted-id offset — " +
         "planted ids would collide with genuine docs; regenerate with a larger offset " +
         "threaded through the oracle SQL")
   }
+
+  /** Planted-id offset derived from the OBSERVED id range, for fixtures
+    * whose oracle never states the offset (the banded audio audit): 1e6
+    * on every driver testdata SF (ids ≪ 1e6 there, so behavior is
+    * byte-identical to the hardcoded convention), max(doc_id)+1 beyond —
+    * which is what lets ScaleGrowth's ×k corpora (ids ≥ 1e7 by the
+    * copy-offset rule) run the audio family at all (r12 review item 7).
+    * Fixtures whose ORACLE hardcodes +1e6 (corpusWithDups,
+    * incrementalNearBatch, the image/embedding families) keep
+    * [[requirePlantedIdHeadroom]]: a dynamic offset there would have to
+    * thread through every oracle string.
+    */
+  private[graft] def plantedOffset(s: SparkSession, d: String): Long =
+    math.max(1000000L, maxDocId(s, d) + 1L)
 
   /** Ball-audit sample modulus: a FIXED-SIZE sample (~500 base docs →
     * ~1000 signatures → ~500k brute-force comparisons), not a fixed
@@ -697,8 +714,8 @@ object SimilarityQueries {
     * raw-id rule can never select both ends of a planted pair) and the
     * equality check is vacuous.
     */
-  private[graft] def inSampleBase(mod: Long): Column => Column = c =>
-    pmod(when(c >= 1000000L, c - 1000000L).otherwise(c), lit(mod)) === 0
+  private[graft] def inSampleBase(mod: Long, offset: Long = 1000000L): Column => Column = c =>
+    pmod(when(c >= offset, c - offset).otherwise(c), lit(mod)) === 0
 
   /** Shared sampled brute-force ball audit for the byte-banded sketch
     * reports (simhash, image dHash): the banded pair set restricted to
@@ -709,7 +726,12 @@ object SimilarityQueries {
     * contains planted near-pairs, so a loosened hamming cut or broken
     * banding flips the flag.
     */
-  private def sampledBallAudit(sampledSigs: DataFrame, pairs: DataFrame, mod: Long): DataFrame = {
+  private def sampledBallAudit(
+      sampledSigs: DataFrame,
+      pairs: DataFrame,
+      mod: Long,
+      offset: Long = 1000000L
+  ): DataFrame = {
     val ball = sampledSigs
       .as("a")
       .crossJoin(sampledSigs.as("b"))
@@ -718,7 +740,7 @@ object SimilarityQueries {
           hammingPacked(col("a.sig"), col("b.sig")) <= 7
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), lit(true).as("in_ball"))
-    val inS = inSampleBase(mod)
+    val inS = inSampleBase(mod, offset)
     val bandedSample = pairs
       .filter(inS(col("doc_a")) && inS(col("doc_b")))
       .select(col("doc_a"), col("doc_b"), lit(true).as("in_band"))
@@ -811,14 +833,17 @@ object SimilarityQueries {
 
   /** Energy-contour fingerprint signatures for the given base documents'
     * synthesized audio clips plus their planted HALF-VOLUME re-levelled
-    * variants at doc_id+1e6 — the real synth→AudioSystem-encode→decode→
-    * fingerprint path (one narrow mapPartitions, no shuffle), sharing
-    * q_audio_features' per-doc synthesis parameters (sample rate / length /
-    * volume from doc metadata). Taking the doc set as input lets the audit
-    * report synthesize ONLY its fixed-size sample for the brute-force ball
-    * check instead of re-decoding the corpus (the imageSigsFrom pattern).
+    * variants at doc_id+`offset` — the real synth→AudioSystem-encode→
+    * decode→fingerprint path (one narrow mapPartitions, no shuffle),
+    * sharing q_audio_features' per-doc synthesis parameters (sample rate /
+    * length / volume from doc metadata). Taking the doc set as input lets
+    * the audit report synthesize ONLY its fixed-size sample for the
+    * brute-force ball check instead of re-decoding the corpus (the
+    * imageSigsFrom pattern). The offset comes from [[plantedOffset]] —
+    * 1e6 on driver testdata, id-range-derived on growth corpora.
     */
-  private[graft] def audioSigsFrom(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
+  private[graft] def audioSigsFrom(docs: DataFrame, offset: Long = 1000000L)(
+      implicit s: SparkSession): DataFrame = {
     import s.implicits._
     import graft.operators.MultimodalOps
     docs
@@ -837,15 +862,13 @@ object SimilarityQueries {
             ._5
           MultimodalOps.audioFingerprint64(samples)
         }
-        Iterator((id, fp(amp)), (id + 1000000L, fp(amp * 0.5)))
+        Iterator((id, fp(amp)), (id + offset, fp(amp * 0.5)))
       })
       .toDF("doc_id", "sig")
   }
 
-  private[graft] def audioSigs(s: SparkSession, d: String): DataFrame = {
-    requirePlantedIdHeadroom(s, d)
-    audioSigsFrom(documents(s, d))(s)
-  }
+  private[graft] def audioSigs(s: SparkSession, d: String): DataFrame =
+    audioSigsFrom(documents(s, d), plantedOffset(s, d))(s)
 
   /** The production audio near-dup pair table: the volume-invariant 64-bit
     * energy-contour fingerprint through the shared [[byteBandPairs]]
@@ -2235,12 +2258,13 @@ object SimilarityQueries {
         // Synthesize only the fixed-size sample for the ball branch —
         // base-id sampling keeps each sampled original's planted variant,
         // and the second codec pass costs ~500 docs at ANY corpus size.
+        val off = plantedOffset(s, d)
         val mod = sampleModulus(documentsCount(s, d))
         val sampled =
-          audioSigsFrom(documents(s, d).filter(inSampleBase(mod)(col("doc_id"))))(s)
-        val mismatch = sampledBallAudit(sampled, pairs, mod)
+          audioSigsFrom(documents(s, d).filter(inSampleBase(mod, off)(col("doc_id"))), off)(s)
+        val mismatch = sampledBallAudit(sampled, pairs, mod, off)
         val recall = pairs
-          .filter(col("doc_b") === col("doc_a") + 1000000L)
+          .filter(col("doc_b") === col("doc_a") + off)
           .agg(count(lit(1)).as("n_planted_found"))
         documents(s, d)
           .agg(count(lit(1)).as("n_docs"))

@@ -73,6 +73,92 @@ object StreamQueries {
       .start()
   }
 
+  /** Input writer for [[startOuterJoinStream]]: the four join columns of
+    * `events` plus ONE far-future `flush` sentinel row (event_id/user_id
+    * −1, ts = max(ts) + 10 days). On a BOUNDED stream the watermark can
+    * never pass the last real event's time, so an outer join would hold
+    * its unmatched rows forever — the tail of the stream would be missing
+    * from the result and it would NOT equal the batch left join. The
+    * sentinel is the harness device that closes every window: it flows
+    * through BOTH sides' watermarks (it matches only itself — the −1 ids
+    * pair up and are filtered after the join) and forces the final
+    * no-data micro-batch to evict and null-emit every unmatched click. A
+    * continuous deployment needs no sentinel: live traffic advances the
+    * watermark the same way.
+    */
+  private[graft] def writeOuterJoinInput(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      src: String
+  ): Unit = {
+    val evs = Tables.events(s, d).select("event_id", "user_id", "event_type", "ts")
+    val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)
+    val sentinel = s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(-1L).as("user_id"),
+      lit("flush").as("event_type"),
+      lit(flushTs).as("ts"))
+    evs.unionByName(sentinel).write.mode("overwrite").parquet(src)
+  }
+
+  /** Builds and STARTS the q_stream_join_outer stream: click → purchase
+    * attribution as a stream-stream LEFT OUTER join — the deployment shape
+    * where the UNMATCHED side is the product ("clicks that never purchased
+    * within 1 h"). An unmatched click emits exactly once, with nulls, when
+    * the joint watermark passes click_ts + 1 h (its last possible match
+    * time) — before that the row sits in the state store because a
+    * matching purchase could still arrive. Watermarks on both sides + the
+    * event-time range bound state exactly as in the inner q_stream_join;
+    * unlike the inner form, no-data micro-batches must stay ENABLED — the
+    * watermark-advancing empty batch is what flushes the unmatched rows.
+    * Factored out of the registry entry so the spec can drive the SAME
+    * production stream through a two-phase arrival (early files → withheld;
+    * flush file under the same checkpoint → emitted exactly once).
+    */
+  private[graft] def startOuterJoinStream(
+      s: org.apache.spark.sql.SparkSession,
+      src: String,
+      out: String,
+      ckpt: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = s.read.parquet(src).schema
+    def base = s.readStream.schema(schema).parquet(src)
+    val clicks = base
+      .filter(col("event_type").isin("click", "flush"))
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = base
+      .filter(col("event_type").isin("purchase", "flush"))
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks
+      .join(
+        purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer"
+      )
+      // NOTE: the sentinel is NOT filtered here. A post-join filter on
+      // click_id ≠ −1 is a left-side-only predicate, and Catalyst pushes
+      // it through the left-outer join BELOW the clicks-side
+      // EventTimeWatermark (click_id is not the event-time column, so the
+      // push is legal) — the sentinel then never reaches the clicks
+      // watermark and the tail of the stream is withheld forever
+      // (measured: the last 2 h of unmatched clicks went missing). The
+      // sentinel pair (−1 ids, equal ts, matches only itself) rides
+      // through the sink and callers drop it on the batch read-back.
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("click_ts"), col("purchase_ts"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_stream_windowed_agg",
@@ -248,6 +334,42 @@ object StreamQueries {
              |  ON c.user_id = p.user_id
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin)
+    ),
+
+    // Stream-stream LEFT OUTER join — abandonment attribution: EVERY click
+    // emits, matched ones with their purchases (the inner result above),
+    // unmatched ones exactly once with nulls when the watermark closes
+    // their 1 h window. See startOuterJoinStream for the state/eviction
+    // story and writeOuterJoinInput for why bounded input needs the flush
+    // sentinel. On this input the result equals the batch LEFT JOIN with
+    // the same range condition — the DuckDB oracle.
+    Q(
+      "q_stream_join_outer",
+      (s, d) => {
+        val src = tmpDir("graft_sjoinout_src", d)
+        val out = tmpDir("graft_sjoinout_out", d)
+        val ckpt = tmpDir("graft_sjoinout_ckpt", d)
+        // The inner q_stream_join disables no-data micro-batches as
+        // hygiene; the OUTER form requires them (they carry the
+        // watermark-driven null emission) — pin enabled, restore after.
+        val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        try {
+          writeOuterJoinInput(s, d, src)
+          val q = startOuterJoinStream(s, src, out, ckpt)
+          q.awaitTermination()
+          // Drop the sentinel self-pair on the batch read-back (see
+          // startOuterJoinStream for why it can't be filtered in-stream).
+          s.read.parquet(out).filter(col("click_id") =!= lit(-1L))
+        } finally s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  c.ts AS click_ts, p.ts AS purchase_ts
+             |FROM events c LEFT JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+             |WHERE c.event_type = 'click'""".stripMargin)
     ),
 
     // Stream-STATIC join — the online-enrichment/monitoring deployment

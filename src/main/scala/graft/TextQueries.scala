@@ -322,6 +322,39 @@ object TextQueries {
   private[graft] def wsTokenArray(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
 
+  /** Token-budget chunker over an arbitrary token-array column — the
+    * q_chunk_tokens rule, tokenizer-agnostic: windows of `budget` tokens
+    * advancing by `stride` (budget − stride tokens of overlap), rejoined
+    * with single spaces. Zero-shuffle generate+project (sequence starts →
+    * posexplode → slice) — chunking stays embarrassingly parallel at any
+    * corpus size. Empty token arrays keep one empty chunk (the
+    * q_chunk_docs guard: greatest(n−1, 0) keeps sequence() legal). The
+    * registered query feeds wsTokenArray; ChunkBpeCompositionSpec feeds
+    * the SAME chunker bpeSegments arrays — the production token axis.
+    */
+  private[graft] def chunkTokenArray(
+      docs: org.apache.spark.sql.DataFrame,
+      toks: org.apache.spark.sql.Column,
+      budget: Int,
+      stride: Int
+  ): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(budget)).as("ctoks"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        array_join(col("ctoks"), " ").as("chunk"),
+        size(col("ctoks")).as("n_tokens"))
+
   /** Inverted-index posting-list summary per term: df, collection
     * frequency, max tf, and the deterministic top doc (highest tf, tie →
     * lowest doc_id). Two partial-agg'd shuffles — (term, doc) tf combines
@@ -2078,6 +2111,37 @@ object TextQueries {
              |  substr(text, CAST(start + 1 AS INT), 200) AS chunk,
              |  length(substr(text, CAST(start + 1 AS INT), 200)) AS n_chars
              |FROM starts""".stripMargin)
+    ),
+
+    // TOKEN-budget chunking — q_chunk_docs' RAG sibling on the axis a
+    // context window actually meters: each document's token array splits
+    // into 50-token windows advancing by 40 (10-token overlap). Same
+    // zero-shuffle generate+project shape (sequence() enumerates starts,
+    // posexplode fans out, slice+array_join rebuild the chunk text) over
+    // the q_token_ids tokenization (lower/trim/split/filter-empty), so
+    // budget semantics line up with the vocab/token-id chain. The whole
+    // derivation is SQL-expressible → exact cross-engine oracle (DuckDB
+    // restates it over the same token lists). The production tokenizer
+    // swap-in is BPE: ChunkBpeCompositionSpec drives THIS chunking rule
+    // over bpeSegments arrays and pins the budget/overlap/rejoin
+    // invariants there (the merge loop itself isn't SQL-expressible).
+    // Empty docs keep one empty chunk — the q_chunk_docs guard.
+    Q(
+      "q_chunk_tokens",
+      (s, d) =>
+        chunkTokenArray(documents(s, d), wsTokenArray(col("text")), budget = 50, stride = 40),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, toks,
+             |    unnest(range(0, greatest(len(toks), 1), 40)) AS start
+             |  FROM t)
+             |SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+             |  array_to_string(toks[CAST(start + 1 AS INT):CAST(start + 50 AS INT)], ' ') AS chunk,
+             |  CAST(len(toks[CAST(start + 1 AS INT):CAST(start + 50 AS INT)]) AS INT) AS n_tokens
+             |FROM s""".stripMargin)
     ),
 
     // Vocabulary construction (the tokenizer / embedding-table prep

@@ -382,6 +382,58 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       s"dimension join must broadcast in the streaming micro-batch plan:\n$p")
   }
 
+  test("stream-stream outer join: unmatched rows emit exactly once, only after watermark expiry") {
+    // Surgical two-phase arrival through the PRODUCTION stream
+    // (StreamQueries.startOuterJoinStream), proving the defining outer-join
+    // semantics the oracle's end-state equality can't distinguish:
+    //   u1: click + purchase 30 min later → matched pair, emits in run 1;
+    //   u2: click at t0, never purchases → its 1 h window CLOSES under
+    //       run 1's own watermark (u3's click and u9's clickless purchase
+    //       at t0+3h drive BOTH sides' watermarks to t0+2h — the joint
+    //       watermark is the min across sides, so the purchase side needs
+    //       its own late event) → null row emits in run 1, organically;
+    //   u3: click at t0+3h, never purchases → window still open at the
+    //       end of run 1 → WITHHELD (emitting it early would be wrong: a
+    //       purchase could still arrive);
+    // run 2 appends only the far-future flush row under the SAME
+    // checkpoint → u3's null row emits, and u2's does NOT re-emit.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("souterph").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val phase1 = Seq(
+      (10L, 1L, "click", ts("2024-01-01 00:00:00")),
+      (11L, 1L, "purchase", ts("2024-01-01 00:30:00")),
+      (12L, 2L, "click", ts("2024-01-01 00:00:00")),
+      (13L, 3L, "click", ts("2024-01-01 03:00:00")),
+      (14L, 9L, "purchase", ts("2024-01-01 03:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    phase1.coalesce(1).write.parquet(src)
+
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try {
+      val q1 = StreamQueries.startOuterJoinStream(spark, src, out, ckpt)
+      q1.awaitTermination()
+      val r1 = spark.read.parquet(out).collect()
+      assert(r1.length == 2, s"run 1 must emit exactly the matched pair + u2's expired null row, got ${r1.toSeq}")
+      assert(r1.exists(r => r.getLong(0) == 1L && r.getLong(2) == 11L), "u1's click must match its purchase")
+      assert(r1.exists(r => r.getLong(0) == 2L && r.isNullAt(2)), "u2's closed window must null-emit in run 1")
+      assert(!r1.exists(r => r.getLong(0) == 3L), "u3's window is still open — emitting it early is a bug")
+
+      // Phase 2: ONLY the flush sentinel arrives; same checkpoint.
+      Seq((-1L, -1L, "flush", ts("2024-02-01 00:00:00")))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.mode("append").parquet(src)
+      val q2 = StreamQueries.startOuterJoinStream(spark, src, out, ckpt)
+      q2.awaitTermination()
+      val r2 = spark.read.parquet(out).filter(col("click_id") =!= -1L).collect()
+      assert(r2.length == 3, s"run 2 must add exactly u3's null row, got ${r2.toSeq}")
+      assert(r2.exists(r => r.getLong(0) == 3L && r.isNullAt(2)), "u3 must null-emit once the watermark closes it")
+      assert(r2.count(r => r.getLong(0) == 2L) == 1, "u2's null row must NOT re-emit across the restart")
+    } finally spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+  }
+
   test("bounded-state streaming dedup: dropDuplicatesWithinWatermark matches DISTINCT") {
     // q_stream_dedup's dropDuplicates holds every key forever — correct on
     // bounded input, unbounded state on an unbounded stream. The

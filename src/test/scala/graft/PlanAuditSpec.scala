@@ -310,6 +310,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Generate posexplode"), s"chunk fan-out must be a Generate:\n$p")
   }
 
+  test("q_chunk_tokens: token-budget chunking is a zero-shuffle generate+project") {
+    val p = plan("q_chunk_tokens")
+    assert(!p.contains("Exchange"), s"chunking 100 TB must stay map-only:\n$p")
+    assert(p.contains("Generate posexplode"), s"chunk fan-out must be a Generate:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"only doc_id+text may be read:\n$p")
+  }
+
   test("q_token_ids: vocab is a plan literal — corpus scan has no join and no exchange") {
     // The V-entry vocabulary must ride into the plan as one map literal
     // looked up inside a single transform over the unexploded token
