@@ -882,6 +882,55 @@ object SimilarityQueries {
   private[graft] def audioDedupPairs(s: SparkSession, d: String): DataFrame =
     byteBandPairs(audioSigs(s, d))
 
+  /** DCT pHash signatures for the given base documents' rendered test
+    * images plus their planted RE-FRAMED-REPOST variants at
+    * doc_id+`offset` — a 1-px border crop plus seeded ±26 luma dither
+    * (trimmed chrome + sensor noise / re-quantization), the regime where
+    * the two perceptual hashes measurably separate: DedupRecallSpec pins
+    * pHash recall > 0.9 and dHash BELOW 0.5 on the same planted set (dHash
+    * signs adjacent-pixel differences, which smooth-region dither flips;
+    * each pHash DCT readout aggregates all 1024 resized pixels, so the
+    * noise cancels). Base images are 64×64 dense-decaying-spectrum renders
+    * (renderSmoothTestImage — the natural-image spectrum shape pHash's
+    * median threshold assumes; on sparse-spectrum gratings most readouts
+    * are noise-floor coin flips, measured recall ~0). BOTH payloads pass
+    * through the real ImageIO codec (render encodes, crop+dither
+    * decodes→re-encodes, hashing decodes again). One narrow mapPartitions,
+    * no shuffle. The offset comes from [[plantedOffset]] — 1e6 on driver
+    * testdata, id-range-derived on growth corpora.
+    */
+  private[graft] def phashSigsFrom(docs: DataFrame, offset: Long = 1000000L)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.operators.MultimodalOps
+    docs
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = MultimodalOps.renderSmoothTestImage(id, 64)
+        val repost =
+          MultimodalOps.ditherImage(MultimodalOps.cropImage(base, 1), 26, id + 77L)
+        Iterator(
+          (id, MultimodalOps.imagePhash(base)),
+          (id + offset, MultimodalOps.imagePhash(repost))
+        )
+      })
+      .toDF("doc_id", "sig")
+  }
+
+  private[graft] def phashSigs(s: SparkSession, d: String): DataFrame =
+    phashSigsFrom(documents(s, d), plantedOffset(s, d))(s)
+
+  /** The production noise-robust image near-dup pair table: 8 byte-bands
+    * over the 64-bit DCT pHash through the shared [[byteBandPairs]]
+    * machinery (pigeonhole-complete for hamming ≤ 7). The registered
+    * q_phash_images is the banded audit report over this table — the
+    * crop+dither (re-framed repost) arm next to q_dedup_images' dHash
+    * re-encode/ripple arm.
+    */
+  private[graft] def phashDedupPairs(s: SparkSession, d: String): DataFrame =
+    byteBandPairs(phashSigs(s, d))
+
   /** The production per-vector topic-assignment table: spherical k-means
     * trained on a bounded deterministic sample (trainIvfCentroids — driver
     * state O(k·dim), never O(data)), then one codegen'd argmax pass over
@@ -2262,6 +2311,58 @@ object SimilarityQueries {
         val mod = sampleModulus(documentsCount(s, d))
         val sampled =
           audioSigsFrom(documents(s, d).filter(inSampleBase(mod, off)(col("doc_id"))), off)(s)
+        val mismatch = sampledBallAudit(sampled, pairs, mod, off)
+        val recall = pairs
+          .filter(col("doc_b") === col("doc_a") + off)
+          .agg(count(lit(1)).as("n_planted_found"))
+        documents(s, d)
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(recall))
+          .crossJoin(broadcast(mismatch))
+          .select(
+            col("n_docs"),
+            // STRICT > 0.9, matching DedupRecallSpec's gate on the same
+            // quantity exactly.
+            (col("n_planted_found") > col("n_docs") * 0.9).as("planted_recall_band"),
+            (col("n_mismatch") === 0L).as("ball_band")
+          )
+      },
+      Some("""SELECT COUNT(*) AS n_docs, TRUE AS planted_recall_band,
+             |  TRUE AS ball_band
+             |FROM documents""".stripMargin)
+    ),
+
+    // Noise-robust image near-dup by DCT pHash — the crop+dither
+    // (re-framed repost) arm of the perceptual image-dedup family, next
+    // to q_dedup_images' dHash re-encode/ripple arm (the r12 review's
+    // optional item): every document keys a 64×64 dense-spectrum rendered
+    // image plus a planted variant at doc_id+offset (1-px border crop +
+    // seeded ±26 luma dither, re-encoded through the real BMP writer —
+    // trimmed chrome plus sensor noise / re-quantization). dHash does NOT
+    // absorb this edit (it signs adjacent-pixel differences, which
+    // smooth-region dither flips — DedupRecallSpec measures its recall
+    // collapsing below 0.5 on the same pairs), pHash does (each DCT
+    // readout aggregates all 1024 resized pixels, so iid noise cancels;
+    // measured 97.8% vs 38.7% at this edit on 2000 images). Pairing is
+    // EXACTLY the shared byteBandPairs machinery (8 byte-bands,
+    // pigeonhole-complete for hamming ≤ 7, merge-hinted self-join,
+    // hamming cut inside the band join). Registered form = the banded
+    // audit report (the pair table is phashDedupPairs, spec-consumed):
+    // n_docs cross-engine exact, planted_recall_band drives every planted
+    // variant through the full render→decode→crop→dither→re-encode→
+    // decode→DCT→band path, and ball_band re-asserts
+    // pigeonhole-completeness at gate time on the fixed-size doc sample
+    // (both directions, the q_dedup_images shape).
+    Q(
+      "q_phash_images",
+      (s, d) => {
+        val pairs = phashDedupPairs(s, d)
+        // Render only the fixed-size sample for the ball branch — the
+        // second render+crop pass costs ~500 docs at ANY corpus size.
+        val off = plantedOffset(s, d)
+        val mod = sampleModulus(documentsCount(s, d))
+        val sampled =
+          phashSigsFrom(documents(s, d).filter(inSampleBase(mod, off)(col("doc_id"))), off)(s)
         val mismatch = sampledBallAudit(sampled, pairs, mod, off)
         val recall = pairs
           .filter(col("doc_b") === col("doc_a") + off)

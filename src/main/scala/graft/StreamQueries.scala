@@ -604,6 +604,61 @@ object StreamQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS total_value
              |FROM events JOIN nation ON (user_id % 25) = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+
+    // Streaming CDC MERGE, registered end-to-end (the library form is
+    // StreamingJobs.cdcUpsert, spec-proven under crashed-batch replay /
+    // stale redelivery / checkpoint loss in MultimodalStreamingSpec —
+    // this entry puts the whole path under the cross-engine hash gate
+    // too): events re-staged as a FOUR-file change stream keyed by
+    // user_id with event_id as the CDC sequence, consumed one file per
+    // micro-batch (maxFilesPerTrigger=1, so the MERGE genuinely runs
+    // four times against evolving main state), each batch collapsing
+    // last-wins in-batch then seq-guard-merging into main via the
+    // staging→MERGE sink. The oracle states what ONE batch MERGE of all
+    // the data would leave: the max-event_id image per user — multi-batch
+    // streamed upserts must converge to exactly that, regardless of file
+    // order, because the seq guard drops stale rows. Scale shape: per
+    // micro-batch cost is bounded by the BATCH (in-batch collapse is one
+    // partial-agg groupBy; the main-side probe is a key-only semi-join
+    // probe), never a corpus rescan — the incremental-dedup story on the
+    // CDC axis.
+    Q(
+      "q_stream_cdc",
+      (s, d) => {
+        val src = tmpDir("graft_scdc_src", d)
+        val staging = tmpDir("graft_scdc_stg", d)
+        val main = tmpDir("graft_scdc_main", d)
+        val ckpt = tmpDir("graft_scdc_ckpt", d)
+        val ev = s.read
+          .parquet(s"$d/events.parquet")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        // Four range files on the SEQ column: realistic arrival (change
+        // batches roughly ordered by sequence) while the seq guard, not
+        // file order, carries correctness.
+        ev.repartitionByRange(4, col("event_id")).write.mode("overwrite").parquet(src)
+        val q = graft.streaming.StreamingJobs.cdcUpsert(
+          s,
+          src,
+          ev.schema,
+          staging,
+          main,
+          Seq("user_id"),
+          "event_id",
+          ckpt,
+          lit("2026-01-01 00:00:00").cast("timestamp"),
+          maxFilesPerTrigger = Some(1)
+        )
+        q.awaitTermination()
+        s.read
+          .parquet(main)
+          .select("user_id", "event_id", "event_type", "value")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |  SELECT user_id, event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin)
     )
   )
 }

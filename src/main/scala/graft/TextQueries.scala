@@ -152,6 +152,56 @@ object TextQueries {
         UrlFunctions.canonicalizeUrl(col("resolved")).as("url"))
   }
 
+  /** Frontier candidates shared by q_url_frontier and
+    * q_frontier_politeness: extracted links collapse to one row per
+    * canonical URL with a referrer count (ONE partial-agg'd groupBy),
+    * already-crawled URLs drop out (deterministic md5-prefix ledger
+    * membership), and each host keeps its top-`n` by (n_refs, url) via
+    * the two-stage per-host cap (shuffle-free bounded-heap pre-cap, then
+    * a window over ≤ n rows per host per input partition — a mega-host
+    * never funnels its whole URL set through one reducer). Columns:
+    * (host, url, n_refs, rk).
+    */
+  private[graft] def frontierCandidates(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      n: Int
+  ): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val refs = extractedLinks(s, d)
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"))
+      .filter(!substring(md5(col("url")), 1, 1).isin("0", "1", "2"))
+      .select(
+        col("url"),
+        graft.functions.UrlFunctions.urlHost(col("url")).as("host"),
+        col("n_refs"))
+    val pre = graft.operators.EtlOps
+      .topKPerKey(refs.as[(String, String, Long)], n)(_._2)(
+        Ordering.by(t => (-t._3, t._1)))
+      .toDF("url", "host", "n_refs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("n_refs").desc, col("url"))
+    pre
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select("host", "url", "n_refs", "rk")
+  }
+
+  /** Shared DuckDB restatement of [[frontierCandidates]] (the `r` CTE in
+    * both frontier oracles): rollup + ledger filter + per-host rank.
+    */
+  private val duckFrontierCte: String =
+    """
+      |, refs AS (
+      |  SELECT url, host, CAST(COUNT(*) AS BIGINT) AS n_refs
+      |  FROM l GROUP BY 1, 2),
+      |f AS (SELECT * FROM refs WHERE substr(md5(url), 1, 1) NOT IN ('0', '1', '2')),
+      |r AS (SELECT host, url, n_refs,
+      |        CAST(row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, url) AS INT) AS rk
+      |      FROM f)""".stripMargin
+
   /** DuckDB ground truth for [[extractedLinks]]: each link's raw href and
     * FINAL resolved+canonicalized URL (and its host) stated directly from
     * doc_id/source arithmetic — the oracle never re-runs extraction,
@@ -1074,40 +1124,55 @@ object TextQueries {
     // its whole URL set through one reducer.
     Q(
       "q_url_frontier",
+      (s, d) => frontierCandidates(s, d, 10).orderBy("host", "rk"),
+      Some(duckLinkCte + duckFrontierCte +
+        """
+          |SELECT host, url, n_refs, rk FROM r WHERE rk <= 10 ORDER BY host, rk""".stripMargin)
+    ),
+
+    // Politeness-scheduled fetch plan — the fetch-RATE dimension the
+    // frontier's per-host cap doesn't model (the r12 review's optional
+    // item): each host carries a crawl-delay (robots.txt Crawl-delay
+    // stand-in, deterministic from the host name so both engines state
+    // it), the k-th candidate on a host fetches at offset (rk−1)·delay —
+    // sequential per-host fetching at the polite rate, hosts in parallel
+    // — and candidates bucket into 10-second scheduler waves with a
+    // 30-second first-window flag (the "what can this crawl tick
+    // actually reach" planning question). Scale shape: pure projection
+    // arithmetic on the already-capped frontier (≤ 10 rows per host) —
+    // no shuffle beyond frontierCandidates' own; at 100 TB the politeness
+    // plan costs exactly the frontier plus a map.
+    Q(
+      "q_frontier_politeness",
       (s, d) => {
-        import s.implicits._
-        val n = 10
-        val refs = extractedLinks(s, d)
-          .groupBy("url")
-          .agg(count(lit(1)).as("n_refs"))
-          .filter(!substring(md5(col("url")), 1, 1).isin("0", "1", "2"))
+        val cand = frontierCandidates(s, d, 10)
+          .withColumn("delay_s", (lit(1) + length(col("host")) % 5).cast("int"))
+          .withColumn("fetch_offset_s", ((col("rk") - 1) * col("delay_s")).cast("int"))
+        cand
           .select(
+            col("host"),
             col("url"),
-            graft.functions.UrlFunctions.urlHost(col("url")).as("host"),
-            col("n_refs"))
-        val pre = graft.operators.EtlOps
-          .topKPerKey(refs.as[(String, String, Long)], n)(_._2)(
-            Ordering.by(t => (-t._3, t._1)))
-          .toDF("url", "host", "n_refs")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("host"))
-          .orderBy(col("n_refs").desc, col("url"))
-        pre
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= n)
-          .select("host", "url", "n_refs", "rk")
+            col("rk"),
+            col("delay_s"),
+            col("fetch_offset_s"),
+            floor(col("fetch_offset_s") / 10.0).cast("int").as("wave"),
+            (col("fetch_offset_s") < 30).as("in_first_window"))
           .orderBy("host", "rk")
       },
-      Some(duckLinkCte +
+      Some(duckLinkCte + duckFrontierCte +
         """
-          |, refs AS (
-          |  SELECT url, host, CAST(COUNT(*) AS BIGINT) AS n_refs
-          |  FROM l GROUP BY 1, 2),
-          |f AS (SELECT * FROM refs WHERE substr(md5(url), 1, 1) NOT IN ('0', '1', '2')),
-          |r AS (SELECT host, url, n_refs,
-          |        CAST(row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, url) AS INT) AS rk
-          |      FROM f)
-          |SELECT host, url, n_refs, rk FROM r WHERE rk <= 10 ORDER BY host, rk""".stripMargin)
+          |, c AS (
+          |  SELECT host, url, rk,
+          |         CAST(1 + length(host) % 5 AS INT) AS delay_s
+          |  FROM r WHERE rk <= 10),
+          |p AS (
+          |  SELECT host, url, rk, delay_s,
+          |         CAST((rk - 1) * delay_s AS INT) AS fetch_offset_s
+          |  FROM c)
+          |SELECT host, url, rk, delay_s, fetch_offset_s,
+          |       CAST(floor(fetch_offset_s / 10.0) AS INT) AS wave,
+          |       fetch_offset_s < 30 AS in_first_window
+          |FROM p ORDER BY host, rk""".stripMargin)
     ),
 
     // HTML main-content extraction — boilerplate/chrome removal, the

@@ -201,6 +201,57 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     out.unpersist()
   }
 
+  test("image phash dedup: planted crop+dither reposts pair with their originals; dhash collapses on the same edit; banding equals brute force") {
+    import graft.operators.MultimodalOps
+    // Production pair table — the registered q_phash_images is its banded
+    // audit report.
+    val out = SimilarityQueries.phashDedupPairs(spark, sfDir).cache()
+    val total = Tables.documents(spark, sfDir).count()
+    // Recall through the FULL path (render → ImageIO decode → crop →
+    // dither → re-encode → decode → DCT → band → verify): each pHash
+    // readout aggregates all 1024 resized pixels, so the ±26 dither
+    // cancels and the 1-px crop only rescales frequencies by 64/62.
+    val planted = out.filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(planted.toDouble / total > 0.9, s"phash planted recall ${planted.toDouble / total}")
+    // The same edit set through dHash: adjacent-pixel differences in
+    // smooth regions are smaller than the dither, so its recall COLLAPSES
+    // (measured 38.7% on 2000 images) — this is the measured reason the
+    // pHash arm exists next to q_dedup_images' dHash arm, pinned here so
+    // a fixture change that silently re-converges the two hashes fails.
+    val ids = Tables.documents(spark, sfDir).select("doc_id").as[Long].collect()
+    def repost(id: Long): Array[Byte] =
+      MultimodalOps.ditherImage(
+        MultimodalOps.cropImage(MultimodalOps.renderSmoothTestImage(id, 64), 1), 26, id + 77L)
+    val dhashOk = ids.count { id =>
+      val a = MultimodalOps.imageDhash(MultimodalOps.renderSmoothTestImage(id, 64))
+      val b = MultimodalOps.imageDhash(repost(id))
+      java.lang.Long.bitCount(a ^ b) <= 7
+    }
+    assert(dhashOk.toDouble / ids.length < 0.5,
+      s"dhash unexpectedly absorbs crop+dither: recall ${dhashOk.toDouble / ids.length}")
+    // Byte-banding is pigeonhole-complete for hamming <= 7, so the banded
+    // pair set must EQUAL the brute-force hamming ball over the same
+    // deterministic sketch table — both directions, no tolerance.
+    val sigs = ids.flatMap { id =>
+      Seq(
+        id -> MultimodalOps.imagePhash(MultimodalOps.renderSmoothTestImage(id, 64)),
+        (id + 1000000L) -> MultimodalOps.imagePhash(repost(id))
+      )
+    }
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 7
+    } yield {
+      val (ida, idb) = (sigs(i)._1, sigs(j)._1)
+      if (ida < idb) (ida, idb) else (idb, ida)
+    }).toSet
+    val got = out.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"banded != brute force: missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+    out.unpersist()
+  }
+
   test("audio fingerprint dedup: planted re-levelled variants pair with their originals; banding equals brute force") {
     import graft.operators.MultimodalOps
     // Production pair table — the registered q_dedup_audio is its banded

@@ -247,6 +247,44 @@ class LayoutSamplingSpec extends AnyFunSuite with SparkSpec {
     assert(Set("keep", "delete", "retain_tt").subsetOf(out.map(_._5).toSet))
   }
 
+  test("q_time_travel × q_vacuum_plan: reads within retention never need a deleted file; the registered 10-day lag measurably breaks past it") {
+    // The two queries run over the SAME versioned file inventory; this
+    // pins their composition contract from both sides. Side 1: an as-of
+    // read whose lag is WITHIN the vacuum's 7-day retention picks only
+    // files vacuum keeps or retains — retention genuinely preserves time
+    // travel. Side 2: the registered q_time_travel deliberately reads at
+    // lag 10 > 7 (the Delta VACUUM footgun, made measurable) — some of
+    // its picks MUST land on 'delete' files, or the fixture isn't
+    // exercising the hazard it documents.
+    val vac = QueryRegistry
+      .queries("q_vacuum_plan")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), (r.getLong(4), r.getString(5))))
+      .toSeq
+    val verdicts = vac.toMap
+    val wm = vac.map(_._2._1).max
+    // Recompute the as-of pick at lag 7 (the retention boundary — the
+    // newest read vacuum still guarantees) from vacuum's own file list:
+    // latest created_day ≤ asof per slot, version as tie-break.
+    val asofInRetention = wm - 7
+    vac
+      .filter(_._2._1 <= asofInRetention)
+      .groupBy(f => (f._1._1, f._1._2))
+      .foreach { case (slot, files) =>
+        val pick = files.maxBy(f => (f._2._1, f._1._3))
+        assert(verdicts(pick._1)._2 != "delete",
+          s"slot $slot: in-retention as-of read picks a file vacuum deletes: $pick")
+      }
+    // The registered read (lag 10) must hit the hazard.
+    val tt = QueryRegistry
+      .queries("q_time_travel")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hazard = tt.count(k => verdicts(k)._2 == "delete")
+    assert(hazard > 0,
+      "the past-retention read never touched a deleted file — the footgun fixture is dead")
+  }
+
   test("mortonKey matches the reference interleave on randoms") {
     val rnd = new scala.util.Random(7)
     val pts = Seq.fill(300)((rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong))
