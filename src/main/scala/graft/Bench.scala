@@ -162,14 +162,41 @@ object Bench {
     // (surface growth) or only the previous record has (renames) are
     // excluded — the ratio compares identical work on the two hosts/days.
     val shared = ok.filter { case (k, _, _, _) => prev.contains(k) }
-    val sharedJson =
-      if (shared.isEmpty) ""
-      else {
-        val prevSum = shared.map { case (k, _, _, _) => prev(k) }.sum
-        val curSum = shared.map(_._2).sum
-        if (prevSum <= 0) ""
-        else s""","shared_sum_vs_prev":${r4(curSum / prevSum)},"shared_n":${shared.size}"""
+    // Per-query regression flag, self-normalized against uniform host
+    // drift (the r12 ledger item): a 1.29× whole-run drift used to need a
+    // manual per-query diff to tell "everything uniformly slower" (host)
+    // from "one query regressed" (code). Flag queries whose cur/prev
+    // ratio exceeds 1.5× the run's MEDIAN ratio — uniform drift moves the
+    // median with it, so only out-of-family movers flag — AND whose
+    // drift-normalized EXCESS (cur − prev·median) is ≥ 0.5 s. The excess
+    // floor is what keeps a clean run empty: sub-second queries swing
+    // 1.5×+ on pure JIT/GC jitter (a 0.27→0.41 s move flagged under a
+    // current-time floor in the first shakeout run), but their excess is
+    // centiseconds, while a genuine 2× code regression on any query
+    // heavy enough to matter clears half a second immediately.
+    val regressions: Seq[String] = {
+      val ratios = shared.collect {
+        case (k, v, _, _) if prev(k) > 0 => (k, v, v / prev(k))
       }
+      if (ratios.size < 3) Seq.empty
+      else {
+        val sortedR = ratios.map(_._3).sorted
+        val med = sortedR(sortedR.size / 2)
+        ratios.collect {
+          case (k, v, r) if r > 1.5 * med && v - prev(k) * med >= 0.5 => k
+        }.sorted
+      }
+    }
+    val regressionsJson =
+      s""","regressions":${regressions.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val sharedJson =
+      (if (shared.isEmpty) ""
+       else {
+         val prevSum = shared.map { case (k, _, _, _) => prev(k) }.sum
+         val curSum = shared.map(_._2).sum
+         if (prevSum <= 0) ""
+         else s""","shared_sum_vs_prev":${r4(curSum / prevSum)},"shared_n":${shared.size}"""
+       }) + regressionsJson
 
     // The driver parses only the last ~2000 chars of stdout: the stdout
     // line stays MINIMAL (total + counts + failures + skew + envelope,

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * every df by k — a different, easier regime: the vocabulary would stay
   * constant while only the fact side grew). Embeddings, when a target query
   * needs them, get a per-copy component roll (rolled-vector cosine is
-  * ~random, so no cross-copy near-dup explosion).
+  * ~random, so no cross-copy near-dup explosion). Events grow as
+  * id-shifted copies (users/sessions/nodes ×k, the 5-value event_type
+  * dimension fixed — see writeCorpus), with `nation` copied verbatim as
+  * the broadcast dimension.
   *
   * Median-of-3 per point on an exclusive host; the reported exponent is the
   * least-squares slope of log t over log k — a linear operator reads ~1.0
@@ -55,6 +58,52 @@ object ScaleGrowth {
         col("n_chars"))
     }
     copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    // Events growth (r12 review item 3): k copies with SHIFTED event and
+    // user ids, everything else verbatim. Shifted user ids grow the
+    // grouping/join key domain (users, sessions, graph nodes) linearly —
+    // the realistic 100 TB axis. Event TYPES are deliberately NOT rotated
+    // (unlike document text): event_type is a fixed 5-value dimension in
+    // any real deployment, and rotating it would starve type-filtered
+    // operators (stream join sides, funnels) of one side in some copies —
+    // measuring a different query, not the same query at ×k. ts is kept
+    // verbatim, so the event-time density grows ×k inside the same
+    // window span (the re-crawl/backfill regime); the read→write round
+    // trip preserves whichever ts footer flavor the source carries.
+    val evPath = new java.io.File(s"$src/events.parquet")
+    if (evPath.exists()) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val ids = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+      val eOff = math.max(10000000L, ids.getLong(0) + 1L)
+      val uOff = ids.getLong(1) + 1L
+      val ecopies = (0 until k).map { i =>
+        ev.select(
+          (col("event_id") + lit(i * eOff)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i * uOff)).as("user_id"),
+          col("event_type"),
+          col("value"),
+          col("props"))
+      }
+      // The streaming queries read the dataset dir with
+      // pathGlobFilter=events.parquet — a LEAF-FILE match, which a
+      // directory's part-files don't satisfy. Mirror the driver testdata
+      // layout: one file named events.parquet directly under dst
+      // (coalesce(1) is fine at growth scale — ×8 is ~16 MB).
+      val tmp = s"$dst/_events_tmp"
+      ecopies.reduce(_.unionAll(_)).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
+      val target = new java.io.File(s"$dst/events.parquet")
+      org.apache.commons.io.FileUtils.deleteQuietly(target)
+      org.apache.commons.io.FileUtils.moveFile(part, target)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    // Dimensions stay fixed-size at any scale — copy nation verbatim for
+    // the enrichment queries' broadcast side.
+    if (new java.io.File(s"$src/nation.parquet").exists())
+      spark.read.parquet(s"$src/nation.parquet")
+        .write.mode("overwrite").parquet(s"$dst/nation.parquet")
     val embPath = new java.io.File(s"$src/embeddings.parquet")
     if (embPath.exists()) {
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
