@@ -769,15 +769,43 @@ object SimilarityQueries {
     byteBandPairs(simhashSigs(s, d))
 
   /** Shared byte-band near-dup self-join over any (doc_id, sig) 64-bit
-    * sketch table — the machinery behind simhash, image dHash, AND audio
-    * energy-contour pairing: 8 byte-bands via posexplode (pigeonhole-
+    * sketch table — the machinery behind simhash, image dHash/pHash, AND
+    * audio energy-contour pairing: 8 byte-bands via posexplode (pigeonhole-
     * complete for hamming ≤ 7), merge-hinted self-join so ReuseExchange
     * computes the sketch+explode once, hamming cut INSIDE the band join
     * (hot buckets stream through the verify instead of materializing an
     * unfiltered candidate set).
+    *
+    * IDENTICAL-SIG GUARD (the bandedPairs hot-bucket guard's sketch-space
+    * twin): a real corpus carries mass-identical sketches — silence clips,
+    * solid-color thumbnails, boilerplate pages — and an m-member
+    * identical-sig group makes the pair OUTPUT itself m²/2 rows; no join
+    * strategy fixes a quadratic result set. Groups above `maxGroup`
+    * therefore collapse to STAR links (every member → the group's min
+    * doc_id, hamming 0) and send ONLY that min into the band join as the
+    * group's representative. Unlike LSH-bucket star links this is
+    * LOSSLESS for the hamming ≤ 7 relation: members of one group are
+    * byte-identical, so doc-to-doc hamming is exactly sig-to-sig hamming
+    * and every collapsed pair is reachable through the representative
+    * (member —0— min —h— other). The cap only fires on pathology: every
+    * fixture here keys sketches off per-doc content (seed-keyed envelopes
+    * / dense spectra), so groups stay 1-2 at any test SF and the output
+    * is byte-identical to the unguarded form — which is what lets the
+    * exhaustive ball-equality specs keep their pairwise contract.
     */
-  private[graft] def byteBandPairs(sigs: DataFrame): DataFrame = {
-    val exploded = sigs
+  private[graft] def byteBandPairs(sigs: DataFrame, maxGroup: Int = 256): DataFrame = {
+    val wg = Window.partitionBy(col("sig"))
+    val grouped = sigs
+      .withColumn("gocc", count(lit(1)).over(wg))
+      .withColumn("gmn", min(col("doc_id")).over(wg))
+    val star = grouped
+      .filter(col("gocc") > maxGroup && col("doc_id") =!= col("gmn"))
+      .select(col("gmn").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    val joinSide = grouped
+      .filter(col("gocc") <= maxGroup || col("doc_id") === col("gmn"))
+      .select(col("doc_id"), col("sig"))
+    val exploded = joinSide
       .select(col("doc_id"), col("sig"), posexplode(simhashByteBands(col("sig"))).as(Seq("band_idx", "band_hash")))
     exploded
       .as("a")
@@ -794,6 +822,7 @@ object SimilarityQueries {
         col("b.doc_id").as("doc_b"),
         hammingPacked(col("a.sig"), col("b.sig")).as("hamming")
       )
+      .unionAll(star)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -592,18 +592,50 @@ object MultimodalOps {
     * the volume knob the fingerprint must be invariant to.
     */
   /** The pre-quantization waveform [[synthWav]] encodes: a two-sine mix
-    * keyed by `seed`. Exposed so gates can compare DECODED samples against
-    * the exact source signal (quantization noise only — no analytic slack;
-    * note certain seeds make f1 = f2, a coherent sum whose RMS differs
-    * from the incoherent two-tone formula, which is why the gate compares
-    * against THIS, not a closed form).
+    * under a seed-keyed low-frequency amplitude ENVELOPE. Exposed so gates
+    * can compare DECODED samples against the exact source signal
+    * (quantization noise only — no analytic slack; note certain seeds make
+    * f1 = f2, a coherent sum whose RMS differs from the incoherent
+    * two-tone formula, which is why the gate compares against THIS, not a
+    * closed form). The envelope is what gives the energy-contour
+    * fingerprint its entropy: a STATIONARY tone has a near-flat contour,
+    * its 64 window-comparison bits collapse to ~3.5k distinct values per
+    * 10k clips, identical-fingerprint groups grow with the corpus, and the
+    * band self-join's pair table goes QUADRATIC (measured: 141k pairs at
+    * 10k sigs → 556k at 20k before this envelope existed; a first fix
+    * with three smooth seed-keyed sinusoids still left only ~25 effective
+    * bits — phase-neighbor clips landed within hamming 7 and organic
+    * pairs kept a quadratic term). Real speech/music is envelope-varying
+    * — the fixture now is too: a seeded PIECEWISE level sequence (97
+    * segments, each an independent level in [0.3, 1.0] — scale-free in
+    * i/n, so any sampleRate/nSamples keeps the same contour shape; 97 is
+    * coprime to the fingerprint's 65 windows, so segment and window
+    * boundaries never align systematically), multiplied onto the tone
+    * mix — each window's energy is then an independent draw and the 64
+    * contour bits are ~iid per seed (measured: cross-seed pairs at
+    * hamming ≤ 7 drop to zero at 20k sigs). Volume scaling multiplies
+    * every window energy by the same v², so the contour comparisons — and
+    * the fingerprint's volume invariance — are untouched.
     */
   def synthSamples(seed: Long, sampleRate: Int, nSamples: Int, amp: Double): Array[Double] = {
-    val f1 = 220.0 + (math.floorMod(seed, 17L)) * 20.0
-    val f2 = 440.0 + (math.floorMod(seed * 31L + 7L, 13L)) * 30.0
+    val rnd = new java.util.Random(seed * 0x9e3779b97f4a7c15L + 0xa0d10L)
+    // CONTINUOUS seed-keyed tone frequencies and phases. The fingerprint's
+    // windows are SUB-PERIOD at these clip lengths (12-36 samples of a
+    // 200-800 Hz carrier), so window energy is carrier-phase dominated —
+    // with the original 17×13 discrete (f1, f2) grid, clips sharing a
+    // grid cell shared most contour bits and still paired within
+    // hamming 7 (the residual quadratic term after the envelope fix).
+    // Continuous frequencies make the carrier contour per-seed too.
+    val f1 = 220.0 + rnd.nextDouble() * 380.0
+    val f2 = 440.0 + rnd.nextDouble() * 360.0
+    val ph1 = rnd.nextDouble() * 2 * math.Pi
+    val ph2 = rnd.nextDouble() * 2 * math.Pi
+    val levels = Array.fill(97)(0.3 + 0.7 * rnd.nextDouble())
     Array.tabulate(nSamples) { i =>
       val t = i.toDouble / sampleRate
-      amp * (0.6 * math.sin(2 * math.Pi * f1 * t) + 0.4 * math.sin(2 * math.Pi * f2 * t))
+      val env = levels(math.min(96, i * 97 / nSamples))
+      amp * env * (0.6 * math.sin(2 * math.Pi * f1 * t + ph1) +
+        0.4 * math.sin(2 * math.Pi * f2 * t + ph2))
     }
   }
 
@@ -685,19 +717,36 @@ object MultimodalOps {
     if (samples.isEmpty) 0.0
     else math.sqrt(samples.map(s => s * s).sum / samples.length)
 
-  /** 64-bit energy-contour fingerprint: RMS energy over 65 equal windows,
-    * bit i = energy(i+1) > energy(i) — the audio analogue of [[dhash64]].
-    * Sign-of-delta makes it VOLUME-INVARIANT (scaling every sample scales
-    * every window energy by the same factor, preserving comparisons up to
+  /** 64-bit energy-profile fingerprint: energy over 64 equal windows,
+    * bit w = energy(w) > MEDIAN of the 64 window energies — the audio
+    * analogue of [[phash64]]'s median threshold. Median thresholding makes
+    * it VOLUME-INVARIANT exactly (scaling every sample scales every window
+    * energy AND their median by the same v², preserving comparisons up to
     * quantization noise), so re-levelled copies of a clip fingerprint to
-    * within a few bits while different material lands far apart.
+    * within a few bits while different material lands far apart. The
+    * first design compared CONSECUTIVE windows (sign-of-delta, the dhash
+    * shape) and had a measured degenerate attractor: clips whose
+    * half-period-scale windows resonate with the carrier produce a strict
+    * high/low/high/low energy alternation regardless of their envelope,
+    * so ~0.5% of all clips collapsed onto the single fingerprint
+    * 0xAAAA…, that identical-sig group grew linearly with the corpus, and
+    * the band self-join's pair output went quadratic (141k pairs at 10k
+    * sigs → 556k at 20k). Against the median, an alternating sequence's
+    * bits still follow each window's ABSOLUTE level — which the
+    * seed-keyed envelope randomizes — so the attractor class disappears:
+    * zero exact collisions and a ~2.6e-6 hamming ≤ 7 rate over 12.5M
+    * cross-seed pairs (the residual is adjacent-bit run correlation from
+    * windows sharing envelope segments — the irreducible floor of any
+    * 64-bit sketch at a fixed radius; planted pairs now dominate the
+    * table at every measured scale: 5 120 pairs at 10k sigs of which
+    * 5 000 planted, vs 141k before).
     */
   def audioFingerprint64(samples: Array[Double]): Long = {
-    if (samples.length < 65) return 0L
-    val win = samples.length / 65
-    val e = new Array[Double](65)
+    if (samples.length < 64) return 0L
+    val win = samples.length / 64
+    val e = new Array[Double](64)
     var w = 0
-    while (w < 65) {
+    while (w < 64) {
       var acc = 0.0
       var i = w * win
       val end = i + win
@@ -705,10 +754,15 @@ object MultimodalOps {
       e(w) = acc
       w += 1
     }
+    val sorted = java.util.Arrays.copyOf(e, 64)
+    java.util.Arrays.sort(sorted)
+    // Lower median (32nd smallest): an ODD split point so exactly-equal
+    // halves can't leave a bit pattern that flips wholesale under noise.
+    val med = sorted(31)
     var fp = 0L
     var b = 0
     while (b < 64) {
-      if (e(b + 1) > e(b)) fp |= (1L << b)
+      if (e(b) > med) fp |= (1L << b)
       b += 1
     }
     fp
