@@ -839,6 +839,7 @@ object SimilarityQueries {
     import graft.operators.MultimodalOps
     docs
       .select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .as[Long]
       .mapPartitions(_.flatMap { id =>
         Iterator(
@@ -865,7 +866,10 @@ object SimilarityQueries {
     * variants at doc_id+`offset` — the real synth→AudioSystem-encode→
     * decode→fingerprint path (one narrow mapPartitions, no shuffle),
     * sharing q_audio_features' per-doc synthesis parameters (sample rate /
-    * length / volume from doc metadata). Taking the doc set as input lets
+    * length / volume from doc metadata), behind the same codec-spreading
+    * id repartition as the image/phash builders (see phashSigsFrom — one
+    * scan partition would serialize the whole codec pass). Taking the
+    * doc set as input lets
     * the audit report synthesize ONLY its fixed-size sample for the
     * brute-force ball check instead of re-decoding the corpus (the
     * imageSigsFrom pattern). The offset comes from [[plantedOffset]] —
@@ -882,6 +886,7 @@ object SimilarityQueries {
         (lit(800) + (col("n_chars") % 160) * 10).cast("int").as("ns"),
         (lit(0.4) + (col("doc_id") % 5).cast("double") * 0.1).as("amp")
       )
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .as[(Long, Int, Int, Double)]
       .mapPartitions(_.flatMap { case (id, sr, ns, amp) =>
         def fp(a: Double): Long = {
@@ -924,9 +929,13 @@ object SimilarityQueries {
     * median threshold assumes; on sparse-spectrum gratings most readouts
     * are noise-floor coin flips, measured recall ~0). BOTH payloads pass
     * through the real ImageIO codec (render encodes, crop+dither
-    * decodes→re-encodes, hashing decodes again). One narrow mapPartitions,
-    * no shuffle. The offset comes from [[plantedOffset]] — 1e6 on driver
-    * testdata, id-range-derived on growth corpora.
+    * decodes→re-encodes, hashing decodes again). One narrow mapPartitions
+    * behind an 8-byte-per-row id repartition: the codec pass must spread
+    * across ALL cores regardless of how few scan partitions the id
+    * projection needs (one ~5 MB parquet file = one task = the whole
+    * corpus decoding serially — measured 10.8 s → 1.7 s at sf0.1 from
+    * this one exchange). The offset comes from [[plantedOffset]] — 1e6 on
+    * driver testdata, id-range-derived on growth corpora.
     */
   private[graft] def phashSigsFrom(docs: DataFrame, offset: Long = 1000000L)(
       implicit s: SparkSession): DataFrame = {
@@ -934,6 +943,7 @@ object SimilarityQueries {
     import graft.operators.MultimodalOps
     docs
       .select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .as[Long]
       .mapPartitions(_.flatMap { id =>
         val base = MultimodalOps.renderSmoothTestImage(id, 64)
@@ -2137,7 +2147,10 @@ object SimilarityQueries {
           (lit(8000) * (lit(1) + col("doc_id") % 2)).cast("int").as("sr"),
           (lit(800) + (col("n_chars") % 160) * 10).cast("int").as("ns"),
           (lit(0.4) + (col("doc_id") % 5).cast("double") * 0.1).as("amp"))
-        params.as[(Long, Int, Int, Double)].mapPartitions { rows =>
+        params
+          .repartition(s.sessionState.conf.numShufflePartitions)
+          .as[(Long, Int, Int, Double)]
+          .mapPartitions { rows =>
           rows.map { case (id, sr, ns, amp) =>
             val wav = graft.operators.MultimodalOps.synthWav(id, sr, ns, amp)
             val (dsr, _, _, frames, samples) =

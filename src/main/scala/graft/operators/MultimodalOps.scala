@@ -331,25 +331,35 @@ object MultimodalOps {
     * regions are smaller than the noise, while each pHash DCT readout
     * aggregates all 1024 resized pixels so iid noise cancels.
     */
+  /** Encode a row-major luma buffer as BMP through the real ImageIO
+    * writer, with ONE bulk setRGB — the write-side twin of [[toLuma]]'s
+    * bulk-getRGB rule (per-pixel setRGB pays a color-model conversion and
+    * bounds check per call; 10-50× slower on the render hot path, same
+    * bytes out).
+    */
+  private def lumaToBmp(luma: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgbs = new Array[Int](w * h)
+    var i = 0
+    while (i < rgbs.length) { val l = luma(i); rgbs(i) = (l << 16) | (l << 8) | l; i += 1 }
+    img.setRGB(0, 0, w, h, rgbs, 0, w)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
   def ditherImage(media: Array[Byte], amp: Int, seed: Long): Array[Byte] = {
     val (w, h, px) = decodeImage(media).getOrElse(
       throw new IllegalArgumentException("ditherImage: payload is not a decodable image"))
     val rnd = new java.util.Random(seed)
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val l0 = px(y * w + x) & 0xff
-        val l = math.max(0, math.min(255, l0 + rnd.nextInt(2 * amp + 1) - amp))
-        img.setRGB(x, y, (l << 16) | (l << 8) | l)
-        x += 1
-      }
-      y += 1
+    val out = new Array[Int](w * h)
+    var i = 0
+    while (i < out.length) {
+      val l0 = px(i) & 0xff
+      out(i) = math.max(0, math.min(255, l0 + rnd.nextInt(2 * amp + 1) - amp))
+      i += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", baos)
-    baos.toByteArray
+    lumaToBmp(out, w, h)
   }
 
   /** Crop `border` pixels off every edge of an encoded image and re-encode
@@ -363,21 +373,17 @@ object MultimodalOps {
     val cw = w - 2 * border
     val ch = h - 2 * border
     require(cw > 0 && ch > 0, s"cropImage: border $border exceeds image ${w}x$h")
-    val img =
-      new java.awt.image.BufferedImage(cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new Array[Int](cw * ch)
     var y = 0
     while (y < ch) {
       var x = 0
       while (x < cw) {
-        val l = px((y + border) * w + (x + border)) & 0xff
-        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        out(y * cw + x) = px((y + border) * w + (x + border)) & 0xff
         x += 1
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", baos)
-    baos.toByteArray
+    lumaToBmp(out, cw, ch)
   }
 
   /** Deterministic LOW-FREQUENCY BMP test image for the crop/zoom near-dup
@@ -408,27 +414,35 @@ object MultimodalOps {
       val mag = 160.0 / (1.0 + u + v)
       coef(u)(v) = (rnd.nextDouble() * 2.0 - 1.0) * mag
     }
-    // Evaluate the inverse DCT-II basis directly at each pixel (the basis
-    // at render size maps onto the hash's 32×32 basis under subsampling).
+    // Evaluate the inverse DCT-II basis SEPARABLY (the basis at render
+    // size maps onto the hash's 32×32 basis under subsampling): per row y
+    // fold the v-axis into 8 partials (64 mul-adds), then each pixel is an
+    // 8-term dot product — 8 ops/px instead of 63 (this render runs twice
+    // per document in the phash pipeline's hot mapPartitions).
     val cosT = Array.tabulate(8, size)((u, x) => math.cos((2 * x + 1) * u * math.Pi / (2.0 * size)))
-    val img = new java.awt.image.BufferedImage(size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until size; x <- 0 until size) {
-      var l = 128.0
+    val out = new Array[Int](size * size)
+    val rowAcc = new Array[Double](8)
+    var y = 0
+    while (y < size) {
       var u = 0
       while (u < 8) {
+        var acc = 0.0
         var v = 0
-        while (v < 8) {
-          if (u + v > 0) l += coef(u)(v) * cosT(u)(x) * cosT(v)(y)
-          v += 1
-        }
+        while (v < 8) { acc += coef(u)(v) * cosT(v)(y); v += 1 }
+        rowAcc(u) = acc
         u += 1
       }
-      val c = math.max(0, math.min(255, l.round.toInt))
-      img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      var x = 0
+      while (x < size) {
+        var l = 128.0
+        var uu = 0
+        while (uu < 8) { l += rowAcc(uu) * cosT(uu)(x); uu += 1 }
+        out(y * size + x) = math.max(0, math.min(255, l.round.toInt))
+        x += 1
+      }
+      y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", baos)
-    baos.toByteArray
+    lumaToBmp(out, size, size)
   }
 
   /** dHash of an encoded image payload through the REAL codec path
@@ -454,16 +468,13 @@ object MultimodalOps {
     val fy = 0.5 + ((seed / 5) % 5) * 0.3
     val p1 = (seed % 17).toDouble / 17.0 * 2 * math.Pi
     val p2 = (seed % 101).toDouble / 101.0 * 2 * math.Pi
-    val img = new java.awt.image.BufferedImage(size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new Array[Int](size * size)
     for (y <- 0 until size; x <- 0 until size) {
       var v = 128.0 + 70.0 * math.sin(fx * x + fy * y + p1) + 40.0 * math.sin(0.9 * x - 0.7 * y + p2)
       if (perturb) v += 3.0 * math.sin(1.3 * x + 1.7 * y + (seed % 7).toDouble)
-      val l = math.max(0, math.min(255, v.round.toInt))
-      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      out(y * size + x) = math.max(0, math.min(255, v.round.toInt))
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", baos)
-    baos.toByteArray
+    lumaToBmp(out, size, size)
   }
 
   /** STUB CODEC — deterministic fake decode standing in for the codecs the

@@ -82,6 +82,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // 1-row extras count; the production pair tables must stay
       // banded-equi-join only.
       "imageDedupPairs" -> SimilarityQueries.imageDedupPairs(spark, sfDir),
+      "phashDedupPairs" -> SimilarityQueries.phashDedupPairs(spark, sfDir),
       "simhashPairs" -> SimilarityQueries.simhashPairs(spark, sfDir),
       "minhashPairs" -> SimilarityQueries.minhashPairs(spark, sfDir)
     )
@@ -125,6 +126,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_dedup_embedding" -> QueryRegistry.queries("q_dedup_embedding")(spark, sfDir),
       "q_dedup_substrings" -> QueryRegistry.queries("q_dedup_substrings")(spark, sfDir),
       "imageDedupPairs" -> SimilarityQueries.imageDedupPairs(spark, sfDir),
+      "phashDedupPairs" -> SimilarityQueries.phashDedupPairs(spark, sfDir),
       "audioDedupPairs" -> SimilarityQueries.audioDedupPairs(spark, sfDir)
     )
     for ((name, df) <- pinned) {
@@ -661,6 +663,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Window"), s"final per-host rank must be windowed:\n$p")
     assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
       s"the bounded-heap pre-cap must precede the window:\n$p")
+  }
+
+  test("q_frontier_politeness: the politeness plan costs the frontier plus a projection — no added exchange") {
+    // delay/offset/wave are pure arithmetic over the already-capped
+    // frontier candidates, so the plan must carry EXACTLY the exchanges
+    // q_url_frontier carries — an extra shuffle here means the projection
+    // accidentally re-partitioned the capped set.
+    def exchanges(name: String): Int =
+      plan(name).linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    val frontier = exchanges("q_url_frontier")
+    val polite = exchanges("q_frontier_politeness")
+    assert(polite == frontier,
+      s"politeness added exchanges: frontier=$frontier politeness=$polite")
+    assert(!plan("q_frontier_politeness").contains("CartesianProduct"))
+  }
+
+  test("q_time_travel: inventory-only as-of read — one broadcast, pick inside the aggregate, no window") {
+    // The as-of day broadcasts as a 1-row join; the per-slot pick rides
+    // the groupBy as max(struct(...)) — a Window or a second join over
+    // the inventory would re-shuffle what the aggregate already ordered.
+    val p = plan("q_time_travel")
+    assert(!p.contains("Window"), s"pick must ride the aggregate, not a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row as-of side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no inventory-sized join may appear:\n$p")
   }
 
   test("q_embed_truncate: one map pass + one 3-key partial agg; embedding-only scan") {
