@@ -98,7 +98,18 @@ object Plans {
     "q_index_merge",
     "q_graph_triangles",
     "q_vacuum_plan",
-    "q_late_arrival_profile"
+    "q_late_arrival_profile",
+    // Round 13: the zero-shuffle token-budget chunker, the
+    // frontier-plus-a-projection politeness plan (no added exchange — the
+    // pin), the inventory-only as-of read (pick rides the aggregate), and
+    // the codec-repartitioned phash pair audit (the round's
+    // codec-parallelism fix made the id repartition part of the family's
+    // plan shape; q_stream_join_outer / q_stream_cdc are streaming —
+    // their shapes are spec-pinned in MultimodalStreamingSpec instead).
+    "q_chunk_tokens",
+    "q_frontier_politeness",
+    "q_time_travel",
+    "q_phash_images"
   )
 
   def main(args: Array[String]): Unit = {
