@@ -725,6 +725,62 @@ object AnalyticQueries {
              |FROM events""".stripMargin)
     ),
 
+    // Batch sessionization — q_user_gaps's gaps promoted to the operator
+    // analytics actually consumes: events collapse into sessions at a
+    // 6-hour inactivity threshold (gap-and-island via the classic
+    // lag → new-session flag → running count), then per-session stats.
+    // The streaming twin is q_stream_sessionize; this is the backfill /
+    // reprocessing form over the full history. Scale shape: BOTH window
+    // passes (the lag and the running sum) share ONE partition spec
+    // (user_id — the natural key, never a global window), so the plan
+    // pays a single exchange + sort; the closing groupBy's keys
+    // (user_id, session_id) are a refinement of that partitioning, so
+    // HashPartitioning(user_id) already satisfies its ClusteredDistribution
+    // and the aggregate adds NO further exchange (pinned in
+    // PlanAuditSpec). Integer-micros arithmetic end to end; session ids
+    // are per-user ordinals so the output is deterministic under any
+    // partitioning.
+    Q(
+      "q_sessionize_batch",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn(
+            "is_new",
+            when(gapUs.isNull || gapUs > lit(21600000000L), 1L).otherwise(0L))
+          .withColumn(
+            "session_id",
+            sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("start_ts"),
+            max(col("ts")).as("end_ts"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN gap_us IS NULL OR gap_us > 21600000000 THEN 1 ELSE 0 END AS is_new
+             |  FROM g),
+             |sid AS (
+             |  SELECT user_id, ts,
+             |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM m)
+             |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+             |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+             |FROM sid GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)
+    ),
+
     // Watermark-tuning lateness profile — the planning artifact behind
     // every `withWatermark` delay choice in §2.4: how late do events
     // actually arrive, and what fraction would each candidate delay

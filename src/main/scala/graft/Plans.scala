@@ -109,7 +109,9 @@ object Plans {
     "q_chunk_tokens",
     "q_frontier_politeness",
     "q_time_travel",
-    "q_phash_images"
+    "q_phash_images",
+    // The broadcast-eval semantic decontamination map pass.
+    "q_decontaminate_semantic"
   )
 
   def main(args: Array[String]): Unit = {

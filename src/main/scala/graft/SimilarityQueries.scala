@@ -1692,6 +1692,76 @@ object SimilarityQueries {
               |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Survivorship — the step a dedup pass actually ships: q_dedup_clusters
+    // partitions the corpus into near-dup clusters, this picks WHICH
+    // document survives each cluster by a quality rule (longest text wins,
+    // smaller doc_id breaks ties — the standard "most complete record"
+    // policy; on this fixture the originals beat their 15%-truncated
+    // planted dups, so the keeper set is semantically right, not just
+    // deterministic). Output is the full decision table a downstream
+    // filter consumes: every doc with its cluster, the cluster's keeper,
+    // the cluster size, and the keep flag. Scale shape: components come
+    // from the same bounded pair machinery (df caps — no all-pairs);
+    // the keeper election is ONE partial-agg'd max(struct(len, -doc_id))
+    // groupBy on cluster_id (one struct per cluster per partition
+    // combines map-side — never a per-cluster window sort), and the
+    // decision join back on cluster_id is AQE-planned (keeper table is
+    // cluster-count-sized; skewed mega-clusters don't exist by the pair
+    // generator's df cap). The oracle restates the election as a
+    // row_number window over the same recursive-CTE components.
+    Q(
+      "q_survivorship",
+      (s, d) => {
+        val corpus = corpusWithDups(s, d)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        val pairs = ngramJaccardPairs(s, d)
+        val comp = connectedComponents(
+          corpus.select(col("doc_id").as("id")),
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val labeled = corpus
+          .join(comp, corpus("doc_id") === comp("id"))
+          .select(col("doc_id"), col("comp").as("cluster_id"), col("len"))
+        val keepers = labeled
+          .groupBy("cluster_id")
+          .agg(
+            max(struct(col("len"), (-col("doc_id")).as("neg_id"))).as("k"),
+            count(lit(1)).as("cluster_size"))
+          .select(col("cluster_id"), (-col("k.neg_id")).as("keeper_id"), col("cluster_size"))
+        labeled
+          .join(keepers, Seq("cluster_id"))
+          .select(
+            col("doc_id"),
+            col("cluster_id"),
+            col("keeper_id"),
+            col("cluster_size"),
+            (col("doc_id") === col("keeper_id")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${ngramPairsSqlCtes()},
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION ALL
+              |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT doc_id, doc_id FROM corpus
+              |  UNION
+              |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+              |compx AS (
+              |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |lab AS (
+              |  SELECT c.doc_id, c.cluster_id, CAST(length(co.text) AS BIGINT) AS len
+              |  FROM compx c JOIN corpus co USING (doc_id)),
+              |elect AS (
+              |  SELECT cluster_id, doc_id AS keeper_id,
+              |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+              |    row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rk
+              |  FROM lab)
+              |SELECT l.doc_id, l.cluster_id, e.keeper_id, e.cluster_size,
+              |  l.doc_id = e.keeper_id AS keep
+              |FROM lab l JOIN elect e ON e.cluster_id = l.cluster_id AND e.rk = 1
+              |ORDER BY l.doc_id""".stripMargin)
+    ),
+
     // SimHash near-dup — see simhashPairs for the sketch/banding story.
     // Registered form = the banded audit report (the pair table is
     // simhashPairs, spec-consumed): n_docs is cross-engine exact,
@@ -1911,6 +1981,70 @@ object SimilarityQueries {
              |  FROM embeddings a JOIN pert p ON p.vec_id = a.vec_id + 1000000)
              |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.995
              |ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+
+    // SEMANTIC decontamination — the embedding-level fourth arm of the
+    // decontamination family (13-gram / bloom / char-window catch textual
+    // leaks; paraphrased or reformatted benchmark items need the
+    // embedding space): corpus vectors whose cosine against ANY eval-set
+    // vector clears 0.95 are contamination, reported with the argmax
+    // eval item. The eval fixture is the realistic leak direction —
+    // every 50th corpus vector's deterministic perturbation
+    // (x·1.02 + 0.01 in double, stated identically in both engines)
+    // stands in for the benchmark item whose near-copy leaked INTO the
+    // corpus; organic cross-cosines on this data top out at 0.45
+    // (measured), so the flagged set is exactly the planted sources —
+    // spec-pinned with margin in DedupRecallSpec. Scale shape: an eval
+    // BENCHMARK is bounded by nature (10²-10⁵ items), so it collapses to
+    // ONE collect_list row broadcast onto an unshuffled corpus scan; the
+    // scoring pass is a single compiled map (array_max over K CosineSim
+    // kernels per row — the kmeansAssignments shape), ZERO exchanges on
+    // the corpus, no explode, no join multiplicity. The argmax rides
+    // array_max over (cos, eval_id) structs; the oracle restates it as a
+    // window. Both sides round to 6 dp BEFORE the threshold cut so the
+    // flag flips identically.
+    Q(
+      "q_decontaminate_semantic",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val evals = e
+          .filter(col("vec_id") % 50 === 0)
+          .select(
+            col("vec_id").as("eval_id"),
+            transform(col("embedding"), x => x.cast("double") * lit(1.02) + lit(0.01)).as("ev"))
+          .agg(collect_list(struct(col("eval_id"), col("ev"))).as("evals"))
+        e.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("cv"))
+          .crossJoin(broadcast(evals))
+          .select(
+            col("vec_id"),
+            array_max(transform(
+              col("evals"),
+              ev =>
+                struct(
+                  cosine(col("cv"), ev.getField("ev")).as("cos_sim"),
+                  ev.getField("eval_id").as("eval_id")))).as("best"))
+          .select(
+            col("vec_id"),
+            col("best.eval_id").as("eval_id"),
+            round(col("best.cos_sim"), 6).as("max_cos"))
+          .filter(col("max_cos") >= 0.95)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+             |  FROM embeddings),
+             |ev AS (
+             |  SELECT vec_id AS eval_id, list_transform(cv, x -> x * 1.02 + 0.01) AS evv
+             |  FROM e WHERE vec_id % 50 = 0),
+             |p AS (
+             |  SELECT e.vec_id, ev.eval_id, list_cosine_similarity(e.cv, ev.evv) AS cs
+             |  FROM e, ev),
+             |r AS (
+             |  SELECT vec_id, eval_id, cs,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, eval_id DESC) AS rn
+             |  FROM p)
+             |SELECT vec_id, eval_id, round(cs, 6) AS max_cos
+             |FROM r WHERE rn = 1 AND round(cs, 6) >= 0.95 ORDER BY vec_id""".stripMargin)
     ),
 
     // Document clustering over embeddings (topic bucketing): the IVF

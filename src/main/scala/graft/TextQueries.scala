@@ -2369,6 +2369,105 @@ object TextQueries {
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
     ),
 
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/Buettcher
+    // RRF, the default fusion in modern lexical+vector search stacks):
+    // fuse the BM25 top-20 (q_bm25's scorer, same terms) with the
+    // embedding-cosine top-20 for the matching query vector by
+    // score = Σ 1/(60 + rank), missing list contributes 0. Scale shape:
+    // each arm ends in a TakeOrderedAndProject (top-k only — no global
+    // sort materializes, corpus never shuffles on either arm: BM25 is
+    // row-local tf + a 1-row broadcast stats join, cosine is one compiled
+    // kernel against a 1-row broadcast query vector), so the rank windows
+    // and the full-outer fusion join run over two ≤k-row sets — driver-
+    // scale by construction, bounded by k not the corpus. Ranks are
+    // INTs on both sides (CAST in the oracle — the q_stream_topk
+    // convention); the two RRF terms add in fixed textual order as IEEE
+    // doubles (explicit DOUBLE casts keep DuckDB out of decimal
+    // division), then round to 6 dp.
+    Q(
+      "q_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = bm25Rank(documents(s, d), Seq("spark", "merge", "window"), k = 20)
+          .withColumn("r_lex", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_lex"))
+        val e = embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+        val sem = e
+          .filter(col("vec_id") =!= 7)
+          .crossJoin(broadcast(qv))
+          .select(
+            col("vec_id").as("doc_id"),
+            graft.functions.SimilarityFunctions.cosine(col("embedding"), col("qv")).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("r_sem", row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_sem"))
+        lex
+          .join(sem, Seq("doc_id"), "full_outer")
+          .select(
+            col("doc_id"),
+            round(
+              coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)),
+              6).as("rrf_score"),
+            col("r_lex"),
+            col("r_sem"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS DOUBLE) AS dl,
+             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'spark')) AS DOUBLE) AS tf0,
+             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'merge')) AS DOUBLE) AS tf1,
+             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'window')) AS DOUBLE) AS tf2
+             |  FROM documents),
+             |g AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+             |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM p),
+             |lexall AS (
+             |  SELECT doc_id,
+             |    round(
+             |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+             |      6) AS score
+             |  FROM p, g
+             |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+             |  ORDER BY score DESC, doc_id LIMIT 20),
+             |lex AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_lex
+             |  FROM lexall),
+             |qv AS (
+             |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |  FROM embeddings WHERE vec_id = 7),
+             |semall AS (
+             |  SELECT vec_id AS doc_id,
+             |    list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv) AS cos_sim
+             |  FROM embeddings, qv
+             |  WHERE vec_id <> 7
+             |  ORDER BY cos_sim DESC, doc_id LIMIT 20),
+             |sem AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS r_sem
+             |  FROM semall),
+             |j AS (
+             |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem
+             |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+             |SELECT doc_id,
+             |  round(
+             |    COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_lex), 0)
+             |    + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_sem), 0),
+             |    6) AS rrf_score,
+             |  r_lex, r_sem
+             |FROM j ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
+    ),
+
     // Positional phrase search — the third leg of the retrieval family:
     // q_inverted_index materializes postings, q_bm25 ranks bags of words,
     // this finds EXACT adjacent-token phrases ("batch window") via

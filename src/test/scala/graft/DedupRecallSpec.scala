@@ -201,6 +201,51 @@ class DedupRecallSpec extends AnyFunSuite with SparkSpec {
     out.unpersist()
   }
 
+  test("semantic decontamination: flags exactly the planted leak sources, with margin on both sides of the threshold") {
+    // The flagged set must be EXACTLY the vectors whose perturbed twin
+    // sits in the eval fixture (vec_id % 50 == 0) — a missed source is a
+    // recall hole, an extra row means organic cosines drifted toward the
+    // 0.95 threshold and the fixture no longer separates. Margin gates
+    // both failure directions: planted cosines must clear the threshold
+    // comfortably (> 0.99) and the best UNFLAGGED vector must sit far
+    // below it (< 0.7), so a testdata regeneration that erodes the gap
+    // fails loudly here before it flakes the hash oracle.
+    val out = QueryRegistry
+      .queries("q_decontaminate_semantic")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = Tables
+      .embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(out.map(_._1).toSet == expected,
+      s"flagged set != planted sources: got ${out.map(_._1).toSeq.sorted.take(5)}...")
+    assert(out.forall(t => t._1 == t._2), "each source must argmax to its own eval twin")
+    assert(out.forall(_._3 > 0.99), s"planted cosines must clear 0.95 with margin: ${out.map(_._3).min}")
+    // Organic side of the margin, brute-forced driver-side (500 × K — a
+    // spec-scale check): the best non-source cosine against any eval
+    // vector must sit far below the 0.95 cut.
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val evals = vecs.filter(_._1 % 50 == 0).map { case (_, v) => v.map(x => x * 1.02 + 0.01) }
+    val organicMax = vecs
+      .filter(t => !expected.contains(t._1))
+      .map { case (_, v) => evals.map(e => cos(v, e)).max }
+      .max
+    assert(organicMax < 0.7, s"organic cosines drifted toward the threshold: $organicMax")
+  }
+
   test("image phash dedup: planted crop+dither reposts pair with their originals; dhash collapses on the same edit; banding equals brute force") {
     import graft.operators.MultimodalOps
     // Production pair table — the registered q_phash_images is its banded

@@ -690,6 +690,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no inventory-sized join may appear:\n$p")
   }
 
+  test("q_decontaminate_semantic: bounded eval set broadcast onto an unshuffled corpus scan") {
+    // The eval benchmark collapses to ONE collect_list row and broadcasts;
+    // the corpus-side scoring is a single map (array_max over K cosine
+    // kernels) — no hash exchange may touch the corpus, no explode may
+    // multiply it.
+    val p = plan("q_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-sized join may appear:\n$p")
+    assert(!p.contains("Generate"), s"the eval array must not explode against the corpus:\n$p")
+    // The only hash exchanges allowed are the 1-row eval aggregation's —
+    // nothing partitioned by corpus columns.
+    val corpusExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("vec_id") && !l.contains("Reused"))
+    assert(corpusExchanges == 0, s"corpus must not shuffle:\n$p")
+  }
+
   test("q_embed_truncate: one map pass + one 3-key partial agg; embedding-only scan") {
     // Per-row energy folds are row-local; the only exchange is the
     // partial-agg'd rollup on the 3-value trunc_dim key. vec_id is unused
