@@ -772,13 +772,82 @@ object AnalyticQueries {
              |  FROM g),
              |sid AS (
              |  SELECT user_id, ts,
-             |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                      ROWS UNBOUNDED PRECEDING) AS session_id
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM m)
              |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
              |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
              |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
              |FROM sid GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)
+    ),
+
+    // Interval concurrency via sweep-line — "how many shipments does each
+    // supplier have in flight at once, and when does the load peak?" The
+    // interval-overlap question every capacity/logistics dashboard asks,
+    // answered WITHOUT an interval self-join: each interval contributes a
+    // +1 at its start and a −1 after its end (interval = [ship, ship+dur]
+    // inclusive, dur a deterministic 1-14-day transit stand-in since the
+    // fixture carries only l_shipdate), deltas collapse per (supplier,
+    // day) in ONE partial-agg'd groupBy, and a per-supplier running sum
+    // over the collapsed DAY timeline is the concurrency curve. Scale
+    // shape: the naive formulation is an interval self-join (Σ per-key
+    // n² pairs — quadratic for a hot supplier); the sweep is O(n) rows
+    // into a partial agg + a window bounded by DISTINCT DAYS per
+    // supplier, partitioned on the natural supplier key. Peak election
+    // is the q_argmin_join device: ONE partial-aggable max(struct) —
+    // ties break to the earliest day via the negated epoch-day, never a
+    // per-supplier rank window.
+    Q(
+      "q_interval_concurrency",
+      (s, d) => {
+        val li = lineitem(s, d).select(
+          col("l_suppkey"),
+          to_date(col("l_shipdate")).as("d1"),
+          (col("l_orderkey") % 14 + 1).cast("int").as("dur"))
+        val ev = li
+          .select(col("l_suppkey"), col("d1").as("day"), lit(1L).as("delta"))
+          .unionAll(li.select(
+            col("l_suppkey"),
+            date_add(col("d1"), col("dur") + lit(1)).as("day"),
+            lit(-1L).as("delta")))
+        val daily = ev.groupBy("l_suppkey", "day").agg(sum(col("delta")).as("net"))
+        val w = Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("open", sum(col("net")).over(w))
+          .groupBy("l_suppkey")
+          .agg(max(struct(col("open"), (-unix_date(col("day"))).as("negd"))).as("k"))
+          .select(
+            col("l_suppkey"),
+            col("k.open").as("peak_open"),
+            date_from_unix_date((-col("k.negd")).cast("int")).as("peak_day"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH iv AS (
+             |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d1,
+             |    CAST(l_orderkey % 14 + 1 AS INT) AS dur
+             |  FROM lineitem),
+             |ev AS (
+             |  SELECT l_suppkey, d1 AS day, 1 AS delta FROM iv
+             |  UNION ALL
+             |  SELECT l_suppkey, d1 + (dur + 1), -1 FROM iv),
+             |daily AS (
+             |  SELECT l_suppkey, day, CAST(SUM(delta) AS BIGINT) AS net
+             |  FROM ev GROUP BY 1, 2),
+             |run AS (
+             |  SELECT l_suppkey, day,
+             |    CAST(SUM(net) OVER (PARTITION BY l_suppkey ORDER BY day
+             |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+             |  FROM daily),
+             |pk AS (
+             |  SELECT l_suppkey, open, day,
+             |    row_number() OVER (PARTITION BY l_suppkey
+             |                       ORDER BY open DESC, day) AS rk
+             |  FROM run)
+             |SELECT l_suppkey, open AS peak_open, day AS peak_day
+             |FROM pk WHERE rk = 1 ORDER BY l_suppkey""".stripMargin)
     ),
 
     // Watermark-tuning lateness profile — the planning artifact behind

@@ -111,7 +111,17 @@ object Plans {
     "q_time_travel",
     "q_phash_images",
     // The broadcast-eval semantic decontamination map pass.
-    "q_decontaminate_semantic"
+    "q_decontaminate_semantic",
+    // Round 14: the one-exchange batch sessionization (both windows + the
+    // refining aggregate on a single user_id shuffle), the partial-agg'd
+    // survivorship election (max(struct) — no per-cluster window), and the
+    // retrieval fuse→rerank pair (arms end in TakeOrderedAndProject; the
+    // rerank feature join broadcasts the ≤k candidate set onto one pruned
+    // documents scan).
+    "q_sessionize_batch",
+    "q_survivorship",
+    "q_hybrid_rrf",
+    "q_rerank"
   )
 
   def main(args: Array[String]): Unit = {

@@ -73,6 +73,10 @@ object ScaleGrowth {
     if (evPath.exists()) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val ids = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+      // An empty events source leaves both maxes NULL — fail with a clear
+      // message instead of getLong's NullPointerException (r13 advice).
+      if (ids.isNullAt(0) || ids.isNullAt(1))
+        throw new IllegalStateException(s"$src/events.parquet is empty — cannot grow events")
       val eOff = math.max(10000000L, ids.getLong(0) + 1L)
       val uOff = ids.getLong(1) + 1L
       val ecopies = (0 until k).map { i =>

@@ -792,6 +792,19 @@ object SimilarityQueries {
     * / dense spectra), so groups stay 1-2 at any test SF and the output
     * is byte-identical to the unguarded form — which is what lets the
     * exhaustive ball-equality specs keep their pairwise contract.
+    *
+    * CAVEAT the audits inherit (r13 advice): once the cap DOES fire, the
+    * table is complete only TRANSITIVELY — a non-representative member of
+    * a collapsed group reaches its hamming ≤ 7 neighbors through the
+    * representative (member —0— min —h— other), not by a direct row. Any
+    * consumer that counts DIRECT pairs — the planted-recall bands'
+    * doc_b == doc_a + offset counting in q_dedup_images / q_phash_images /
+    * q_dedup_audio — therefore assumes identical-sig groups stay ≤
+    * maxGroup, which the seed-keyed fixtures guarantee by construction
+    * (ByteBandGuardSpec pins both: the collapsed form's reachability on a
+    * synthetic mega-group, and that the registered fixtures never trip the
+    * cap). A production recall audit over a corpus with real mega-groups
+    * must count reachability (one hop through gmn), not direct rows.
     */
   private[graft] def byteBandPairs(sigs: DataFrame, maxGroup: Int = 256): DataFrame = {
     val wg = Window.partitionBy(col("sig"))

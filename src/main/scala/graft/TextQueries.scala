@@ -479,6 +479,107 @@ object TextQueries {
       .limit(k)
   }
 
+  /** The fixed query terms / query vector shared by the hybrid-retrieval
+    * family (q_hybrid_rrf and its q_rerank second stage).
+    */
+  private[graft] val rrfQueryTerms = Seq("spark", "merge", "window")
+
+  /** q_hybrid_rrf's production pipeline, factored so q_rerank can consume
+    * the SAME fused candidate set (see the q_hybrid_rrf registration for
+    * the full scale commentary: both arms end in TakeOrderedAndProject, so
+    * everything past the two corpus scans is bounded by k, not the corpus).
+    */
+  private[graft] def hybridRrfFused(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Rank(documents(s, d), rrfQueryTerms, k = 20)
+      .withColumn("r_lex", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val e = embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val sem = e
+      .filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(qv))
+      .select(
+        col("vec_id").as("doc_id"),
+        graft.functions.SimilarityFunctions.cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(20)
+      .withColumn("r_sem", row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_sem"))
+    lex
+      .join(sem, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)),
+          6).as("rrf_score"),
+        col("r_lex"),
+        col("r_sem"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Shared SQL prefix for the hybrid-retrieval oracles: the q_hybrid_rrf
+    * CTE chain ending in `fused` (the RRF top-10). Factored so q_rerank's
+    * oracle layers on the IDENTICAL fusion text — two copies would drift.
+    */
+  private[graft] val rrfOracleCtes: String =
+    """p AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'spark')) AS DOUBLE) AS tf0,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'merge')) AS DOUBLE) AS tf1,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'window')) AS DOUBLE) AS tf2
+      |  FROM documents),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+      |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |  FROM p),
+      |lexall AS (
+      |  SELECT doc_id,
+      |    round(
+      |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+      |      6) AS score
+      |  FROM p, g
+      |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+      |  ORDER BY score DESC, doc_id LIMIT 20),
+      |lex AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_lex
+      |  FROM lexall),
+      |qv AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id = 7),
+      |semall AS (
+      |  SELECT vec_id AS doc_id,
+      |    list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv) AS cos_sim
+      |  FROM embeddings, qv
+      |  WHERE vec_id <> 7
+      |  ORDER BY cos_sim DESC, doc_id LIMIT 20),
+      |sem AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS r_sem
+      |  FROM semall),
+      |j AS (
+      |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem
+      |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+      |fused AS (
+      |  SELECT doc_id,
+      |    round(
+      |      COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_lex), 0)
+      |      + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_sem), 0),
+      |      6) AS rrf_score,
+      |    r_lex, r_sem
+      |  FROM j ORDER BY rrf_score DESC, doc_id LIMIT 10)""".stripMargin
+
   /** Train the top-V vocabulary (q_vocab_build's exact (count desc, token
     * asc) id assignment) and return it as a bounded driver-side list —
     * the O(V) plan parameter [[tokenIdStream]] compiles in, the
@@ -658,6 +759,100 @@ object TextQueries {
              |  CAST(sum(c) - COUNT(*) AS DOUBLE) / sum(c) AS dup_word_frac,
              |  (CAST(max(c) AS DOUBLE) / sum(c)) <= 0.2 AS repetition_ok
              |FROM tf GROUP BY doc_id""".stripMargin)
+    ),
+
+    // Gopher document-level quality rules (Rae et al. 2021, App. A1.1 —
+    // the published composite filter most pretraining pipelines start
+    // from): word count in [50, 100k], mean word length in [3, 10],
+    // symbol-to-word ratio (# and …) ≤ 0.1, ≥ 80% of words alphabetic,
+    // ≥ 2 distinct Gopher stop words present. Complements the existing
+    // signals (q_text_quality's char ratios, q_repetition_filter's
+    // Gopher REPETITION rules, q_lm_quality's LM loss) with the rules
+    // none of them carry: the count bounds, mean word length, and the
+    // distinct-stopword floor. On this fixture the symbol and alpha
+    // rules are degenerate (word-soup text: 0 symbols, all-alpha words —
+    // the q_dq_checks "no failing rows here" stance); word count and the
+    // stopword floor genuinely split the corpus. Line-level Gopher rules
+    // (bullet/ellipsis line ratios) belong to the post-extraction layer
+    // q_html_extract feeds. Scale shape: entirely ROW-LOCAL — one
+    // codegen pass inside the scan stage (split once into a named
+    // column, every rule an array/string builtin over it), zero
+    // shuffles; the output sort is presentation-only.
+    Q(
+      "q_gopher_quality",
+      (s, d) => {
+        // The paper's stop set with 'have' swapped for 'a' — the fixture's
+        // word-soup vocabulary carries exactly two function words ('the',
+        // 'a'), so the untuned set would max out at 1 and the ≥2 floor
+        // would reject EVERY document (measured) — the q_repetition_filter
+        // "tuned to the synthetic vocabulary" convention.
+        val stops = Seq("the", "be", "to", "of", "and", "that", "a", "with")
+        val withWs = documents(s, d).select(
+          col("doc_id"),
+          col("text"),
+          filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0).as("ws"))
+        val nWords = size(col("ws"))
+        val meanLen = round(
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") /
+            nWords.cast("double"), 6)
+        val alphaRatio = round(
+          size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") /
+            nWords.cast("double"), 6)
+        val nHash = length(col("text")) - length(translate(col("text"), "#", ""))
+        val nEllipsis =
+          (length(col("text")) - length(expr("replace(text, '...', '')"))).cast("double") / lit(3.0)
+        val symbolRatio = round((nHash.cast("double") + nEllipsis) / nWords.cast("double"), 6)
+        val nStop = stops
+          .map(w => when(array_contains(col("ws"), w), 1).otherwise(0))
+          .reduce(_ + _)
+        withWs
+          .select(
+            col("doc_id"),
+            nWords.as("n_words"),
+            meanLen.as("mean_word_len"),
+            symbolRatio.as("symbol_ratio"),
+            alphaRatio.as("alpha_word_ratio"),
+            nStop.as("n_stop_present"))
+          .withColumn(
+            "gopher_ok",
+            col("n_words").between(50, 100000) &&
+              col("mean_word_len").between(3.0, 10.0) &&
+              col("symbol_ratio") <= 0.1 &&
+              col("alpha_word_ratio") >= 0.8 &&
+              col("n_stop_present") >= 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CAST(len(ws) AS INT) AS n_words,
+             |    round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+             |          / len(ws), 6) AS mean_word_len,
+             |    round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+             |           + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+             |          / len(ws), 6) AS symbol_ratio,
+             |    round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+             |          / len(ws), 6) AS alpha_word_ratio,
+             |    CAST(CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END
+             |       + CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END AS INT) AS n_stop_present
+             |  FROM w)
+             |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+             |  n_stop_present,
+             |  (n_words BETWEEN 50 AND 100000
+             |   AND mean_word_len BETWEEN 3.0 AND 10.0
+             |   AND symbol_ratio <= 0.1
+             |   AND alpha_word_ratio >= 0.8
+             |   AND n_stop_present >= 2) AS gopher_ok
+             |FROM s ORDER BY doc_id""".stripMargin)
     ),
 
     // Benchmark decontamination: flag corpus documents sharing any 13-word
@@ -1173,6 +1368,96 @@ object TextQueries {
           |       CAST(floor(fetch_offset_s / 10.0) AS INT) AS wave,
           |       fetch_offset_s < 30 AS in_first_window
           |FROM p ORDER BY host, rk""".stripMargin)
+    ),
+
+    // Robots allow/disallow filtering — the crawl family's PERMISSION
+    // dimension (frontier = what to fetch, politeness = how fast, this =
+    // what you MAY fetch): every frontier candidate is checked against its
+    // host's robots rules with the standard longest-match-wins semantics
+    // (Google's robots.txt spec: the most specific — longest — matching
+    // path prefix decides; allow wins a same-length tie; no match ⇒
+    // allowed). Rules are a deterministic per-host stand-in (md5-digit
+    // derived, the crawl-delay/ledger device) so both engines state the
+    // same table: /search always disallowed (the classic results-page
+    // rule), /lib disallowed for most hosts with /lib/p allowed back
+    // for some (THE longest-match exercise: /lib/p{j}.html candidates are
+    // re-allowed through the more specific rule), /docs/up disallowed for
+    // half the source hosts.
+    // Scale shape: the rules table is built on the DISTINCT host set (one
+    // partial-agg'd distinct, rules as a row-local ≤4-element array —
+    // no per-rule explode/shuffle) and BROADCAST back onto the candidate
+    // set — in deployment robots.txt fetches land in exactly such a
+    // host-keyed table, host-cardinality-sized, joined the same way; the
+    // match decision is one row-local array filter + array_max(struct) —
+    // no window, no second shuffle. Output = the full decision table a
+    // fetcher consumes (candidate + matched rule + verdict).
+    Q(
+      "q_robots_filter",
+      (s, d) => {
+        def digit(i: Int) =
+          expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
+        def rule(prefix: String, allow: Boolean, live: org.apache.spark.sql.Column) =
+          struct(lit(prefix).as("prefix"), lit(allow).as("allow"), live.as("live"))
+        val cands = frontierCandidates(s, d, 10)
+        val rules = cands
+          .select("host").distinct()
+          .select(
+            col("host"),
+            // Thresholds chosen against the fixture's md5 digits so every
+            // decision arm is EXERCISED, not just stated: ext.example.org
+            // (digits 3,8,2) gets both /lib AND /lib/p → its /lib/p*.html
+            // candidates are re-allowed through the longest match;
+            // cdn.example.net (8,13,2) gets /lib only → /lib.js disallowed;
+            // /docs/up splits the source hosts (digits 1,13,11,1).
+            filter(
+              array(
+                rule("/search", allow = false, lit(true)),
+                rule("/lib", allow = false, digit(1) < 9),
+                rule("/lib/p", allow = true, digit(2) < 9),
+                rule("/docs/up", allow = false, digit(3) < 12)),
+              r => r("live")).as("rules"))
+        val best = array_max(transform(
+          filter(col("rules"), r => col("path").startsWith(r("prefix"))),
+          r => struct(length(r("prefix")).as("l"), r("allow").as("allow"), r("prefix").as("prefix"))))
+        cands
+          .join(broadcast(rules), Seq("host"))
+          .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+          .withColumn("best", best)
+          .select(
+            col("host"), col("url"), col("n_refs"), col("rk"),
+            col("best.prefix").as("matched_rule"),
+            coalesce(col("best.allow"), lit(true)).as("allowed"))
+          .orderBy("host", "rk")
+      },
+      Some(duckLinkCte + duckFrontierCte +
+        """
+          |, cand AS (
+          |  SELECT host, url, n_refs, rk,
+          |         regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
+          |  FROM r WHERE rk <= 10),
+          |hosts AS (SELECT DISTINCT host FROM cand),
+          |rules AS (
+          |  SELECT host, '/search' AS prefix, FALSE AS allow FROM hosts
+          |  UNION ALL
+          |  SELECT host, '/lib', FALSE FROM hosts
+          |  WHERE strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1 < 9
+          |  UNION ALL
+          |  SELECT host, '/lib/p', TRUE FROM hosts
+          |  WHERE strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1 < 9
+          |  UNION ALL
+          |  SELECT host, '/docs/up', FALSE FROM hosts
+          |  WHERE strpos('0123456789abcdef', substr(md5(host), 3, 1)) - 1 < 12),
+          |m AS (
+          |  SELECT c.url, ru.prefix, ru.allow,
+          |    row_number() OVER (PARTITION BY c.url
+          |      ORDER BY length(ru.prefix) DESC, ru.allow DESC, ru.prefix DESC) AS mrk
+          |  FROM cand c JOIN rules ru
+          |    ON ru.host = c.host AND starts_with(c.path, ru.prefix)),
+          |best AS (SELECT url, prefix AS matched_rule, allow FROM m WHERE mrk = 1)
+          |SELECT c.host, c.url, c.n_refs, c.rk, b.matched_rule,
+          |       COALESCE(b.allow, TRUE) AS allowed
+          |FROM cand c LEFT JOIN best b USING (url)
+          |ORDER BY c.host, c.rk""".stripMargin)
     ),
 
     // HTML main-content extraction — boilerplate/chrome removal, the
@@ -2386,86 +2671,80 @@ object TextQueries {
     // division), then round to 6 dp.
     Q(
       "q_hybrid_rrf",
+      (s, d) => hybridRrfFused(s, d),
+      Some(s"""WITH $rrfOracleCtes
+              |SELECT doc_id, rrf_score, r_lex, r_sem
+              |FROM fused ORDER BY rrf_score DESC, doc_id""".stripMargin)
+    ),
+
+    // Rerank — the second stage every production retrieval stack runs after
+    // fusion (retrieve wide and cheap, rerank narrow and expensive). A real
+    // deployment scores (query, doc) pairs with a cross-encoder; this is
+    // that stage's Spark plumbing with a DETERMINISTIC linear scorer in the
+    // model slot (the TextClassifier pattern — swap `rerank_score`'s
+    // expression for a model UDF and nothing else changes): term-frequency
+    // total, query-term coverage, a length prior, and the fused RRF score
+    // as features. Scale shape: the candidate set is the RRF top-10, so the
+    // feature join is a ≤k-row BROADCAST against the documents scan (one
+    // map pass, no shuffle — a deployment with a keyed doc store does a
+    // point fetch instead; either way cost is bounded by ONE pruned scan)
+    // and the scorer + rerank window run over k rows — bounded by k, never
+    // the corpus. Fixed textual order for the float feature sum; round 6.
+    Q(
+      "q_rerank",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val lex = bm25Rank(documents(s, d), Seq("spark", "merge", "window"), k = 20)
-          .withColumn("r_lex", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-          .select(col("doc_id"), col("r_lex"))
-        val e = embeddings(s, d)
-        val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
-        val sem = e
-          .filter(col("vec_id") =!= 7)
-          .crossJoin(broadcast(qv))
+        val cands = hybridRrfFused(s, d)
+        val feats = documents(s, d)
+          .join(broadcast(cands), Seq("doc_id"))
           .select(
-            col("vec_id").as("doc_id"),
-            graft.functions.SimilarityFunctions.cosine(col("embedding"), col("qv")).as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("doc_id"))
-          .limit(20)
-          .withColumn("r_sem", row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))))
-          .select(col("doc_id"), col("r_sem"))
-        lex
-          .join(sem, Seq("doc_id"), "full_outer")
+            col("doc_id"), col("rrf_score"), col("r_lex"), col("r_sem"),
+            wsTokenArray(col("text")).as("toks"))
           .select(
-            col("doc_id"),
-            round(
-              coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
-                coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)),
-              6).as("rrf_score"),
-            col("r_lex"),
-            col("r_sem"))
-          .orderBy(col("rrf_score").desc, col("doc_id"))
-          .limit(10)
+            (Seq(col("doc_id"), col("rrf_score"), col("r_lex"), col("r_sem"),
+              size(col("toks")).cast("double").as("dl")) ++
+              rrfQueryTerms.zipWithIndex.map { case (t, i) =>
+                size(filter(col("toks"), x => x === t)).cast("double").as(s"tf$i")
+              }): _*)
+        val tfTotal = col("tf0") + col("tf1") + col("tf2")
+        val coverage = rrfQueryTerms.indices
+          .map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
+          .reduce(_ + _)
+        val scoreExpr = round(
+          lit(100.0) * col("rrf_score") +
+            lit(1.5) * log(lit(1.0) + tfTotal) +
+            lit(0.8) * coverage -
+            lit(0.1) * log(lit(1.0) + col("dl")),
+          6)
+        feats
+          .select(col("doc_id"), scoreExpr.as("rerank_score"),
+            col("rrf_score"), col("r_lex"), col("r_sem"))
+          .withColumn("rerank",
+            row_number().over(Window.orderBy(col("rerank_score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rerank_score"), col("rerank"),
+            col("rrf_score"), col("r_lex"), col("r_sem"))
+          .orderBy("rerank")
       },
-      Some("""WITH p AS (
-             |  SELECT doc_id,
-             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS DOUBLE) AS dl,
-             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'spark')) AS DOUBLE) AS tf0,
-             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'merge')) AS DOUBLE) AS tf1,
-             |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'window')) AS DOUBLE) AS tf2
-             |  FROM documents),
-             |g AS (
-             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
-             |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-             |  FROM p),
-             |lexall AS (
-             |  SELECT doc_id,
-             |    round(
-             |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             |      + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             |      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-             |      6) AS score
-             |  FROM p, g
-             |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
-             |  ORDER BY score DESC, doc_id LIMIT 20),
-             |lex AS (
-             |  SELECT doc_id,
-             |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_lex
-             |  FROM lexall),
-             |qv AS (
-             |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-             |  FROM embeddings WHERE vec_id = 7),
-             |semall AS (
-             |  SELECT vec_id AS doc_id,
-             |    list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv) AS cos_sim
-             |  FROM embeddings, qv
-             |  WHERE vec_id <> 7
-             |  ORDER BY cos_sim DESC, doc_id LIMIT 20),
-             |sem AS (
-             |  SELECT doc_id,
-             |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS r_sem
-             |  FROM semall),
-             |j AS (
-             |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem
-             |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
-             |SELECT doc_id,
-             |  round(
-             |    COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_lex), 0)
-             |    + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_sem), 0),
-             |    6) AS rrf_score,
-             |  r_lex, r_sem
-             |FROM j ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
+      Some(s"""WITH $rrfOracleCtes,
+              |feat AS (
+              |  SELECT f.doc_id, f.rrf_score, f.r_lex, f.r_sem, p.dl, p.tf0, p.tf1, p.tf2
+              |  FROM fused f JOIN p USING (doc_id)),
+              |scored AS (
+              |  SELECT doc_id,
+              |    round(
+              |      100.0 * rrf_score
+              |      + 1.5 * ln(1.0 + (tf0 + tf1 + tf2))
+              |      + 0.8 * (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+              |               + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+              |               + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+              |      - 0.1 * ln(1.0 + dl),
+              |      6) AS rerank_score,
+              |    rrf_score, r_lex, r_sem
+              |  FROM feat)
+              |SELECT doc_id, rerank_score,
+              |  CAST(row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS INT) AS rerank,
+              |  rrf_score, r_lex, r_sem
+              |FROM scored ORDER BY rerank""".stripMargin)
     ),
 
     // Positional phrase search — the third leg of the retrieval family:

@@ -620,8 +620,8 @@ object MultimodalOps {
     * — the fixture now is too: a seeded PIECEWISE level sequence (97
     * segments, each an independent level in [0.3, 1.0] — scale-free in
     * i/n, so any sampleRate/nSamples keeps the same contour shape; 97 is
-    * coprime to the fingerprint's 65 windows, so segment and window
-    * boundaries never align systematically), multiplied onto the tone
+    * coprime to the fingerprint's 64 median-thresholded windows, so
+    * segment and window boundaries never align systematically), multiplied onto the tone
     * mix — each window's energy is then an independent draw and the 64
     * contour bits are ~iid per seed (measured: cross-seed pairs at
     * hamming ≤ 7 drop to zero at 20k sigs). Volume scaling multiplies

@@ -346,6 +346,27 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       "flatMapGroupsWithState sessionization must be row-identical to the oracled window form")
   }
 
+  test("batch sessionization (q_sessionize_batch, 6h gap) equals the stateful streaming twin") {
+    // The same gap rule must yield the same sessions whether computed as the
+    // batch backfill (two windows + groupBy) or by the streaming state
+    // machine — parameterized at q_sessionize_batch's 6-hour threshold
+    // (the 30m test above covers q_stream_sessionize's).
+    val evs = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[SessionEvent]
+    val stateful = StreamingJobs
+      .sessionize(evs, gapMinutes = 360)
+      .select(
+        col("user_id"), col("session_id"), col("n_events"),
+        col("session_start").as("start_ts"), col("session_end").as("end_ts"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start"))).as("duration_us"))
+    val batch = QueryRegistry.queries("q_sessionize_batch")(spark, sfDir)
+    assert(stateful.count() == batch.count())
+    assert(stateful.exceptAll(batch).isEmpty && batch.exceptAll(stateful).isEmpty,
+      "batch gap-and-island sessions must equal the streaming state machine's at the same gap")
+  }
+
   test("stream-static enrichment equals the batch join-aggregate; the dimension broadcasts") {
     // q_stream_enrich joins the event stream against a static nation
     // dimension broadcast into every micro-batch. On bounded AvailableNow

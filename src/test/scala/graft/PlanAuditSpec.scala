@@ -777,6 +777,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"only doc_id+text may be read:\n$p")
   }
 
+  test("q_sessionize_batch: lag, running sum, and session agg ride ONE user_id exchange") {
+    // Both window passes (the gap lag and the running is_new sum) share the
+    // (user_id | ts, event_id) spec, and the closing groupBy's keys
+    // (user_id, session_id) are a refinement of HashPartitioning(user_id),
+    // so the whole sessionization must cost exactly one hash shuffle; the
+    // only other exchange is the output ORDER BY's range partitioning.
+    val p = plan("q_sessionize_batch")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Reused")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1,
+      s"windows + aggregate must share one user_id shuffle:\n$p")
+    assert(exchanges.count(_.contains("rangepartitioning")) == 1,
+      s"only the output sort may range-shuffle:\n$p")
+    assert(p.contains("windowspecdefinition"), s"expected window operators:\n$p")
+  }
+
+  test("q_survivorship: keeper election is a partial-agg'd max(struct) — no per-cluster window") {
+    // The election must combine map-side (one max(len, -doc_id) struct per
+    // cluster per partition) — a row_number window over cluster_id would
+    // sort every cluster's full membership through a single pass instead.
+    val p = plan("q_survivorship")
+    assert(p.contains("partial_max"),
+      s"keeper election must be a partial-agg'd max(struct):\n$p")
+    val clusterWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") &&
+        (l.contains("cluster_id") || l.contains("comp#"))).toSeq
+    assert(clusterWindows.isEmpty,
+      s"per-cluster window crept into the election:\n${clusterWindows.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final

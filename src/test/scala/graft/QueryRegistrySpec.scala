@@ -24,6 +24,19 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every registered query appears in SURVEY.md §2 (the coverage contract)") {
+    // SURVEY.md §2 is what gets reviewed line by line — a query registered
+    // but absent from it is invisible to review (exactly how r13's broken
+    // q_sessionize_batch shipped). Make the sync structural: registering a
+    // query REQUIRES documenting it.
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val missing = QueryRegistry.queries.keySet.filterNot(n => survey.contains(s"`$n`"))
+    assert(missing.isEmpty,
+      s"registered but undocumented in SURVEY.md §2: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("bloom decontamination flags a superset of the exact overlap, with few false positives") {
     import org.apache.spark.sql.functions.col
     def byDoc(name: String, cnt: String): Map[Long, Long] =

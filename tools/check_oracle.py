@@ -49,6 +49,27 @@ def main(sfdir, outdir):
         norm[b] = v
     oracle = norm
     n_pass = n_fail = 0
+    # Type lint (r12 rank INT, r13 window-SUM HUGEINT): DESCRIBE each oracle
+    # and flag result columns whose DuckDB type Spark cannot emit — the gate's
+    # hash is type-sensitive, so an uncast SUM()/window-SUM that widens to
+    # HUGEINT fails hash_match even when every value is identical. This lint
+    # needs no Spark output, so it catches the class even for queries added
+    # after the last Verify run.
+    WIDENED = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+    n_lint = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.sql(f"DESCRIBE {sql}").df()
+        except Exception as e:
+            print(f"LINT {name}: describe failed: {e}"); n_lint += 1; continue
+        bad = [(r["column_name"], r["column_type"]) for _, r in desc.iterrows()
+               if r["column_type"].split("(")[0] in WIDENED]
+        if bad:
+            print(f"LINT {name}: DuckDB-widened column types Spark can't emit "
+                  f"(CAST them in the oracle): {bad}")
+            n_lint += 1
+    if n_lint:
+        print(f"{n_lint} oracle(s) failed the type lint\n")
     for name, sql in sorted(oracle.items()):
         # Verify writes a <name>.parquet directory (driver contract); accept
         # the older extension-less layout too.
@@ -83,8 +104,8 @@ def main(sfdir, outdir):
             files = glob.glob(f"{pdir}/*.parquet")
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             print(f"{'ROWS' if n > 0 else 'EMPTY'} {name}: {n} rows (no oracle)")
-    print(f"\n{n_pass} pass / {n_fail} fail")
-    return 1 if n_fail else 0
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_lint} type-lint")
+    return 1 if (n_fail or n_lint) else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
