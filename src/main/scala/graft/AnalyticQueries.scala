@@ -804,12 +804,16 @@ object AnalyticQueries {
           col("l_suppkey"),
           to_date(col("l_shipdate")).as("d1"),
           (col("l_orderkey") % 14 + 1).cast("int").as("dur"))
+        // Both boundary rows come out of ONE scan via a 2-element Generate
+        // (a unionAll of two projections reads the fact table twice).
         val ev = li
-          .select(col("l_suppkey"), col("d1").as("day"), lit(1L).as("delta"))
-          .unionAll(li.select(
+          .select(
             col("l_suppkey"),
-            date_add(col("d1"), col("dur") + lit(1)).as("day"),
-            lit(-1L).as("delta")))
+            explode(array(
+              struct(col("d1").as("day"), lit(1L).as("delta")),
+              struct(date_add(col("d1"), col("dur") + lit(1)).as("day"),
+                lit(-1L).as("delta")))).as("e"))
+          .select(col("l_suppkey"), col("e.day").as("day"), col("e.delta").as("delta"))
         val daily = ev.groupBy("l_suppkey", "day").agg(sum(col("delta")).as("net"))
         val w = Window
           .partitionBy(col("l_suppkey"))

@@ -121,7 +121,12 @@ object Plans {
     "q_sessionize_batch",
     "q_survivorship",
     "q_hybrid_rrf",
-    "q_rerank"
+    "q_rerank",
+    // The broadcast host-rules robots decision, the zero-shuffle Gopher
+    // rule pass, and the one-scan sweep-line interval concurrency.
+    "q_robots_filter",
+    "q_gopher_quality",
+    "q_interval_concurrency"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1383,24 +1383,31 @@ object TextQueries {
     // for some (THE longest-match exercise: /lib/p{j}.html candidates are
     // re-allowed through the more specific rule), /docs/up disallowed for
     // half the source hosts.
-    // Scale shape: the rules table is built on the DISTINCT host set (one
-    // partial-agg'd distinct, rules as a row-local ≤4-element array —
-    // no per-rule explode/shuffle) and BROADCAST back onto the candidate
-    // set — in deployment robots.txt fetches land in exactly such a
-    // host-keyed table, host-cardinality-sized, joined the same way; the
-    // match decision is one row-local array filter + array_max(struct) —
-    // no window, no second shuffle. Output = the full decision table a
-    // fetcher consumes (candidate + matched rule + verdict).
+    // Scale shape: the rules table is sourced INDEPENDENTLY of the
+    // candidate lineage (the fixture's known host population — one
+    // pruned single-column scan + a partial-agg'd distinct; deriving it
+    // from the candidates would re-run the whole frontier pipeline on
+    // the broadcast side, which the plan pin caught), carries its rules
+    // as a row-local ≤4-element array (no per-rule explode/shuffle), and
+    // BROADCASTS onto the candidate set — in deployment robots.txt
+    // fetches land in exactly such an independent host-keyed table,
+    // host-cardinality-sized, joined the same way; the match decision is
+    // one row-local array filter + array_max(struct) — no window, no
+    // second shuffle. Output = the full decision table a fetcher
+    // consumes (candidate + matched rule + verdict).
     Q(
       "q_robots_filter",
       (s, d) => {
+        import s.implicits._
         def digit(i: Int) =
           expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
         def rule(prefix: String, allow: Boolean, live: org.apache.spark.sql.Column) =
           struct(lit(prefix).as("prefix"), lit(allow).as("allow"), live.as("live"))
         val cands = frontierCandidates(s, d, 10)
-        val rules = cands
-          .select("host").distinct()
+        val rules = documents(s, d)
+          .select(concat(col("source"), lit(".example.com")).as("host"))
+          .distinct()
+          .unionAll(Seq("ext.example.org", "cdn.example.net").toDF("host"))
           .select(
             col("host"),
             // Thresholds chosen against the fixture's md5 digits so every
@@ -1435,7 +1442,10 @@ object TextQueries {
           |  SELECT host, url, n_refs, rk,
           |         regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
           |  FROM r WHERE rk <= 10),
-          |hosts AS (SELECT DISTINCT host FROM cand),
+          |hosts AS (
+          |  SELECT DISTINCT source || '.example.com' AS host FROM documents
+          |  UNION ALL SELECT 'ext.example.org'
+          |  UNION ALL SELECT 'cdn.example.net'),
           |rules AS (
           |  SELECT host, '/search' AS prefix, FALSE AS allow FROM hosts
           |  UNION ALL

@@ -808,6 +808,62 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_rerank: candidate set broadcasts onto the feature scan; arms stay TakeOrdered") {
+    // The fused RRF top-k must reach the documents scan as a BROADCAST
+    // (k rows — a shuffle join would repartition the corpus to fetch 10
+    // docs), and both retrieval arms must end in TakeOrderedAndProject
+    // (top-k heap), never a global sort of scores.
+    val p = plan("q_rerank")
+    assert(p.contains("BroadcastHashJoin"), s"candidate fetch must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"arms must stay top-k heaps:\n$p")
+    // (the 1-row query-vector broadcast is a legitimate BroadcastNestedLoop;
+    // an unbounded CartesianProduct is not)
+    assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
+  }
+
+  test("q_robots_filter: rules broadcast; the decision adds no window over the frontier's") {
+    // The host-rules table (distinct hosts × a row-local rule array) must
+    // BROADCAST back onto the candidates, and the longest-match election is
+    // a row-local array_max — the plan may contain only the windows the
+    // frontier itself already pays (the per-host rank).
+    val p = plan("q_robots_filter")
+    assert(p.contains("BroadcastHashJoin"), s"rules join must broadcast:\n$p")
+    val frontierWindows = plan("q_url_frontier").linesIterator.count(_.contains("windowspecdefinition"))
+    val robotsWindows = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(robotsWindows <= frontierWindows,
+      s"robots decision added a window beyond the frontier's ($robotsWindows > $frontierWindows):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_gopher_quality: all rules in one zero-shuffle codegen pass over the scan") {
+    // Every Gopher rule is row-local — the only exchange allowed is the
+    // presentation ORDER BY's range partitioning; no join, no window, no
+    // hash shuffle may appear.
+    val p = plan("q_gopher_quality")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Reused")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 0,
+      s"row-local rules must not shuffle:\n$p")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"), s"no window/join:\n$p")
+  }
+
+  test("q_interval_concurrency: one scan, sweep-line shuffles — never an interval self-join") {
+    // The sweep must read lineitem ONCE (boundary rows via Generate, not a
+    // two-scan union), collapse deltas in a partial-agg'd groupBy, and pay
+    // exactly two hash exchanges (the (supp, day) collapse + the supp
+    // window); the peak election rides the window's partitioning. Any join
+    // here means the quadratic interval self-join crept back.
+    val p = plan("q_interval_concurrency")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"boundary rows must come from ONE scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"sweep-line must not join:\n$p")
+    val hash = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && l.contains("hashpartitioning"))
+    assert(hash == 2, s"expected the collapse + window exchanges only (got $hash):\n$p")
+    assert(p.contains("partial_sum"), s"delta collapse must partial-agg:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final
