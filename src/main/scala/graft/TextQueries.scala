@@ -189,6 +189,22 @@ object TextQueries {
       .select("host", "url", "n_refs", "rk")
   }
 
+  /** Robots longest-match-wins decision kernel (Google robots.txt
+    * semantics): over a host's rule array (structs with string `prefix`
+    * and boolean `allow`), return the struct of the BEST rule matching
+    * `path` — longest prefix wins, allow wins a same-length tie (boolean
+    * max), NULL when no rule matches (callers default that to allowed).
+    * Row-local: one array filter + one array_max over a ≤rules-sized
+    * array, entirely inside codegen. Hand-case spec'd in RetrievalSpec.
+    */
+  private[graft] def robotsBestMatch(
+      rules: org.apache.spark.sql.Column,
+      path: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column =
+    array_max(transform(
+      filter(rules, r => path.startsWith(r("prefix"))),
+      r => struct(length(r("prefix")).as("l"), r("allow").as("allow"), r("prefix").as("prefix"))))
+
   /** Shared DuckDB restatement of [[frontierCandidates]] (the `r` CTE in
     * both frontier oracles): rollup + ledger filter + per-host rank.
     */
@@ -1404,6 +1420,9 @@ object TextQueries {
         def rule(prefix: String, allow: Boolean, live: org.apache.spark.sql.Column) =
           struct(lit(prefix).as("prefix"), lit(allow).as("allow"), live.as("live"))
         val cands = frontierCandidates(s, d, 10)
+        // Decision kernel factored as robotsBestMatch (hand-case spec'd in
+        // RetrievalSpec: longest wins, allow wins same-length ties, no
+        // match => null => allowed).
         val rules = documents(s, d)
           .select(concat(col("source"), lit(".example.com")).as("host"))
           .distinct()
@@ -1423,9 +1442,7 @@ object TextQueries {
                 rule("/lib/p", allow = true, digit(2) < 9),
                 rule("/docs/up", allow = false, digit(3) < 12)),
               r => r("live")).as("rules"))
-        val best = array_max(transform(
-          filter(col("rules"), r => col("path").startsWith(r("prefix"))),
-          r => struct(length(r("prefix")).as("l"), r("allow").as("allow"), r("prefix").as("prefix"))))
+        val best = robotsBestMatch(col("rules"), col("path"))
         cands
           .join(broadcast(rules), Seq("host"))
           .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))

@@ -102,4 +102,61 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     // doc 1 must lead, and both report n_matched = 2.
     assert(out.head._1 == 1L && out.head._3 == 2)
   }
+
+  test("robotsBestMatch: longest wins, allow breaks same-length ties, no match is null") {
+    // Hand cases for the Google-semantics election the robots oracle
+    // restates relationally — pinned here so a refactor of the row-local
+    // kernel can't silently change the tiebreak.
+    def rules(rs: (String, Boolean)*) =
+      array(rs.map { case (p, a) => struct(lit(p).as("prefix"), lit(a).as("allow")) }: _*)
+    val cases = Seq(
+      // (rule set, path, expected (allow, prefix) or None)
+      (Seq("/a" -> false, "/a/b" -> true), "/a/b/c", Some((true, "/a/b"))), // longest wins
+      (Seq("/a/b" -> true, "/a" -> false), "/a/b/c", Some((true, "/a/b"))), // order-independent
+      (Seq("/x" -> false, "/x" -> true), "/x/y", Some((true, "/x"))), // allow wins the tie
+      (Seq("/a" -> false), "/b", None), // no match -> null -> allowed default
+      (Seq("/a" -> false, "/ab" -> true), "/ab9", Some((true, "/ab"))) // string prefix, not segment
+    )
+    for (((rs, path, expected), i) <- cases.zipWithIndex) {
+      val row = spark
+        .range(1)
+        .select(TextQueries.robotsBestMatch(rules(rs: _*), lit(path)).as("best"))
+        .select(col("best.allow"), col("best.prefix"))
+        .head()
+      val got = if (row.isNullAt(0)) None else Some((row.getBoolean(0), row.getString(1)))
+      assert(got == expected, s"case $i: rules=$rs path=$path got=$got")
+    }
+  }
+
+  test("q_rerank permutes exactly the fused RRF candidate set (no drops, no dups)") {
+    // The feature join back to documents must neither lose a candidate
+    // (a missing doc row) nor duplicate one (a fan-out join bug) — the
+    // rerank is a reordering of q_hybrid_rrf's top-k, nothing else.
+    val fused = QueryRegistry.queries("q_hybrid_rrf")(spark, sfDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val reranked = QueryRegistry.queries("q_rerank")(spark, sfDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(reranked == fused, s"rerank must permute the fused set: $reranked vs $fused")
+  }
+
+  test("q_gopher_quality hand case: counts, mean length, and the stop floor") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat"), // 6 words, the+a present -> n_stop 2
+      (2L, "zz zz zz") // 3 words, no stop words
+    ).toDF("doc_id", "text").withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    // Drive the registered query's expressions through a temp fixture dir
+    // (the query reads documents.parquet from its sf dir).
+    val dir = java.nio.file.Files.createTempDirectory("gopher_hand").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = QueryRegistry.queries("q_gopher_quality")(spark, dir)
+      .orderBy("doc_id")
+      .collect()
+    assert(out(0).getAs[Int]("n_words") == 6)
+    assert(math.abs(out(0).getAs[Double]("mean_word_len") - 15.0 / 6.0) < 1e-6)
+    assert(out(0).getAs[Int]("n_stop_present") == 2)
+    assert(!out(0).getAs[Boolean]("gopher_ok"), "6 words is under the 50-word floor")
+    assert(out(1).getAs[Int]("n_stop_present") == 0)
+    assert(out(1).getAs[Double]("alpha_word_ratio") == 1.0)
+  }
 }
