@@ -126,7 +126,9 @@ object Plans {
     // rule pass, and the one-scan sweep-line interval concurrency.
     "q_robots_filter",
     "q_gopher_quality",
-    "q_interval_concurrency"
+    "q_interval_concurrency",
+    // The one-scan tag-parse anchor rollup (election inside the agg).
+    "q_anchor_text"
   )
 
   def main(args: Array[String]): Unit = {

@@ -58,6 +58,26 @@ object ScaleGrowth {
         col("n_chars"))
     }
     copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    // Lineitem growth (round 14, for the interval/fact-table operators):
+    // k copies with shifted l_orderkey AND l_suppkey — the supplier key
+    // domain grows linearly (the q_interval_concurrency partition key;
+    // verbatim copies would instead deepen each supplier's timeline ×k, a
+    // different regime), order keys shift so synthesized per-order values
+    // (interval durations = f(orderkey)) decorrelate across copies. Dates
+    // and measures stay verbatim.
+    if (new java.io.File(s"$src/lineitem.parquet").exists()) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val ids = li.agg(max(col("l_orderkey")), max(col("l_suppkey"))).head()
+      if (ids.isNullAt(0) || ids.isNullAt(1))
+        throw new IllegalStateException(s"$src/lineitem.parquet is empty — cannot grow lineitem")
+      val oOff = math.max(10000000L, ids.getLong(0) + 1L)
+      val sOff = ids.getLong(1) + 1L
+      val lcopies = (0 until k).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * oOff))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * sOff))
+      }
+      lcopies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    }
     // Events growth (r12 review item 3): k copies with SHIFTED event and
     // user ids, everything else verbatim. Shifted user ids grow the
     // grouping/join key domain (users, sessions, graph nodes) linearly —

@@ -1386,6 +1386,75 @@ object TextQueries {
           |FROM p ORDER BY host, rk""".stripMargin)
     ),
 
+    // Anchor-text aggregation — the inbound-link description signal web
+    // curation ranks and classifies targets by (the anchor text of links
+    // INTO a page describes that page better than the page describes
+    // itself — the classic web-search relevance prior): extract each
+    // link's anchor text alongside its href (the REAL tag parse, not the
+    // href-only extraction), resolve+canonicalize to the target URL, and
+    // roll up per target: total inbound refs, distinct anchor phrases,
+    // the dominant anchor and its share. Scale shape: one Generate over
+    // the page scan (full <a> tags, then two row-local regexp pulls per
+    // tag), then TWO partial-agg'd groupBys — (url, anchor) counts
+    // collapse map-side, and the dominant-anchor election is the
+    // max(struct) device on the second rollup (never a per-url rank
+    // window); no join anywhere.
+    Q(
+      "q_anchor_text",
+      (s, d) => {
+        import graft.functions.UrlFunctions
+        val anchors = documents(s, d)
+          .select(col("doc_id"), linkFixtureBase.as("base"), linkFixturePage.as("page"))
+          .select(
+            col("base"),
+            explode(regexp_extract_all(
+              col("page"), lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("tag"))
+          .select(
+            col("base"),
+            regexp_extract(col("tag"), "href=\"([^\"]*)\"", 1).as("href"),
+            regexp_extract(col("tag"), ">([^<]*)</a>", 1).as("anchor"))
+          .filter(!col("href").startsWith("#"))
+          .select(UrlFunctions.resolveUrl(col("base"), col("href")).as("resolved"), col("anchor"))
+          .select(UrlFunctions.canonicalizeUrl(col("resolved")).as("url"), col("anchor"))
+        anchors
+          .groupBy(col("url"), col("anchor"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("url")
+          .agg(
+            sum(col("c")).as("n_refs"),
+            count(lit(1)).as("n_distinct_anchors"),
+            max(struct(col("c"), col("anchor"))).as("k"))
+          .select(
+            col("url"),
+            col("n_refs"),
+            col("n_distinct_anchors"),
+            col("k.anchor").as("top_anchor"),
+            round(col("k.c").cast("double") / col("n_refs").cast("double"), 6)
+              .as("top_anchor_share"))
+          .orderBy("url")
+      },
+      Some(duckLinkCte +
+        """
+          |, la AS (
+          |  SELECT url,
+          |    CASE pos WHEN 0 THEN 'ext' WHEN 1 THEN 'rel' WHEN 2 THEN 'parent'
+          |             WHEN 3 THEN 'root' ELSE 'proto' END AS anchor
+          |  FROM l),
+          |pc AS (SELECT url, anchor, COUNT(*) AS c FROM la GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT url, CAST(SUM(c) AS BIGINT) AS n_refs,
+          |         CAST(COUNT(*) AS BIGINT) AS n_distinct_anchors
+          |  FROM pc GROUP BY 1),
+          |top AS (
+          |  SELECT url, anchor AS top_anchor, c,
+          |    row_number() OVER (PARTITION BY url ORDER BY c DESC, anchor DESC) AS rk
+          |  FROM pc)
+          |SELECT a.url, a.n_refs, a.n_distinct_anchors, t.top_anchor,
+          |  round(CAST(t.c AS DOUBLE) / a.n_refs, 6) AS top_anchor_share
+          |FROM agg a JOIN top t ON t.url = a.url AND t.rk = 1
+          |ORDER BY a.url""".stripMargin)
+    ),
+
     // Robots allow/disallow filtering — the crawl family's PERMISSION
     // dimension (frontier = what to fetch, politeness = how fast, this =
     // what you MAY fetch): every frontier candidate is checked against its

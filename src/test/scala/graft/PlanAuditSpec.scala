@@ -864,6 +864,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), s"delta collapse must partial-agg:\n$p")
   }
 
+  test("q_anchor_text: one scan, two partial-agg rollups, election inside the agg") {
+    // The dominant-anchor election must ride max(struct) in the second
+    // rollup — a per-url rank window (the oracle's relational form) or a
+    // join back would add a corpus-scale sort/shuffle.
+    val p = plan("q_anchor_text")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"anchors must come from ONE page scan:\n$p")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"no window/join in the rollup:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"pair counts must partial-agg:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final
