@@ -38,26 +38,40 @@ object ScaleGrowth {
       translate(c, lower + upper, lo + up)
     }
 
-  /** Write a ×k growth corpus for `documents` (and `embeddings` when
-    * present at the source) under `dst`.
+  /** Every table writeCorpus knows how to grow (or copy). */
+  val allTables: Set[String] = Set("documents", "lineitem", "events", "nation", "embeddings")
+
+  /** Write a ×k growth corpus under `dst` for the requested `tables` only
+    * (r14 review: growing every table on every run charged each
+    * measurement for fact tables its targets never read — at sf0.1 the
+    * lineitem copies alone are an extra scan + up to ×4 of the largest
+    * table per growth point).
     */
-  def writeCorpus(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    // Copy offset derived from the observed id range, never a fixed 1e7:
-    // on a source with more documents than the constant, copy i's high ids
-    // would collide with copy i+1's low ids — merged documents, silently
-    // wrong exponents. Keep 1e7 as the floor so small-corpus growth ids
-    // stay recognizable across rounds.
-    val off = math.max(10000000L, docs.agg(max(col("doc_id"))).head().getLong(0) + 1L)
-    val copies = (0 until k).map { i =>
-      docs.select(
-        (col("doc_id") + lit(i * off)).as("doc_id"),
-        rot(col("text"), i).as("text"),
-        col("lang"),
-        col("source"),
-        col("n_chars"))
+  def writeCorpus(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      k: Int,
+      tables: Set[String] = allTables
+  ): Unit = {
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      // Copy offset derived from the observed id range, never a fixed 1e7:
+      // on a source with more documents than the constant, copy i's high ids
+      // would collide with copy i+1's low ids — merged documents, silently
+      // wrong exponents. Keep 1e7 as the floor so small-corpus growth ids
+      // stay recognizable across rounds.
+      val off = math.max(10000000L, docs.agg(max(col("doc_id"))).head().getLong(0) + 1L)
+      val copies = (0 until k).map { i =>
+        docs.select(
+          (col("doc_id") + lit(i * off)).as("doc_id"),
+          rot(col("text"), i).as("text"),
+          col("lang"),
+          col("source"),
+          col("n_chars"))
+      }
+      copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(s"$dst/documents.parquet")
     }
-    copies.reduce(_.unionAll(_)).write.mode("overwrite").parquet(s"$dst/documents.parquet")
     // Lineitem growth (round 14, for the interval/fact-table operators):
     // k copies with shifted l_orderkey AND l_suppkey — the supplier key
     // domain grows linearly (the q_interval_concurrency partition key;
@@ -65,7 +79,7 @@ object ScaleGrowth {
     // different regime), order keys shift so synthesized per-order values
     // (interval durations = f(orderkey)) decorrelate across copies. Dates
     // and measures stay verbatim.
-    if (new java.io.File(s"$src/lineitem.parquet").exists()) {
+    if (tables("lineitem") && new java.io.File(s"$src/lineitem.parquet").exists()) {
       val li = spark.read.parquet(s"$src/lineitem.parquet")
       val ids = li.agg(max(col("l_orderkey")), max(col("l_suppkey"))).head()
       if (ids.isNullAt(0) || ids.isNullAt(1))
@@ -90,7 +104,7 @@ object ScaleGrowth {
     // window span (the re-crawl/backfill regime); the read→write round
     // trip preserves whichever ts footer flavor the source carries.
     val evPath = new java.io.File(s"$src/events.parquet")
-    if (evPath.exists()) {
+    if (tables("events") && evPath.exists()) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val ids = ev.agg(max(col("event_id")), max(col("user_id"))).head()
       // An empty events source leaves both maxes NULL — fail with a clear
@@ -125,11 +139,11 @@ object ScaleGrowth {
     }
     // Dimensions stay fixed-size at any scale — copy nation verbatim for
     // the enrichment queries' broadcast side.
-    if (new java.io.File(s"$src/nation.parquet").exists())
+    if (tables("nation") && new java.io.File(s"$src/nation.parquet").exists())
       spark.read.parquet(s"$src/nation.parquet")
         .write.mode("overwrite").parquet(s"$dst/nation.parquet")
     val embPath = new java.io.File(s"$src/embeddings.parquet")
-    if (embPath.exists()) {
+    if (tables("embeddings") && embPath.exists()) {
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val dims = emb.select(size(col("embedding"))).head().getInt(0)
       val eoff = math.max(10000000L, emb.agg(max(col("vec_id"))).head().getLong(0) + 1L)
@@ -161,7 +175,21 @@ object ScaleGrowth {
     // The least-squares slope needs two distinct points — with one, the
     // denominator is zero and minutes of corpus-writing end in a NaN row.
     require(ks.distinct.size >= 2, s"need >= 2 distinct growth points, got $ks")
-    ks.foreach(k => writeCorpus(spark, src, s"$base/x$k", k))
+    // Grow only the tables the targets actually scan (the canary's
+    // inputFiles walk). Streaming targets EXECUTE on build, so they get
+    // the static stream tables; a target whose lineage the walk can't see
+    // (read-back queries) falls back to everything — over-copying is
+    // correct, under-copying crashes the measurement.
+    def tablesOf(name: String): Set[String] =
+      if (name.startsWith("q_stream_")) Set("events", "nation")
+      else {
+        val seen = SparkEntry.queries(name)(spark, src).inputFiles
+          .flatMap(f => f.split('/').find(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")))
+          .toSet
+        if (seen.isEmpty) allTables else seen
+      }
+    val needed = targets.flatMap(tablesOf).toSet + "nation"
+    ks.foreach(k => writeCorpus(spark, src, s"$base/x$k", k, needed))
 
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

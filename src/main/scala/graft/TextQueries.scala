@@ -451,22 +451,32 @@ object TextQueries {
     * TakeOrderedAndProject. Scores round to 6 decimals and tie-break on
     * doc_id, so the ranking is deterministic cross-engine.
     */
+  /** Tokenize `text` ONCE into a named column and append `dl` + one
+    * `tf$i` count per query term, keeping every other column of `df`.
+    * CollapseProject keeps the two-step projection because the array is
+    * referenced several times (dl + one tf per term), so the split runs
+    * once per row. Shared by bm25Rank's scorer and q_rerank's feature
+    * join so the two Spark-side tokenizations can't drift — the oracle
+    * side shares the rrfOracleCtes `p` CTE for the same reason.
+    */
+  private[graft] def withTermFeatures(
+      df: org.apache.spark.sql.DataFrame,
+      qterms: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.filterNot(_ == "text").toSeq.map(col)
+    df.select((keep :+ wsTokenArray(col("text")).as("toks")): _*)
+      .select((keep ++ (size(col("toks")).cast("double").as("dl") +:
+        qterms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === t)).cast("double").as(s"tf$i")
+        })): _*)
+  }
+
   private[graft] def bm25Rank(
       docs: org.apache.spark.sql.DataFrame,
       qterms: Seq[String],
       k: Int
   ): org.apache.spark.sql.DataFrame = {
-    // Tokenize ONCE into a named column; CollapseProject keeps the
-    // two-step projection because the array is referenced several times
-    // (dl + one tf per query term), so the split runs once per row.
-    val perDoc = docs
-      .select(col("doc_id"), wsTokenArray(col("text")).as("toks"))
-      .select(
-        (col("doc_id") +: size(col("toks")).cast("double").as("dl") +:
-          qterms.zipWithIndex.map { case (t, i) =>
-            size(filter(col("toks"), x => x === t)).cast("double").as(s"tf$i")
-          }): _*
-      )
+    val perDoc = withTermFeatures(docs.select(col("doc_id"), col("text")), qterms)
     val statAggs =
       count(lit(1)).cast("double").as("n") +: avg(col("dl")).as("avgdl") +:
         qterms.indices.map(i =>
@@ -1493,7 +1503,9 @@ object TextQueries {
         // RetrievalSpec: longest wins, allow wins same-length ties, no
         // match => null => allowed).
         val rules = documents(s, d)
-          .select(concat(col("source"), lit(".example.com")).as("host"))
+          // lower(): candidate hosts come out of canonicalizeUrl lowercased;
+          // a mixed-case source would otherwise miss its own rules row.
+          .select(concat(lower(col("source")), lit(".example.com")).as("host"))
           .distinct()
           .unionAll(Seq("ext.example.org", "cdn.example.net").toDF("host"))
           .select(
@@ -1512,8 +1524,13 @@ object TextQueries {
                 rule("/docs/up", allow = false, digit(3) < 12)),
               r => r("live")).as("rules"))
         val best = robotsBestMatch(col("rules"), col("path"))
+        // LEFT join: a candidate whose host has no robots entry must pass
+        // through as allowed (the robots default), exactly as the oracle's
+        // closing LEFT JOIN keeps it — an inner join would silently DROP
+        // such candidates from the fetch plan (null rules propagate through
+        // robotsBestMatch to a null best → allowed=true below).
         cands
-          .join(broadcast(rules), Seq("host"))
+          .join(broadcast(rules), Seq("host"), "left")
           .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
           .withColumn("best", best)
           .select(
@@ -1529,7 +1546,7 @@ object TextQueries {
           |         regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
           |  FROM r WHERE rk <= 10),
           |hosts AS (
-          |  SELECT DISTINCT source || '.example.com' AS host FROM documents
+          |  SELECT DISTINCT lower(source) || '.example.com' AS host FROM documents
           |  UNION ALL SELECT 'ext.example.org'
           |  UNION ALL SELECT 'cdn.example.net'),
           |rules AS (
@@ -2791,17 +2808,11 @@ object TextQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val cands = hybridRrfFused(s, d)
-        val feats = documents(s, d)
-          .join(broadcast(cands), Seq("doc_id"))
-          .select(
-            col("doc_id"), col("rrf_score"), col("r_lex"), col("r_sem"),
-            wsTokenArray(col("text")).as("toks"))
-          .select(
-            (Seq(col("doc_id"), col("rrf_score"), col("r_lex"), col("r_sem"),
-              size(col("toks")).cast("double").as("dl")) ++
-              rrfQueryTerms.zipWithIndex.map { case (t, i) =>
-                size(filter(col("toks"), x => x === t)).cast("double").as(s"tf$i")
-              }): _*)
+        val feats = withTermFeatures(
+          documents(s, d)
+            .select(col("doc_id"), col("text"))
+            .join(broadcast(cands), Seq("doc_id")),
+          rrfQueryTerms)
         val tfTotal = col("tf0") + col("tf1") + col("tf2")
         val coverage = rrfQueryTerms.indices
           .map(i => when(col(s"tf$i") > 0, 1).otherwise(0))

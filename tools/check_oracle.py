@@ -62,8 +62,11 @@ def main(sfdir, outdir):
             desc = con.sql(f"DESCRIBE {sql}").df()
         except Exception as e:
             print(f"LINT {name}: describe failed: {e}"); n_lint += 1; continue
+        # Substring match, not top-level-token match: a widened type nested
+        # inside LIST/STRUCT ('HUGEINT[]', 'STRUCT(open HUGEINT, ...)') is
+        # exactly as hash-fatal as a scalar one.
         bad = [(r["column_name"], r["column_type"]) for _, r in desc.iterrows()
-               if r["column_type"].split("(")[0] in WIDENED]
+               if any(w in r["column_type"] for w in WIDENED)]
         if bad:
             print(f"LINT {name}: DuckDB-widened column types Spark can't emit "
                   f"(CAST them in the oracle): {bad}")
