@@ -854,6 +854,122 @@ object AnalyticQueries {
              |FROM pk WHERE rk = 1 ORDER BY l_suppkey""".stripMargin)
     ),
 
+    // Distribution-drift monitoring via PSI (population stability index —
+    // THE standard ML-ops drift metric): split events at the exact median
+    // event time, decile-bin the newer half's values against cut points
+    // fitted on the OLDER (reference) half per event_type, and report
+    // per-type PSI with the conventional 0.2 alert threshold. The bin
+    // domain is enumerated 0..9 explicitly so an EMPTY bin still
+    // contributes its smoothed term (add-half smoothing — a silent
+    // missing-bin row would understate exactly the drift that matters:
+    // mass vanishing from a bin). Determinism: per-bin PSI terms are
+    // computed once from integer counts through one shared double
+    // expression tree, then QUANTIZED to 1e-12 fixed-point longs and
+    // summed as integers (the q_event_pagerank device) — a double sum
+    // over bins would be partition-order-dependent. Scale shape: one
+    // pass fits the reference deciles (exact `percentile`; at 100 TB the
+    // mergeable approx_percentile seam of q_group_quantiles_approx
+    // replaces it), cut arrays broadcast back (K types × 9 doubles), and
+    // the binning pass is one row-local array filter + a partial-agg'd
+    // (type, bin) rollup — every aggregation after the scan is on the
+    // K×10-bounded domain. Types appearing only after the split have no
+    // reference deciles and drop from the report on both engines.
+    Q(
+      "q_drift_psi",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+        val med = ev.agg(expr("percentile(us, 0.5)").as("med"))
+        val half = ev
+          .crossJoin(broadcast(med))
+          .withColumn("is_ref", col("us") <= col("med"))
+          .select("event_type", "value", "is_ref")
+        val cuts = half
+          .filter(col("is_ref"))
+          .groupBy("event_type")
+          .agg(expr(
+            "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("cuts"))
+        val counts = half
+          .join(broadcast(cuts), Seq("event_type"))
+          .withColumn("bin", size(filter(col("cuts"), c => c <= col("value"))))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+        val domain = cuts
+          .select("event_type")
+          .crossJoin(s.range(10).select(col("id").cast("int").as("bin")))
+        val full = domain
+          .join(counts, Seq("event_type", "bin"), "left")
+          .select(
+            col("event_type"),
+            col("bin"),
+            coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+            coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+        val totals = full
+          .groupBy("event_type")
+          .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+        val p = (col("c_ref").cast("double") + lit(0.5)) /
+          (col("n_ref").cast("double") + lit(5.0))
+        val q = (col("c_cur").cast("double") + lit(0.5)) /
+          (col("n_cur").cast("double") + lit(5.0))
+        full
+          .join(broadcast(totals), Seq("event_type"))
+          .withColumn("term_fp", round((p - q) * log(p / q) * lit(1.0e12), 0).cast("long"))
+          .groupBy("event_type")
+          .agg(
+            max(col("n_ref")).as("n_ref"),
+            max(col("n_cur")).as("n_cur"),
+            sum(col("term_fp")).as("psi_fp"))
+          .select(
+            col("event_type"),
+            col("n_ref"),
+            col("n_cur"),
+            round(col("psi_fp").cast("double") / lit(1.0e12), 6).as("psi"),
+            (col("psi_fp") > lit(200000000000L)).as("drift_alert"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+             |med AS (SELECT quantile_cont(us, 0.5) AS med FROM ev),
+             |half AS (
+             |  SELECT event_type, value, us <= (SELECT med FROM med) AS is_ref FROM ev),
+             |cuts AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+             |  FROM half WHERE is_ref GROUP BY 1),
+             |counts AS (
+             |  SELECT h.event_type,
+             |    CAST(len(list_filter(c.cuts, x -> x <= h.value)) AS INT) AS bin,
+             |    CAST(SUM(CASE WHEN h.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             |    CAST(SUM(CASE WHEN h.is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+             |  FROM half h JOIN cuts c USING (event_type)
+             |  GROUP BY 1, 2),
+             |domain AS (
+             |  SELECT c.event_type, CAST(r.range AS INT) AS bin FROM cuts c, range(10) r),
+             |filled AS (
+             |  SELECT d.event_type, d.bin,
+             |    COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+             |  FROM domain d LEFT JOIN counts c USING (event_type, bin)),
+             |totals AS (
+             |  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             |    CAST(SUM(c_cur) AS BIGINT) AS n_cur
+             |  FROM filled GROUP BY 1),
+             |terms AS (
+             |  SELECT f.event_type, t.n_ref, t.n_cur,
+             |    CAST(round(
+             |      ((CAST(f.c_ref AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 5.0)
+             |       - (CAST(f.c_cur AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 5.0))
+             |      * ln(((CAST(f.c_ref AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 5.0))
+             |           / ((CAST(f.c_cur AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 5.0)))
+             |      * 1.0e12) AS BIGINT) AS term_fp
+             |  FROM filled f JOIN totals t USING (event_type))
+             |SELECT event_type, n_ref, n_cur,
+             |  round(CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE) / 1.0e12, 6) AS psi,
+             |  CAST(SUM(term_fp) AS BIGINT) > 200000000000 AS drift_alert
+             |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
+    ),
+
     // Watermark-tuning lateness profile — the planning artifact behind
     // every `withWatermark` delay choice in §2.4: how late do events
     // actually arrive, and what fraction would each candidate delay

@@ -128,7 +128,9 @@ object Plans {
     "q_gopher_quality",
     "q_interval_concurrency",
     // The one-scan tag-parse anchor rollup (election inside the agg).
-    "q_anchor_text"
+    "q_anchor_text",
+    // PSI drift monitor: broadcast cuts, bounded-domain rollups, no window.
+    "q_drift_psi"
   )
 
   def main(args: Array[String]): Unit = {

@@ -877,6 +877,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"pair counts must partial-agg:\n$p")
   }
 
+  test("q_drift_psi: cuts broadcast back; bounded-domain rollups; no window") {
+    // The reference deciles and the 1-row median must come back as
+    // broadcasts; binning + counting is a partial-agg'd rollup; nothing
+    // here may windows-sort the event stream, and the only nested-loop is
+    // the 1-row median broadcast.
+    val p = plan("q_drift_psi")
+    assert(!p.contains("windowspecdefinition"), s"no window in the drift monitor:\n$p")
+    assert(p.contains("BroadcastExchange"), s"cuts/median must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"bin counts must partial-agg:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final
