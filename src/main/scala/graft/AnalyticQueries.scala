@@ -874,6 +874,76 @@ object AnalyticQueries {
     // (type, bin) rollup — every aggregation after the scan is on the
     // K×10-bounded domain. Types appearing only after the split have no
     // reference deciles and drop from the report on both engines.
+    // Categorical-drift twin of q_drift_psi — the DIMENSION axis a value
+    // monitor can't see: per category (event_type), reference-vs-current
+    // share, the category's smoothed PSI contribution, and the two flags
+    // that page an operator immediately (a category appearing only after
+    // the split; one that vanished). Same exact-median time split and the
+    // same fixed-point term discipline as q_drift_psi (terms quantized to
+    // 1e-12 longs — order-free), but NO fitted-cuts pass: the categorical
+    // domain IS the group key, so the whole monitor is the median pass +
+    // ONE partial-agg'd conditional-count groupBy over a bounded domain.
+    Q(
+      "q_drift_categorical",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val med = ev.agg(expr("percentile(us, 0.5)").as("med"))
+        val counts = ev
+          .crossJoin(broadcast(med))
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("us") <= col("med"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("us") > col("med"), 1L).otherwise(0L)).as("n_cur"))
+        val totals = counts.agg(
+          sum(col("n_ref")).as("t_ref"),
+          sum(col("n_cur")).as("t_cur"),
+          count(lit(1)).as("k"))
+        val p = (col("n_ref").cast("double") + lit(0.5)) /
+          (col("t_ref").cast("double") + lit(0.5) * col("k").cast("double"))
+        val q = (col("n_cur").cast("double") + lit(0.5)) /
+          (col("t_cur").cast("double") + lit(0.5) * col("k").cast("double"))
+        counts
+          .crossJoin(broadcast(totals))
+          .select(
+            col("event_type"),
+            col("n_ref"),
+            col("n_cur"),
+            round(col("n_ref").cast("double") / col("t_ref").cast("double"), 6).as("share_ref"),
+            round(col("n_cur").cast("double") / col("t_cur").cast("double"), 6).as("share_cur"),
+            round(
+              round((p - q) * log(p / q) * lit(1.0e12), 0).cast("long").cast("double") / lit(1.0e12),
+              6).as("psi_term"),
+            (col("n_ref") === 0L).as("is_new"),
+            (col("n_cur") === 0L).as("is_gone"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_us(ts) AS us FROM events),
+             |med AS (SELECT quantile_cont(us, 0.5) AS med FROM ev),
+             |counts AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN us <= (SELECT med FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             |    CAST(SUM(CASE WHEN us > (SELECT med FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+             |  FROM ev GROUP BY 1),
+             |totals AS (
+             |  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             |    CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+             |    CAST(COUNT(*) AS BIGINT) AS k
+             |  FROM counts)
+             |SELECT event_type, n_ref, n_cur,
+             |  round(CAST(n_ref AS DOUBLE) / t_ref, 6) AS share_ref,
+             |  round(CAST(n_cur AS DOUBLE) / t_cur, 6) AS share_cur,
+             |  round(CAST(CAST(round(
+             |    ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t_ref AS DOUBLE) + 0.5 * k)
+             |     - (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t_cur AS DOUBLE) + 0.5 * k))
+             |    * ln(((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t_ref AS DOUBLE) + 0.5 * k))
+             |         / ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t_cur AS DOUBLE) + 0.5 * k)))
+             |    * 1.0e12) AS BIGINT) AS DOUBLE) / 1.0e12, 6) AS psi_term,
+             |  n_ref = 0 AS is_new,
+             |  n_cur = 0 AS is_gone
+             |FROM counts, totals ORDER BY event_type""".stripMargin)
+    ),
+
     Q(
       "q_drift_psi",
       (s, d) => {
