@@ -954,11 +954,17 @@ object AnalyticQueries {
           .crossJoin(broadcast(med))
           .withColumn("is_ref", col("us") <= col("med"))
           .select("event_type", "value", "is_ref")
+        // Cuts rounded to 6 dp on BOTH engines before binning (r14 advice):
+        // Spark's percentile and DuckDB's quantile_cont interpolate in
+        // potentially different fp evaluation order, and the bin rule
+        // x <= cut is ulp-sensitive — rounding makes the boundaries
+        // bit-identical so a value landing exactly on a cut bins the same.
         val cuts = half
           .filter(col("is_ref"))
           .groupBy("event_type")
-          .agg(expr(
-            "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("cuts"))
+          .agg(transform(
+            expr("percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"),
+            c => round(c, 6)).as("cuts"))
         val counts = half
           .join(broadcast(cuts), Seq("event_type"))
           .withColumn("bin", size(filter(col("cuts"), c => c <= col("value"))))
@@ -1006,7 +1012,9 @@ object AnalyticQueries {
              |  SELECT event_type, value, us <= (SELECT med FROM med) AS is_ref FROM ev),
              |cuts AS (
              |  SELECT event_type,
-             |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+             |    list_transform(
+             |      quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             |      x -> round(x, 6)) AS cuts
              |  FROM half WHERE is_ref GROUP BY 1),
              |counts AS (
              |  SELECT h.event_type,

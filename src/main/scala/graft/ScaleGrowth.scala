@@ -191,17 +191,35 @@ object ScaleGrowth {
     val needed = targets.flatMap(tablesOf).toSet + "nation"
     ks.foreach(k => writeCorpus(spark, src, s"$base/x$k", k, needed))
 
-    def once(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      val t = (System.nanoTime() - t0) / 1e9
-      System.gc()
-      t
+    // Self-healing fallback (r14 advice): a builder that reads a table only
+    // at BUILD time (driver-side collect, read-back scratch) returns a
+    // non-empty but INCOMPLETE inputFiles set, so tablesOf under-copies and
+    // the first measurement throws on the missing file. Rather than
+    // hand-listing non-pure-lineage queries (a list that rots), catch the
+    // failure once, rebuild that growth dir with ALL tables (over-copying
+    // is always correct), and retry — the retry's timing is the one kept.
+    def once(name: String, dir: String, k: Int): Double = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        t
+      }
+      try run()
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[ScaleGrowth] $name failed on $dir (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "rebuilding growth corpus with ALL tables and retrying once")
+          writeCorpus(spark, src, dir, k, allTables)
+          run()
+      }
     }
     val rows = targets.map { name =>
       val med = ks.map { k =>
         val dir = s"$base/x$k"
-        val ts = Seq(once(name, dir), once(name, dir), once(name, dir)).sorted
+        val ts = Seq(once(name, dir, k), once(name, dir, k), once(name, dir, k)).sorted
         k -> ts(1)
       }
       // Least-squares slope of log t over log k.

@@ -205,6 +205,22 @@ object TextQueries {
       filter(rules, r => path.startsWith(r("prefix"))),
       r => struct(length(r("prefix")).as("l"), r("allow").as("allow"), r("prefix").as("prefix"))))
 
+  /** [[robotsBestMatch]] for PARSED rules carrying the two spec wildcards:
+    * each rule ships its compiled regex (`rx`, from RobotsTxt.patternRegex)
+    * so the match is row-local regexp_like instead of startsWith;
+    * specificity stays length(prefix) over the RAW pattern (wildcards
+    * count, per the spec's pattern-length rule) and the election tiebreak
+    * is identical. Hand-case pinned against RobotsTxt.bestMatch in
+    * RobotsTxtSpec so the Scala and Spark kernels cannot drift.
+    */
+  private[graft] def robotsBestMatchRx(
+      rules: org.apache.spark.sql.Column,
+      path: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column =
+    array_max(transform(
+      filter(rules, r => regexp_like(path, r("rx"))),
+      r => struct(length(r("prefix")).as("l"), r("allow").as("allow"), r("prefix").as("prefix"))))
+
   /** Shared DuckDB restatement of [[frontierCandidates]] (the `r` CTE in
     * both frontier oracles): rollup + ledger filter + per-host rank.
     */
@@ -818,16 +834,20 @@ object TextQueries {
           col("text"),
           filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0).as("ws"))
         val nWords = size(col("ws"))
+        // Zero-word guard (r14 advice): an empty/whitespace-only document
+        // would divide by zero, where Spark yields NaN and DuckDB's
+        // behavior differs — nullif keeps every ratio NULL on BOTH engines
+        // (gopher_ok still lands false through the n_words conjunct, since
+        // FALSE AND NULL = FALSE in both).
+        val denom = nullif(nWords.cast("double"), lit(0.0))
         val meanLen = round(
-          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") /
-            nWords.cast("double"), 6)
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") / denom, 6)
         val alphaRatio = round(
-          size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") /
-            nWords.cast("double"), 6)
+          size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") / denom, 6)
         val nHash = length(col("text")) - length(translate(col("text"), "#", ""))
         val nEllipsis =
           (length(col("text")) - length(expr("replace(text, '...', '')"))).cast("double") / lit(3.0)
-        val symbolRatio = round((nHash.cast("double") + nEllipsis) / nWords.cast("double"), 6)
+        val symbolRatio = round((nHash.cast("double") + nEllipsis) / denom, 6)
         val nStop = stops
           .map(w => when(array_contains(col("ws"), w), 1).otherwise(0))
           .reduce(_ + _)
@@ -856,12 +876,12 @@ object TextQueries {
              |  SELECT doc_id,
              |    CAST(len(ws) AS INT) AS n_words,
              |    round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-             |          / len(ws), 6) AS mean_word_len,
+             |          / NULLIF(len(ws), 0), 6) AS mean_word_len,
              |    round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
              |           + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
-             |          / len(ws), 6) AS symbol_ratio,
+             |          / NULLIF(len(ws), 0), 6) AS symbol_ratio,
              |    round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-             |          / len(ws), 6) AS alpha_word_ratio,
+             |          / NULLIF(len(ws), 0), 6) AS alpha_word_ratio,
              |    CAST(CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
              |       + CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END
              |       + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
@@ -1566,6 +1586,115 @@ object TextQueries {
           |      ORDER BY length(ru.prefix) DESC, ru.allow DESC, ru.prefix DESC) AS mrk
           |  FROM cand c JOIN rules ru
           |    ON ru.host = c.host AND starts_with(c.path, ru.prefix)),
+          |best AS (SELECT url, prefix AS matched_rule, allow FROM m WHERE mrk = 1)
+          |SELECT c.host, c.url, c.n_refs, c.rk, b.matched_rule,
+          |       COALESCE(b.allow, TRUE) AS allowed
+          |FROM cand c LEFT JOIN best b USING (url)
+          |ORDER BY c.host, c.rk""".stripMargin)
+    ),
+
+    // Robots filtering over PARSED robots.txt — the q_robots_filter chain
+    // with the one simulated input made real (the r14 verdict's top item):
+    // each host carries a deterministic robots.txt BODY in the actual
+    // format (comment, Sitemap record, a googlebot decoy group, a
+    // graftbot-images decoy whose token must NOT prefix-match, a multi-
+    // User-agent graftbot group holding the live rules plus a Crawl-delay
+    // and an empty Allow:, and a catch-all `*` group that disallows
+    // everything) and the REAL parser (sources.RobotsTxt — the HtmlContent
+    // device: real format through a real parser) selects the graftbot
+    // group and compiles its rules, so a grouping, selection, empty-value,
+    // or wildcard-compilation defect changes decisions and flips the hash
+    // (the decoys make wrong group selection catastrophic, not cosmetic).
+    // The rule set exercises both spec wildcards ON the live path:
+    // `/lib/p*.html$` re-allows ext's /lib/p{j}.html candidates through
+    // the longest match and `/*.js$` re-allows cdn's /lib.js over the
+    // shorter /lib disallow. Scale shape: parse cost is HOST-cardinality
+    // (one typed map over the host table — in deployment the fetched
+    // robots.txt bodies land in exactly such a host-keyed table), rules
+    // ride as a row-local array into a BROADCAST join, and the match is
+    // row-local regexp_like + array_max over ≤6 rules — no explode, no
+    // second shuffle; at true frontier scale the per-row regex compile
+    // amortizes via a pattern-cache Expression, the one seam left. The
+    // oracle restates the post-parse rule table and its regexes literally
+    // (ground truth stated directly — it never re-runs the parser).
+    Q(
+      "q_robots_parse",
+      (s, d) => {
+        import s.implicits._
+        def digit(i: Int) =
+          expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
+        val cands = frontierCandidates(s, d, 10)
+        val hosts = documents(s, d)
+          .select(concat(lower(col("source")), lit(".example.com")).as("host"))
+          .distinct()
+          .unionAll(Seq("ext.example.org", "cdn.example.net").toDF("host"))
+        def line(t: String) = lit(t + "\n")
+        def maybe(cond: org.apache.spark.sql.Column, t: String) =
+          when(cond, lit(t + "\n")).otherwise(lit(""))
+        // Same md5-digit thresholds as q_robots_filter, so the two robots
+        // queries agree on which hosts carry which rules.
+        val body = concat(
+          line("# synthetic robots fixture"),
+          concat(lit("Sitemap: https://"), col("host"), lit("/sitemap.xml\n\n")),
+          line("User-agent: googlebot"), line("Disallow: /"), lit("\n"),
+          line("User-agent: graftbot-images"), line("Disallow: /"), lit("\n"),
+          line("User-agent: graftbot"),
+          line("User-agent: otherbot"),
+          line("Crawl-delay: 2"),
+          line("Allow:"),
+          line("Disallow: /search"),
+          maybe(digit(1) < 9, "Disallow: /lib"),
+          maybe(digit(2) < 9, "Allow: /lib/p*.html$"),
+          maybe(digit(3) < 12, "Disallow: /docs/up"),
+          line("Allow: /*.js$"), lit("\n"),
+          line("User-agent: *"), line("Disallow: /"))
+        val rules = hosts
+          .select(col("host"), body.as("robots_txt"))
+          .as[(String, String)]
+          .map { case (h, txt) =>
+            (h, graft.sources.RobotsTxt.parsedRulesFor(txt, "graftbot"))
+          }
+          .toDF("host", "rules")
+        val best = robotsBestMatchRx(col("rules"), col("path"))
+        cands
+          .join(broadcast(rules), Seq("host"), "left")
+          .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+          .withColumn("best", best)
+          .select(
+            col("host"), col("url"), col("n_refs"), col("rk"),
+            col("best.prefix").as("matched_rule"),
+            coalesce(col("best.allow"), lit(true)).as("allowed"))
+          .orderBy("host", "rk")
+      },
+      Some(duckLinkCte + duckFrontierCte +
+        """
+          |, cand AS (
+          |  SELECT host, url, n_refs, rk,
+          |         regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
+          |  FROM r WHERE rk <= 10),
+          |hosts AS (
+          |  SELECT DISTINCT lower(source) || '.example.com' AS host FROM documents
+          |  UNION ALL SELECT 'ext.example.org'
+          |  UNION ALL SELECT 'cdn.example.net'),
+          |rules AS (
+          |  SELECT host, '/search' AS prefix, FALSE AS allow, '^/search' AS rx FROM hosts
+          |  UNION ALL
+          |  SELECT host, '/lib', FALSE, '^/lib' FROM hosts
+          |  WHERE strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1 < 9
+          |  UNION ALL
+          |  SELECT host, '/lib/p*.html$', TRUE, '^/lib/p.*\.html$' FROM hosts
+          |  WHERE strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1 < 9
+          |  UNION ALL
+          |  SELECT host, '/docs/up', FALSE, '^/docs/up' FROM hosts
+          |  WHERE strpos('0123456789abcdef', substr(md5(host), 3, 1)) - 1 < 12
+          |  UNION ALL
+          |  SELECT host, '/*.js$', TRUE, '^/.*\.js$' FROM hosts),
+          |m AS (
+          |  SELECT c.url, ru.prefix, ru.allow,
+          |    row_number() OVER (PARTITION BY c.url
+          |      ORDER BY length(ru.prefix) DESC, ru.allow DESC, ru.prefix DESC) AS mrk
+          |  FROM cand c JOIN rules ru
+          |    ON ru.host = c.host AND regexp_matches(c.path, ru.rx)),
           |best AS (SELECT url, prefix AS matched_rule, allow FROM m WHERE mrk = 1)
           |SELECT c.host, c.url, c.n_refs, c.rk, b.matched_rule,
           |       COALESCE(b.allow, TRUE) AS allowed
