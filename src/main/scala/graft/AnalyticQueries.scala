@@ -1048,6 +1048,162 @@ object AnalyticQueries {
              |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
     ),
 
+    // The drift monitor's 100 TB form (q_drift_psi's registered sketch
+    // twin — the q_winsorize_approx device): reference deciles from the
+    // MERGEABLE approx_percentile sketch instead of the exact percentile
+    // buffer that concentrates each type's full value set on one reducer.
+    // Sketch cuts aren't bit-reproducible in DuckDB, so the report carries
+    // the EXACT pipeline's columns (n_ref / n_cur / psi / drift_alert —
+    // cross-engine hash-checked, identical machinery to q_drift_psi) plus
+    // two band flags the oracle states as literal TRUE: cuts_in_band
+    // (every sketch decile inside the exact ±2%-rank band — the
+    // winsorize_approx bracketing) and psi_in_band (the PSI recomputed
+    // from the sketch cuts within 0.05 of the exact PSI — PSI isn't
+    // monotone in its cuts, so the value-level claim is checked directly
+    // rather than bracketed). A sketch decile drifting out of rank band,
+    // or the sketch-binned PSI diverging, flips a flag and fails the hash
+    // gate. Plan shape: ONE aggregation fits both the exact buffer (27
+    // ranks: deciles + band edges) and the sketch; ONE partial-agg'd
+    // (type, bin_exact, bin_sketch) rollup bins the corpus for BOTH cut
+    // sets in a single pass (≤K×100 rows); everything downstream is
+    // K×10-bounded. At 100 TB the exact columns drop away and the sketch
+    // runs alone — this report exists to CERTIFY that swap.
+    Q(
+      "q_drift_psi_approx",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+        val med = ev.agg(expr("percentile(us, 0.5)").as("med"))
+        val half = ev
+          .crossJoin(broadcast(med))
+          .withColumn("is_ref", col("us") <= col("med"))
+          .select("event_type", "value", "is_ref")
+        val decileRanks = (1 to 9).map(k => k / 10.0)
+        val bandRanks = (1 to 9).flatMap(k => Seq(k / 10.0 - 0.02, k / 10.0 + 0.02))
+        val exactRanks = (decileRanks ++ bandRanks).map(r => s"${r}D").mkString(",")
+        val r6 = (c: org.apache.spark.sql.Column) => transform(c, x => round(x, 6))
+        val stats = half
+          .filter(col("is_ref"))
+          .groupBy("event_type")
+          .agg(
+            expr(s"percentile(value, array($exactRanks))").as("qe"),
+            expr(s"approx_percentile(value, array(${decileRanks.map(r => s"${r}D").mkString(",")}), 10000)")
+              .as("qa"))
+          .select(
+            col("event_type"),
+            r6(slice(col("qe"), 1, 9)).as("cuts_e"),
+            r6(col("qa")).as("cuts_a"),
+            // Band edges stay unrounded: they bound the ROUNDED sketch cut
+            // only through the flag, never through a bin rule. qe lays out
+            // as [9 deciles, then (lo, hi) per decile] — lo at 10,12,..,26.
+            array((10 to 27 by 2).map(i => element_at(col("qe"), i)): _*).as("lo"),
+            array((11 to 27 by 2).map(i => element_at(col("qe"), i)): _*).as("hi"))
+        val counts = half
+          .join(broadcast(stats), Seq("event_type"))
+          .withColumn("bin_e", size(filter(col("cuts_e"), c => c <= col("value"))))
+          .withColumn("bin_a", size(filter(col("cuts_a"), c => c <= col("value"))))
+          .groupBy(col("event_type"), col("bin_e"), col("bin_a"))
+          .agg(
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+        // Shared fixed-point PSI over either bin axis (the q_drift_psi
+        // pipeline: explicit 0..9 domain, add-half smoothing, 1e-12 terms).
+        def psiFp(binCol: String): org.apache.spark.sql.DataFrame = {
+          val byBin = counts
+            .groupBy(col("event_type"), col(binCol).as("bin"))
+            .agg(sum(col("c_ref")).as("c_ref"), sum(col("c_cur")).as("c_cur"))
+          val domain = stats
+            .select("event_type")
+            .crossJoin(s.range(10).select(col("id").cast("int").as("bin")))
+          val full = domain
+            .join(byBin, Seq("event_type", "bin"), "left")
+            .select(
+              col("event_type"),
+              col("bin"),
+              coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+              coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+          val totals = full
+            .groupBy("event_type")
+            .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+          val p = (col("c_ref").cast("double") + lit(0.5)) /
+            (col("n_ref").cast("double") + lit(5.0))
+          val q = (col("c_cur").cast("double") + lit(0.5)) /
+            (col("n_cur").cast("double") + lit(5.0))
+          full
+            .join(broadcast(totals), Seq("event_type"))
+            .withColumn("term_fp", round((p - q) * log(p / q) * lit(1.0e12), 0).cast("long"))
+            .groupBy("event_type")
+            .agg(
+              max(col("n_ref")).as("n_ref"),
+              max(col("n_cur")).as("n_cur"),
+              sum(col("term_fp")).as("psi_fp"))
+        }
+        val exact = psiFp("bin_e")
+        val sketch = psiFp("bin_a").select(col("event_type"), col("psi_fp").as("psi_fp_a"))
+        val inBand = forall(
+          sequence(lit(1), lit(9)),
+          k =>
+            element_at(col("cuts_a"), k)
+              .between(element_at(col("lo"), k), element_at(col("hi"), k)))
+        exact
+          .join(sketch, Seq("event_type"))
+          .join(stats.select(col("event_type"), col("cuts_a"), col("lo"), col("hi")),
+            Seq("event_type"))
+          .select(
+            col("event_type"),
+            col("n_ref"),
+            col("n_cur"),
+            round(col("psi_fp").cast("double") / lit(1.0e12), 6).as("psi"),
+            (col("psi_fp") > lit(200000000000L)).as("drift_alert"),
+            inBand.as("cuts_in_band"),
+            (abs(col("psi_fp_a") - col("psi_fp")) <= lit(50000000000L)).as("psi_in_band"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+             |med AS (SELECT quantile_cont(us, 0.5) AS med FROM ev),
+             |half AS (
+             |  SELECT event_type, value, us <= (SELECT med FROM med) AS is_ref FROM ev),
+             |cuts AS (
+             |  SELECT event_type,
+             |    list_transform(
+             |      quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             |      x -> round(x, 6)) AS cuts
+             |  FROM half WHERE is_ref GROUP BY 1),
+             |counts AS (
+             |  SELECT h.event_type,
+             |    CAST(len(list_filter(c.cuts, x -> x <= h.value)) AS INT) AS bin,
+             |    CAST(SUM(CASE WHEN h.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             |    CAST(SUM(CASE WHEN h.is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+             |  FROM half h JOIN cuts c USING (event_type)
+             |  GROUP BY 1, 2),
+             |domain AS (
+             |  SELECT c.event_type, CAST(r.range AS INT) AS bin FROM cuts c, range(10) r),
+             |filled AS (
+             |  SELECT d.event_type, d.bin,
+             |    COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+             |  FROM domain d LEFT JOIN counts c USING (event_type, bin)),
+             |totals AS (
+             |  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             |    CAST(SUM(c_cur) AS BIGINT) AS n_cur
+             |  FROM filled GROUP BY 1),
+             |terms AS (
+             |  SELECT f.event_type, t.n_ref, t.n_cur,
+             |    CAST(round(
+             |      ((CAST(f.c_ref AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 5.0)
+             |       - (CAST(f.c_cur AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 5.0))
+             |      * ln(((CAST(f.c_ref AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 5.0))
+             |           / ((CAST(f.c_cur AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 5.0)))
+             |      * 1.0e12) AS BIGINT) AS term_fp
+             |  FROM filled f JOIN totals t USING (event_type))
+             |SELECT event_type, n_ref, n_cur,
+             |  round(CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE) / 1.0e12, 6) AS psi,
+             |  CAST(SUM(term_fp) AS BIGINT) > 200000000000 AS drift_alert,
+             |  TRUE AS cuts_in_band,
+             |  TRUE AS psi_in_band
+             |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
+    ),
+
     // Watermark-tuning lateness profile — the planning artifact behind
     // every `withWatermark` delay choice in §2.4: how late do events
     // actually arrive, and what fraction would each candidate delay

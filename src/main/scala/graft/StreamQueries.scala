@@ -606,6 +606,146 @@ object StreamQueries {
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
     ),
 
+    // Streaming drift monitor — q_drift_psi deployed the way a monitoring
+    // stack actually wants it: PSI computed ON ARRIVAL per micro-batch
+    // instead of at batch close (the r14 verdict's item 3). The reference
+    // artifact (median split point + per-type decile cuts fitted on the
+    // reference half, cuts rounded 6 dp — identical discipline to
+    // q_drift_psi) is computed ONCE batch-side: the split point ships as a
+    // plan literal (one bounded driver value — in deployment the fitted
+    // reference is exactly such a small offline artifact shipped to the
+    // stream) and the cut arrays ride a stream-static BROADCAST join (the
+    // q_stream_anomaly shape — stateless, no state store for the join).
+    // The stream keeps only the (type, bin) counts as streaming state —
+    // K×10-bounded regardless of event volume — and foreachBatch restates
+    // the PSI report per micro-batch from those bounded counts joined to
+    // the batch-precomputed reference bins (domain-filled, add-half
+    // smoothed, 1e-12 fixed-point term sums — order-free, so the report
+    // is deterministic across micro-batch partitionings). On AvailableNow
+    // bounded input the final report equals q_drift_psi exactly, which is
+    // what the oracle states and MultimodalStreamingSpec pins
+    // structurally (batch ≡ stream — the q_stream_enrich pattern).
+    Q(
+      "q_stream_drift",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val out = tmpDir("graft_sdrift_out", d)
+        val ckpt = tmpDir("graft_sdrift_ckpt", d)
+        val ev = events(s, d)
+          .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+        val med = ev.agg(expr("percentile(us, 0.5)")).head().getDouble(0)
+        val refHalf = ev.filter(col("us") <= med)
+        val cuts = refHalf
+          .groupBy("event_type")
+          .agg(transform(
+            expr("percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"),
+            c => round(c, 6)).as("cuts"))
+        val refBins = refHalf
+          .join(broadcast(cuts), Seq("event_type"))
+          .withColumn("bin", size(filter(col("cuts"), c => c <= col("value"))))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("c_ref"))
+        val domain = cuts
+          .select("event_type")
+          .crossJoin(s.range(10).select(col("id").cast("int").as("bin")))
+        val curCounts = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .transform(Tables.normalizeTs(_))
+          .filter(unix_micros(col("ts")) > med)
+          .select(col("event_type"), col("value"))
+          .join(broadcast(cuts), Seq("event_type"))
+          .withColumn("bin", size(filter(col("cuts"), c => c <= col("value"))))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("c_cur"))
+        val q = curCounts.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val full = domain
+              .join(refBins, Seq("event_type", "bin"), "left")
+              .join(batch, Seq("event_type", "bin"), "left")
+              .select(
+                col("event_type"),
+                col("bin"),
+                coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+                coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+            val totals = full
+              .groupBy("event_type")
+              .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+            val p = (col("c_ref").cast("double") + lit(0.5)) /
+              (col("n_ref").cast("double") + lit(5.0))
+            val qq = (col("c_cur").cast("double") + lit(0.5)) /
+              (col("n_cur").cast("double") + lit(5.0))
+            full
+              .join(broadcast(totals), Seq("event_type"))
+              .withColumn("term_fp", round((p - qq) * log(p / qq) * lit(1.0e12), 0).cast("long"))
+              .groupBy("event_type")
+              .agg(
+                max(col("n_ref")).as("n_ref"),
+                max(col("n_cur")).as("n_cur"),
+                sum(col("term_fp")).as("psi_fp"))
+              .select(
+                col("event_type"),
+                col("n_ref"),
+                col("n_cur"),
+                round(col("psi_fp").cast("double") / lit(1.0e12), 6).as("psi"),
+                (col("psi_fp") > lit(200000000000L)).as("drift_alert"))
+              .write
+              .mode("overwrite")
+              .parquet(out)
+          }
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy("event_type")
+      },
+      // The stream must converge to exactly the batch monitor's report —
+      // the oracle is q_drift_psi's, verbatim.
+      Some("""WITH ev AS (
+             |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+             |med AS (SELECT quantile_cont(us, 0.5) AS med FROM ev),
+             |half AS (
+             |  SELECT event_type, value, us <= (SELECT med FROM med) AS is_ref FROM ev),
+             |cuts AS (
+             |  SELECT event_type,
+             |    list_transform(
+             |      quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             |      x -> round(x, 6)) AS cuts
+             |  FROM half WHERE is_ref GROUP BY 1),
+             |counts AS (
+             |  SELECT h.event_type,
+             |    CAST(len(list_filter(c.cuts, x -> x <= h.value)) AS INT) AS bin,
+             |    CAST(SUM(CASE WHEN h.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             |    CAST(SUM(CASE WHEN h.is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+             |  FROM half h JOIN cuts c USING (event_type)
+             |  GROUP BY 1, 2),
+             |domain AS (
+             |  SELECT c.event_type, CAST(r.range AS INT) AS bin FROM cuts c, range(10) r),
+             |filled AS (
+             |  SELECT d.event_type, d.bin,
+             |    COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+             |  FROM domain d LEFT JOIN counts c USING (event_type, bin)),
+             |totals AS (
+             |  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             |    CAST(SUM(c_cur) AS BIGINT) AS n_cur
+             |  FROM filled GROUP BY 1),
+             |terms AS (
+             |  SELECT f.event_type, t.n_ref, t.n_cur,
+             |    CAST(round(
+             |      ((CAST(f.c_ref AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 5.0)
+             |       - (CAST(f.c_cur AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 5.0))
+             |      * ln(((CAST(f.c_ref AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 5.0))
+             |           / ((CAST(f.c_cur AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 5.0)))
+             |      * 1.0e12) AS BIGINT) AS term_fp
+             |  FROM filled f JOIN totals t USING (event_type))
+             |SELECT event_type, n_ref, n_cur,
+             |  round(CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE) / 1.0e12, 6) AS psi,
+             |  CAST(SUM(term_fp) AS BIGINT) > 200000000000 AS drift_alert
+             |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
+    ),
+
     // Streaming CDC MERGE, registered end-to-end (the library form is
     // StreamingJobs.cdcUpsert, spec-proven under crashed-batch replay /
     // stale redelivery / checkpoint loss in MultimodalStreamingSpec —

@@ -251,7 +251,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_column_normalize", "q_quarantine", "q_forward_fill", "q_audit_append",
     "q_schema_cast", "q_fixed_width_parse", "q_resample_interpolate",
     "q_pivot_events", "q_user_gaps", "q_sessionize_batch", "q_drift_psi",
-    "q_drift_categorical", "q_anomaly_zscore", "q_skew_report",
+    "q_drift_psi_approx", "q_drift_categorical", "q_anomaly_zscore", "q_skew_report",
     "q_group_quantiles", "q_json_extract", "q_sliding_window_avg",
     "q_asof_join", "q_range_join", "q_profile", "q_funnel",
     "q_retention_cohorts", "q_group_quantiles_approx", "q_profile_approx",
@@ -260,6 +260,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_dq_freshness", // integer-micros lag math rides the normalized ts
     "q_late_arrival_profile", // arrival-order lateness over the normalized ts
     "q_stream_enrich", // stream×nation broadcast join (fixtures carry nation.parquet)
+    "q_stream_drift", // per-micro-batch PSI over the normalized ts split
     // Reads events.parquet RAW on purpose (footer-schema diffing is the
     // operator); returns a LocalRelation, so the scan walk can't see it —
     // hand-listed like q_upsert_merge. Flavor-invariant because ts types

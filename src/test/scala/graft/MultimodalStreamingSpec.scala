@@ -367,6 +367,20 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       "batch gap-and-island sessions must equal the streaming state machine's at the same gap")
   }
 
+  test("streaming drift monitor equals the batch PSI report on bounded input") {
+    // q_stream_drift restates q_drift_psi per micro-batch from K×10-bounded
+    // streaming bin counts joined to the batch-fitted reference artifact.
+    // On AvailableNow bounded input the final report must be row-identical
+    // to the batch monitor — same cuts (rounded 6 dp), same add-half
+    // smoothing, same 1e-12 fixed-point term sums (order-free by design,
+    // so micro-batch partitioning cannot move a bit).
+    val streamed = QueryRegistry.queries("q_stream_drift")(spark, sfDir)
+    val batch = QueryRegistry.queries("q_drift_psi")(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed PSI report must equal the batch drift monitor on bounded input")
+  }
+
   test("stream-static enrichment equals the batch join-aggregate; the dimension broadcasts") {
     // q_stream_enrich joins the event stream against a static nation
     // dimension broadcast into every micro-batch. On bounded AvailableNow

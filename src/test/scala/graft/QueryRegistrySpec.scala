@@ -136,6 +136,36 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("drift sketch deciles hit their ranks on the reference half (q_drift_psi_approx)") {
+    // The registered twin reports band FLAGS; this is the independent rank
+    // gate on the sketch itself, restating q_drift_psi_approx's setup: the
+    // exact-median time split, then each approx decile cut's achieved rank
+    // among the REFERENCE half's values must sit within ±0.02 of 0.1·k —
+    // the same ±2%-rank band the in-query bracketing claims.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val med = ev.agg(expr("percentile(us, 0.5)").as("med"))
+    val ref = ev.crossJoin(broadcast(med)).filter(col("us") <= col("med"))
+      .select("event_type", "value")
+    val decs = (1 to 9).map(k => s"${k / 10.0}D").mkString(",")
+    val cuts = ref.groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, array($decs), 10000)").as("qa"))
+    val rankAggs = (1 to 9).map(k =>
+      avg((col("value") <= element_at(col("qa"), k)).cast("double")).as(s"r$k"))
+    val ranks = ref
+      .join(broadcast(cuts), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(rankAggs.head, rankAggs.tail: _*)
+      .collect()
+    assert(ranks.length == 5)
+    for (r <- ranks; k <- 1 to 9) {
+      val rank = r.getDouble(k)
+      assert(math.abs(rank - k / 10.0) <= 0.02,
+        s"${r.getString(0)} decile $k achieved rank $rank")
+    }
+  }
+
   test("pack_context shards respect the budget and are contiguous per stream") {
     // Greedy exclusive-prefix packing invariants: within every (lang,
     // source) stream, shard ids start at 0 and never decrease in doc_id
