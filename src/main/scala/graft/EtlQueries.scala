@@ -629,6 +629,61 @@ object EtlQueries {
              |FROM events""".stripMargin)
     ),
 
+    // 20b. SCD2 INCREMENTAL maintenance — the type-2 MERGE next to
+    //      q_upsert_merge's type-1 (r14 verdict item 4): q_scd2_intervals
+    //      builds a dimension from scratch; this applies a CHANGE BATCH to
+    //      an EXISTING SCD2 dimension — close each batch key's open
+    //      interval at the key's first new valid_from, insert the batch's
+    //      chained new versions, leave closed history untouched. The
+    //      existing dimension is materialized to parquet first and the
+    //      merge derives ONLY from that read-back + the batch (the
+    //      q_upsert_merge device — the old fact rows are provably never
+    //      rescanned; the whole staged path sits inside the hash gate).
+    //      Scale shape: the close pass is one partial-agg'd per-key
+    //      min(valid_from) on the BATCH joined onto main (AQE-planned —
+    //      broadcast when the day's batch is small, the common case); the
+    //      batch chains in ITS OWN window (bounded per-key history, high-
+    //      cardinality key); main rows rewrite copy-on-write — at 100 TB
+    //      main is bucketed by key so only matched buckets rewrite
+    //      (StagingSink's MERGE layout). Oracle: the merged end state must
+    //      equal what a from-scratch rebuild over all events states — the
+    //      convergence invariant that MAKES incremental maintenance
+    //      correct (the q_stream_cdc device); the closed-history
+    //      passthrough is additionally spec-pinned bit-level.
+    Q(
+      "q_scd2_apply",
+      (s, d) => {
+        val base = EtlQueries.scratchDir("graft_scd2", d)
+        val c = lit("2024-01-20 00:00:00").cast("timestamp")
+        val ev = events(s, d).select(col("user_id"), col("event_id"), col("value"), col("ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+        def build(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("user_id"), col("event_id"), col("value"), col("ts").as("valid_from"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+        build(ev.filter(col("ts") < c)).write.mode("overwrite").parquet(s"$base/dim")
+        val main0 = s.read.parquet(s"$base/dim")
+        val batch = build(ev.filter(col("ts") >= c))
+        val closes = batch.groupBy("user_id").agg(min(col("valid_from")).as("close_at"))
+        main0
+          .join(closes, Seq("user_id"), "left")
+          .select(
+            col("user_id"), col("event_id"), col("value"), col("valid_from"),
+            when(col("is_current") && col("close_at").isNotNull, col("close_at"))
+              .otherwise(col("valid_to")).as("valid_to"),
+            (col("is_current") && col("close_at").isNull).as("is_current"))
+          .unionAll(
+            batch.select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current"))
+          .write.mode("overwrite").parquet(s"$base/dim2")
+        s.read.parquet(s"$base/dim2").orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value, ts AS valid_from,
+             |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+             |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin)
+    ),
+
     // Hourly resampling with LINEAR INTERPOLATION — the sensor-series gap
     // repair one step past forward-fill (the reference's USCRN domain:
     // irregular station readings → a regular hourly grid). Each user's

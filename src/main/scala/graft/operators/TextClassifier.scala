@@ -115,4 +115,63 @@ object TextClassifier {
     }
     ls.sum / ls.length
   }
+
+  /** Logistic model over a small DENSE numeric feature vector — the
+    * learned-reranker slot (q_rerank_learned): a cross-encoder's
+    * (query, doc) relevance head reduced to its linear form over explicit
+    * features. Driver state is n_features + 1 doubles shipped to executors
+    * as plan constants; serving is a plain codegen'd column expression.
+    */
+  final case class NumericModel(weights: Array[Double], bias: Double) {
+    def score(f: Array[Double]): Double = {
+      var z = bias
+      var i = 0
+      while (i < f.length) { z += weights(i) * f(i); i += 1 }
+      1.0 / (1.0 + math.exp(-z))
+    }
+  }
+
+  /** Deterministic logistic SGD over dense numeric features — the [[train]]
+    * discipline exactly (zero init, fixed epochs, sequential sample order,
+    * L2, no randomness), so two trainings on the same sample are
+    * bit-identical.
+    */
+  def trainNumeric(
+      sample: Seq[(Array[Double], Boolean)],
+      epochs: Int = 200,
+      lr: Double = 0.1,
+      l2: Double = 1e-4
+  ): NumericModel = {
+    require(sample.nonEmpty, "numeric training sample must be non-empty")
+    val nf = sample.head._1.length
+    val w = new Array[Double](nf)
+    var b = 0.0
+    var e = 0
+    while (e < epochs) {
+      sample.foreach { case (f, label) =>
+        var z = b
+        var i = 0
+        while (i < nf) { z += w(i) * f(i); i += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val g = p - (if (label) 1.0 else 0.0)
+        b -= lr * g
+        i = 0
+        while (i < nf) {
+          w(i) = w(i) * (1.0 - lr * l2) - lr * g * f(i)
+          i += 1
+        }
+      }
+      e += 1
+    }
+    NumericModel(w, b)
+  }
+
+  def logLossNumeric(model: NumericModel, sample: Seq[(Array[Double], Boolean)]): Double = {
+    val eps = 1e-12
+    val ls = sample.map { case (f, label) =>
+      val p = math.min(1.0 - eps, math.max(eps, model.score(f)))
+      if (label) -math.log(p) else -math.log(1.0 - p)
+    }
+    ls.sum / ls.length
+  }
 }

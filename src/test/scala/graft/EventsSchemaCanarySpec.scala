@@ -255,7 +255,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_group_quantiles", "q_json_extract", "q_sliding_window_avg",
     "q_asof_join", "q_range_join", "q_profile", "q_funnel",
     "q_retention_cohorts", "q_group_quantiles_approx", "q_profile_approx",
-    "q_scd2_intervals", "q_upsert_merge", "q_stream_dedup", "q_stream_sessionize",
+    "q_scd2_intervals", "q_scd2_apply", "q_upsert_merge", "q_stream_dedup", "q_stream_sessionize",
     "q_stream_quota", // ts-ORDERED quota consumption — flavor drift would reorder it
     "q_dq_freshness", // integer-micros lag math rides the normalized ts
     "q_late_arrival_profile", // arrival-order lateness over the normalized ts

@@ -365,6 +365,36 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     out.unpersist()
   }
 
+  test("SCD2 incremental merge: chain invariants hold and closed history passes through untouched") {
+    import org.apache.spark.sql.functions.{col, lead, lit, min => fmin}
+    import org.apache.spark.sql.expressions.Window
+    val merged = QueryRegistry.queries("q_scd2_apply")(spark, sfDir).cache()
+    // The merged dimension must satisfy the same chain invariants as a
+    // from-scratch build (the convergence the oracle also gates).
+    val users = merged.select("user_id").distinct().count()
+    assert(merged.filter(col("is_current")).count() == users,
+      "each key must still have exactly one open interval after the merge")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+    val broken = merged
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+      .count()
+    assert(broken == 0, "merged intervals must chain half-open across the close boundary")
+    // Closed-history passthrough: every interval already CLOSED in the
+    // pre-merge dimension must appear in the merged table bit-identical —
+    // the merge may only touch open intervals and append batch versions.
+    val c = lit("2024-01-20 00:00:00").cast("timestamp")
+    val closed0 = Tables.events(spark, sfDir)
+      .filter(col("ts") < c)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+      .withColumn("is_current", lit(false))
+    assert(closed0.exceptAll(merged).isEmpty,
+      "closed pre-merge history must pass through the type-2 MERGE untouched")
+    merged.unpersist()
+  }
+
   test("LM quality surprisal is non-negative and covers every bigram position") {
     import org.apache.spark.sql.functions.{col, size => fsize, split => fsplit, trim => ftrim}
     val out = QueryRegistry.queries("q_lm_quality")(spark, sfDir)
