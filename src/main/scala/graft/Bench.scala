@@ -174,9 +174,21 @@ object Bench {
     // current-time floor in the first shakeout run), but their excess is
     // centiseconds, while a genuine 2× code regression on any query
     // heavy enough to matter clears half a second immediately.
+    // Measured-envelope exemption (closes the three-round q_dedup_substrings
+    // variance file, r15): its EXCLUSIVE same-code envelope is 1.52-9.17 s
+    // (tools.VarianceProbe, 10 back-to-back runs at sf0.1 — 9.17 s on the
+    // FIRST execution, monotone decay to a 1.52-1.73 s steady state). The
+    // swing is the one-off codegen/JIT compile of its window-hash +
+    // inverted-index stages landing wherever the query falls in the run's
+    // warmup, not a plan defect — it flagged in r7/r8, r13, and r14 on
+    // unchanged code and normalized every time. The median-normalized flag
+    // cannot discriminate inside a 6x warmup envelope, so the query is
+    // exempted HERE with the measurement as the license; its real scale
+    // gate is the SURVEY §6 growth row (x8 exponent 0.72, linear).
+    val jitNoisy = Set("q_dedup_substrings")
     val regressions: Seq[String] = {
       val ratios = shared.collect {
-        case (k, v, _, _) if prev(k) > 0 => (k, v, v / prev(k))
+        case (k, v, _, _) if prev(k) > 0 && !jitNoisy(k) => (k, v, v / prev(k))
       }
       if (ratios.size < 3) Seq.empty
       else {

@@ -130,7 +130,17 @@ object Plans {
     // The one-scan tag-parse anchor rollup (election inside the agg).
     "q_anchor_text",
     // PSI drift monitor: broadcast cuts, bounded-domain rollups, no window.
-    "q_drift_psi"
+    "q_drift_psi",
+    // Round 15: the parsed-robots decision (host-cardinality typed-map
+    // parse, broadcast rules, row-local regexp election), the drift
+    // monitor's sketch twin (one dual-bin rollup bins both cut sets), and
+    // the learned rerank (weights as plan constants over the same ≤k-row
+    // broadcast feature join; q_stream_drift is streaming — shape pinned
+    // by the batch≡stream spec; q_scd2_apply's registered plan is the
+    // post-merge read-back, so its shape lives in its spec instead).
+    "q_robots_parse",
+    "q_drift_psi_approx",
+    "q_rerank_learned"
   )
 
   def main(args: Array[String]): Unit = {

@@ -890,6 +890,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"bin counts must partial-agg:\n$p")
   }
 
+  test("q_robots_parse: parsed rules broadcast; decision adds no window over the frontier's") {
+    // Same contract as q_robots_filter with the parser in front: the
+    // host-keyed parsed-rule table (host-cardinality typed map) must
+    // BROADCAST onto the candidates and the regexp election stays
+    // row-local — only the frontier's own per-host rank window may appear.
+    val p = plan("q_robots_parse")
+    assert(p.contains("BroadcastHashJoin"), s"parsed rules join must broadcast:\n$p")
+    val frontierWindows = plan("q_url_frontier").linesIterator.count(_.contains("windowspecdefinition"))
+    val robotsWindows = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(robotsWindows <= frontierWindows,
+      s"parsed-robots decision added a window beyond the frontier's ($robotsWindows > $frontierWindows):\n$p")
+    assert(p.contains("MapElements") || p.contains("SerializeFromObject"),
+      s"the real parser must run as the host-table typed map:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_drift_psi_approx: one dual-bin rollup bins both cut sets; no window") {
+    // The exact and sketch cut arrays must come back as broadcasts and the
+    // corpus must be binned ONCE for both (the (type, bin_e, bin_a)
+    // rollup) — a second corpus aggregation would double the monitor's
+    // scan-side cost; everything downstream is K×10-bounded.
+    val p = plan("q_drift_psi_approx")
+    assert(!p.contains("windowspecdefinition"), s"no window in the sketch twin:\n$p")
+    assert(p.contains("BroadcastExchange"), s"cuts/median must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
+    val corpusAggs = p.linesIterator.count(l =>
+      l.contains("partial_sum") && l.contains("is_ref"))
+    assert(corpusAggs <= 1,
+      s"corpus must bin once for both cut sets (got $corpusAggs bin rollups):\n$p")
+  }
+
+  test("q_rerank_learned: candidates broadcast; arms stay TakeOrdered; no cartesian") {
+    // The learned head must not change the serve-side plan shape: the same
+    // ≤k-row broadcast feature join and top-k heap arms as q_rerank — the
+    // model rides as plan constants, invisible to the physical plan.
+    val p = plan("q_rerank_learned")
+    assert(p.contains("BroadcastHashJoin"), s"candidate fetch must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"arms must stay top-k heaps:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final
