@@ -1702,6 +1702,109 @@ object TextQueries {
           |ORDER BY c.host, c.rk""".stripMargin)
     ),
 
+    // Sitemap ingestion — the crawl family's DISCOVERY input, completing
+    // the trio (frontier = what the link graph wants, robots = what you
+    // MAY fetch, sitemap = what the site itself ADVERTISES, with its own
+    // priority/lastmod hints): each source host carries a deterministic
+    // sitemap.xml BODY in the real sitemaps.org format (XML declaration, a
+    // comment, the protocol namespace on <urlset>, entries with OPTIONAL
+    // <lastmod>/<priority>/<changefreq> in varying combinations, and one
+    // <loc> holding an &amp; entity that must unescape to a literal &) and
+    // the REAL JDK DOM parser (sources.SitemapXml — namespace-aware,
+    // DOCTYPE-rejecting) extracts the entry table. Each advertised URL
+    // then joins LEFT against the frontier's top-k (in_frontier + its
+    // link-graph refs — a sitemap-only URL is exactly the discovery gap
+    // sitemaps exist to close) and gets a per-host fetch_rank by sitemap
+    // priority with the protocol's 0.5 DEFAULT for absent priorities.
+    // Scale shape: parse cost is HOST-cardinality (one typed map, the
+    // robots pattern); entries explode row-locally; the frontier join is
+    // (host, url)-keyed and AQE-planned; the fetch_rank window partitions
+    // by host over per-host-bounded sitemap entries. The oracle states
+    // the post-parse entry table directly (ground truth — it never runs a
+    // parser), so a namespace, optional-element, or entity defect flips
+    // the hash.
+    Q(
+      "q_sitemap_ingest",
+      (s, d) => {
+        import s.implicits._
+        def digit(i: Int) =
+          expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
+        val hosts = documents(s, d)
+          .select(concat(lower(col("source")), lit(".example.com")).as("host"))
+          .distinct()
+        val entryXml: Seq[org.apache.spark.sql.Column] = (0 to 8).map { p =>
+          val seg = pmod(digit(4) + lit(p), lit(5)).cast("int").cast("string")
+          val prioDigit = (lit(5) + pmod(lit(p) + digit(5), lit(5))).cast("int").cast("string")
+          concat(
+            lit("  <url>\n    <loc>http://"), col("host"),
+            lit("/docs/"), seg, lit(s"/sub/page$p.html</loc>\n"),
+            if (p % 4 == 0) lit("") else lit(s"    <lastmod>2024-01-0${1 + p % 7}</lastmod>\n"),
+            if (p % 3 == 0) lit("")
+            else concat(lit("    <priority>0."), prioDigit, lit("</priority>\n")),
+            if (p % 2 == 0) lit("    <changefreq>weekly</changefreq>\n") else lit(""),
+            lit("  </url>\n"))
+        }
+        val xml = concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<!-- synthetic sitemap fixture -->\n" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n") +:
+            entryXml :+
+            concat(
+              lit("  <url>\n    <loc>http://"), col("host"),
+              lit("/search?q=1&amp;x=2</loc>\n    <priority>0.9</priority>\n  </url>\n" +
+                "</urlset>\n")): _*)
+        val sm = hosts
+          .select(col("host"), xml.as("sitemap_xml"))
+          .as[(String, String)]
+          .map { case (h, x) => (h, graft.sources.SitemapXml.parse(x)) }
+          .toDF("host", "entries")
+          .select(col("host"), explode(col("entries")).as("e"))
+          .select(
+            col("host"), col("e.loc").as("url"), col("e.lastmod").as("lastmod"),
+            col("e.priority").as("priority"), col("e.changefreq").as("changefreq"))
+        val fr = frontierCandidates(s, d, 10).select("host", "url", "n_refs")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"))
+          .orderBy(coalesce(col("priority"), lit(0.5)).desc, col("url"))
+        sm.join(fr, Seq("host", "url"), "left")
+          .select(
+            col("host"), col("url"), col("lastmod"), col("priority"), col("changefreq"),
+            col("n_refs").isNotNull.as("in_frontier"), col("n_refs"))
+          .withColumn("fetch_rank", row_number().over(w))
+          .orderBy("host", "fetch_rank")
+      },
+      Some(duckLinkCte + duckFrontierCte +
+        """
+          |, hosts AS (
+          |  SELECT DISTINCT lower(source) || '.example.com' AS host FROM documents),
+          |ps AS (SELECT CAST(r.range AS INT) AS p FROM range(9) r),
+          |sm AS (
+          |  SELECT host,
+          |    'http://' || host || '/docs/' ||
+          |      CAST((strpos('0123456789abcdef', substr(md5(host), 4, 1)) - 1 + p) % 5 AS VARCHAR) ||
+          |      '/sub/page' || CAST(p AS VARCHAR) || '.html' AS url,
+          |    CASE WHEN p % 4 = 0 THEN NULL
+          |         ELSE '2024-01-0' || CAST(1 + p % 7 AS VARCHAR) END AS lastmod,
+          |    CASE WHEN p % 3 = 0 THEN NULL
+          |         ELSE CAST('0.' || CAST(5 + (p + strpos('0123456789abcdef', substr(md5(host), 5, 1)) - 1) % 5 AS VARCHAR) AS DOUBLE)
+          |         END AS priority,
+          |    CASE WHEN p % 2 = 0 THEN 'weekly' ELSE NULL END AS changefreq
+          |  FROM hosts, ps
+          |  UNION ALL
+          |  SELECT host, 'http://' || host || '/search?q=1&x=2', NULL,
+          |         CAST('0.9' AS DOUBLE), NULL
+          |  FROM hosts),
+          |fr AS (SELECT host, url, n_refs FROM r WHERE rk <= 10),
+          |j AS (
+          |  SELECT s.host, s.url, s.lastmod, s.priority, s.changefreq,
+          |    fr.n_refs IS NOT NULL AS in_frontier, fr.n_refs
+          |  FROM sm s LEFT JOIN fr ON fr.host = s.host AND fr.url = s.url)
+          |SELECT host, url, lastmod, priority, changefreq, in_frontier, n_refs,
+          |  CAST(row_number() OVER (PARTITION BY host
+          |    ORDER BY COALESCE(priority, 0.5) DESC, url) AS INT) AS fetch_rank
+          |FROM j ORDER BY host, fetch_rank""".stripMargin)
+    ),
+
     // HTML main-content extraction — boilerplate/chrome removal, the
     // gate between raw crawl HTML and EVERY text-quality operator above
     // (which all assume clean prose; nav/footer/link-farm chrome would
