@@ -290,7 +290,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     // returns the re-read) hide their events lineage from the scan walk —
     // they must be added HERE and to eventQueries by hand; their actual
     // flavor coverage comes from the per-query invariance tests below.
-    val indirect = Set("q_upsert_merge", "q_schema_drift")
+    val indirect = Set("q_upsert_merge", "q_schema_drift", "q_scd2_apply")
     val handBatch = eventQueries.filterNot(_.startsWith("q_stream_")).toSet
     assert(indirect.subsetOf(handBatch), "indirect consumers must be canary-covered too")
     assert(handBatch -- indirect == eventsOnly,

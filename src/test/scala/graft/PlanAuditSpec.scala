@@ -908,17 +908,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("q_drift_psi_approx: one dual-bin rollup bins both cut sets; no window") {
     // The exact and sketch cut arrays must come back as broadcasts and the
-    // corpus must be binned ONCE for both (the (type, bin_e, bin_a)
-    // rollup) — a second corpus aggregation would double the monitor's
-    // scan-side cost; everything downstream is K×10-bounded.
-    val p = plan("q_drift_psi_approx")
+    // corpus must be binned ONCE for both cut sets: the static plan
+    // duplicates the (type, bin_e, bin_a) rollup subtree under each of its
+    // consumers (exact/sketch byBin, totals, term join), but the subtrees
+    // are identical so AQE stage reuse collapses them — assert on the
+    // EXECUTED plan (the q_oov_rate device), where the dedup is visible.
+    val df = QueryRegistry.queries("q_drift_psi_approx")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("windowspecdefinition"), s"no window in the sketch twin:\n$p")
     assert(p.contains("BroadcastExchange"), s"cuts/median must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
-    val corpusAggs = p.linesIterator.count(l =>
-      l.contains("partial_sum") && l.contains("is_ref"))
-    assert(corpusAggs <= 1,
-      s"corpus must bin once for both cut sets (got $corpusAggs bin rollups):\n$p")
+    assert(p.linesIterator.exists(l => l.contains("ReusedExchange") || l.contains("ReusedQueryStage")),
+      s"the dual-bin rollup must compute once and be stage-reused by its consumers:\n$p")
   }
 
   test("q_rerank_learned: candidates broadcast; arms stay TakeOrdered; no cartesian") {
