@@ -1204,6 +1204,96 @@ object AnalyticQueries {
              |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
     ),
 
+    // Kolmogorov-Smirnov drift monitor — the drift family's BINNING-FREE
+    // statistic (the other test every ML-ops monitoring stack ships next
+    // to PSI: PSI needs fitted bins and smoothing; the two-sample KS
+    // statistic D = sup |F_ref − F_cur| is distribution-free and
+    // parameterless, so it catches shape changes PSI's decile grid can
+    // wash out). Same exact-median time split as the PSI pair; per type
+    // the empirical CDFs evaluate at every distinct value via ONE
+    // (type, value) partial-agg'd rollup (duplicate values combine
+    // map-side — the window never sees raw event rows) + one per-type
+    // cumulative window over the distinct-value domain; the alert is the
+    // standard α=0.05 two-sample threshold 1.358·√((n₁+n₂)/(n₁·n₂)).
+    // Determinism: cumulative counts are exact integers; each engine
+    // derives F-diffs through the same double expression tree, so the max
+    // is bit-identical — no fixed-point machinery needed (unlike PSI's
+    // term SUM, a MAX is order-free). Scale: the exact statistic costs a
+    // per-type distinct-value sort (the known exactness cost, the
+    // q_drift_psi percentile story); at 100 TB the CDFs evaluate on
+    // q_drift_psi_approx's certified sketch grid instead — a binned KS
+    // over K×10 rows.
+    Q(
+      "q_drift_ks",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+        val med = ev.agg(expr("percentile(us, 0.5)").as("med"))
+        val half = ev
+          .crossJoin(broadcast(med))
+          .withColumn("is_ref", col("us") <= col("med"))
+          .select("event_type", "value", "is_ref")
+        val counts = half
+          .groupBy("event_type", "value")
+          .agg(
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+        val totals = counts
+          .groupBy("event_type")
+          .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val diff = abs(
+          sum(col("c_ref")).over(w).cast("double") / col("n_ref").cast("double") -
+            sum(col("c_cur")).over(w).cast("double") / col("n_cur").cast("double"))
+        counts
+          .join(broadcast(totals), Seq("event_type"))
+          .withColumn("dd", diff)
+          .groupBy("event_type")
+          .agg(
+            max(col("n_ref")).as("n_ref"),
+            max(col("n_cur")).as("n_cur"),
+            max(col("dd")).as("ks_raw"))
+          .select(
+            col("event_type"),
+            col("n_ref"),
+            col("n_cur"),
+            round(col("ks_raw"), 6).as("ks"),
+            (col("ks_raw") > lit(1.358) *
+              sqrt((col("n_ref") + col("n_cur")).cast("double") /
+                (col("n_ref") * col("n_cur")).cast("double"))).as("drift_alert"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+             |med AS (SELECT quantile_cont(us, 0.5) AS med FROM ev),
+             |half AS (
+             |  SELECT event_type, value, us <= (SELECT med FROM med) AS is_ref FROM ev),
+             |counts AS (
+             |  SELECT event_type, value,
+             |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+             |  FROM half GROUP BY 1, 2),
+             |totals AS (
+             |  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             |    CAST(SUM(c_cur) AS BIGINT) AS n_cur
+             |  FROM counts GROUP BY 1),
+             |cum AS (
+             |  SELECT c.event_type, t.n_ref, t.n_cur,
+             |    abs(CAST(SUM(c.c_ref) OVER (PARTITION BY c.event_type ORDER BY c.value
+             |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t.n_ref AS DOUBLE)
+             |      - CAST(SUM(c.c_cur) OVER (PARTITION BY c.event_type ORDER BY c.value
+             |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t.n_cur AS DOUBLE)) AS dd
+             |  FROM counts c JOIN totals t USING (event_type))
+             |SELECT event_type, n_ref, n_cur, round(MAX(dd), 6) AS ks,
+             |  MAX(dd) > 1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+             |                         / CAST(n_ref * n_cur AS DOUBLE)) AS drift_alert
+             |FROM cum GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
+    ),
+
     // Watermark-tuning lateness profile — the planning artifact behind
     // every `withWatermark` delay choice in §2.4: how late do events
     // actually arrive, and what fraction would each candidate delay

@@ -221,6 +221,54 @@ object TextQueries {
       filter(rules, r => regexp_like(path, r("rx"))),
       r => struct(length(r("prefix")).as("l"), r("allow").as("allow"), r("prefix").as("prefix"))))
 
+  /** The robots fixture's host population: every frontier host (sources +
+    * the external and CDN hosts the link fixture references).
+    */
+  private[graft] def robotsFixtureHosts(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(concat(lower(col("source")), lit(".example.com")).as("host"))
+      .distinct()
+      .unionAll(Seq("ext.example.org", "cdn.example.net").toDF("host"))
+  }
+
+  /** Deterministic per-host robots.txt BODY (expects a `host` column) —
+    * shared by q_robots_parse (Allow/Disallow decisions) and
+    * q_politeness_parsed (Crawl-delay), so both parse the SAME document the
+    * way a crawler fetches robots.txt once and reads both from it. Uses the
+    * same md5-digit thresholds as q_robots_filter so the two robots queries
+    * agree on which hosts carry which rules; digit 6 drives Crawl-delay
+    * presence (absent ⇒ the consumer's default rate) and value.
+    */
+  private[graft] def robotsFixtureBody: org.apache.spark.sql.Column = {
+    def digit(i: Int) =
+      expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
+    def line(t: String) = lit(t + "\n")
+    def maybe(cond: org.apache.spark.sql.Column, t: String) =
+      when(cond, lit(t + "\n")).otherwise(lit(""))
+    concat(
+      line("# synthetic robots fixture"),
+      concat(lit("Sitemap: https://"), col("host"), lit("/sitemap.xml\n\n")),
+      line("User-agent: googlebot"), line("Disallow: /"), lit("\n"),
+      line("User-agent: graftbot-images"), line("Disallow: /"), lit("\n"),
+      line("User-agent: graftbot"),
+      line("User-agent: otherbot"),
+      when(digit(6) < 12,
+        concat(lit("Crawl-delay: "),
+          (lit(1) + pmod(digit(6), lit(5))).cast("int").cast("string"), lit("\n")))
+        .otherwise(lit("")),
+      line("Allow:"),
+      line("Disallow: /search"),
+      maybe(digit(1) < 9, "Disallow: /lib"),
+      maybe(digit(2) < 9, "Allow: /lib/p*.html$"),
+      maybe(digit(3) < 12, "Disallow: /docs/up"),
+      line("Allow: /*.js$"), lit("\n"),
+      line("User-agent: *"), line("Disallow: /"))
+  }
+
   /** Shared DuckDB restatement of [[frontierCandidates]] (the `r` CTE in
     * both frontier oracles): rollup + ledger filter + per-host rank.
     */
@@ -1621,35 +1669,9 @@ object TextQueries {
       "q_robots_parse",
       (s, d) => {
         import s.implicits._
-        def digit(i: Int) =
-          expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
         val cands = frontierCandidates(s, d, 10)
-        val hosts = documents(s, d)
-          .select(concat(lower(col("source")), lit(".example.com")).as("host"))
-          .distinct()
-          .unionAll(Seq("ext.example.org", "cdn.example.net").toDF("host"))
-        def line(t: String) = lit(t + "\n")
-        def maybe(cond: org.apache.spark.sql.Column, t: String) =
-          when(cond, lit(t + "\n")).otherwise(lit(""))
-        // Same md5-digit thresholds as q_robots_filter, so the two robots
-        // queries agree on which hosts carry which rules.
-        val body = concat(
-          line("# synthetic robots fixture"),
-          concat(lit("Sitemap: https://"), col("host"), lit("/sitemap.xml\n\n")),
-          line("User-agent: googlebot"), line("Disallow: /"), lit("\n"),
-          line("User-agent: graftbot-images"), line("Disallow: /"), lit("\n"),
-          line("User-agent: graftbot"),
-          line("User-agent: otherbot"),
-          line("Crawl-delay: 2"),
-          line("Allow:"),
-          line("Disallow: /search"),
-          maybe(digit(1) < 9, "Disallow: /lib"),
-          maybe(digit(2) < 9, "Allow: /lib/p*.html$"),
-          maybe(digit(3) < 12, "Disallow: /docs/up"),
-          line("Allow: /*.js$"), lit("\n"),
-          line("User-agent: *"), line("Disallow: /"))
-        val rules = hosts
-          .select(col("host"), body.as("robots_txt"))
+        val rules = robotsFixtureHosts(s, d)
+          .select(col("host"), robotsFixtureBody.as("robots_txt"))
           .as[(String, String)]
           .map { case (h, txt) =>
             (h, graft.sources.RobotsTxt.parsedRulesFor(txt, "graftbot"))
@@ -1699,6 +1721,68 @@ object TextQueries {
           |SELECT c.host, c.url, c.n_refs, c.rk, b.matched_rule,
           |       COALESCE(b.allow, TRUE) AS allowed
           |FROM cand c LEFT JOIN best b USING (url)
+          |ORDER BY c.host, c.rk""".stripMargin)
+    ),
+
+    // Politeness scheduling from PARSED robots.txt — the fetch-rate input
+    // made real the way q_robots_parse made the permission input real:
+    // q_frontier_politeness's per-host crawl-delay was a deterministic
+    // stand-in; here each host's delay comes out of the SAME robots.txt
+    // body the permission query parses (a crawler fetches robots.txt once
+    // and reads both from it) via RobotsTxt.crawlDelayFor — group
+    // selection included, so a delay declared in the googlebot or `*`
+    // group must NOT leak into graftbot's schedule. Hosts whose selected
+    // group declares no delay (digit-6 arm absent) fall back to the
+    // crawler's own default rate (1 s) through the SAME coalesce a
+    // hostless candidate would take — both default arms exercised. Scale
+    // shape: parse cost host-cardinality (one typed map), the delay table
+    // BROADCASTS onto the already-capped frontier, and the schedule is
+    // pure projection arithmetic — the politeness plan still costs the
+    // frontier plus a map.
+    Q(
+      "q_politeness_parsed",
+      (s, d) => {
+        import s.implicits._
+        val delays = robotsFixtureHosts(s, d)
+          .select(col("host"), robotsFixtureBody.as("robots_txt"))
+          .as[(String, String)]
+          .map { case (h, txt) =>
+            (h, graft.sources.RobotsTxt.crawlDelayFor(txt, "graftbot"))
+          }
+          .toDF("host", "declared")
+        frontierCandidates(s, d, 10)
+          .join(broadcast(delays), Seq("host"), "left")
+          .select(
+            col("host"),
+            col("url"),
+            col("rk"),
+            coalesce(col("declared"), lit(1.0)).as("delay_s"),
+            col("declared").isNotNull.as("delay_declared"),
+            ((col("rk") - 1) * coalesce(col("declared"), lit(1.0))).as("fetch_offset_s"))
+          .withColumn("wave", floor(col("fetch_offset_s") / 10.0).cast("int"))
+          .withColumn("in_first_window", col("fetch_offset_s") < 30.0)
+          .orderBy("host", "rk")
+      },
+      Some(duckLinkCte + duckFrontierCte +
+        """
+          |, hosts AS (
+          |  SELECT DISTINCT lower(source) || '.example.com' AS host FROM documents
+          |  UNION ALL SELECT 'ext.example.org'
+          |  UNION ALL SELECT 'cdn.example.net'),
+          |delays AS (
+          |  SELECT host,
+          |    CASE WHEN strpos('0123456789abcdef', substr(md5(host), 6, 1)) - 1 < 12
+          |         THEN CAST(1 + (strpos('0123456789abcdef', substr(md5(host), 6, 1)) - 1) % 5 AS DOUBLE)
+          |         ELSE NULL END AS declared
+          |  FROM hosts),
+          |c AS (SELECT host, url, rk FROM r WHERE rk <= 10)
+          |SELECT c.host, c.url, c.rk,
+          |  COALESCE(d.declared, 1.0) AS delay_s,
+          |  d.declared IS NOT NULL AS delay_declared,
+          |  (c.rk - 1) * COALESCE(d.declared, 1.0) AS fetch_offset_s,
+          |  CAST(floor((c.rk - 1) * COALESCE(d.declared, 1.0) / 10.0) AS INT) AS wave,
+          |  (c.rk - 1) * COALESCE(d.declared, 1.0) < 30.0 AS in_first_window
+          |FROM c LEFT JOIN delays d USING (host)
           |ORDER BY c.host, c.rk""".stripMargin)
     ),
 

@@ -46,8 +46,14 @@ object RobotsTxt {
   /** One Allow/Disallow rule: the raw path pattern and its verdict. */
   final case class Rule(pattern: String, allow: Boolean)
 
-  /** A rule group: the user-agent values it applies to plus its rules. */
-  final case class Group(agents: Seq[String], rules: Seq[Rule])
+  /** A rule group: the user-agent values it applies to, its rules, and its
+    * Crawl-delay if one was declared (non-standard but near-universal — the
+    * fetch-rate input q_politeness_parsed consumes).
+    */
+  final case class Group(
+      agents: Seq[String],
+      rules: Seq[Rule],
+      crawlDelay: Option[Double] = None)
 
   /** [[Rule]] plus its compiled regex — the broadcastable row shape the
     * registered query carries (prefix = raw pattern so specificity =
@@ -60,11 +66,12 @@ object RobotsTxt {
     val groups = Seq.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
+    var delay = Option.empty[Double]
     var started = false // a current group exists
     var inHeader = false // last group line was a User-agent line
     def flush(): Unit = {
-      if (started) groups += Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty; started = false
+      if (started) groups += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None; started = false
     }
     body.split("\r?\n", -1).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -82,8 +89,15 @@ object RobotsTxt {
               inHeader = false
               if (value.nonEmpty) rules :+= Rule(value, key == "allow")
             }
+          case "crawl-delay" =>
+            if (started) {
+              inHeader = false
+              // First declaration wins within a group; unparseable values
+              // are ignored (the directive is advisory and non-standard).
+              if (delay.isEmpty) delay = value.toDoubleOption
+            }
           case "sitemap" => () // non-group record: invisible to grouping
-          case _ => if (started) inHeader = false // crawl-delay etc.
+          case _ => if (started) inHeader = false // other group-scoped directives
         }
       }
     }
@@ -91,19 +105,32 @@ object RobotsTxt {
     groups.result()
   }
 
-  /** Select and merge the rule groups governing `agent` (a crawler product
-    * token): most-specific prefix match, case-insensitive, `*` fallback,
-    * empty when no group applies (= everything allowed).
+  /** The groups governing `agent`: most-specific prefix match,
+    * case-insensitive, with the `*` fallback — the shared selection behind
+    * [[rulesFor]] and [[crawlDelayFor]].
     */
-  def rulesFor(body: String, agent: String): Seq[Rule] = {
+  def selectGroups(body: String, agent: String): Seq[Group] = {
     val tok = agent.toLowerCase(Locale.ROOT)
     val groups = parseGroups(body)
     def matchLen(g: Group): Int =
       g.agents.filter(ua => ua != "*" && tok.startsWith(ua)).map(_.length).foldLeft(-1)(_ max _)
     val best = groups.map(matchLen).foldLeft(-1)(_ max _)
-    if (best >= 0) groups.filter(matchLen(_) == best).flatMap(_.rules)
-    else groups.filter(_.agents.contains("*")).flatMap(_.rules)
+    if (best >= 0) groups.filter(matchLen(_) == best)
+    else groups.filter(_.agents.contains("*"))
   }
+
+  /** Select and merge the rule groups governing `agent` (a crawler product
+    * token): most-specific prefix match, case-insensitive, `*` fallback,
+    * empty when no group applies (= everything allowed).
+    */
+  def rulesFor(body: String, agent: String): Seq[Rule] =
+    selectGroups(body, agent).flatMap(_.rules)
+
+  /** The Crawl-delay governing `agent` (first declaration among the
+    * selected groups), None when the selected groups declare none.
+    */
+  def crawlDelayFor(body: String, agent: String): Option[Double] =
+    selectGroups(body, agent).flatMap(_.crawlDelay).headOption
 
   /** Compile a robots path pattern to the equivalent Java regex under
     * find() semantics: `^` + literal chars (regex metachars escaped), `*`

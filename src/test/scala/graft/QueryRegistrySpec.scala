@@ -166,6 +166,31 @@ class QueryRegistrySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_drift_ks hand case: overlap gives D=0.5 below threshold, disjoint gives D=1 alert") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Type 'a': ref {1,2,3,4} vs cur {3,4,5,6} → sup|F_ref−F_cur| = 0.5 at
+    // v∈[2,4), under the n=4+4 critical value 1.358·√(8/16) ≈ 0.96.
+    // Type 'b': disjoint halves → D = 1.0 → alert. The median time split
+    // puts ts 1-4 in the reference half (median of us 1..8 is 4.5).
+    val rows = for {
+      (t, refVals, curVals) <- Seq(
+        ("a", Seq(1.0, 2.0, 3.0, 4.0), Seq(3.0, 4.0, 5.0, 6.0)),
+        ("b", Seq(1.0, 2.0, 3.0, 4.0), Seq(11.0, 12.0, 13.0, 14.0)))
+      (v, i) <- (refVals ++ curVals).zipWithIndex
+    } yield (i.toLong + (if (t == "a") 0L else 100L),
+      new java.sql.Timestamp(1700000000000L + (i + 1) * 1000L), i.toLong, t, v)
+    val dir = java.nio.file.Files.createTempDirectory("ks_hand").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = QueryRegistry.queries("q_drift_ks")(spark, dir).orderBy("event_type").collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getAs[Double]("ks") - 0.5) < 1e-9)
+    assert(!out(0).getAs[Boolean]("drift_alert"))
+    assert(math.abs(out(1).getAs[Double]("ks") - 1.0) < 1e-9)
+    assert(out(1).getAs[Boolean]("drift_alert"))
+  }
+
   test("pack_context shards respect the budget and are contiguous per stream") {
     // Greedy exclusive-prefix packing invariants: within every (lang,
     // source) stream, shard ids start at 0 and never decrease in doc_id

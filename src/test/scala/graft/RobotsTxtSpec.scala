@@ -73,6 +73,27 @@ class RobotsTxtSpec extends AnyFunSuite with SparkSpec {
     assert(RobotsTxt.rulesFor("User-agent: x\nDisallow: /x\n", "ybot").isEmpty)
   }
 
+  test("crawlDelayFor: group-scoped, selection-aware, first wins, junk ignored") {
+    // The fixture's graftbot group declares Crawl-delay: 2; the googlebot
+    // and * groups declare none — a delay must not leak across groups.
+    assert(RobotsTxt.crawlDelayFor(fixture, "graftbot").contains(2.0))
+    assert(RobotsTxt.crawlDelayFor(fixture, "googlebot").isEmpty)
+    assert(RobotsTxt.crawlDelayFor(fixture, "strangerbot").isEmpty)
+    val body =
+      """User-agent: a
+        |Crawl-delay: soon   # unparseable — ignored, advisory directive
+        |Disallow: /x
+        |Crawl-delay: 2.5
+        |Crawl-delay: 9
+        |User-agent: *
+        |Crawl-delay: 4
+        |""".stripMargin
+    // First PARSEABLE declaration wins within the group; fallback groups
+    // supply theirs only when selection lands on them.
+    assert(RobotsTxt.crawlDelayFor(body, "a").contains(2.5))
+    assert(RobotsTxt.crawlDelayFor(body, "b").contains(4.0))
+  }
+
   test("patternRegex: * spans segments, trailing $ anchors, metachars are literal") {
     def m(pattern: String, path: String): Boolean =
       java.util.regex.Pattern.compile(RobotsTxt.patternRegex(pattern)).matcher(path).find()
