@@ -1677,7 +1677,11 @@ object TextQueries {
             (h, graft.sources.RobotsTxt.parsedRulesFor(txt, "graftbot"))
           }
           .toDF("host", "rules")
-        val best = robotsBestMatchRx(col("rules"), col("path"))
+        // The NATIVE election kernel (one compiled loop + shared pattern
+        // cache); the HOF form robotsBestMatchRx stays the reference —
+        // RobotsTxtSpec pins all three kernels (Scala, HOF, native) to
+        // identical elections over the same grid.
+        val best = TextFunctions.robotsMatch(col("rules"), col("path"))
         cands
           .join(broadcast(rules), Seq("host"), "left")
           .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))

@@ -582,3 +582,47 @@ case class LinearTextScore(child: Expression, weights: Seq[Double], bias: Double
   }
   override protected def withNewChildInternal(newChild: Expression): LinearTextScore = copy(child = newChild)
 }
+
+/** `robots_match(rules, path)` → the best-matching robots rule for `path`
+  * over a parsed-rule array (struct<prefix, allow, rx>), or NULL when no
+  * rule matches. One tight compiled loop per row with a shared
+  * compiled-pattern cache — the HOF form (filter + regexp_like +
+  * array_max) recompiles every NON-FOLDABLE regex per candidate × per rule,
+  * which is the robots decision's real cost on a 100 TB frontier. Election
+  * semantics are spec-pinned identical to TextQueries.robotsBestMatchRx:
+  * longest raw pattern, allow wins ties, then greatest prefix.
+  */
+case class RobotsMatch(rules: Expression, path: Expression) extends BinaryExpression {
+  override def left: Expression = rules
+  override def right: Expression = path
+  override def dataType: DataType = StructType(Seq(
+    StructField("l", IntegerType, nullable = false),
+    StructField("allow", BooleanType, nullable = false),
+    StructField("prefix", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  private def okRules(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(fields), _) =>
+      fields.length == 3 &&
+        fields(0).dataType.isInstanceOf[StringType] &&
+        fields(1).dataType == BooleanType &&
+        fields(2).dataType.isInstanceOf[StringType]
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okRules(rules.dataType) && NativeExpressions.isStr(path.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"robots_match requires (ARRAY<STRUCT<STRING, BOOLEAN, STRING>>, STRING), " +
+          s"got (${rules.dataType.sql}, ${path.dataType.sql})")
+  override protected def nullSafeEval(r: Any, p: Any): Any =
+    SketchImpl.robotsBestMatch(r.asInstanceOf[ArrayData], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, p) => s"""
+      ${ev.value} = graft.functions.SketchImpl.robotsBestMatch($r, $p);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsMatch =
+    copy(rules = newLeft, path = newRight)
+}

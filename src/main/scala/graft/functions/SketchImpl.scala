@@ -924,4 +924,65 @@ object SketchImpl {
     if (!cq.isEmpty) out.append('?').append(cq)
     UTF8String.fromString(out.toString)
   }
+
+  /** Compiled-pattern cache for [[robotsBestMatch]]: distinct robots
+    * patterns are few (the same /search, /admin, ... rules repeat across
+    * hosts), so a shared map amortizes the per-row regex compile the HOF
+    * form pays (Catalyst's RLike recompiles a NON-FOLDABLE pattern on every
+    * invocation — per candidate × per rule on the robots decision path).
+    * Defensively bounded: an adversarial pattern population clears the map
+    * rather than growing it without bound (recompiles, never breaks).
+    */
+  private val robotsPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  private def robotsPattern(rx: String): java.util.regex.Pattern = {
+    if (robotsPatterns.size() > 8192) robotsPatterns.clear()
+    robotsPatterns.computeIfAbsent(rx, (k: String) => java.util.regex.Pattern.compile(k))
+  }
+
+  /** The robots longest-match election over a parsed-rule array — one tight
+    * loop replacing filter+transform+array_max over regexp_like (the
+    * TextQueries.robotsBestMatchRx HOF form, spec-pinned element-identical):
+    * `rules` is array<struct<prefix string, allow boolean, rx string>>,
+    * result is struct<l int, allow boolean, prefix string> of the best
+    * matching rule — longest raw pattern wins, allow wins a same-length
+    * tie, then lexicographically-greatest prefix (the array_max struct
+    * order) — or null when nothing matches.
+    */
+  def robotsBestMatch(
+      rules: ArrayData,
+      path: UTF8String
+  ): org.apache.spark.sql.catalyst.InternalRow = {
+    val p = path.toString
+    var bestL = -1
+    var bestAllow = false
+    var bestPrefix: UTF8String = null
+    var i = 0
+    val n = rules.numElements()
+    while (i < n) {
+      if (!rules.isNullAt(i)) {
+        val r = rules.getStruct(i, 3)
+        val rx = r.getUTF8String(2).toString
+        if (robotsPattern(rx).matcher(p).find()) {
+          val prefix = r.getUTF8String(0)
+          val l = prefix.numChars()
+          val allow = r.getBoolean(1)
+          val better =
+            l > bestL ||
+              (l == bestL && ((allow && !bestAllow) ||
+                (allow == bestAllow && (bestPrefix == null || prefix.compareTo(bestPrefix) > 0))))
+          if (better) {
+            bestL = l
+            bestAllow = allow
+            bestPrefix = prefix.clone()
+          }
+        }
+      }
+      i += 1
+    }
+    if (bestL < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestL, bestAllow, bestPrefix))
+  }
 }

@@ -122,6 +122,16 @@ object TextFunctions {
     */
   def deflateRatio(text: Column): Column = toCol(DeflateRatio(toExpr(text)))
 
+  /** Native robots longest-match election over a parsed-rule array
+    * (struct<prefix, allow, rx>): the best matching rule as
+    * struct<l, allow, prefix>, NULL when nothing matches. One compiled loop
+    * with a shared pattern cache — spec-pinned element-identical to the
+    * HOF form (TextQueries.robotsBestMatchRx), which recompiles every
+    * non-foldable regex per row.
+    */
+  def robotsMatch(rules: Column, path: Column): Column =
+    toCol(RobotsMatch(toExpr(rules), toExpr(path)))
+
   /** σ(bias + Σ_tokens weights[bucket(token)]) — the serving pass of the
     * hashing-trick logistic classifier (native [[LinearTextScore]]
     * expression, one fused pass per row). Train with

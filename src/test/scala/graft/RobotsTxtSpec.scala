@@ -141,12 +141,18 @@ class RobotsTxtSpec extends AnyFunSuite with SparkSpec {
     val rulesCol = array(parsed.map(p =>
       struct(lit(p.prefix).as("prefix"), lit(p.allow).as("allow"), lit(p.rx).as("rx"))): _*)
     paths.foreach { path =>
-      val row = spark.range(1)
-        .select(TextQueries.robotsBestMatchRx(rulesCol, lit(path)).as("best"))
-        .select(col("best.allow"), col("best.prefix"))
-        .head()
-      val got = if (row.isNullAt(0)) None else Some(Rule(row.getString(1), row.getBoolean(0)))
-      assert(got == RobotsTxt.bestMatch(rs, path), s"kernels disagree on $path")
+      // Three kernels, one election: the Scala reference, the HOF column
+      // form, and the native compiled expression the registered query runs.
+      for ((kernel, label) <- Seq(
+          (TextQueries.robotsBestMatchRx(rulesCol, lit(path)), "hof"),
+          (graft.functions.TextFunctions.robotsMatch(rulesCol, lit(path)), "native"))) {
+        val row = spark.range(1)
+          .select(kernel.as("best"))
+          .select(col("best.allow"), col("best.prefix"))
+          .head()
+        val got = if (row.isNullAt(0)) None else Some(Rule(row.getString(1), row.getBoolean(0)))
+        assert(got == RobotsTxt.bestMatch(rs, path), s"$label kernel disagrees on $path")
+      }
     }
   }
 }
