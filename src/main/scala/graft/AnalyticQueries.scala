@@ -1416,6 +1416,73 @@ object AnalyticQueries {
              |  ())""".stripMargin)
     ),
 
+    // Nearest-station assignment — the GEOSPATIAL enrichment the reference's
+    // domain is built on (USCRN stations carry longitude/latitude —
+    // uscrn_scrape.py:39 — and every sensor pipeline's first join is
+    // "which station does this point belong to"): each customer point maps
+    // to its nearest weather station. Coordinates are synthesized
+    // deterministically from keys (the corpus has no geo columns — the
+    // md5-digit device, arithmetic both engines state identically): 25
+    // stations across an Alaska-like box from nation, customer points from
+    // c_custkey. The nearest decision runs in EQUIRECTANGULAR degree space
+    // (dlat² + (cos 60°·dlon)² with the latitude scale as the exact
+    // constant 0.5) — pure ±/× arithmetic, bit-identical cross-engine,
+    // where haversine's sin/cos would differ in the low bits between the
+    // JVM and DuckDB's libm and flip boundary assignments; at reporting
+    // time a deployment swaps in haversine AFTER the assignment. Scale
+    // shape: the station table is a DIMENSION (broadcast, like every
+    // station registry — 25 here, ~10⁴ for all of NOAA); the argmin is ONE
+    // partial-agg'd min(struct) per point (the q_argmin_join device — no
+    // window, no per-point sort); beyond ~10⁵ stations the broadcast
+    // cross-candidate step becomes a geohash-CELL candidate join (point
+    // cell × 3×3 neighbor station cells) — the documented seam.
+    Q(
+      "q_nearest_station",
+      (s, d) => {
+        val st = nation(s, d).select(
+          col("n_nationkey").cast("long").as("station_id"),
+          (lit(55.0) + (col("n_nationkey") * 7 % 130).cast("double") / 10.0).as("s_lat"),
+          (lit(-130.0) - (col("n_nationkey") * 11 % 350).cast("double") / 10.0).as("s_lon"))
+        val pts = customer(s, d).select(
+          col("c_custkey"),
+          (lit(55.0) + (col("c_custkey") * 13 % 1300).cast("double") / 100.0).as("lat"),
+          (lit(-130.0) - (col("c_custkey") * 17 % 3500).cast("double") / 100.0).as("lon"))
+        val dlat = col("lat") - col("s_lat")
+        val dlon = (col("lon") - col("s_lon")) * lit(0.5)
+        val d2 = dlat * dlat + dlon * dlon
+        pts
+          .crossJoin(broadcast(st))
+          .groupBy(col("c_custkey"), col("lat"), col("lon"))
+          .agg(min(struct(d2.as("d2"), col("station_id").as("station_id"))).as("m"))
+          .select(
+            col("c_custkey"), col("lat"), col("lon"),
+            col("m.station_id").as("station_id"),
+            round(sqrt(col("m.d2")), 6).as("dist_deg"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH st AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS station_id,
+             |    55.0 + CAST(n_nationkey * 7 % 130 AS DOUBLE) / 10.0 AS s_lat,
+             |    -130.0 - CAST(n_nationkey * 11 % 350 AS DOUBLE) / 10.0 AS s_lon
+             |  FROM nation),
+             |p AS (
+             |  SELECT c_custkey,
+             |    55.0 + CAST(c_custkey * 13 % 1300 AS DOUBLE) / 100.0 AS lat,
+             |    -130.0 - CAST(c_custkey * 17 % 3500 AS DOUBLE) / 100.0 AS lon
+             |  FROM customer),
+             |d AS (
+             |  SELECT p.c_custkey, p.lat, p.lon, st.station_id,
+             |    (p.lat - st.s_lat) * (p.lat - st.s_lat)
+             |      + ((p.lon - st.s_lon) * 0.5) * ((p.lon - st.s_lon) * 0.5) AS d2
+             |  FROM p, st),
+             |r AS (
+             |  SELECT c_custkey, lat, lon, station_id, d2,
+             |    row_number() OVER (PARTITION BY c_custkey ORDER BY d2, station_id) AS rk
+             |  FROM d)
+             |SELECT c_custkey, lat, lon, station_id, round(sqrt(d2), 6) AS dist_deg
+             |FROM r WHERE rk = 1 ORDER BY c_custkey""".stripMargin)
+    ),
+
     // Correlation / least-squares regression per group — the statistical
     // profiling layer (does discount move with quantity?). Built-in
     // corr()/regr_slope() aggregate doubles in shuffle-arrival order, so

@@ -39,7 +39,8 @@ object ScaleGrowth {
     }
 
   /** Every table writeCorpus knows how to grow (or copy). */
-  val allTables: Set[String] = Set("documents", "lineitem", "events", "nation", "embeddings")
+  val allTables: Set[String] =
+    Set("documents", "lineitem", "events", "nation", "embeddings", "customer")
 
   /** Write a ×k growth corpus under `dst` for the requested `tables` only
     * (r14 review: growing every table on every run charged each
@@ -136,6 +137,23 @@ object ScaleGrowth {
       org.apache.commons.io.FileUtils.deleteQuietly(target)
       org.apache.commons.io.FileUtils.moveFile(part, target)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    // Customer growth (round 15, for the geo/privacy operators): k copies
+    // with shifted c_custkey only — the point/population domain grows
+    // linearly while the (nation, segment, acctbal) distribution stays
+    // verbatim, so anonymity classes deepen ×k (the release-at-scale
+    // regime) and synthesized per-key coordinates decorrelate across
+    // copies (they are key arithmetic).
+    if (tables("customer") && new java.io.File(s"$src/customer.parquet").exists()) {
+      val c = spark.read.parquet(s"$src/customer.parquet")
+      val id = c.agg(max(col("c_custkey"))).head()
+      if (id.isNullAt(0))
+        throw new IllegalStateException(s"$src/customer.parquet is empty — cannot grow customer")
+      val cOff = math.max(10000000L, id.getLong(0) + 1L)
+      (0 until k)
+        .map(i => c.withColumn("c_custkey", col("c_custkey") + lit(i * cOff)))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(s"$dst/customer.parquet")
     }
     // Dimensions stay fixed-size at any scale — copy nation verbatim for
     // the enrichment queries' broadcast side.
