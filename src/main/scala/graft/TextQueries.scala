@@ -221,6 +221,55 @@ object TextQueries {
       filter(rules, r => regexp_like(path, r("rx"))),
       r => struct(length(r("prefix")).as("l"), r("allow").as("allow"), r("prefix").as("prefix"))))
 
+  /** The parsed sitemap ENTRY TABLE (host, url, lastmod, priority,
+    * changefreq) — deterministic per-host sitemaps.org bodies through the
+    * real JDK DOM parser (sources.SitemapXml), shared by q_sitemap_ingest
+    * (discovery vs the frontier) and q_recrawl_schedule (lastmod vs the
+    * crawl ledger) the way frontierCandidates backs the frontier family.
+    * Parse cost is host-cardinality: one typed map over the source hosts.
+    */
+  private[graft] def sitemapEntries(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    def digit(i: Int) =
+      expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
+    val hosts = documents(s, d)
+      .select(concat(lower(col("source")), lit(".example.com")).as("host"))
+      .distinct()
+    val entryXml: Seq[org.apache.spark.sql.Column] = (0 to 8).map { p =>
+      val seg = pmod(digit(4) + lit(p), lit(5)).cast("int").cast("string")
+      val prioDigit = (lit(5) + pmod(lit(p) + digit(5), lit(5))).cast("int").cast("string")
+      concat(
+        lit("  <url>\n    <loc>http://"), col("host"),
+        lit("/docs/"), seg, lit(s"/sub/page$p.html</loc>\n"),
+        if (p % 4 == 0) lit("") else lit(s"    <lastmod>2024-01-0${1 + p % 7}</lastmod>\n"),
+        if (p % 3 == 0) lit("")
+        else concat(lit("    <priority>0."), prioDigit, lit("</priority>\n")),
+        if (p % 2 == 0) lit("    <changefreq>weekly</changefreq>\n") else lit(""),
+        lit("  </url>\n"))
+    }
+    val xml = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<!-- synthetic sitemap fixture -->\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n") +:
+        entryXml :+
+        concat(
+          lit("  <url>\n    <loc>http://"), col("host"),
+          lit("/search?q=1&amp;x=2</loc>\n    <priority>0.9</priority>\n  </url>\n" +
+            "</urlset>\n")): _*)
+    hosts
+      .select(col("host"), xml.as("sitemap_xml"))
+      .as[(String, String)]
+      .map { case (h, x) => (h, graft.sources.SitemapXml.parse(x)) }
+      .toDF("host", "entries")
+      .select(col("host"), explode(col("entries")).as("e"))
+      .select(
+        col("host"), col("e.loc").as("url"), col("e.lastmod").as("lastmod"),
+        col("e.priority").as("priority"), col("e.changefreq").as("changefreq"))
+  }
+
   /** The robots fixture's host population: every frontier host (sources +
     * the external and CDN hosts the link fixture references).
     */
@@ -1814,42 +1863,7 @@ object TextQueries {
     Q(
       "q_sitemap_ingest",
       (s, d) => {
-        import s.implicits._
-        def digit(i: Int) =
-          expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
-        val hosts = documents(s, d)
-          .select(concat(lower(col("source")), lit(".example.com")).as("host"))
-          .distinct()
-        val entryXml: Seq[org.apache.spark.sql.Column] = (0 to 8).map { p =>
-          val seg = pmod(digit(4) + lit(p), lit(5)).cast("int").cast("string")
-          val prioDigit = (lit(5) + pmod(lit(p) + digit(5), lit(5))).cast("int").cast("string")
-          concat(
-            lit("  <url>\n    <loc>http://"), col("host"),
-            lit("/docs/"), seg, lit(s"/sub/page$p.html</loc>\n"),
-            if (p % 4 == 0) lit("") else lit(s"    <lastmod>2024-01-0${1 + p % 7}</lastmod>\n"),
-            if (p % 3 == 0) lit("")
-            else concat(lit("    <priority>0."), prioDigit, lit("</priority>\n")),
-            if (p % 2 == 0) lit("    <changefreq>weekly</changefreq>\n") else lit(""),
-            lit("  </url>\n"))
-        }
-        val xml = concat(
-          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
-            "<!-- synthetic sitemap fixture -->\n" +
-            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n") +:
-            entryXml :+
-            concat(
-              lit("  <url>\n    <loc>http://"), col("host"),
-              lit("/search?q=1&amp;x=2</loc>\n    <priority>0.9</priority>\n  </url>\n" +
-                "</urlset>\n")): _*)
-        val sm = hosts
-          .select(col("host"), xml.as("sitemap_xml"))
-          .as[(String, String)]
-          .map { case (h, x) => (h, graft.sources.SitemapXml.parse(x)) }
-          .toDF("host", "entries")
-          .select(col("host"), explode(col("entries")).as("e"))
-          .select(
-            col("host"), col("e.loc").as("url"), col("e.lastmod").as("lastmod"),
-            col("e.priority").as("priority"), col("e.changefreq").as("changefreq"))
+        val sm = sitemapEntries(s, d)
         val fr = frontierCandidates(s, d, 10).select("host", "url", "n_refs")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("host"))
@@ -1891,6 +1905,72 @@ object TextQueries {
           |  CAST(row_number() OVER (PARTITION BY host
           |    ORDER BY COALESCE(priority, 0.5) DESC, url) AS INT) AS fetch_rank
           |FROM j ORDER BY host, fetch_rank""".stripMargin)
+    ),
+
+    // Incremental recrawl scheduling — what the sitemap's <lastmod> is FOR
+    // (q_sitemap_ingest discovers; this decides WHEN to come back): each
+    // advertised URL checks against the crawl ledger — the SAME
+    // deterministic md5-prefix membership the frontier uses as its
+    // crawled-set, so discovery and recrawl share one ledger story — and
+    // classifies: never fetched ⇒ `new` (fetch), fetched and the sitemap
+    // advertises a LATER lastmod ⇒ `stale` (refetch), advertised lastmod
+    // not newer ⇒ `fresh` (skip), no lastmod advertised ⇒ `no_lastmod`
+    // (skip — no staleness evidence; a TTL/changefreq policy would slot
+    // here). ISO dates compare as strings — identical on both engines, no
+    // timestamp parsing in the decision. Scale shape: the sitemap side is
+    // host-bounded (one parse map); the ledger probe is row-local md5
+    // arithmetic here and a (url)-keyed anti/left join against the fetch
+    // log in deployment — either way the schedule is one map over the
+    // advertised set, never a crawl-corpus scan.
+    Q(
+      "q_recrawl_schedule",
+      (s, d) => {
+        val sm = sitemapEntries(s, d).select("host", "url", "lastmod")
+        val fetched = substring(md5(col("url")), 1, 1).isin("0", "1", "2")
+        val fetchedAt = concat(
+          lit("2024-01-0"),
+          (lit(1) + pmod(
+            expr("locate(substring(md5(url), 2, 1), '0123456789abcdef') - 1"),
+            lit(7))).cast("string"))
+        sm.withColumn("fetched_at", when(fetched, fetchedAt))
+          .select(
+            col("host"), col("url"), col("lastmod"), col("fetched_at"),
+            when(col("fetched_at").isNull, lit("new"))
+              .when(col("lastmod").isNull, lit("no_lastmod"))
+              .when(col("lastmod") > col("fetched_at"), lit("stale"))
+              .otherwise(lit("fresh")).as("reason"))
+          .withColumn("needs_fetch", col("reason").isin("new", "stale"))
+          .orderBy("host", "url")
+      },
+      Some("""WITH hosts AS (
+             |  SELECT DISTINCT lower(source) || '.example.com' AS host FROM documents),
+             |ps AS (SELECT CAST(r.range AS INT) AS p FROM range(9) r),
+             |sm AS (
+             |  SELECT host,
+             |    'http://' || host || '/docs/' ||
+             |      CAST((strpos('0123456789abcdef', substr(md5(host), 4, 1)) - 1 + p) % 5 AS VARCHAR) ||
+             |      '/sub/page' || CAST(p AS VARCHAR) || '.html' AS url,
+             |    CASE WHEN p % 4 = 0 THEN NULL
+             |         ELSE '2024-01-0' || CAST(1 + p % 7 AS VARCHAR) END AS lastmod
+             |  FROM hosts, ps
+             |  UNION ALL
+             |  SELECT host, 'http://' || host || '/search?q=1&x=2', NULL FROM hosts),
+             |led AS (
+             |  SELECT host, url, lastmod,
+             |    CASE WHEN substr(md5(url), 1, 1) IN ('0', '1', '2')
+             |         THEN '2024-01-0' || CAST(1 + (strpos('0123456789abcdef', substr(md5(url), 2, 1)) - 1) % 7 AS VARCHAR)
+             |         ELSE NULL END AS fetched_at
+             |  FROM sm),
+             |cls AS (
+             |  SELECT host, url, lastmod, fetched_at,
+             |    CASE WHEN fetched_at IS NULL THEN 'new'
+             |         WHEN lastmod IS NULL THEN 'no_lastmod'
+             |         WHEN lastmod > fetched_at THEN 'stale'
+             |         ELSE 'fresh' END AS reason
+             |  FROM led)
+             |SELECT host, url, lastmod, fetched_at, reason,
+             |  reason IN ('new', 'stale') AS needs_fetch
+             |FROM cls ORDER BY host, url""".stripMargin)
     ),
 
     // HTML main-content extraction — boilerplate/chrome removal, the
