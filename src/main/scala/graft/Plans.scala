@@ -140,7 +140,16 @@ object Plans {
     // post-merge read-back, so its shape lives in its spec instead).
     "q_robots_parse",
     "q_drift_psi_approx",
-    "q_rerank_learned"
+    "q_rerank_learned",
+    // Round 15 closing wave: the parsed-delay politeness schedule, the
+    // binning-free KS monitor (one rollup + per-type cumulative window),
+    // the broadcast-dimension geo argmin, the one-rollup anonymity audit,
+    // and the row-local recrawl decision over the shared sitemap parse.
+    "q_politeness_parsed",
+    "q_drift_ks",
+    "q_nearest_station",
+    "q_anonymity_audit",
+    "q_recrawl_schedule"
   )
 
   def main(args: Array[String]): Unit = {

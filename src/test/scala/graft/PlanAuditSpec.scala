@@ -933,6 +933,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
   }
 
+  test("q_politeness_parsed: parsed delays broadcast; schedule adds no window over the frontier's") {
+    // Crawl-delays come off the host-cardinality parse and must BROADCAST
+    // onto the capped frontier; the schedule is projection arithmetic —
+    // only the frontier's own per-host rank window may appear.
+    val p = plan("q_politeness_parsed")
+    assert(p.contains("BroadcastHashJoin"), s"delay table must broadcast:\n$p")
+    val frontierWindows = plan("q_url_frontier").linesIterator.count(_.contains("windowspecdefinition"))
+    val politeWindows = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(politeWindows <= frontierWindows,
+      s"politeness added a window beyond the frontier's ($politeWindows > $frontierWindows):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_nearest_station: station dimension broadcasts; argmin is a partial-agg'd min(struct)") {
+    // The 25-row station table must reach the points as a BROADCAST
+    // (nested-loop over a bounded dimension is the honest plan; a shuffled
+    // cartesian is not), and the nearest election must combine map-side —
+    // no per-point window/sort.
+    val p = plan("q_nearest_station")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"station dimension must broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"argmin must not window:\n$p")
+    assert(p.contains("partial_min"), s"nearest election must partial-agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled cartesian:\n$p")
+  }
+
+  test("q_anonymity_audit: one partial-agg'd rollup over the quasi tuple, no join/window") {
+    val p = plan("q_anonymity_audit")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"the audit is one rollup:\n$p")
+    assert(p.contains("partial_count"), s"class sizes must partial-agg:\n$p")
+  }
+
+  test("q_recrawl_schedule: row-local ledger decision — no join/window beyond the parse") {
+    // The classification is md5 arithmetic per advertised URL; the only
+    // non-map work is the host-bounded sitemap parse and the presentation
+    // sort.
+    val p = plan("q_recrawl_schedule")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"recrawl decision must stay row-local:\n$p")
+    assert(p.contains("MapElements") || p.contains("SerializeFromObject"),
+      s"the real sitemap parser must run as the host-table typed map:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final
