@@ -155,4 +155,21 @@ class RobotsTxtSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("the parsed-robots plan compiles end to end (no interpreted fallback)") {
+    // RobotsMatch's nullable-struct doGenCode is the round's one hand-rolled
+    // codegen template — prove the WHOLE q_robots_parse plan compiles (the
+    // UrlKernelParitySpec device: a doGenCode defect would silently drop the
+    // stage to interpreted eval and pass every value test at 100× the cost).
+    // Save/restore the session conf (shared SparkSpec session).
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for (q <- Seq("q_robots_parse", "q_politeness_parsed"))
+        assert(QueryRegistry.queries(q)(spark, sfDir).collect().nonEmpty, s"$q returned no rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
