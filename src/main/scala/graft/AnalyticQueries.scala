@@ -1294,6 +1294,126 @@ object AnalyticQueries {
              |FROM cum GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
     ),
 
+    // The KS monitor's 100 TB form (q_drift_ks's registered sketch twin —
+    // the family convention q_drift_psi_approx set): the empirical CDFs
+    // evaluate on the certified approx_percentile decile grid instead of
+    // every distinct value, so the statistic needs no per-type value sort
+    // — exactly how an online monitor computes KS over binned state. The
+    // binned sup evaluates on a SUBSET of the exact statistic's evaluation
+    // points, so binned ≤ exact is a THEOREM, not a tolerance — the first
+    // band flag states it; the second bounds the coarsening gap (≤ 0.05 —
+    // wide bins can only hide fine-grained divergence, and on the decile
+    // grid of the reference half each bin holds ~10% of ref mass). Exact
+    // columns (n_ref / n_cur / ks / drift_alert — identical machinery to
+    // q_drift_ks) stay cross-engine hash-checked; the sketch claims ride
+    // the flags. ONE (type, value-bin) rollup serves the binned CDFs;
+    // the exact arm pays its documented distinct-value window and drops
+    // away at scale — this report certifies that swap.
+    Q(
+      "q_drift_ks_approx",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+        val med = ev.agg(expr("percentile(us, 0.5)").as("med"))
+        val half = ev
+          .crossJoin(broadcast(med))
+          .withColumn("is_ref", col("us") <= col("med"))
+          .select("event_type", "value", "is_ref")
+        // Exact arm (q_drift_ks verbatim): distinct-value CDF diffs.
+        val counts = half
+          .groupBy("event_type", "value")
+          .agg(
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+        val totals = counts
+          .groupBy("event_type")
+          .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val diff = abs(
+          sum(col("c_ref")).over(w).cast("double") / col("n_ref").cast("double") -
+            sum(col("c_cur")).over(w).cast("double") / col("n_cur").cast("double"))
+        val exact = counts
+          .join(broadcast(totals), Seq("event_type"))
+          .withColumn("dd", diff)
+          .groupBy("event_type")
+          .agg(
+            max(col("n_ref")).as("n_ref"),
+            max(col("n_cur")).as("n_cur"),
+            max(col("dd")).as("ks_raw"))
+        // Sketch arm: CDFs at the certified decile-grid boundaries.
+        val cuts = half
+          .filter(col("is_ref"))
+          .groupBy("event_type")
+          .agg(transform(
+            expr("approx_percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)"),
+            c => round(c, 6)).as("cuts"))
+        val binned = half
+          .join(broadcast(cuts), Seq("event_type"))
+          .withColumn("bin", size(filter(col("cuts"), c => c <= col("value"))))
+          .groupBy("event_type", "bin")
+          .agg(
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("b_ref"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b_cur"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val bdiff = abs(
+          sum(col("b_ref")).over(wb).cast("double") / col("n_ref").cast("double") -
+            sum(col("b_cur")).over(wb).cast("double") / col("n_cur").cast("double"))
+        val sketch = binned
+          .join(broadcast(totals), Seq("event_type"))
+          .withColumn("bd", bdiff)
+          .groupBy("event_type")
+          .agg(max(col("bd")).as("ks_binned"))
+        exact
+          .join(sketch, Seq("event_type"))
+          .select(
+            col("event_type"),
+            col("n_ref"),
+            col("n_cur"),
+            round(col("ks_raw"), 6).as("ks"),
+            (col("ks_raw") > lit(1.358) *
+              sqrt((col("n_ref") + col("n_cur")).cast("double") /
+                (col("n_ref") * col("n_cur")).cast("double"))).as("drift_alert"),
+            (col("ks_binned") <= col("ks_raw") + lit(1e-12)).as("binned_le_exact"),
+            (col("ks_raw") - col("ks_binned") <= lit(0.05)).as("gap_in_band"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+             |med AS (SELECT quantile_cont(us, 0.5) AS med FROM ev),
+             |half AS (
+             |  SELECT event_type, value, us <= (SELECT med FROM med) AS is_ref FROM ev),
+             |counts AS (
+             |  SELECT event_type, value,
+             |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+             |  FROM half GROUP BY 1, 2),
+             |totals AS (
+             |  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             |    CAST(SUM(c_cur) AS BIGINT) AS n_cur
+             |  FROM counts GROUP BY 1),
+             |cum AS (
+             |  SELECT c.event_type, t.n_ref, t.n_cur,
+             |    abs(CAST(SUM(c.c_ref) OVER (PARTITION BY c.event_type ORDER BY c.value
+             |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t.n_ref AS DOUBLE)
+             |      - CAST(SUM(c.c_cur) OVER (PARTITION BY c.event_type ORDER BY c.value
+             |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t.n_cur AS DOUBLE)) AS dd
+             |  FROM counts c JOIN totals t USING (event_type))
+             |SELECT event_type, n_ref, n_cur, round(MAX(dd), 6) AS ks,
+             |  MAX(dd) > 1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+             |                         / CAST(n_ref * n_cur AS DOUBLE)) AS drift_alert,
+             |  TRUE AS binned_le_exact,
+             |  TRUE AS gap_in_band
+             |FROM cum GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
+    ),
+
     // Watermark-tuning lateness profile — the planning artifact behind
     // every `withWatermark` delay choice in §2.4: how late do events
     // actually arrive, and what fraction would each candidate delay

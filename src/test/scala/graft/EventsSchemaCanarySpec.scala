@@ -251,7 +251,8 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_column_normalize", "q_quarantine", "q_forward_fill", "q_audit_append",
     "q_schema_cast", "q_fixed_width_parse", "q_resample_interpolate",
     "q_pivot_events", "q_user_gaps", "q_sessionize_batch", "q_drift_psi",
-    "q_drift_psi_approx", "q_drift_ks", "q_drift_categorical", "q_anomaly_zscore", "q_skew_report",
+    "q_drift_psi_approx", "q_drift_ks", "q_drift_ks_approx", "q_drift_categorical",
+    "q_anomaly_zscore", "q_skew_report",
     "q_group_quantiles", "q_json_extract", "q_sliding_window_avg",
     "q_asof_join", "q_range_join", "q_profile", "q_funnel",
     "q_retention_cohorts", "q_group_quantiles_approx", "q_profile_approx",
