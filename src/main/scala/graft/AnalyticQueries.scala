@@ -1301,9 +1301,14 @@ object AnalyticQueries {
     // — exactly how an online monitor computes KS over binned state. The
     // binned sup evaluates on a SUBSET of the exact statistic's evaluation
     // points, so binned ≤ exact is a THEOREM, not a tolerance — the first
-    // band flag states it; the second bounds the coarsening gap (≤ 0.05 —
-    // wide bins can only hide fine-grained divergence, and on the decile
-    // grid of the reference half each bin holds ~10% of ref mass). Exact
+    // band flag states it; the second bounds the coarsening gap (≤ 0.05).
+    // The gap bound is EMPIRICAL to this corpus, not a theorem (r15
+    // advice): the decile grid caps per-bin REFERENCE mass at ~10%, but
+    // the binned-vs-exact gap is driven by how much CURRENT mass lands
+    // inside a reference bin, which no grid on the reference half can
+    // bound — a fixture/data change that concentrates current mass
+    // between two deciles could flip this flag without any code defect;
+    // diagnose a flip as drift in the data, not a regression. Exact
     // columns (n_ref / n_cur / ks / drift_alert — identical machinery to
     // q_drift_ks) stay cross-engine hash-checked; the sketch claims ride
     // the flags. ONE (type, value-bin) rollup serves the binned CDFs;

@@ -214,8 +214,13 @@ object ScaleGrowth {
     // non-empty but INCOMPLETE inputFiles set, so tablesOf under-copies and
     // the first measurement throws on the missing file. Rather than
     // hand-listing non-pure-lineage queries (a list that rots), catch the
-    // failure once, rebuild that growth dir with ALL tables (over-copying
-    // is always correct), and retry — the retry's timing is the one kept.
+    // failure once, rebuild that growth dir with ALL growable tables PLUS a
+    // verbatim copy of every remaining source parquet (r15 advice: allTables
+    // omits orders/part/region/supplier, so a growth target reading those
+    // would otherwise fail the retry with the same missing-file error —
+    // copying them unscaled keeps the retry universally correct; the
+    // measured growth axis is still the grown tables), and retry — the
+    // retry's timing is the one kept.
     def once(name: String, dir: String, k: Int): Double = {
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -231,6 +236,12 @@ object ScaleGrowth {
             s"[ScaleGrowth] $name failed on $dir (${e.getClass.getSimpleName}: ${e.getMessage}); " +
               "rebuilding growth corpus with ALL tables and retrying once")
           writeCorpus(spark, src, dir, k, allTables)
+          val srcDir = new java.io.File(src)
+          Option(srcDir.list()).toSeq.flatten
+            .filter(f => f.endsWith(".parquet") && !allTables(f.stripSuffix(".parquet")))
+            .foreach { f =>
+              spark.read.parquet(s"$src/$f").write.mode("overwrite").parquet(s"$dir/$f")
+            }
           run()
       }
     }

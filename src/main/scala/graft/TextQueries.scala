@@ -1709,9 +1709,10 @@ object TextQueries {
     // (one typed map over the host table — in deployment the fetched
     // robots.txt bodies land in exactly such a host-keyed table), rules
     // ride as a row-local array into a BROADCAST join, and the match is
-    // row-local regexp_like + array_max over ≤6 rules — no explode, no
-    // second shuffle; at true frontier scale the per-row regex compile
-    // amortizes via a pattern-cache Expression, the one seam left. The
+    // row-local + array_max over ≤6 rules — no explode, no second
+    // shuffle; the per-row regex compile amortizes through the
+    // pattern-cache native kernel (TextFunctions.robotsMatch, the
+    // election below), so the hot path is one cached-Pattern loop. The
     // oracle restates the post-parse rule table and its regexes literally
     // (ground truth stated directly — it never re-runs the parser).
     Q(

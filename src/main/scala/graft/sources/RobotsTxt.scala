@@ -165,7 +165,32 @@ object RobotsTxt {
     */
   def bestMatch(rules: Seq[Rule], path: String): Option[Rule] = {
     val m = rules.filter(matches(_, path))
-    if (m.isEmpty) None else Some(m.maxBy(r => (r.pattern.length, r.allow, r.pattern)))
+    // Specificity and tiebreak measured the way the native kernel measures
+    // them (r15 advice — the two kernels must agree beyond ASCII): length
+    // in CODE POINTS (UTF8String.numChars counts code points, while
+    // String.length counts UTF-16 units — a supplementary-plane character
+    // is 1 vs 2) and the final tiebreak in code-point order (UTF-8 byte
+    // order == code-point order, while String.compareTo's UTF-16-unit
+    // order sorts surrogate pairs below U+E000..U+FFFF).
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+    def cpCompare(a: String, b: String): Int = {
+      val (ia, ib) = (a.codePoints().iterator(), b.codePoints().iterator())
+      while (ia.hasNext && ib.hasNext) {
+        val c = Integer.compare(ia.nextInt(), ib.nextInt())
+        if (c != 0) return c
+      }
+      java.lang.Boolean.compare(ia.hasNext, ib.hasNext)
+    }
+    if (m.isEmpty) None
+    else Some(m.reduceLeft { (a, b) =>
+      val c = Integer.compare(cpLen(a.pattern), cpLen(b.pattern))
+      val better =
+        c < 0 || (c == 0 && (java.lang.Boolean.compare(a.allow, b.allow) match {
+          case 0 => cpCompare(a.pattern, b.pattern) < 0
+          case x => x < 0
+        }))
+      if (better) b else a
+    })
   }
 
   /** The fetch verdict: the best-matching rule's polarity, allowed when no

@@ -48,8 +48,12 @@ object SitemapXml {
         if (ns.getLength == 0) None
         else Option(ns.item(0).getTextContent).map(_.trim).filter(_.nonEmpty)
       }
+      // A malformed <priority> degrades to None like an absent element
+      // (r15 advice): this is untrusted crawl input, and one site's typo
+      // must not kill the whole ingest map — the consumer's 0.5 default
+      // applies, same as if the hint were missing.
       child("loc").map(loc =>
-        Entry(loc, child("lastmod"), child("priority").map(_.toDouble), child("changefreq")))
+        Entry(loc, child("lastmod"), child("priority").flatMap(_.toDoubleOption), child("changefreq")))
     }
   }
 }

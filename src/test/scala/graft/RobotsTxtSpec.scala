@@ -172,4 +172,40 @@ class RobotsTxtSpec extends AnyFunSuite with SparkSpec {
       case None    => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("elections agree beyond ASCII: code-point length and code-point tiebreak") {
+    // r15 advice: the native kernel measures specificity in CODE POINTS
+    // (UTF8String.numChars) and tie-breaks in UTF-8 byte order (== code
+    // point order); the Scala twin must use the same measures, not
+    // String.length / String.compareTo (UTF-16 units, where a
+    // supplementary character counts 2 and sorts BELOW U+E000..U+FFFF).
+    // Two adversarial rule sets where the measures disagree:
+    // 1) length: "/*💡" is 3 code points (4 UTF-16 units) — it
+    //    must TIE with the 3-code-point "/ab", letting allow win, not beat
+    //    it on raw UTF-16 length.
+    val bulb = "💡" // U+1F4A1, supplementary plane
+    val lenSet = Seq(Rule(s"/*$bulb", allow = false), Rule("/ab", allow = true))
+    // 2) tiebreak: same length, same polarity — U+1F4A1 must sort ABOVE
+    //    U+F000 (code-point order), though its lead surrogate sorts below.
+    val tieSet = Seq(Rule(s"/*$bulb", allow = true), Rule("/*\uF000", allow = true))
+    val paths = Seq(s"/ab$bulb", s"/x$bulb\uF000", "/ab", "/zz")
+    for (rs <- Seq(lenSet, tieSet)) {
+      val parsed = rs.map(r =>
+        RobotsTxt.ParsedRule(r.pattern, r.allow, RobotsTxt.patternRegex(r.pattern)))
+      val rulesCol = array(parsed.map(p =>
+        struct(lit(p.prefix).as("prefix"), lit(p.allow).as("allow"), lit(p.rx).as("rx"))): _*)
+      paths.foreach { path =>
+        val row = spark.range(1)
+          .select(graft.functions.TextFunctions.robotsMatch(rulesCol, lit(path)).as("best"))
+          .select(col("best.allow"), col("best.prefix"))
+          .head()
+        val got = if (row.isNullAt(0)) None else Some(Rule(row.getString(1), row.getBoolean(0)))
+        assert(got == RobotsTxt.bestMatch(rs, path), s"kernels disagree on $path for $rs")
+      }
+    }
+    // The hand expectations themselves (not just parity): tie → allow wins;
+    // code-point tiebreak elects the bulb.
+    assert(RobotsTxt.bestMatch(lenSet, s"/ab$bulb").contains(Rule("/ab", allow = true)))
+    assert(RobotsTxt.bestMatch(tieSet, s"/x$bulb\uF000").contains(Rule(s"/*$bulb", allow = true)))
+  }
 }

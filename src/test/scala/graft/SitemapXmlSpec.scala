@@ -69,4 +69,20 @@ class SitemapXmlSpec extends AnyFunSuite {
   test("parse: malformed XML fails loudly rather than returning a partial table") {
     intercept[org.xml.sax.SAXParseException](SitemapXml.parse("<urlset><url><loc>x</loc>"))
   }
+
+  test("parse: a malformed optional <priority> degrades to None, not an ingest failure") {
+    // Untrusted crawl input: a typo'd optional HINT must degrade like an
+    // absent element (the consumer's 0.5 default applies) — only malformed
+    // XML structure fails loudly.
+    val bad =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>http://h.example.com/a.html</loc><priority>high</priority></url>
+        |  <url><loc>http://h.example.com/b.html</loc><priority>0.7</priority></url>
+        |</urlset>
+        |""".stripMargin
+    assert(SitemapXml.parse(bad) == Seq(
+      Entry("http://h.example.com/a.html", None, None, None),
+      Entry("http://h.example.com/b.html", None, Some(0.7), None)))
+  }
 }
