@@ -1252,6 +1252,49 @@ object EtlQueries {
              |  CAST(date_diff('day', gmin_d, gmax_d) + 1 - n_days AS BIGINT) AS missing_days,
              |  (epoch_us(gmax) - epoch_us(last_ts)) // 60000000 <= 30 AS fresh
              |FROM f, g ORDER BY event_type""".stripMargin)
+    ),
+
+    // Salted aggregation, registered (r15 verdict item 5 — the 2.45×
+    // skew_demo measurement lived only inside Bench.scala; this row ships
+    // the playbook as a library operator under the hash gate): a
+    // deliberately skewed derived key (80% of events collapse onto key 0 —
+    // the single-hot-key regime AQE's skew handling leaves alone, since
+    // AQE splits oversized partitions for joins, not single-key groupBy
+    // state) aggregated through EtlOps.saltedAggregate's two stages:
+    // partial count/sum per (key, salt) spread over 32 reducers, then a
+    // 32-bounded re-aggregate per key. THE POINT THE ORACLE STATES: the
+    // salting must be invisible in the result — the oracle is the plain
+    // unsalted GROUP BY, so a double-count, a lost salt bucket, or a
+    // non-decomposable partial flips the hash. Decimal accumulators both
+    // stages (the dsum discipline) keep the sum order-free, so the extra
+    // stage cannot move low bits either. Plan shape pinned in
+    // PlanAuditSpec: TWO exchanges (salted then de-salted), each with
+    // map-side partial aggregation.
+    Q(
+      "q_skew_salted",
+      (s, d) => {
+        val ev = events(s, d).select(
+          when(pmod(col("event_id"), lit(5)) < 4, 0L)
+            .otherwise(pmod(col("event_id"), lit(64))).as("key"),
+          col("event_id"),
+          col("value"))
+        graft.operators.EtlOps
+          .saltedAggregate(
+            ev,
+            keys = Seq("key"),
+            saltFactor = 32,
+            partial = Seq(
+              count(lit(1)).as("n_p"),
+              sum(col("value").cast("decimal(25,10)")).as("s_p")),
+            merge = Seq(
+              sum(col("n_p")).as("n"),
+              sum(col("s_p")).cast("decimal(25,10)").cast("double").as("total_value")))
+          .orderBy("key")
+      },
+      Some("""SELECT CASE WHEN event_id % 5 < 4 THEN 0 ELSE event_id % 64 END AS key,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1 ORDER BY key""".stripMargin)
     )
   )
 }

@@ -149,7 +149,9 @@ object Plans {
     "q_drift_ks",
     "q_nearest_station",
     "q_anonymity_audit",
-    "q_recrawl_schedule"
+    "q_recrawl_schedule",
+    // Round 16: the registered salting playbook (two-stage aggregation).
+    "q_skew_salted"
   )
 
   def main(args: Array[String]): Unit = {

@@ -310,6 +310,44 @@ object EtlOps {
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Skew-safe aggregation: the salting playbook's GROUP BY half (saltedJoin
+    * is the join half). Stage 1 groups by (keys, salt) so a hot key's rows
+    * spread over `saltFactor` reducers and combine map-side; stage 2
+    * re-aggregates the `saltFactor`-bounded partials by the true keys. Only
+    * DECOMPOSABLE aggregates fit (sum/count/min/max and anything expressible
+    * as a merge of partials — the same algebra Spark's own partial
+    * aggregation relies on); the caller states the algebra explicitly as
+    * (partial, merge) column pairs over the stage-1 aliases, so a
+    * non-decomposable use reads wrong at the call site instead of silently
+    * double-counting.
+    *
+    * Note Spark's OWN partial aggregation already absorbs most groupBy skew
+    * (map-side combine caps any reducer's input at saltFactor-free
+    * #map-partitions rows per key); salting earns its keep when the
+    * PER-GROUP state is wide (collect/distinct-ish accumulators) or the
+    * final agg feeds a same-key join that inherits the skew. The salt is
+    * `pmod(hash(whole row), saltFactor)` — deterministic, no rand(), so
+    * re-runs and retries partition identically (the saltedJoin convention).
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      partial: Seq[Column],
+      merge: Seq[Column]
+  ): DataFrame = {
+    require(partial.nonEmpty && merge.nonEmpty, "saltedAggregate needs both stages' aggregates")
+    val salted = df.withColumn(
+      "__salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+    )
+    salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
   /** Enforce a typed schema: cast listed columns, leave the rest.
     *
     * Reference: uscrn_dag.py:205 (`df.apply(pd.to_numeric, errors='ignore')`)

@@ -266,7 +266,10 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     // operator); returns a LocalRelation, so the scan walk can't see it —
     // hand-listed like q_upsert_merge. Flavor-invariant because ts types
     // are only emitted for type_changed rows and ts passes through.
-    "q_schema_drift"
+    "q_schema_drift",
+    // Round 16: the registered salting playbook (key/value only — flavor
+    // can't touch it; listed because it consumes events).
+    "q_skew_salted"
   )
 
   test("the hand list above covers EVERY registered events-consuming query (r10 advice)") {

@@ -977,6 +977,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the real sitemap parser must run as the host-table typed map:\n$p")
   }
 
+  test("q_skew_salted: two-stage salted aggregation — salt keys the first exchange only") {
+    // The whole point of saltedAggregate is the plan shape: stage 1
+    // shuffles on (key, __salt) so the hot key spreads over saltFactor
+    // reducers (with map-side partial aggregation), stage 2 re-aggregates
+    // the bounded partials on the true key. Exactly two hash exchanges
+    // (the third is the presentation sort's range exchange), the first
+    // carrying the salt, the second not.
+    val p = plan("q_skew_salted")
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+      .toSeq
+    assert(hashEx.size == 2, s"expected exactly two aggregation exchanges:\n$p")
+    // Printed top-down the stage-2 (de-salted) exchange comes first; assert
+    // membership rather than order so a formatting change can't flake it.
+    assert(hashEx.count(_.contains("__salt")) == 1,
+      s"exactly one exchange (stage 1) must key on the salt:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"both stages must partial-agg:\n$p")
+    assert(!p.contains("windowspecdefinition") && !p.contains("Join"),
+      s"salting is pure aggregation — no join/window:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final
