@@ -1608,6 +1608,101 @@ object AnalyticQueries {
              |FROM r WHERE rk = 1 ORDER BY c_custkey""".stripMargin)
     ),
 
+    // q_nearest_station's 100 TB form (the r15 verdict's missing scale
+    // twin — every other family with a documented seam carries one): the
+    // broadcast cross-candidate step becomes a CELL candidate join. 2048
+    // stations (the regime past ~10³ where a 25-row broadcast cross stops
+    // being the honest plan) are synthesized on a jittered grid in INTEGER
+    // 1/128-degree units — all coordinates and distances are exact
+    // integers, so the argmin is bit-portable with no floating-point cell
+    // arithmetic (trig stays banned per the family rule; even the / for
+    // cell ids is integer `div`). Each station registers in its 3×3
+    // neighbor cells (one 9-way explode of the DIMENSION, never of the
+    // points); points join on their single (cx, cy) cell and elect the
+    // same partial-agg'd min(struct) argmin as the broadcast form. The
+    // geometry GUARANTEES cell ≡ exact here: grid pitch 36×52 units with
+    // jitter ≤ 8 puts the true nearest station within √(26²+34²) ≈ 42.8
+    // units, every station within 52 units lands in the 3×3 neighborhood,
+    // and every non-candidate is provably > 52 away — so the candidate
+    // argmin IS the global argmin, which is exactly what the oracle
+    // states: DuckDB computes the BRUTE-FORCE argmin (and the 3×3
+    // candidate count via the same cell arithmetic), so a cell-size,
+    // neighbor-enumeration, or coverage defect strands some point's true
+    // nearest outside the candidate set and flips rows. Scale shape: the
+    // station dimension explodes ×9 and broadcasts (18k rows; at 10⁶+
+    // stations the same plan shuffles both sides on the cell key); the
+    // per-point candidate set is density-bounded (~13 here) instead of
+    // |stations| — the pruning that makes geospatial argmin linear.
+    Q(
+      "q_nearest_station_cells",
+      (s, d) => {
+        val st = s.range(2048).select(
+          col("id").as("station_id"),
+          (col("id") % 64 * 36 + col("id") * 7 % 5 * 2).as("sxu"),
+          (expr("id div 64") * 52 + col("id") * 11 % 5 * 2).as("syu"))
+        val stCells = st
+          .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(
+            col("station_id"), col("sxu"), col("syu"),
+            (expr("sxu div 52") + col("dx")).as("cx"),
+            (expr("syu div 52") + col("dy")).as("cy"))
+        val pts = customer(s, d)
+          .select(
+            col("c_custkey"),
+            (col("c_custkey") * 13 % 2268).cast("long").as("pxu"),
+            (col("c_custkey") * 17 % 1612).cast("long").as("pyu"))
+          .withColumn("cx", expr("pxu div 52"))
+          .withColumn("cy", expr("pyu div 52"))
+        val d2u = (col("pxu") - col("sxu")) * (col("pxu") - col("sxu")) +
+          (col("pyu") - col("syu")) * (col("pyu") - col("syu"))
+        pts
+          .join(broadcast(stCells), Seq("cx", "cy"))
+          .groupBy(col("c_custkey"))
+          .agg(
+            min(struct(d2u.as("d2u"), col("station_id").as("station_id"))).as("m"),
+            count(lit(1)).as("n_candidates"))
+          .select(
+            col("c_custkey"),
+            col("m.station_id").as("station_id"),
+            round(sqrt(col("m.d2u").cast("double")) * lit(0.0078125), 6).as("dist_deg"),
+            col("n_candidates"))
+          .orderBy("c_custkey")
+      },
+      // The oracle is the EXACT brute-force argmin (cell pruning must be
+      // invisible in the assignment) plus the candidate count restated
+      // through the same integer cell arithmetic.
+      Some("""WITH st AS (
+             |  SELECT r.range AS station_id,
+             |    (r.range % 64) * 36 + (r.range * 7 % 5) * 2 AS sxu,
+             |    (r.range // 64) * 52 + (r.range * 11 % 5) * 2 AS syu
+             |  FROM range(2048) r),
+             |p AS (
+             |  SELECT c_custkey,
+             |    CAST((c_custkey * 13) % 2268 AS BIGINT) AS pxu,
+             |    CAST((c_custkey * 17) % 1612 AS BIGINT) AS pyu
+             |  FROM customer),
+             |d AS (
+             |  SELECT p.c_custkey, st.station_id,
+             |    (p.pxu - st.sxu) * (p.pxu - st.sxu)
+             |      + (p.pyu - st.syu) * (p.pyu - st.syu) AS d2u,
+             |    (abs(p.pxu // 52 - st.sxu // 52) <= 1
+             |      AND abs(p.pyu // 52 - st.syu // 52) <= 1) AS cand
+             |  FROM p, st),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+             |    ORDER BY d2u, station_id) AS rk FROM d),
+             |nc AS (
+             |  SELECT c_custkey,
+             |    CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+             |  FROM d GROUP BY 1)
+             |SELECT r.c_custkey, r.station_id,
+             |  round(sqrt(CAST(r.d2u AS DOUBLE)) * 0.0078125, 6) AS dist_deg,
+             |  nc.n_candidates
+             |FROM r JOIN nc USING (c_custkey)
+             |WHERE rk = 1 ORDER BY c_custkey""".stripMargin)
+    ),
+
     // Correlation / least-squares regression per group — the statistical
     // profiling layer (does discount move with quantity?). Built-in
     // corr()/regr_slope() aggregate doubles in shuffle-arrival order, so

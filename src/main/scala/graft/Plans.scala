@@ -150,8 +150,10 @@ object Plans {
     "q_nearest_station",
     "q_anonymity_audit",
     "q_recrawl_schedule",
-    // Round 16: the registered salting playbook (two-stage aggregation).
-    "q_skew_salted"
+    // Round 16: the registered salting playbook (two-stage aggregation)
+    // and the geospatial scale twin (cell candidate join).
+    "q_skew_salted",
+    "q_nearest_station_cells"
   )
 
   def main(args: Array[String]): Unit = {

@@ -977,6 +977,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"the real sitemap parser must run as the host-table typed map:\n$p")
   }
 
+  test("q_nearest_station_cells: cell join replaces the cross — equi-join on cells, no cartesian") {
+    // The scale twin's reason to exist: the candidate step must be an
+    // EQUI-join on the (cx, cy) cell key (broadcast here; shuffled on the
+    // same key at 10⁶ stations), never a cross/nested-loop over the full
+    // station set, and the election stays the partial-agg'd min(struct).
+    val p = plan("q_nearest_station_cells")
+    assert(p.contains("BroadcastHashJoin"), s"cell candidate join must be an equi hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the cell path must not cross-join the station set:\n$p")
+    assert(p.contains("partial_min"), s"nearest election must partial-agg:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"argmin must not window:\n$p")
+  }
+
   test("q_skew_salted: two-stage salted aggregation — salt keys the first exchange only") {
     // The whole point of saltedAggregate is the plan shape: stage 1
     // shuffles on (key, __salt) so the hot key spreads over saltFactor
