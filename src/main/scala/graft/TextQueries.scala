@@ -228,28 +228,36 @@ object TextQueries {
     * crawl ledger) the way frontierCandidates backs the frontier family.
     * Parse cost is host-cardinality: one typed map over the source hosts.
     */
+  /** The deterministic `<url>` entry for index `p` on the current `host`
+    * column — the ONE entry grammar shared by the flat sitemap fixture
+    * ([[sitemapEntries]]) and the sitemapindex children (q_sitemap_index),
+    * so the two discovery paths advertise the same URL population and a
+    * generator drift between them is impossible.
+    */
+  private def sitemapEntryXml(p: Int): org.apache.spark.sql.Column = {
+    def digit(i: Int) =
+      expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
+    val seg = pmod(digit(4) + lit(p), lit(5)).cast("int").cast("string")
+    val prioDigit = (lit(5) + pmod(lit(p) + digit(5), lit(5))).cast("int").cast("string")
+    concat(
+      lit("  <url>\n    <loc>http://"), col("host"),
+      lit("/docs/"), seg, lit(s"/sub/page$p.html</loc>\n"),
+      if (p % 4 == 0) lit("") else lit(s"    <lastmod>2024-01-0${1 + p % 7}</lastmod>\n"),
+      if (p % 3 == 0) lit("")
+      else concat(lit("    <priority>0."), prioDigit, lit("</priority>\n")),
+      if (p % 2 == 0) lit("    <changefreq>weekly</changefreq>\n") else lit(""),
+      lit("  </url>\n"))
+  }
+
   private[graft] def sitemapEntries(
       s: org.apache.spark.sql.SparkSession,
       d: String
   ): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    def digit(i: Int) =
-      expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
     val hosts = documents(s, d)
       .select(concat(lower(col("source")), lit(".example.com")).as("host"))
       .distinct()
-    val entryXml: Seq[org.apache.spark.sql.Column] = (0 to 8).map { p =>
-      val seg = pmod(digit(4) + lit(p), lit(5)).cast("int").cast("string")
-      val prioDigit = (lit(5) + pmod(lit(p) + digit(5), lit(5))).cast("int").cast("string")
-      concat(
-        lit("  <url>\n    <loc>http://"), col("host"),
-        lit("/docs/"), seg, lit(s"/sub/page$p.html</loc>\n"),
-        if (p % 4 == 0) lit("") else lit(s"    <lastmod>2024-01-0${1 + p % 7}</lastmod>\n"),
-        if (p % 3 == 0) lit("")
-        else concat(lit("    <priority>0."), prioDigit, lit("</priority>\n")),
-        if (p % 2 == 0) lit("    <changefreq>weekly</changefreq>\n") else lit(""),
-        lit("  </url>\n"))
-    }
+    val entryXml: Seq[org.apache.spark.sql.Column] = (0 to 8).map(sitemapEntryXml)
     val xml = concat(
       lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
         "<!-- synthetic sitemap fixture -->\n" +
@@ -1906,6 +1914,94 @@ object TextQueries {
           |  CAST(row_number() OVER (PARTITION BY host
           |    ORDER BY COALESCE(priority, 0.5) DESC, url) AS INT) AS fetch_rank
           |FROM j ORDER BY host, fetch_rank""".stripMargin)
+    ),
+
+    // Sitemapindex fan-out (the r15 verdict's item 2 — large sites ship an
+    // INDEX on day one, and q_sitemap_ingest's flat-urlset assumption
+    // scoped it out): each host advertises a real `<sitemapindex>` body
+    // (protocol namespace, per-child `<loc>` + `<lastmod>`), the REAL
+    // parser's new index grammar (sources.SitemapXml.parseIndex — same
+    // hardened DOM builder, DOCTYPE-rejecting) extracts the child table,
+    // and each advertised child document — three per host, partitioning
+    // the SAME nine-entry population the flat fixture advertises
+    // (sitemapEntryXml is the one shared grammar, so the two discovery
+    // paths cannot drift) — goes back through SitemapXml.parse: the
+    // nested real-format discovery chain index → children → entries, with
+    // the index's lastmod hint joined onto every entry it fans out to.
+    // Scale shape: both parse maps are HOST-cardinality (3 child docs per
+    // host); entries explode row-locally; the child join is (host,
+    // sitemap)-keyed and AQE-planned. The oracle states the post-parse
+    // ground truth of BOTH levels directly (child locs/lastmods AND entry
+    // tables — it never runs a parser), so an index-grammar,
+    // namespace, or fan-out defect flips the hash.
+    Q(
+      "q_sitemap_index",
+      (s, d) => {
+        import s.implicits._
+        val hosts = documents(s, d)
+          .select(concat(lower(col("source")), lit(".example.com")).as("host"))
+          .distinct()
+        val idxXml = concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n") +:
+            (0 to 2).map { c =>
+              concat(
+                lit("  <sitemap>\n    <loc>http://"), col("host"),
+                lit(s"/sitemap-$c.xml</loc>\n    <lastmod>2024-02-0${c + 1}</lastmod>\n  </sitemap>\n"))
+            } :+ lit("</sitemapindex>\n"): _*)
+        val idx = hosts
+          .select(col("host"), idxXml.as("xml"))
+          .as[(String, String)]
+          .map { case (h, x) => (h, graft.sources.SitemapXml.parseIndex(x)) }
+          .toDF("host", "sitemaps")
+          .select(col("host"), explode(col("sitemaps")).as("sm"))
+          .select(
+            col("host"),
+            col("sm.loc").as("sitemap"),
+            col("sm.lastmod").as("sitemap_lastmod"))
+        val childBodies = (0 to 2).map { c =>
+          val body = concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n") +:
+              (0 to 8).filter(_ % 3 == c).map(sitemapEntryXml) :+
+              lit("</urlset>\n"): _*)
+          hosts.select(
+            col("host"),
+            concat(lit("http://"), col("host"), lit(s"/sitemap-$c.xml")).as("sitemap"),
+            body.as("xml"))
+        }.reduce(_ unionAll _)
+        val entries = childBodies
+          .as[(String, String, String)]
+          .map { case (h, sm, x) => (h, sm, graft.sources.SitemapXml.parse(x)) }
+          .toDF("host", "sitemap", "entries")
+          .select(col("host"), col("sitemap"), explode(col("entries")).as("e"))
+          .select(
+            col("host"), col("sitemap"),
+            col("e.loc").as("url"), col("e.lastmod").as("lastmod"),
+            col("e.priority").as("priority"), col("e.changefreq").as("changefreq"))
+        idx
+          .join(entries, Seq("host", "sitemap"))
+          .orderBy("host", "sitemap", "url")
+      },
+      Some("""WITH hosts AS (
+             |  SELECT DISTINCT lower(source) || '.example.com' AS host FROM documents),
+             |ps AS (SELECT CAST(r.range AS INT) AS p FROM range(9) r),
+             |e AS (
+             |  SELECT host,
+             |    'http://' || host || '/sitemap-' || CAST(p % 3 AS VARCHAR) || '.xml' AS sitemap,
+             |    '2024-02-0' || CAST(p % 3 + 1 AS VARCHAR) AS sitemap_lastmod,
+             |    'http://' || host || '/docs/' ||
+             |      CAST((strpos('0123456789abcdef', substr(md5(host), 4, 1)) - 1 + p) % 5 AS VARCHAR) ||
+             |      '/sub/page' || CAST(p AS VARCHAR) || '.html' AS url,
+             |    CASE WHEN p % 4 = 0 THEN NULL
+             |         ELSE '2024-01-0' || CAST(1 + p % 7 AS VARCHAR) END AS lastmod,
+             |    CASE WHEN p % 3 = 0 THEN NULL
+             |         ELSE CAST('0.' || CAST(5 + (p + strpos('0123456789abcdef', substr(md5(host), 5, 1)) - 1) % 5 AS VARCHAR) AS DOUBLE)
+             |         END AS priority,
+             |    CASE WHEN p % 2 = 0 THEN 'weekly' ELSE NULL END AS changefreq
+             |  FROM hosts, ps)
+             |SELECT host, sitemap, sitemap_lastmod, url, lastmod, priority, changefreq
+             |FROM e ORDER BY host, sitemap, url""".stripMargin)
     ),
 
     // Incremental recrawl scheduling — what the sitemap's <lastmod> is FOR

@@ -17,12 +17,17 @@ import org.xml.sax.InputSource
   * untrusted crawl input and inline DTDs are the classic XXE/billion-laughs
   * vector, so the parser fails closed on them.
   *
-  * Scope: `<urlset>` documents (one `<url>` per entry; `<loc>` required,
+  * Scope: both protocol document kinds through the same hardened parser —
+  * `<urlset>` (one `<url>` per entry; `<loc>` required,
   * `<lastmod>`/`<priority>`/`<changefreq>` optional — absent elements parse
   * to None and the sitemaps.org DEFAULT priority 0.5 is applied by the
-  * consumer, not invented here). `<sitemapindex>` fan-out is a fetch-layer
-  * concern (each child sitemap is just another document through this
-  * parser).
+  * consumer, not invented here) via [[parse]], and `<sitemapindex>` (one
+  * `<sitemap>` per child document; `<loc>` required, `<lastmod>` optional)
+  * via [[parseIndex]] — large sites ship an index on day one, and each
+  * advertised child is just another urlset document back through [[parse]].
+  * Each method reads only its own document kind: [[parse]] of an index (or
+  * [[parseIndex]] of a urlset) yields an empty table, so a mis-routed
+  * document surfaces as a discovery gap, never as phantom entries.
   */
 object SitemapXml {
 
@@ -33,27 +38,53 @@ object SitemapXml {
       changefreq: Option[String]
   )
 
-  def parse(xml: String): Seq[Entry] = {
+  /** One child-sitemap reference inside a `<sitemapindex>`. */
+  final case class IndexEntry(loc: String, lastmod: Option[String])
+
+  /** Parse with the untrusted-input hardening shared by both document
+    * kinds: namespace-aware, DOCTYPE rejected (XXE/billion-laughs), no
+    * XInclude, no entity expansion beyond the five predefined ones.
+    */
+  private def parseSecure(xml: String): org.w3c.dom.Document = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
     dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     dbf.setXIncludeAware(false)
     dbf.setExpandEntityReferences(false)
-    val doc = dbf.newDocumentBuilder().parse(new InputSource(new StringReader(xml)))
-    val urls = doc.getElementsByTagNameNS("*", "url")
+    dbf.newDocumentBuilder().parse(new InputSource(new StringReader(xml)))
+  }
+
+  private def childText(el: Element, tag: String): Option[String] = {
+    val ns = el.getElementsByTagNameNS("*", tag)
+    if (ns.getLength == 0) None
+    else Option(ns.item(0).getTextContent).map(_.trim).filter(_.nonEmpty)
+  }
+
+  def parse(xml: String): Seq[Entry] = {
+    val urls = parseSecure(xml).getElementsByTagNameNS("*", "url")
     (0 until urls.getLength).flatMap { i =>
       val el = urls.item(i).asInstanceOf[Element]
-      def child(tag: String): Option[String] = {
-        val ns = el.getElementsByTagNameNS("*", tag)
-        if (ns.getLength == 0) None
-        else Option(ns.item(0).getTextContent).map(_.trim).filter(_.nonEmpty)
-      }
       // A malformed <priority> degrades to None like an absent element
       // (r15 advice): this is untrusted crawl input, and one site's typo
       // must not kill the whole ingest map — the consumer's 0.5 default
       // applies, same as if the hint were missing.
-      child("loc").map(loc =>
-        Entry(loc, child("lastmod"), child("priority").flatMap(_.toDoubleOption), child("changefreq")))
+      childText(el, "loc").map(loc =>
+        Entry(
+          loc,
+          childText(el, "lastmod"),
+          childText(el, "priority").flatMap(_.toDoubleOption),
+          childText(el, "changefreq")))
+    }
+  }
+
+  /** The `<sitemapindex>` table: advertised child sitemaps, in document
+    * order. Loc-less `<sitemap>` elements are dropped like loc-less urls.
+    */
+  def parseIndex(xml: String): Seq[IndexEntry] = {
+    val sms = parseSecure(xml).getElementsByTagNameNS("*", "sitemap")
+    (0 until sms.getLength).flatMap { i =>
+      val el = sms.item(i).asInstanceOf[Element]
+      childText(el, "loc").map(loc => IndexEntry(loc, childText(el, "lastmod")))
     }
   }
 }

@@ -70,6 +70,40 @@ class SitemapXmlSpec extends AnyFunSuite {
     intercept[org.xml.sax.SAXParseException](SitemapXml.parse("<urlset><url><loc>x</loc>"))
   }
 
+  test("parseIndex: child locs + optional lastmod; loc-less dropped; empty index = empty table") {
+    val idx =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap>
+        |    <loc>http://h.example.com/sitemap-0.xml</loc>
+        |    <lastmod>2024-02-01</lastmod>
+        |  </sitemap>
+        |  <sitemap><loc> http://h.example.com/sitemap-1.xml </loc></sitemap>
+        |  <sitemap><lastmod>2024-02-03</lastmod></sitemap>
+        |</sitemapindex>
+        |""".stripMargin
+    assert(SitemapXml.parseIndex(idx) == Seq(
+      SitemapXml.IndexEntry("http://h.example.com/sitemap-0.xml", Some("2024-02-01")),
+      SitemapXml.IndexEntry("http://h.example.com/sitemap-1.xml", None)))
+    assert(SitemapXml.parseIndex(
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"/>""").isEmpty)
+    // Kind isolation both ways: an index yields no url entries (pinned
+    // above) and a urlset yields no child sitemaps — a mis-routed document
+    // is a discovery gap, never phantom rows.
+    assert(SitemapXml.parseIndex(fixture).isEmpty)
+  }
+
+  test("parseIndex: DOCTYPE rejection covers the index grammar too") {
+    val evil =
+      """<?xml version="1.0"?>
+        |<!DOCTYPE sitemapindex [<!ENTITY x SYSTEM "file:///etc/hostname">]>
+        |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap><loc>http://h.example.com/&x;</loc></sitemap>
+        |</sitemapindex>
+        |""".stripMargin
+    intercept[org.xml.sax.SAXParseException](SitemapXml.parseIndex(evil))
+  }
+
   test("parse: a malformed optional <priority> degrades to None, not an ingest failure") {
     // Untrusted crawl input: a typo'd optional HINT must degrade like an
     // absent element (the consumer's 0.5 default applies) — only malformed
