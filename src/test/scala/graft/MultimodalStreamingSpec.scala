@@ -381,6 +381,32 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       "streamed PSI report must equal the batch drift monitor on bounded input")
   }
 
+  test("the dual drift monitor: PSI equals the batch monitor; binned KS never exceeds exact KS") {
+    // q_stream_drift_ks ships PSI and binned KS from ONE (type, bin) state
+    // store. Batch≡stream for the PSI half: its psi/alert columns must be
+    // row-identical to q_drift_psi (same cuts, smoothing, fixed-point
+    // machinery — the q_stream_drift claim extended). For the KS half the
+    // binding batch claim is the theorem: the binned statistic evaluates
+    // the CDF diff on a SUBSET of the exact statistic's evaluation points,
+    // so ks_binned ≤ q_drift_ks's exact D per type, always.
+    val dual = QueryRegistry.queries("q_stream_drift_ks")(spark, sfDir)
+    val psiBatch = QueryRegistry.queries("q_drift_psi")(spark, sfDir)
+      .select(
+        col("event_type"), col("n_ref"), col("n_cur"), col("psi"),
+        col("drift_alert").as("psi_alert"))
+    val psiStream = dual.select("event_type", "n_ref", "n_cur", "psi", "psi_alert")
+    assert(psiStream.count() == psiBatch.count())
+    assert(psiStream.exceptAll(psiBatch).isEmpty && psiBatch.exceptAll(psiStream).isEmpty,
+      "the dual monitor's PSI half must equal the batch drift monitor on bounded input")
+    val exact = QueryRegistry.queries("q_drift_ks")(spark, sfDir)
+      .select(col("event_type"), col("ks").as("ks_exact"))
+    val bad = dual.select(col("event_type"), col("ks_binned"))
+      .join(exact, Seq("event_type"))
+      // Both sides round 6 dp; one ulp of slack for the rounding boundary.
+      .filter(col("ks_binned") > col("ks_exact") + lit(1e-9))
+    assert(bad.isEmpty, s"binned KS exceeded exact KS: ${bad.collect().mkString(", ")}")
+  }
+
   test("stream-static enrichment equals the batch join-aggregate; the dimension broadcasts") {
     // q_stream_enrich joins the event stream against a static nation
     // dimension broadcast into every micro-batch. On bounded AvailableNow
