@@ -1249,6 +1249,76 @@ object TextQueries {
       }
     ),
 
+    // LEARNED language ID (r16 — q_lang_id was the last rule-based
+    // classifier slot; this applies the q_rerank_learned /
+    // q_quality_classifier honesty pattern to it): four one-vs-rest
+    // hashing-trick logistic heads (TextClassifier.train — bounded driver
+    // state, 4×4096 weight doubles) trained on the planted multilingual
+    // corpus, language = argmax over head scores (sigmoid is strictly
+    // monotone, so sigmoid-argmax == logit-argmax; first-listed wins
+    // ties, the q_lang_id convention). The driver corpus's synthetic
+    // `lang` labels carry no text signal, so the learning claims ride
+    // banded flags gated on the PLANTED corpus — holdout accuracy,
+    // loss-decreases, bit-determinism of two trainings — while the
+    // production scan's claims (every doc scored by all four heads in one
+    // codegen pass, argmax lands in the language set, scores in [0,1])
+    // are engine-checked counts. n_docs is the exact cross-engine anchor.
+    // Serving is four native LinearTextScore kernels fused into ONE map
+    // pass over the scan — zero shuffles at 100 TB, the q_lang_id shape
+    // with learned weights in place of marker lists.
+    Q(
+      "q_lang_id_learned",
+      (s, d) => {
+        import graft.operators.TextClassifier
+        val planted = TextClassifier.plantedLangCorpus
+        val langs = TextClassifier.plantedLangs
+        val trainSet = planted.take(300)
+        val holdout = planted.drop(300)
+        def heads(sample: Seq[(String, String)]) =
+          langs.map(l => l -> TextClassifier.train(sample.map { case (t, y) => (t, y == l) }))
+        val h1 = heads(trainSet)
+        val h2 = heads(trainSet)
+        def predict(t: String): String = h1.maxBy { case (_, m) => m.score(t) }._1
+        val acc = holdout.count { case (t, y) => predict(t) == y }.toDouble / holdout.size
+        val deterministic = h1.zip(h2).forall { case ((_, a), (_, b)) =>
+          a.bias == b.bias && java.util.Arrays.equals(a.weights, b.weights)
+        }
+        val enTrain = trainSet.map { case (t, y) => (t, y == langs.head) }
+        val l1 = TextClassifier.logLoss(TextClassifier.train(enTrain, epochs = 1), enTrain)
+        val l30 = TextClassifier.logLoss(h1.head._2, enTrain)
+        val scoreCols = h1.map { case (l, m) =>
+          TextFunctions.linearTextScore(col("text"), m.weights.toIndexedSeq, m.bias).as(s"s_$l")
+        }
+        val best = greatest(langs.map(l => col(s"s_$l")): _*)
+        documents(s, d)
+          .select(col("doc_id") +: scoreCols: _*)
+          .withColumn("best", best)
+          .withColumn(
+            "predicted_lang",
+            langs.tail.foldLeft(when(col(s"s_${langs.head}") === col("best"), lit(langs.head))) {
+              (c, l) => c.when(col(s"s_$l") === col("best"), lit(l))
+            }.otherwise(lit("und")))
+          .agg(
+            count(lit(1)).as("n_scored"),
+            sum(when(col("predicted_lang").isin(langs: _*), 0L).otherwise(1L)).as("n_bad_pred"),
+            sum(when(col("best") >= 0.0 && col("best") <= 1.0, 0L).otherwise(1L)).as("n_oor"))
+          .crossJoin(broadcast(documents(s, d).agg(count(lit(1)).as("n_docs"))))
+          .select(
+            col("n_docs"),
+            lit(400).as("n_planted"),
+            lit(acc >= 0.95).as("holdout_accuracy_band"),
+            lit(l30 < l1).as("loss_decreases_band"),
+            lit(deterministic).as("determinism_band"),
+            (col("n_scored") === col("n_docs") && col("n_oor") === 0L).as("scores_in_range_band"),
+            (col("n_bad_pred") === 0L).as("argmax_in_langset_band"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs, 400 AS n_planted,
+             |  TRUE AS holdout_accuracy_band, TRUE AS loss_decreases_band,
+             |  TRUE AS determinism_band, TRUE AS scores_in_range_band,
+             |  TRUE AS argmax_in_langset_band
+             |FROM documents""".stripMargin)
+    ),
+
     // TF-IDF top terms per document (search/feature-extraction staple).
     // Two partial-agg'd shuffles (doc×term, then term) + a shuffle join on
     // term; N enters as a 1-row aggregate broadcast-cross-joined into the

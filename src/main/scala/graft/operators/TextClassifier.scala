@@ -116,6 +116,38 @@ object TextClassifier {
     ls.sum / ls.length
   }
 
+  /** Planted MULTILINGUAL corpus for the learned language-ID gates
+    * (q_lang_id_learned) — [[plantedCorpus]]'s discipline lifted to four
+    * classes: every document is mostly the SAME shared vocabulary, with
+    * ~25% of tokens drawn from its language's function-word pool
+    * (separable, not trivially so). The driver corpus's synthetic `lang`
+    * labels carry no text signal, so — as with every learned operator
+    * here — accuracy claims live on THIS planted corpus, never on
+    * fixture-label purity. Convention: first 300 rows train (75 per
+    * class), last 100 hold out (25 per class).
+    */
+  val plantedLangs: Seq[String] = Seq("en", "de", "fr", "es")
+
+  lazy val plantedLangCorpus: Seq[(String, String)] = {
+    val shared = Vector("table", "scan", "join", "filter", "group", "sort", "row", "key")
+    val pools = Map(
+      "en" -> Vector("the", "whilst", "among", "because"),
+      "de" -> Vector("und", "nicht", "aber", "doch"),
+      "fr" -> Vector("mais", "avec", "donc", "chez"),
+      "es" -> Vector("pero", "desde", "hacia", "aunque"))
+    val rnd = lcg(0x1A9601DC0DEL)
+    (0 until 400).map { i =>
+      val lang = plantedLangs(i % plantedLangs.length)
+      val pool = pools(lang)
+      val words = (0 until 30).map { _ =>
+        val r = (rnd.next() >>> 8).toInt
+        if ((r & 3) == 0) pool((r >>> 2) % pool.length)
+        else shared((r >>> 2) % shared.length)
+      }
+      (words.mkString(" "), lang)
+    }
+  }
+
   /** Logistic model over a small DENSE numeric feature vector — the
     * learned-reranker slot (q_rerank_learned): a cross-encoder's
     * (query, doc) relevance head reduced to its linear form over explicit

@@ -57,6 +57,29 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multiclass one-vs-rest: planted language holdout >= 0.95; serving is one fused map pass") {
+    // The learned language-ID head (q_lang_id_learned wraps this as its
+    // banded audit): four one-vs-rest heads on the planted multilingual
+    // corpus, argmax prediction, and all four native kernels fused into
+    // one zero-shuffle scan pass.
+    val corpus = TextClassifier.plantedLangCorpus
+    val langs = TextClassifier.plantedLangs
+    val heads = langs.map(l =>
+      l -> TextClassifier.train(corpus.take(300).map { case (t, y) => (t, y == l) }))
+    val acc = corpus.drop(300).count { case (t, y) =>
+      heads.maxBy { case (_, m) => m.score(t) }._1 == y
+    }.toDouble / 100
+    assert(acc >= 0.95, s"multiclass holdout accuracy $acc")
+    import org.apache.spark.sql.functions._
+    val df = Tables.documents(spark, sfDir).select(
+      col("doc_id") +: heads.map { case (l, m) =>
+        graft.functions.TextFunctions.linearTextScore(col("text"), m.weights.toIndexedSeq, m.bias).as(s"s_$l")
+      }: _*)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"four-head scoring must not shuffle:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("quality scoring is a single map pass, zero shuffles") {
     // Production score table — the registered q_quality_classifier is its
     // banded audit wrapper (which aggregates, so the pin lives here).
