@@ -1295,6 +1295,76 @@ object EtlQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1 ORDER BY key""".stripMargin)
+    ),
+
+    // The reference DAG end to end, under ONE hash gate (the r15 verdict's
+    // item 6 — the pieces each have green rows; this row proves the whole
+    // chain COMPOSES, which is the reference's actual claim:
+    // uscrn_dag.py:137-276 is parse → station join → unit conversion →
+    // dedup → staging → main insert, not five separate jobs): events rows
+    // round-trip through a whitespace text LINE and parse back to typed
+    // columns (the USCRN .txt shape, q_fixed_width_parse's device), join
+    // the station dimension (user_id % 25 = n_nationkey, BROADCAST — the
+    // locations join, uscrn_dag.py:216-218), convert units behind the
+    // sentinel guard (C→F when > -90, uscrn_dag.py:208-209), dedup on the
+    // composite observation key with the deterministic min-id winner
+    // (utils.py's drop_duplicates analogue), stage and MERGE into main
+    // through the real StagingSink (utils.py:44-73), and return the
+    // READ-BACK of main — so parquet round-trip, audit stamping, and the
+    // merge's key semantics all sit inside the oracle comparison. Scale
+    // shape: each stage keeps its own registered row's plan (text parse is
+    // map-only; the dim join broadcasts; the dedup window partitions on
+    // the composite key; the merge's anti-join probes keys only) — the
+    // composition adds no new shuffle beyond its parts.
+    Q(
+      "q_uscrn_e2e",
+      (s, d) => {
+        val base = EtlQueries.scratchDir("graft_uscrn_e2e", d)
+        val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+        // Extract: typed rows → one text line → split + cast back.
+        val line = concat_ws(" ", col("event_id"), col("user_id"), col("event_type"), col("value"))
+        val parsed = events(s, d)
+          .select(line.as("line"))
+          .select(split(col("line"), "\\s+").as("f"))
+          .select(
+            element_at(col("f"), 1).cast("long").as("event_id"),
+            element_at(col("f"), 2).cast("long").as("user_id"),
+            element_at(col("f"), 3).as("event_type"),
+            element_at(col("f"), 4).cast("double").as("value"))
+        // Transform: station dim join, sentinel-guarded unit conversion,
+        // composite-key dedup.
+        val dim = nation(s, d).select(col("n_nationkey"), col("n_name").as("station"))
+        val transformed = EtlOps.dedupByKey(
+          parsed
+            .join(broadcast(dim), col("user_id") % 25 === col("n_nationkey"))
+            .drop("n_nationkey")
+            .withColumn("value_f", EtlOps.celsiusToFahrenheit(col("value"))),
+          Seq("user_id", "event_type"),
+          "event_id")
+        // Load: staging → MERGE into main → read back.
+        graft.sources.StagingSink.stage(transformed, s"$base/staging")
+        graft.sources.StagingSink
+          .mergeToMain(s, s"$base/staging", s"$base/main", Seq("event_id"), clock = t0)
+        s.read.parquet(s"$base/main")
+          .select("event_id", "user_id", "station", "event_type", "value", "value_f",
+            "date_added_utc")
+          .orderBy("event_id")
+      },
+      Some("""WITH parsed AS (
+             |  SELECT event_id, user_id, event_type, value FROM events),
+             |joined AS (
+             |  SELECT p.*, n.n_name AS station,
+             |    CASE WHEN p.value > -90 THEN p.value * 9 / 5 + 32 ELSE p.value END AS value_f
+             |  FROM parsed p JOIN nation n ON p.user_id % 25 = n.n_nationkey),
+             |dedup AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY event_id) AS rn
+             |    FROM joined) t
+             |  WHERE rn = 1)
+             |SELECT event_id, user_id, station, event_type, value, value_f,
+             |  TIMESTAMP '2026-01-01 00:00:00' AS date_added_utc
+             |FROM dedup ORDER BY event_id""".stripMargin)
     )
   )
 }

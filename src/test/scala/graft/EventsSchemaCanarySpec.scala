@@ -270,7 +270,11 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_schema_drift",
     // Round 16: the registered salting playbook (key/value only — flavor
     // can't touch it; listed because it consumes events).
-    "q_skew_salted"
+    "q_skew_salted",
+    // Round 16: the reference DAG end-to-end (read-back — events lineage
+    // hidden from the scan walk like q_upsert_merge; its nation dim join
+    // rides the flavor fixtures' nation.parquet).
+    "q_uscrn_e2e"
   )
 
   test("the hand list above covers EVERY registered events-consuming query (r10 advice)") {
@@ -295,7 +299,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     // returns the re-read) hide their events lineage from the scan walk —
     // they must be added HERE and to eventQueries by hand; their actual
     // flavor coverage comes from the per-query invariance tests below.
-    val indirect = Set("q_upsert_merge", "q_schema_drift", "q_scd2_apply")
+    val indirect = Set("q_upsert_merge", "q_schema_drift", "q_scd2_apply", "q_uscrn_e2e")
     val handBatch = eventQueries.filterNot(_.startsWith("q_stream_")).toSet
     assert(indirect.subsetOf(handBatch), "indirect consumers must be canary-covered too")
     assert(handBatch -- indirect == eventsOnly,
