@@ -944,6 +944,111 @@ object AnalyticQueries {
              |FROM counts, totals ORDER BY event_type""".stripMargin)
     ),
 
+    // Chi-square categorical drift (r16 — the classic two-sample
+    // homogeneity TEST next to q_drift_categorical's per-category PSI
+    // report: PSI scores magnitude per category, χ² answers the yes/no
+    // "did the distribution change" with a significance threshold, and a
+    // monitoring stack ships both). Same exact-median time split; per
+    // category the expected counts under homogeneity (E = n_i·N_half/N)
+    // and the (O−E)²/E terms derive through the IDENTICAL double
+    // expression tree on both engines; the term SUM rides the family's
+    // 1e-9 fixed-point longs (order-free — double summation order would
+    // differ between engines), and the α=0.05 decision compares
+    // fixed-point integers against a literal critical-value table for
+    // df 1..9 (the convention both engines state verbatim; df is K−1 and
+    // K is the event-type cardinality — a df outside the table yields a
+    // NULL alert rather than a fabricated threshold). ONE bounded-K
+    // rollup + a 1-row report: flat at any volume.
+    Q(
+      "q_drift_chi2",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val med = ev.agg(expr("percentile(us, 0.5)").as("med"))
+        val counts = ev
+          .crossJoin(broadcast(med))
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("us") <= col("med"), 1L).otherwise(0L)).as("c_ref"),
+            sum(when(col("us") > col("med"), 1L).otherwise(0L)).as("c_cur"))
+        val totals = counts.agg(
+          sum(col("c_ref")).as("t_ref"),
+          sum(col("c_cur")).as("t_cur"),
+          count(lit(1)).as("k"))
+        val crD = col("c_ref").cast("double")
+        val ccD = col("c_cur").cast("double")
+        val ni = (col("c_ref") + col("c_cur")).cast("double")
+        val nTot = (col("t_ref") + col("t_cur")).cast("double")
+        val eRef = ni * col("t_ref").cast("double") / nTot
+        val eCur = ni * col("t_cur").cast("double") / nTot
+        val term = (crD - eRef) * (crD - eRef) / eRef + (ccD - eCur) * (ccD - eCur) / eCur
+        val critFp = when(col("df") === 1, 3841458821L)
+          .when(col("df") === 2, 5991464547L)
+          .when(col("df") === 3, 7814727903L)
+          .when(col("df") === 4, 9487729037L)
+          .when(col("df") === 5, 11070497694L)
+          .when(col("df") === 6, 12591587244L)
+          .when(col("df") === 7, 14067140449L)
+          .when(col("df") === 8, 15507313056L)
+          .when(col("df") === 9, 16918977605L)
+        counts
+          .crossJoin(broadcast(totals))
+          .select(
+            col("t_ref"), col("t_cur"), col("k"),
+            round(term * lit(1.0e9), 0).cast("long").as("term_fp"))
+          .groupBy()
+          .agg(
+            max(col("t_ref")).as("n_ref"),
+            max(col("t_cur")).as("n_cur"),
+            max(col("k")).as("k"),
+            sum(col("term_fp")).as("chi2_fp"))
+          .withColumn("df", col("k") - 1)
+          .select(
+            col("n_ref"), col("n_cur"), col("k"), col("df"),
+            round(col("chi2_fp").cast("double") / lit(1.0e9), 6).as("chi2"),
+            (col("chi2_fp") > critFp).as("drift_alert"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_us(ts) AS us FROM events),
+             |med AS (SELECT quantile_cont(us, 0.5) AS med FROM ev),
+             |counts AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN us <= (SELECT med FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             |    CAST(SUM(CASE WHEN us > (SELECT med FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+             |  FROM ev GROUP BY 1),
+             |totals AS (
+             |  SELECT CAST(SUM(c_ref) AS BIGINT) AS t_ref,
+             |    CAST(SUM(c_cur) AS BIGINT) AS t_cur,
+             |    CAST(COUNT(*) AS BIGINT) AS k
+             |  FROM counts),
+             |terms AS (
+             |  SELECT t_ref, t_cur, k,
+             |    CAST(round((
+             |      (CAST(c_ref AS DOUBLE)
+             |        - CAST(c_ref + c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      * (CAST(c_ref AS DOUBLE)
+             |        - CAST(c_ref + c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      / (CAST(c_ref + c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      + (CAST(c_cur AS DOUBLE)
+             |        - CAST(c_ref + c_cur AS DOUBLE) * CAST(t_cur AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      * (CAST(c_cur AS DOUBLE)
+             |        - CAST(c_ref + c_cur AS DOUBLE) * CAST(t_cur AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      / (CAST(c_ref + c_cur AS DOUBLE) * CAST(t_cur AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |    ) * 1.0e9) AS BIGINT) AS term_fp
+             |  FROM counts, totals),
+             |agg AS (
+             |  SELECT MAX(t_ref) AS n_ref, MAX(t_cur) AS n_cur, MAX(k) AS k,
+             |    CAST(SUM(term_fp) AS BIGINT) AS chi2_fp
+             |  FROM terms)
+             |SELECT n_ref, n_cur, k, k - 1 AS df,
+             |  round(CAST(chi2_fp AS DOUBLE) / 1.0e9, 6) AS chi2,
+             |  chi2_fp > CASE k - 1
+             |    WHEN 1 THEN 3841458821 WHEN 2 THEN 5991464547 WHEN 3 THEN 7814727903
+             |    WHEN 4 THEN 9487729037 WHEN 5 THEN 11070497694 WHEN 6 THEN 12591587244
+             |    WHEN 7 THEN 14067140449 WHEN 8 THEN 15507313056 WHEN 9 THEN 16918977605
+             |    END AS drift_alert
+             |FROM agg""".stripMargin)
+    ),
+
     Q(
       "q_drift_psi",
       (s, d) => {

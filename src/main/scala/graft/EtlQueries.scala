@@ -1297,6 +1297,49 @@ object EtlQueries {
              |FROM events GROUP BY 1 ORDER BY key""".stripMargin)
     ),
 
+    // The salting playbook's JOIN half, registered (q_skew_salted covers
+    // the GROUP BY half; SURVEY §5's measured skew_demo covers the perf
+    // claim — this row puts EtlOps.saltedJoin's SEMANTICS under the hash
+    // gate): the same 80%-hot derived key joined to a 64-row synthesized
+    // dimension through the salted path — fact side salted by
+    // pmod(hash(row), 32), dimension EXPLODED across all 32 salts, the
+    // join keyed on (key, salt) — with merge hints pinning the
+    // sort-merge regime salting exists for (an auto-broadcast dim needs
+    // no salt; the hint makes the registered plan the honest big-dim
+    // shape). The oracle is the PLAIN unsalted join-aggregate: a lost or
+    // duplicated salt replica, a hash/explode mismatch, or a dropped row
+    // flips the hash — salting must be invisible in the result, exactly
+    // like its aggregation sibling. Post-join rollup keeps the gate
+    // bounded (64 rows) and decimal-accumulated.
+    Q(
+      "q_skew_salted_join",
+      (s, d) => {
+        val fact = events(s, d).select(
+          when(pmod(col("event_id"), lit(5)) < 4, 0L)
+            .otherwise(pmod(col("event_id"), lit(64))).as("key"),
+          col("event_id"),
+          col("value"))
+        val dim = s.range(64).select(col("id").as("key"), (col("id") * 7).as("payload"))
+        graft.operators.EtlOps
+          .saltedJoin(fact.hint("merge"), dim.hint("merge"), "key", saltFactor = 32)
+          .groupBy("key")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("value")).as("total_value"),
+            sum(col("payload")).as("total_payload"))
+          .orderBy("key")
+      },
+      Some("""WITH fact AS (
+             |  SELECT CASE WHEN event_id % 5 < 4 THEN 0 ELSE event_id % 64 END AS key, value
+             |  FROM events),
+             |dim AS (SELECT r.range AS key, r.range * 7 AS payload FROM range(64) r)
+             |SELECT f.key, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(f.value AS DECIMAL(25,10))) AS DOUBLE) AS total_value,
+             |  CAST(SUM(d.payload) AS BIGINT) AS total_payload
+             |FROM fact f JOIN dim d USING (key)
+             |GROUP BY 1 ORDER BY key""".stripMargin)
+    ),
+
     // The reference DAG end to end, under ONE hash gate (the r15 verdict's
     // item 6 — the pieces each have green rows; this row proves the whole
     // chain COMPOSES, which is the reference's actual claim:

@@ -150,10 +150,13 @@ object Plans {
     "q_nearest_station",
     "q_anonymity_audit",
     "q_recrawl_schedule",
-    // Round 16: the registered salting playbook (two-stage aggregation)
-    // and the geospatial scale twin (cell candidate join).
+    // Round 16: the registered salting playbook (both halves), the
+    // geospatial scale twin (cell candidate join), and the chi-square
+    // drift monitor.
     "q_skew_salted",
-    "q_nearest_station_cells"
+    "q_skew_salted_join",
+    "q_nearest_station_cells",
+    "q_drift_chi2"
   )
 
   def main(args: Array[String]): Unit = {

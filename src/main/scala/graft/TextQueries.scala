@@ -2987,6 +2987,73 @@ object TextQueries {
              |FROM d ORDER BY doc_id""".stripMargin)
     ),
 
+    // Charset DECODE — what the detection exists for (q_charset_detect
+    // says which charset; this row runs the decode it licenses and proves
+    // the round trip): each planted arm's bytes decode through the
+    // charset the cascade detected — UTF-8 arms through decode(_,
+    // 'UTF-8') (only ever reached on structurally valid payloads, so
+    // Spark 4's strict malformed-input error cannot fire), the UTF-16LE
+    // arm through its own codec, and the fallback arms through
+    // ISO-8859-1, the total single-byte decode that never fails and maps
+    // chars 1:1 onto bytes (the classic crawl salvage). The per-arm
+    // round-trip CLAIM differs by arm and is stated explicitly: BOM'd /
+    // plain UTF-8 arms must reproduce the original text exactly, the
+    // UTF-16 arm its fixed payload, and the fallback arms the 1:1
+    // char-per-byte law (for them the decode is lossy BY DESIGN — the
+    // mojibake q_encoding_artifacts downstream exists to catch — so the
+    // honest claim is the length law, not text equality). decoded_chars
+    // is the exact cross-engine anchor per row: DuckDB restates it from
+    // each arm's ground truth without running any decoder. One codegen'd
+    // map pass, zero shuffles.
+    Q(
+      "q_charset_decode",
+      (s, d) => {
+        val arm = pmod(col("doc_id"), lit(6))
+        val base = encode(col("text"), "UTF-8")
+        val b = when(arm === 0, concat(unhex(lit("EFBBBF")), base))
+          .when(arm === 1, concat(base, encode(lit(" é"), "UTF-8")))
+          .when(arm === 2, concat(unhex(lit("FFFE")), encode(lit("hello"), "UTF-16LE")))
+          .when(arm === 3, concat(base, unhex(lit("E9"))))
+          .when(arm === 4, concat(base, unhex(lit("C3"))))
+          .otherwise(concat(base, unhex(lit("C0A0"))))
+        documents(s, d)
+          .select(col("doc_id"), col("text"), b.as("b"))
+          .withColumn("det", charsetCascade(col("b")))
+          .withColumn(
+            "decoded",
+            when(col("det.charset") === "utf-8",
+              when(col("det.bom") === "utf-8", decode(substring(col("b"), 4, Int.MaxValue), "UTF-8"))
+                .otherwise(decode(col("b"), "UTF-8")))
+              .when(col("det.charset") === "utf-16le",
+                decode(substring(col("b"), 3, Int.MaxValue), "UTF-16LE"))
+              .otherwise(decode(col("b"), "ISO-8859-1")))
+          .select(
+            col("doc_id"),
+            col("det.charset").as("charset"),
+            length(col("decoded")).cast("long").as("decoded_chars"),
+            when(pmod(col("doc_id"), lit(6)) === 0, col("decoded") === col("text"))
+              .when(pmod(col("doc_id"), lit(6)) === 1,
+                col("decoded") === concat(col("text"), lit(" é")))
+              .when(pmod(col("doc_id"), lit(6)) === 2, col("decoded") === "hello")
+              .otherwise(length(col("decoded")).cast("long") === length(col("b")).cast("long"))
+              .as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 6 AS arm,
+             |    CAST(length(text) AS BIGINT) AS tc,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS tb
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN arm = 2 THEN 'utf-16le'
+             |       WHEN arm IN (0, 1) THEN 'utf-8'
+             |       ELSE 'windows-1252' END AS charset,
+             |  CASE arm WHEN 0 THEN tc WHEN 1 THEN tc + 2 WHEN 2 THEN 5
+             |           WHEN 3 THEN tb + 1 WHEN 4 THEN tb + 1 ELSE tb + 2 END AS decoded_chars,
+             |  TRUE AS roundtrip_ok
+             |FROM d ORDER BY doc_id""".stripMargin)
+    ),
+
     // Encoding-artifact detection — the ingest-hygiene gate a web-scale
     // corpus needs before any hashing or tokenization: U+FFFD replacement
     // chars (decoder already lost bytes), C0 control chars (binary

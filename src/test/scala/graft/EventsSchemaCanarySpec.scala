@@ -268,9 +268,13 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     // hand-listed like q_upsert_merge. Flavor-invariant because ts types
     // are only emitted for type_changed rows and ts passes through.
     "q_schema_drift",
-    // Round 16: the registered salting playbook (key/value only — flavor
-    // can't touch it; listed because it consumes events).
+    // Round 16: the registered salting playbook — both halves (key/value
+    // only, flavor can't touch them; listed because they consume events) —
+    // plus the chi-square drift monitor (median-split over the normalized
+    // ts, the q_drift_psi seam).
     "q_skew_salted",
+    "q_skew_salted_join",
+    "q_drift_chi2",
     // Round 16: the reference DAG end-to-end (read-back — events lineage
     // hidden from the scan walk like q_upsert_merge; its nation dim join
     // rides the flavor fixtures' nation.parquet).

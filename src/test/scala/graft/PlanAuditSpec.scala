@@ -1012,6 +1012,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"salting is pure aggregation — no join/window:\n$p")
   }
 
+  test("q_skew_salted_join: the join keys on (key, salt); the dimension explodes, the fact never does") {
+    // The playbook's join half: the fact side gains only a salt column
+    // (never replicates), the DIMENSION side explodes across the salt
+    // range, and the merge-hinted join condition carries __salt — so one
+    // hot key lands on saltFactor reducers.
+    val p = plan("q_skew_salted_join")
+    assert(p.contains("SortMergeJoin"), s"merge hint must pin the shuffle-join regime:\n$p")
+    assert(p.contains("__salt"), s"join must key on the salt:\n$p")
+    assert(p.contains("Generate explode") || p.contains("Generate"),
+      s"the dimension side must explode across salts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salting must stay an equi-join:\n$p")
+  }
+
   test("q_oov_rate: the word-count shuffle computes once (stage reuse for the max)") {
     // The corpus-max threshold re-aggregates the SAME word-count exchange
     // the vocab join consumes — reuse markers only appear in the final
