@@ -2099,6 +2099,68 @@ object TextQueries {
              |FROM e ORDER BY host, sitemap, url""".stripMargin)
     ),
 
+    // WARC-record parsing (r16 — the crawl family's CONTAINER format:
+    // robots = permission, sitemap = advertisement, frontier = demand,
+    // and the crawler's OUTPUT is a stream of WARC records; Common Crawl,
+    // the canonical web training corpus, ships exactly this). Each host
+    // carries a concatenated multi-record WARC stream (real framing:
+    // WARC/1.0 magic, named headers, Content-Length-driven BYTE-exact
+    // payloads, CRLFCRLF terminators) synthesized from its documents, and
+    // the real parser (sources.WarcLite — byte-array slicing, fails
+    // loudly on any framing defect) extracts the record table. The oracle
+    // states post-parse ground truth directly — target URI, type,
+    // Content-Length as DuckDB's own octet count of the text, and the
+    // payload's md5 — so an off-by-one in header-block or payload
+    // slicing corrupts a digest and flips the hash (the binary-safety
+    // hand cases live in WarcLiteSpec: payloads containing CRLFCRLF and
+    // fake magic must parse intact because framing is length-driven).
+    // Scale shape: the per-host stream CONCAT here is fixture synthesis —
+    // in production WARC files arrive AS FILES and the parse maps per
+    // file (binaryFile scan + one mapPartitions, embarrassingly
+    // parallel); the parse itself is one linear pass per stream.
+    Q(
+      "q_warc_parse",
+      (s, d) => {
+        import s.implicits._
+        val rec = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://"),
+          lower(col("source")), lit(".example.com/doc/"), col("doc_id").cast("string"),
+          lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+          length(encode(col("text"), "UTF-8")).cast("string"),
+          lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+        documents(s, d)
+          .select(
+            concat(lower(col("source")), lit(".example.com")).as("host"),
+            col("doc_id"),
+            rec.as("rec"))
+          .groupBy("host")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))), x => x("rec")),
+            "").as("stream"))
+          .as[(String, String)]
+          .flatMap { case (h, stream) =>
+            graft.sources.WarcLite.parse(stream.getBytes("UTF-8")).map { r =>
+              (h,
+                r.header("WARC-Target-URI").getOrElse(""),
+                r.header("WARC-Type").getOrElse(""),
+                r.header("Content-Type").getOrElse(""),
+                r.payload.length.toLong,
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(r.payload).map(b => f"$b%02x").mkString)
+            }
+          }
+          .toDF("host", "url", "warc_type", "content_type", "content_length", "payload_md5")
+          .orderBy("host", "url")
+      },
+      Some("""SELECT lower(source) || '.example.com' AS host,
+             |  'http://' || lower(source) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             |  'response' AS warc_type,
+             |  'text/plain' AS content_type,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             |  md5(text) AS payload_md5
+             |FROM documents ORDER BY host, url""".stripMargin)
+    ),
+
     // Incremental recrawl scheduling — what the sitemap's <lastmod> is FOR
     // (q_sitemap_ingest discovers; this decides WHEN to come back): each
     // advertised URL checks against the crawl ledger — the SAME
