@@ -901,6 +901,118 @@ object StreamQueries {
              |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
     ),
 
+    // Watermark LATE-DATA semantics, registered under the hash gate (r16 —
+    // q_late_arrival_profile PLANS a delay; this row EXECUTES one and pins
+    // what the engine actually does to late rows, which every §2.4
+    // watermark claim silently depends on): events are staged as four
+    // single-file batches with controlled modification times —
+    // middle-third A, then the oldest third split into B (even event_id,
+    // arriving merely out of order) and C = the newest third, then D (odd
+    // old rows, arriving AFTER the watermark has advanced past them) —
+    // and a 1-hour tumbling count with a HALF-SPAN watermark (integer
+    // hours, floor((max−min)/2) — adaptive so the drop and emission
+    // boundaries land INSIDE the data at any corpus span, derived with
+    // the same integer arithmetic on both engines) consumes them one
+    // file per micro-batch. The oracle restates Spark's MEASURED
+    // late-data contract (probed empirically this round, three
+    // boundary experiments): (1) late-record FILTERING uses the PREVIOUS
+    // micro-batch's watermark — stats through batch N−2 — so B, arriving
+    // one batch behind A, is absorbed in full (out-of-order ≠ dropped);
+    // (2) the drop predicate is WINDOW-END based, end_ms ≤ filter-wm
+    // (a row older than the watermark still counts while its window's
+    // state is live, and equality drops); (3) eviction/emission at batch
+    // N uses stats through N−1: append emits a window once end_ms ≤
+    // evict-wm, with everything absorbed so far. Net: the final table is
+    // counts over A ∪ B ∪ C ∪ {D rows whose window end exceeds
+    // max(A)−360h} restricted to windows ending ≤ max(all)−360h — every
+    // boundary derived in milliseconds exactly as the engine derives it.
+    // Scale shape: state is live-windows-bounded (the watermark's whole
+    // point); the staging writes are fixture synthesis.
+    Q(
+      "q_stream_late_drop",
+      (s, d) => {
+        val src = tmpDir("graft_slate_src", d)
+        val out = tmpDir("graft_slate_out", d)
+        val ckpt = tmpDir("graft_slate_ckpt", d)
+        new java.io.File(src).mkdirs()
+        val ev = events(s, d).select(col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+        val qrow = ev.agg(
+          expr("percentile(us, 0.33333333D)").as("t1"),
+          expr("percentile(us, 0.66666667D)").as("t2"),
+          min(col("us")).as("mn"),
+          max(col("us")).as("mx")).head()
+        val (t1, t2) = (qrow.getDouble(0), qrow.getDouble(1))
+        val delayHours = (qrow.getLong(3) - qrow.getLong(2)) / 3600000000L / 2L
+        def stageFile(name: String, cond: org.apache.spark.sql.Column, i: Int): Unit = {
+          val tmp = s"$src/_stage"
+          ev.filter(cond).select("event_id", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = java.nio.file.Files
+            .list(java.nio.file.Paths.get(tmp))
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst()
+            .get()
+          java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$src/$name.parquet"))
+          val f = new java.io.File(s"$src/$name.parquet")
+          f.setLastModified(1000000L * (i + 1))
+          ()
+        }
+        stageFile("f0", col("us") > t1 && col("us") <= t2, 0) // A: the middle third
+        stageFile("f1", col("us") <= t1 && col("event_id") % 2 === 0, 1) // B: old, out of order
+        stageFile("f2", col("us") > t2, 2) // C: the newest third
+        stageFile("f3", col("us") <= t1 && col("event_id") % 2 === 1, 3) // D: old AND late
+        val schema = s.read.parquet(s"$src/f0.parquet").schema
+        val q = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+          .withWatermark("ts", s"$delayHours hours")
+          .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            // Append emissions accumulate across micro-batches; tmpDir
+            // wiped the sink, so plain appends collect the final table.
+            b.select(col("window.start").as("window_start"), col("n"))
+              .write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy("window_start")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, epoch_us(ts) AS us FROM events),
+             |q AS (
+             |  SELECT quantile_cont(us, 0.33333333) AS t1,
+             |    quantile_cont(us, 0.66666667) AS t2
+             |  FROM ev),
+             |parts AS (
+             |  SELECT event_id, us,
+             |    CASE WHEN us > (SELECT t2 FROM q) THEN 'C'
+             |         WHEN us > (SELECT t1 FROM q) THEN 'A'
+             |         WHEN event_id % 2 = 0 THEN 'B' ELSE 'D' END AS part
+             |  FROM ev),
+             |dl AS (
+             |  SELECT ((MAX(us) - MIN(us)) // 3600000000 // 2) * 3600000 AS delay_ms
+             |  FROM ev),
+             |wm AS (
+             |  SELECT
+             |    (SELECT MAX(us) FROM parts WHERE part = 'A') // 1000
+             |      - (SELECT delay_ms FROM dl) AS wm1_ms,
+             |    (SELECT MAX(us) FROM parts) // 1000
+             |      - (SELECT delay_ms FROM dl) AS wm3_ms),
+             |kept AS (
+             |  SELECT us FROM parts, wm
+             |  WHERE part IN ('A', 'B', 'C')
+             |     OR (us // 3600000000) * 3600000 + 3600000 > wm1_ms)
+             |SELECT make_timestamp((us // 3600000000) * 3600000000) AS window_start,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM kept, wm
+             |WHERE (us // 3600000000) * 3600000 + 3600000 <= wm3_ms
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Streaming CDC MERGE, registered end-to-end (the library form is
     // StreamingJobs.cdcUpsert, spec-proven under crashed-batch replay /
     // stale redelivery / checkpoint loss in MultimodalStreamingSpec —
