@@ -3663,7 +3663,7 @@ object TextQueries {
           .reduce(_ + _)
         def feats(df: org.apache.spark.sql.DataFrame) =
           withTermFeatures(df, rrfQueryTerms).select(
-            df.columns.filterNot(_ == "text").map(col) ++ Seq(
+            df.columns.filterNot(_ == "text").map(col).toIndexedSeq ++ Seq(
               log(lit(1.0) + col("tf0") + col("tf1") + col("tf2")).as("f0"),
               cov.cast("double").as("f1"),
               log(lit(1.0) + col("dl")).as("f2")): _*)

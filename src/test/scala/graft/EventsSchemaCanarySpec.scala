@@ -327,7 +327,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
       val f = SparkEntry.queries(name)
       val a = f(spark, nanosDir)
       val b = f(spark, microsDir)
-      val cols = a.columns.sorted.map(col(_))
+      val cols = a.columns.sorted.map(col(_)).toIndexedSeq
       val va = a.select(cols: _*).orderBy(cols: _*).collect().toSeq
       val vb = b.select(cols: _*).orderBy(cols: _*).collect().toSeq
       assert(va == vb, s"$name must be footer-flavor-invariant")
