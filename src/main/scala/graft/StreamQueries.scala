@@ -901,6 +901,102 @@ object StreamQueries {
              |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
     ),
 
+    // The reference DAG as a STREAMING pipeline (r16 — q_uscrn_e2e proves
+    // the batch chain composes; this row proves its INCREMENTAL
+    // deployment converges to the identical end state, which is how the
+    // reference actually runs: a cron-triggered DAG ingesting each new
+    // scrape file into the warehouse, uscrn_dag.py:271-289): the text
+    // extract arrives as a FOUR-file stream ordered by event_id (range
+    // files with pinned mtimes — scrape batches land in capture order),
+    // and each micro-batch runs the WHOLE per-batch DAG: parse the text
+    // lines, broadcast-join the station dim, convert units behind the
+    // sentinel guard, dedup IN BATCH on the composite key (min event_id),
+    // then staging→MERGE into main keyed on the SAME composite key —
+    // insert-if-absent, so with ascending arrival the global min-id
+    // winner materializes incrementally without ever rescanning main's
+    // history. The oracle is q_uscrn_e2e's restatement VERBATIM: four
+    // incremental merges must converge to exactly the one-shot batch
+    // chain's table (the q_stream_cdc convergence device applied to the
+    // whole reference DAG). Scale shape: per-micro-batch cost is bounded
+    // by the batch (parse map + broadcast join + in-batch window + a
+    // key-only merge probe) — the incremental property the reference's
+    // daily schedule depends on.
+    Q(
+      "q_stream_uscrn",
+      (s, d) => {
+        val base = tmpDir("graft_stream_uscrn", d)
+        val src = s"$base/src"
+        val main = s"$base/main"
+        val ckpt = s"$base/ckpt"
+        val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+        val line = concat_ws(" ", col("event_id"), col("user_id"), col("event_type"), col("value"))
+        events(s, d)
+          .select(col("event_id"), line.as("line"))
+          .repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(src)
+        // Pin arrival order = event_id order: range part files sort by
+        // name in range order; give them strictly ascending mtimes so the
+        // file source's (mtime, path) listing cannot reorder them.
+        new java.io.File(src).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L * (i + 1)) }
+        val dim = nation(s, d).select(col("n_nationkey"), col("n_name").as("station"))
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+          .select(col("line"))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val parsed = b
+              .select(split(col("line"), "\\s+").as("f"))
+              .select(
+                element_at(col("f"), 1).cast("long").as("event_id"),
+                element_at(col("f"), 2).cast("long").as("user_id"),
+                element_at(col("f"), 3).as("event_type"),
+                element_at(col("f"), 4).cast("double").as("value"))
+            val transformed = graft.operators.EtlOps.dedupByKey(
+              parsed
+                .join(broadcast(dim), col("user_id") % 25 === col("n_nationkey"))
+                .drop("n_nationkey")
+                .withColumn("value_f", graft.operators.EtlOps.celsiusToFahrenheit(col("value"))),
+              Seq("user_id", "event_type"),
+              "event_id")
+            val stg = s"$base/stg_$id"
+            graft.sources.StagingSink.stage(transformed, stg)
+            graft.sources.StagingSink
+              .mergeToMain(s, stg, main, Seq("user_id", "event_type"), clock = t0)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(main)
+          .select("event_id", "user_id", "station", "event_type", "value", "value_f",
+            "date_added_utc")
+          .orderBy("event_id")
+      },
+      // Convergence: the oracle is q_uscrn_e2e's restatement verbatim —
+      // four incremental merges must land on the one-shot batch table.
+      Some("""WITH parsed AS (
+             |  SELECT event_id, user_id, event_type, value FROM events),
+             |joined AS (
+             |  SELECT p.*, n.n_name AS station,
+             |    CASE WHEN p.value > -90 THEN p.value * 9 / 5 + 32 ELSE p.value END AS value_f
+             |  FROM parsed p JOIN nation n ON p.user_id % 25 = n.n_nationkey),
+             |dedup AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY event_id) AS rn
+             |    FROM joined) t
+             |  WHERE rn = 1)
+             |SELECT event_id, user_id, station, event_type, value, value_f,
+             |  TIMESTAMP '2026-01-01 00:00:00' AS date_added_utc
+             |FROM dedup ORDER BY event_id""".stripMargin)
+    ),
+
     // Watermark LATE-DATA semantics, registered under the hash gate (r16 —
     // q_late_arrival_profile PLANS a delay; this row EXECUTES one and pins
     // what the engine actually does to late rows, which every §2.4
