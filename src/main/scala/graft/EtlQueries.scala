@@ -1101,6 +1101,74 @@ object EtlQueries {
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
     ),
 
+    // Differentially-private count release (r16 — the privacy family's
+    // third leg: q_redact_pii scrubs direct identifiers, q_anonymity_audit
+    // measures re-identification risk, and THIS releases aggregate
+    // statistics under the Laplace mechanism, Dwork 2006: count queries
+    // have sensitivity 1, so noise ~ Laplace(1/ε) gives ε-DP). The
+    // mechanism under test is the CALIBRATION arithmetic: a uniform draw
+    // inverse-CDF'd into Laplace noise (−b·sign(u−½)·ln(1−2|u−½|)), the
+    // fixed-point 1e-9 rounding discipline so both engines agree to the
+    // released digit, and the small-count SUPPRESSION gate (classes under
+    // 25 release NULL — noise alone cannot protect a count of 2).
+    // HONESTY NOTE, stated plainly: the uniform here is seeded from
+    // md5(event_type) so the release is deterministic and
+    // oracle-checkable; a hash of the data is NOT randomness, so this
+    // exact registered form is not ε-DP — a production release swaps the
+    // seed for fresh per-release randomness (rand() in the same
+    // expression slot) and everything else — calibration, fixed-point,
+    // suppression — ships unchanged. The same test-mode-determinism split
+    // every learned operator here uses. Scale: ONE bounded-K rollup; the
+    // fp product caps at ~9.2e9 rows per class (long overflow), far past
+    // any per-type count this corpus or its 100 TB scale-up reaches.
+    Q(
+      "q_dp_counts",
+      (s, d) => {
+        // A planted 3-row rare class makes the suppression gate
+        // DEMONSTRABLY fire at every scale factor (the q_anonymity_audit
+        // "the gate actually fires" discipline).
+        val counts = events(s, d)
+          .select(col("event_type"))
+          .unionAll(s.range(3).select(lit("zz_planted_rare").as("event_type")))
+          .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+        val v = conv(substring(md5(col("event_type")), 1, 6), 16, 10).cast("long")
+        val u = (v.cast("double") + lit(0.5)) / lit(16777216.0)
+        val c = u - lit(0.5)
+        val noise = -lit(1.0) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+        val noiseFp = round(noise * lit(1.0e9), 0).cast("long")
+        val releasedFp = col("n_true") * lit(1000000000L) + noiseFp
+        counts
+          .select(
+            col("event_type"),
+            lit(1.0).as("epsilon"),
+            when(col("n_true") >= 25,
+              round(releasedFp.cast("double") / lit(1.0e9), 6)).as("n_released"),
+            (col("n_true") < 25).as("suppressed"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+             |  FROM (SELECT event_type FROM events
+             |        UNION ALL SELECT 'zz_planted_rare' FROM range(3)) u
+             |  GROUP BY 1),
+             |m AS (
+             |  SELECT event_type, n_true,
+             |    (CAST(CAST('0x' || substr(md5(event_type), 1, 6) AS BIGINT) AS DOUBLE) + 0.5)
+             |      / 16777216.0 - 0.5 AS ctr
+             |  FROM c),
+             |n AS (
+             |  SELECT event_type, n_true,
+             |    CAST(round(-1.0 * sign(ctr) * ln(1.0 - 2.0 * abs(ctr)) * 1.0e9) AS BIGINT)
+             |      AS noise_fp
+             |  FROM m)
+             |SELECT event_type, 1.0 AS epsilon,
+             |  CASE WHEN n_true >= 25
+             |       THEN round(CAST(n_true * 1000000000 + noise_fp AS DOUBLE) / 1.0e9, 6)
+             |       END AS n_released,
+             |  n_true < 25 AS suppressed
+             |FROM n ORDER BY event_type""".stripMargin)
+    ),
+
     // Data-quality constraint suite (the Deequ/Great-Expectations shape):
     // a declarative set of table constraints evaluated in ONE pass and
     // reported as (check, compliance metric, threshold, verdict) rows —

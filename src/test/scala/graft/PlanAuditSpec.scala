@@ -1012,6 +1012,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"salting is pure aggregation — no join/window:\n$p")
   }
 
+  test("charset detect/decode: one codegen map pass over the scan — no join, no aggregation shuffle") {
+    // The bytes→text chain must stay embarrassingly parallel: synthesis,
+    // cascade, and decode are all builtins in one projection; the only
+    // exchange is the presentation sort's range partitioning.
+    for (q <- Seq("q_charset_detect", "q_charset_decode")) {
+      // Execute first: codegen spans only appear in the FINAL adaptive
+      // plan (the q_oov_rate device).
+      val df = QueryRegistry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+        s"$q must not shuffle or join:\n$p")
+      // The simple plan string marks codegen stages as `*(n)`.
+      assert(p.contains("*("), s"$q must stay inside codegen:\n$p")
+    }
+  }
+
   test("q_skew_salted_join: the join keys on (key, salt); the dimension explodes, the fact never does") {
     // The playbook's join half: the fact side gains only a salt column
     // (never replicates), the DIMENSION side explodes across the salt
