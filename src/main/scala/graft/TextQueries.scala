@@ -2099,6 +2099,81 @@ object TextQueries {
              |FROM e ORDER BY host, sitemap, url""".stripMargin)
     ),
 
+    // Redirect-chain resolution (r16 — the crawl bookkeeping between
+    // fetching and the frontier: at web scale the redirect map is a
+    // billion-edge partial function url→url, and every crawler resolves
+    // each URL to its TERMINAL target before dedup/indexing, detecting
+    // loops): per host the fixture plants a 3-hop chain, a direct
+    // redirect, and a 2-cycle, and the resolver runs POINTER DOUBLING —
+    // compose the map with itself ⌈log₂ L⌉ times, so a chain of length L
+    // resolves in O(log L) self-joins instead of L sequential probes
+    // (three rounds here cover chains ≤ 8; a billion-edge map resolves
+    // 64-deep chains in six shuffles, the classic parallel
+    // list-ranking/path-doubling bound — per round ONE equi-join on the
+    // current target, AQE-planned). Hop counts compose additively through
+    // the doubling; a URL still holding an outgoing edge after the rounds
+    // is a LOOP (final_url/hops NULL, is_cycle true — the 2-cycle pins
+    // it). The oracle resolves the same map with a hop-bounded RECURSIVE
+    // CTE and takes the terminal row — so a composition, hop-accounting,
+    // or loop-detection defect flips the hash.
+    Q(
+      "q_redirect_resolve",
+      (s, d) => {
+        val hosts = documents(s, d)
+          .select(concat(lower(col("source")), lit(".example.com")).as("host"))
+          .distinct()
+        def u(path: String) = concat(lit("http://"), col("host"), lit(path))
+        val shapes = Seq(
+          ("/r/0", "/r/1"), ("/r/1", "/r/2"), ("/r/2", "/final.html"),
+          ("/solo", "/final2.html"),
+          ("/loop/a", "/loop/b"), ("/loop/b", "/loop/a"))
+        val edges = hosts
+          .select(explode(array(shapes.map { case (a, b) =>
+            struct(u(a).as("src"), u(b).as("dst"))
+          }: _*)).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        var f = edges.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
+        for (_ <- 1 to 3) {
+          val g = f.select(col("src").as("g_src"), col("cur").as("g_cur"), col("hops").as("g_hops"))
+          f = f
+            .join(g, f("cur") === g("g_src"), "left")
+            .select(
+              col("src"),
+              coalesce(col("g_cur"), col("cur")).as("cur"),
+              (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops"))
+        }
+        val outDegree = edges.select(col("src").as("o_src")).distinct()
+        f.join(outDegree, f("cur") === outDegree("o_src"), "left")
+          .select(
+            col("src").as("url"),
+            when(col("o_src").isNull, col("cur")).as("final_url"),
+            when(col("o_src").isNull, col("hops")).as("hops"),
+            col("o_src").isNotNull.as("is_cycle"))
+          .orderBy("url")
+      },
+      Some("""WITH RECURSIVE hosts AS (
+             |  SELECT DISTINCT lower(source) || '.example.com' AS host FROM documents),
+             |e AS (
+             |  SELECT 'http://' || host || s AS src, 'http://' || host || t AS dst
+             |  FROM hosts, (VALUES ('/r/0', '/r/1'), ('/r/1', '/r/2'),
+             |    ('/r/2', '/final.html'), ('/solo', '/final2.html'),
+             |    ('/loop/a', '/loop/b'), ('/loop/b', '/loop/a')) v(s, t)),
+             |r AS (
+             |  SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+             |  UNION ALL
+             |  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN e ON r.cur = e.src
+             |  WHERE r.hops < 8),
+             |term AS (
+             |  SELECT r.src, r.cur, r.hops
+             |  FROM r LEFT JOIN e ON r.cur = e.src
+             |  WHERE e.src IS NULL)
+             |SELECT e0.src AS url, t.cur AS final_url, t.hops,
+             |  t.src IS NULL AS is_cycle
+             |FROM (SELECT DISTINCT src FROM e) e0
+             |LEFT JOIN term t ON e0.src = t.src
+             |ORDER BY url""".stripMargin)
+    ),
+
     // WARC-record parsing (r16 — the crawl family's CONTAINER format:
     // robots = permission, sitemap = advertisement, frontier = demand,
     // and the crawler's OUTPUT is a stream of WARC records; Common Crawl,
