@@ -2029,6 +2029,41 @@ object AnalyticQueries {
              |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)""".stripMargin)
     ),
 
+    // Bloom-pruned semi join (r16 — q_semi_join_orders' row notes "at
+    // 100 TB the runtime bloom from the filtered side prunes the orders
+    // scan"; this row REGISTERS that device explicitly via
+    // EtlOps.bloomPrunedSemiJoin, for the cases Spark's InjectRuntimeFilter
+    // can't see — a key set from a separate pipeline stage or cross-job
+    // handoff): high-value orders (the selective build side) bloom-filter
+    // the LINEITEM probe BEFORE any shuffle — one partial-agg'd pass
+    // builds a 32 KB filter, it ships back as a plan literal, and
+    // might_contain drops non-matching probe rows at the scan — then the
+    // exact semi join removes the bloom's false positives. THE ORACLE IS
+    // THE PLAIN SEMI JOIN: the filter accelerates, the join decides, so a
+    // hash mismatch means the bloom DROPPED a true match (the one failure
+    // mode that corrupts results) — false-positive rate only moves the
+    // pruning payoff, never the rows. Plan pin: might_contain sits on the
+    // probe side below the join.
+    Q(
+      "q_semi_join_bloom",
+      (s, d) => {
+        val hot = orders(s, d).filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+        graft.operators.EtlOps
+          .bloomPrunedSemiJoin(
+            lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+            hot,
+            probeKey = "l_orderkey",
+            buildKey = "o_orderkey")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)
+    ),
+
     // Key-skew diagnostic — the report a data engineer runs BEFORE a big
     // join to decide salting/broadcast strategy (§5's skew playbook needs
     // this measurement): top-20 keys by row count with their corpus

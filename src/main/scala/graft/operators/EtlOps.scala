@@ -310,6 +310,44 @@ object EtlOps {
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-pruned semi join — EXPLICIT sideways information passing (the
+    * pattern Spark's own InjectRuntimeFilter applies when the optimizer can
+    * see both sides in one plan; this ships it for the cases it can't — a
+    * key set produced by a separate pipeline stage, a cross-job handoff, a
+    * source the rule's heuristics skip): build a bloom filter over the
+    * build side's join keys (ONE partial-agg'd pass; the filter itself is
+    * `numBits/8` bytes of bounded driver state shipped back as a plan
+    * literal, the classifier-weights contract), pre-filter the PROBE side
+    * with `might_contain` BEFORE any shuffle (at 100 TB this is the step
+    * that keeps non-matching probe rows from ever crossing the wire), then
+    * run the exact semi join to remove the bloom's false positives — the
+    * filter accelerates, the join decides, so results are bloom-independent
+    * and bit-identical to the plain semi join.
+    */
+  def bloomPrunedSemiJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      expectedItems: Long = 10000L,
+      numBits: Long = 262144L
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val bfAgg = new BloomFilterAggregate(
+      toExpr(xxhash64(col(buildKey))), Literal(expectedItems), Literal(numBits))
+    val bloom = build
+      .agg(toCol(bfAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = probe.filter(
+      toCol(BloomFilterMightContain(Literal(bloom), toExpr(xxhash64(col(probeKey))))))
+    pruned.join(
+      build.select(col(buildKey)),
+      col(probeKey) === col(buildKey),
+      "left_semi")
+  }
+
   /** Skew-safe aggregation: the salting playbook's GROUP BY half (saltedJoin
     * is the join half). Stage 1 groups by (keys, salt) so a hot key's rows
     * spread over `saltFactor` reducers and combine map-side; stage 2

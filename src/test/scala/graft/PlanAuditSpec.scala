@@ -1012,6 +1012,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"salting is pure aggregation — no join/window:\n$p")
   }
 
+  test("q_semi_join_bloom: might_contain prunes the probe scan below the semi join") {
+    // The device's whole point: the bloom predicate must sit on the
+    // lineitem side BEFORE the join (rows drop at the scan, never
+    // crossing the shuffle), with the exact LeftSemi join above it
+    // removing false positives.
+    val p = plan("q_semi_join_bloom")
+    assert(p.contains("might_contain"), s"bloom predicate missing from the plan:\n$p")
+    assert(p.contains("LeftSemi"), s"the exact semi join must decide membership:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bloom pruning must stay an equi-join:\n$p")
+    // The predicate belongs to the probe side: it must appear AFTER (i.e.
+    // deeper than) the join operator in the printed tree.
+    val joinAt = p.indexOf("LeftSemi")
+    val bloomAt = p.indexOf("might_contain")
+    assert(bloomAt > joinAt, s"might_contain must be below the join (probe side):\n$p")
+  }
+
   test("charset detect/decode: one codegen map pass over the scan — no join, no aggregation shuffle") {
     // The bytes→text chain must stay embarrassingly parallel: synthesis,
     // cascade, and decode are all builtins in one projection; the only
