@@ -151,12 +151,15 @@ object Plans {
     "q_anonymity_audit",
     "q_recrawl_schedule",
     // Round 16: the registered salting playbook (both halves), the
-    // geospatial scale twin (cell candidate join), and the chi-square
-    // drift monitor.
+    // geospatial scale twin (cell candidate join), the chi-square drift
+    // monitor, the bloom-pruned semi join, and the pointer-doubling
+    // redirect resolver.
     "q_skew_salted",
     "q_skew_salted_join",
     "q_nearest_station_cells",
-    "q_drift_chi2"
+    "q_drift_chi2",
+    "q_semi_join_bloom",
+    "q_redirect_resolve"
   )
 
   def main(args: Array[String]): Unit = {

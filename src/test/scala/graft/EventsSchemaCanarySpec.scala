@@ -277,6 +277,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_skew_salted",
     "q_skew_salted_join",
     "q_drift_chi2",
+    "q_dp_counts",
     // Round 16: the reference DAG end-to-end (read-back — events lineage
     // hidden from the scan walk like q_upsert_merge; its nation dim join
     // rides the flavor fixtures' nation.parquet).
