@@ -901,6 +901,135 @@ object StreamQueries {
              |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)
     ),
 
+    // Streaming χ² — the drift family's third monitor deployed (with
+    // q_stream_drift's PSI and q_stream_drift_ks's binned KS the trio a
+    // monitoring stack ships is complete BOTH ways: three statistics ×
+    // batch+stream): the categorical homogeneity test needs only
+    // per-TYPE counts, so the streaming state is K-bounded — even
+    // smaller than the PSI/KS pair's K×10 — and the reference half's
+    // counts broadcast as the offline artifact. foreachBatch restates
+    // q_drift_chi2's machinery verbatim: expected counts through the
+    // identical double tree, 1e-9 fixed-point order-free term sums, the
+    // literal df 1..9 critical table compared in fixed-point integers.
+    // On bounded input the report equals the batch monitor exactly —
+    // the oracle is q_drift_chi2's, verbatim.
+    Q(
+      "q_stream_chi2",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val out = tmpDir("graft_schi2_out", d)
+        val ckpt = tmpDir("graft_schi2_ckpt", d)
+        val ev = events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val med = ev.agg(expr("percentile(us, 0.5)")).head().getDouble(0)
+        val refCounts = ev
+          .filter(col("us") <= med)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("c_ref"))
+        val curCounts = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .transform(Tables.normalizeTs(_))
+          .filter(unix_micros(col("ts")) > med)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("c_cur"))
+        val q = curCounts.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val counts = refCounts
+              .join(batch, Seq("event_type"), "full_outer")
+              .select(
+                col("event_type"),
+                coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+                coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+            val totals = counts.agg(
+              sum(col("c_ref")).as("t_ref"),
+              sum(col("c_cur")).as("t_cur"),
+              count(lit(1)).as("k"))
+            val crD = col("c_ref").cast("double")
+            val ccD = col("c_cur").cast("double")
+            val ni = (col("c_ref") + col("c_cur")).cast("double")
+            val nTot = (col("t_ref") + col("t_cur")).cast("double")
+            val eRef = ni * col("t_ref").cast("double") / nTot
+            val eCur = ni * col("t_cur").cast("double") / nTot
+            val term = (crD - eRef) * (crD - eRef) / eRef + (ccD - eCur) * (ccD - eCur) / eCur
+            val critFp = when(col("df") === 1, 3841458821L)
+              .when(col("df") === 2, 5991464547L)
+              .when(col("df") === 3, 7814727903L)
+              .when(col("df") === 4, 9487729037L)
+              .when(col("df") === 5, 11070497694L)
+              .when(col("df") === 6, 12591587244L)
+              .when(col("df") === 7, 14067140449L)
+              .when(col("df") === 8, 15507313056L)
+              .when(col("df") === 9, 16918977605L)
+            counts
+              .crossJoin(broadcast(totals))
+              .select(
+                col("t_ref"), col("t_cur"), col("k"),
+                round(term * lit(1.0e9), 0).cast("long").as("term_fp"))
+              .groupBy()
+              .agg(
+                max(col("t_ref")).as("n_ref"),
+                max(col("t_cur")).as("n_cur"),
+                max(col("k")).as("k"),
+                sum(col("term_fp")).as("chi2_fp"))
+              .withColumn("df", col("k") - 1)
+              .select(
+                col("n_ref"), col("n_cur"), col("k"), col("df"),
+                round(col("chi2_fp").cast("double") / lit(1.0e9), 6).as("chi2"),
+                (col("chi2_fp") > critFp).as("drift_alert"))
+              .write.mode("overwrite").parquet(out)
+          }
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      // Convergence: the oracle is q_drift_chi2's, verbatim.
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_us(ts) AS us FROM events),
+             |med AS (SELECT quantile_cont(us, 0.5) AS med FROM ev),
+             |counts AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN us <= (SELECT med FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             |    CAST(SUM(CASE WHEN us > (SELECT med FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+             |  FROM ev GROUP BY 1),
+             |totals AS (
+             |  SELECT CAST(SUM(c_ref) AS BIGINT) AS t_ref,
+             |    CAST(SUM(c_cur) AS BIGINT) AS t_cur,
+             |    CAST(COUNT(*) AS BIGINT) AS k
+             |  FROM counts),
+             |terms AS (
+             |  SELECT t_ref, t_cur, k,
+             |    CAST(round((
+             |      (CAST(c_ref AS DOUBLE)
+             |        - CAST(c_ref + c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      * (CAST(c_ref AS DOUBLE)
+             |        - CAST(c_ref + c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      / (CAST(c_ref + c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      + (CAST(c_cur AS DOUBLE)
+             |        - CAST(c_ref + c_cur AS DOUBLE) * CAST(t_cur AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      * (CAST(c_cur AS DOUBLE)
+             |        - CAST(c_ref + c_cur AS DOUBLE) * CAST(t_cur AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |      / (CAST(c_ref + c_cur AS DOUBLE) * CAST(t_cur AS DOUBLE) / CAST(t_ref + t_cur AS DOUBLE))
+             |    ) * 1.0e9) AS BIGINT) AS term_fp
+             |  FROM counts, totals),
+             |agg AS (
+             |  SELECT MAX(t_ref) AS n_ref, MAX(t_cur) AS n_cur, MAX(k) AS k,
+             |    CAST(SUM(term_fp) AS BIGINT) AS chi2_fp
+             |  FROM terms)
+             |SELECT n_ref, n_cur, k, k - 1 AS df,
+             |  round(CAST(chi2_fp AS DOUBLE) / 1.0e9, 6) AS chi2,
+             |  chi2_fp > CASE k - 1
+             |    WHEN 1 THEN 3841458821 WHEN 2 THEN 5991464547 WHEN 3 THEN 7814727903
+             |    WHEN 4 THEN 9487729037 WHEN 5 THEN 11070497694 WHEN 6 THEN 12591587244
+             |    WHEN 7 THEN 14067140449 WHEN 8 THEN 15507313056 WHEN 9 THEN 16918977605
+             |    END AS drift_alert
+             |FROM agg""".stripMargin)
+    ),
+
     // The reference DAG as a STREAMING pipeline (r16 — q_uscrn_e2e proves
     // the batch chain composes; this row proves its INCREMENTAL
     // deployment converges to the identical end state, which is how the

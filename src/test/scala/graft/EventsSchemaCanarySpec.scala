@@ -263,6 +263,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     "q_stream_enrich", // stream×nation broadcast join (fixtures carry nation.parquet)
     "q_stream_drift", // per-micro-batch PSI over the normalized ts split
     "q_stream_drift_ks", // PSI + binned KS from the same (type, bin) state
+    "q_stream_chi2", // K-bounded categorical chi-square on arrival
     "q_stream_late_drop", // the watermark late-data contract (empty on the 24h fixture, but the path must run both flavors)
     "q_stream_uscrn", // the reference DAG streamed: per-batch merge convergence rides the normalized ts only via events()
     // Reads events.parquet RAW on purpose (footer-schema diffing is the
