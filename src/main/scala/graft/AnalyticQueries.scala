@@ -1004,7 +1004,17 @@ object AnalyticQueries {
           .withColumn("df", col("k") - 1)
           .select(
             col("n_ref"), col("n_cur"), col("k"), col("df"),
-            round(col("chi2_fp").cast("double") / lit(1.0e9), 6).as("chi2"),
+            // Zero-expected guard: eRef/eCur are 0 iff a whole HALF is
+            // empty (t_ref or t_cur = 0 — a degenerate median split, e.g.
+            // every timestamp identical). The term then goes NaN, and the
+            // engines DIVERGE instead of failing together: Spark casts NaN
+            // to long as 0 silently while DuckDB errors on the cast. Fail
+            // loudly on both engines instead (the oracle carries the same
+            // CASE→error()).
+            when(col("n_ref") > 0 && col("n_cur") > 0,
+              round(col("chi2_fp").cast("double") / lit(1.0e9), 6))
+              .otherwise(raise_error(lit("chi2: degenerate median split (an empty half)")))
+              .as("chi2"),
             (col("chi2_fp") > critFp).as("drift_alert"))
       },
       Some("""WITH ev AS (
@@ -1040,7 +1050,8 @@ object AnalyticQueries {
              |    CAST(SUM(term_fp) AS BIGINT) AS chi2_fp
              |  FROM terms)
              |SELECT n_ref, n_cur, k, k - 1 AS df,
-             |  round(CAST(chi2_fp AS DOUBLE) / 1.0e9, 6) AS chi2,
+             |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN round(CAST(chi2_fp AS DOUBLE) / 1.0e9, 6)
+             |    ELSE error('chi2: degenerate median split (an empty half)') END AS chi2,
              |  chi2_fp > CASE k - 1
              |    WHEN 1 THEN 3841458821 WHEN 2 THEN 5991464547 WHEN 3 THEN 7814727903
              |    WHEN 4 THEN 9487729037 WHEN 5 THEN 11070497694 WHEN 6 THEN 12591587244

@@ -36,6 +36,59 @@ object EtlQueries {
     f.toString
   }
 
+  /** Deterministic NWS forecast-page HTML for one station — the q_nws_e2e
+    * fixture, built the q_sitemap_ingest way (generate the document in the
+    * query from the dimension row, parse it with the REAL parser, state the
+    * post-parse ground truth directly in the oracle). Shape mirrors the
+    * reference's scraped pages (nws_dag.py:63-75, utils.py:180-232): two
+    * nav tables first (the forecast table is found by DOCUMENT-ORDER index,
+    * BeautifulSoup find_all semantics), a "Last Update:" provenance cell in
+    * the page chrome (utils.py:174-188's exact normalization target), then
+    * the LANDSCAPE table — each <tr> is a COLUMN (name cell + value cells),
+    * cells are <font>-wrapped, a colspan divider row is skipped, the 48 h
+    * forecast arrives as TWO halves whose repeated row names concatenate in
+    * document order, the Date row is only populated on each half's first
+    * record and at day changes (the _ff_list forward-fill target), gust has
+    * ''-gaps (policy ''→0) and wind chill has ''-gaps (policy ''→NULL),
+    * and the two halves OVERLAP by one record (the scrape-window overlap
+    * the composite-key dedup collapses, nws_dag.py:173-180).
+    *
+    * All values are pure functions of (stationkey k, hour h) so the oracle
+    * can restate them: temp = (k*7+h)%40-10, gust = ''@h%8==2 else
+    * (k+h)%30+5, chill = ''@h%6==4 else (k*3+h)%20-10; hours 02..12 (day 1)
+    * in half 0, 12..22 in half 1 with the day turning at h=18; the update
+    * stamp minute is 10+k%50. Hour strings are zero-padded so their
+    * lexical order IS the record order the forward fill needs.
+    */
+  private[graft] def nwsPageHtml(k: Int): String = {
+    def temp(h: Int) = ((k * 7 + h) % 40 - 10).toString
+    def gust(h: Int) = if (h % 8 == 2) "" else ((k + h) % 30 + 5).toString
+    def chill(h: Int) = if (h % 6 == 4) "" else ((k * 3 + h) % 20 - 10).toString
+    def dateCell(h: Int, first: Boolean) =
+      if (first || h == 18) { if (h >= 18) "2024-01-02" else "2024-01-01" } else ""
+    def half(hours: Seq[Int]): String = {
+      def row(name: String, v: Int => String) =
+        s"<tr><td><font>$name</font></td>" +
+          hours.zipWithIndex.map { case (h, i) =>
+            val cell = if (name == "Date") dateCell(h, i == 0) else v(h)
+            s"<td><font>$cell</font></td>"
+          }.mkString + "</tr>\n"
+      row("Date", _ => "") +
+        row("Hour (AKST)", h => f"$h%02d") +
+        row("Temperature (&deg;F)", temp) +
+        row("Gust (mph)", gust) +
+        row("Wind Chill (&deg;F)", chill)
+    }
+    val divider = "<tr><td colspan=\"13\"><font>&nbsp;</font></td></tr>\n"
+    val lastUpdate = s"Last Update: 2:${10 + k % 50} pm AKST Jan 1, 2024"
+    "<html><body>\n" +
+      "<table><tr><td>nav</td><td>chrome</td></tr></table>\n" +
+      s"<table><tr><td>$lastUpdate</td><td>station chrome</td></tr></table>\n" +
+      "<!-- forecast --><table>\n" +
+      half(Seq(2, 4, 6, 8, 10, 12)) + divider + half(Seq(12, 14, 16, 18, 20, 22)) +
+      "</table>\n</body></html>\n"
+  }
+
   /** DuckDB spelling of EtlOps.mortonKey over the two layout dimensions —
     * ONE generator shared by the q_zorder_layout and q_skipping_stats
     * oracles so the morton convention can never silently diverge between
@@ -1433,7 +1486,17 @@ object EtlQueries {
         val base = EtlQueries.scratchDir("graft_uscrn_e2e", d)
         val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
         // Extract: typed rows → one text line → split + cast back.
-        val line = concat_ws(" ", col("event_id"), col("user_id"), col("event_type"), col("value"))
+        // concat_ws silently SKIPS null fields (and an empty event_type
+        // contributes nothing), which would shift every later field one
+        // slot left and mis-parse the row instead of failing — so a
+        // null/empty field fails loudly by name before serializing.
+        def reqField(c: org.apache.spark.sql.Column, n: String) =
+          when(c.isNull || c.cast("string") === "",
+            raise_error(lit(s"q_uscrn_e2e: null/empty $n cannot round-trip a whitespace-joined line")))
+            .otherwise(c.cast("string"))
+        val line = concat_ws(" ",
+          reqField(col("event_id"), "event_id"), reqField(col("user_id"), "user_id"),
+          reqField(col("event_type"), "event_type"), reqField(col("value"), "value"))
         val parsed = events(s, d)
           .select(line.as("line"))
           .select(split(col("line"), "\\s+").as("f"))
@@ -1476,6 +1539,208 @@ object EtlQueries {
              |SELECT event_id, user_id, station, event_type, value, value_f,
              |  TIMESTAMP '2026-01-01 00:00:00' AS date_added_utc
              |FROM dedup ORDER BY event_id""".stripMargin)
+    ),
+
+    // The reference's NWS forecast DAG end to end, under ONE hash gate
+    // (r16 verdict item 1 — the second of the reference's three DAGs; the
+    // pieces each have green rows and NwsPipelineSpec keeps the parser hand
+    // cases, but the COMPOSED chain nws_dag.py:63-238 was never
+    // hash-checked as one row): per-station page HTML (the
+    // q_sitemap_ingest fixture device — see [[nwsPageHtml]]) →
+    // HtmlTable.landscapeRecords (landscape transpose, utils.py:180-232,
+    // two halves' repeated column names concatenating in document order) →
+    // "Last Update:" provenance stamp (utils.py:174-188) → header
+    // normalization (°()%→pct, nws_dag.py:134-138) → missing-value policy
+    // (gust ''→0, wind_chill ''→NULL, nws_dag.py:141-144) → forward fill
+    // of the gappy Date row (_ff_list) → lst timestamp build → AKST+9h
+    // shift (nws_dag.py:152-156) → (location, lst_datetime) composite
+    // dedup of the scrape-window overlap (nws_dag.py:173-180) → typed cast
+    // (the BigQuery SchemaField step) → StagingSink stage → MERGE into
+    // main → READ-BACK. Scale shape: the page parse is one per-row
+    // projection + generator (no shuffle — a million cached pages fan out
+    // across executors), the fill/dedup windows share ONE location-keyed
+    // shuffle domain, and the merge probes keys only; the composition adds
+    // no new shuffle beyond its registered parts.
+    //
+    // Dedup determinism note: the overlap pair ties on the dedup order
+    // column (same hour string), which dedupByKey warns about — here the
+    // two rows are IDENTICAL in every surviving column (both halves carry
+    // the same (k, h) functions and the same post-fill date), so either
+    // winner yields the same output row; the tie is benign by
+    // construction, not by luck.
+    Q(
+      "q_nws_e2e",
+      (s, d) => {
+        import s.implicits._
+        val base = EtlQueries.scratchDir("graft_nws_e2e", d)
+        val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+        // Extract: one pre-fetched page per station (nation = the 25-row
+        // station dimension), parsed by the REAL landscape parser.
+        val pages = nation(s, d)
+          .select(col("n_name").as("location"), col("n_nationkey").cast("int").as("k"))
+          .as[(String, Int)]
+          .map { case (loc, k) => (loc, EtlQueries.nwsPageHtml(k)) }
+          .toDF("location", "html")
+        val recs = graft.sources.HtmlTable
+          .landscapeRecords(
+            pages,
+            col("html"),
+            tableIdx = 2,
+            cols = Seq("Date", "Hour (AKST)", "Temperature (°F)", "Gust (mph)", "Wind Chill (°F)"),
+            cellTag = "font")
+          .withColumn("last_update_nws", graft.sources.HtmlTable.lastUpdateNws(col("html")))
+          .drop("html")
+        // Transform: normalize headers, apply the missing-value policy,
+        // forward-fill the gappy date, build lst/utc timestamps, collapse
+        // the scrape overlap, type the measure columns.
+        val normalized = EtlOps.normalizeColumns(recs)
+        val policied = normalized
+          .withColumn("date", when(col("date") === "", lit(null)).otherwise(col("date")))
+          .withColumn("gust_mph", EtlOps.replaceSentinel(col("gust_mph"), lit(""), lit("0")))
+          .withColumn("wind_chill_f", EtlOps.replaceSentinel(col("wind_chill_f"), lit(""), lit(null)))
+        val filled = EtlOps.forwardFill(policied, Seq("location"), "hour_akst", "date")
+        val withTs = filled
+          .withColumn(
+            "lst_datetime",
+            to_timestamp(concat(col("date"), lit(" "), col("hour_akst"), lit(":00")), "yyyy-MM-dd HH:mm"))
+          .withColumn("utc_datetime", EtlOps.shiftHours(col("lst_datetime"), 9))
+        val deduped = EtlOps.dedupByKey(withTs, Seq("location", "lst_datetime"), "hour_akst")
+        val typed = EtlOps
+          .castColumns(
+            deduped,
+            Map("temperature_f" -> "double", "gust_mph" -> "double", "wind_chill_f" -> "double"))
+          .select("location", "lst_datetime", "utc_datetime", "temperature_f", "gust_mph",
+            "wind_chill_f", "last_update_nws")
+        // Load: staging → keyed MERGE into main → read back, so the parquet
+        // round-trip, audit stamp, and merge key semantics sit inside the
+        // oracle comparison.
+        graft.sources.StagingSink.stage(typed, s"$base/staging")
+        graft.sources.StagingSink
+          .mergeToMain(s, s"$base/staging", s"$base/main", Seq("location", "lst_datetime"), clock = t0)
+        s.read.parquet(s"$base/main")
+          .select("location", "lst_datetime", "utc_datetime", "temperature_f", "gust_mph",
+            "wind_chill_f", "last_update_nws", "date_added_utc")
+          .orderBy("location", "lst_datetime")
+      },
+      // Ground truth stated directly from the fixture's generating
+      // functions (the q_sitemap_ingest device): 11 records per station —
+      // hours 02..22 step 2 with the h=12 overlap collapsed — day turning
+      // at h=18, and the three value functions of (k, h) restated verbatim.
+      Some("""WITH hours AS (
+             |  SELECT * FROM (VALUES (2,1),(4,1),(6,1),(8,1),(10,1),(12,1),
+             |                        (14,1),(16,1),(18,2),(20,2),(22,2)) AS t(h, d)),
+             |recs AS (
+             |  SELECT n.n_name AS location, CAST(n.n_nationkey AS INT) AS k, h.h, h.d
+             |  FROM nation n CROSS JOIN hours h)
+             |SELECT location,
+             |  make_timestamp(2024, 1, d, h, 0, 0) AS lst_datetime,
+             |  make_timestamp(2024, 1, d, h, 0, 0) + INTERVAL 9 HOUR AS utc_datetime,
+             |  CAST((k * 7 + h) % 40 - 10 AS DOUBLE) AS temperature_f,
+             |  CAST(CASE WHEN h % 8 = 2 THEN 0 ELSE (k + h) % 30 + 5 END AS DOUBLE) AS gust_mph,
+             |  CAST(CASE WHEN h % 6 = 4 THEN NULL ELSE (k * 3 + h) % 20 - 10 END AS DOUBLE)
+             |    AS wind_chill_f,
+             |  '2:' || CAST(10 + k % 50 AS VARCHAR) || 'pm Jan 1 2024' AS last_update_nws,
+             |  TIMESTAMP '2026-01-01 00:00:00' AS date_added_utc
+             |FROM recs ORDER BY location, lst_datetime""".stripMargin)
+    ),
+
+    // The reference's wind DAG end to end, under ONE hash gate (r16
+    // verdict item 2 — the third reference DAG; every piece has its own
+    // green row (q_incremental_watermark, q_quarantine, q_hourly_rollup,
+    // q_sorted_export, q_upsert_merge) but the COMPOSITION
+    // uscrn_wind_dag.py:85-264 was never hash-checked as one row):
+    // seed main with the pre-cutoff history, read the update cutoff back
+    // from MAIN's own max hour (get_update_cutoff,
+    // uscrn_wind_dag.py:94-109 — a one-row driver collect, the reference's
+    // exact device), extract only rows past the cutoff
+    // (uscrn_wind_dag.py:152-155's backwards scan break), quarantine bad
+    // wind rows (wind < 0 or flag = 3, :157-158 — asserted non-empty so
+    // the gate demonstrably FIRES), broadcast-join the station dimension,
+    // floor-to-hour mean rounded to 3 (:184-188), rename to wind_hr_avg
+    // (:189), sort (:192), stage, and insert-if-absent MERGE into main
+    // (utils.insert_table) — then return the READ-BACK of main. The
+    // partially-re-aggregated cutoff hour (rows later in the cutoff hour
+    // re-aggregate it from the tail alone) is dropped by the merge's keyed
+    // anti-join, so the idempotency boundary is inside the gate too.
+    // Scale shape: the cutoff is one collected row (not a scan), the
+    // rollup is partial-agg'd on (station, hour), the dim join broadcasts,
+    // and the merge probes keys only — no new shuffle beyond the parts.
+    Q(
+      "q_wind_e2e",
+      (s, d) => {
+        val base = EtlQueries.scratchDir("graft_wind_e2e", d)
+        val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+        val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+        val seedCut = lit("2024-01-20 00:00:00").cast("timestamp")
+        val dim = nation(s, d).select(col("n_nationkey"), col("n_name").as("station"))
+        // The wind observations: wbanno = the station id, value = wind m/s.
+        val obs = events(s, d)
+          .select(col("user_id").as("wbanno"), col("ts"), col("event_type"), col("value"))
+        val (clean, bad) = EtlOps.quarantine(obs, col("value") < 0 || col("event_type") === "error")
+        // The reference logs bad rows and proceeds; the registered row
+        // asserts the gate demonstrably fires (a bounded count of the
+        // quarantined side — not a corpus collect).
+        val nBad = bad.count()
+        require(nBad > 0, s"q_wind_e2e: quarantine gate must fire on this fixture (got $nBad bad rows)")
+        def rollup(df: org.apache.spark.sql.DataFrame) = df
+          .join(broadcast(dim), col("wbanno") % 25 === col("n_nationkey"))
+          .groupBy(col("station"), col("wbanno"), date_trunc("hour", col("ts")).as("utc_hour"))
+          .agg(round(dsum(col("value")) / count(lit(1)), 3).as("wind_hr_avg"))
+          .withColumn("lst_hour", col("utc_hour") - expr("INTERVAL 9 HOURS"))
+          .select("station", "wbanno", "utc_hour", "lst_hour", "wind_hr_avg")
+        // Seed: the main table as the previous DAG run left it.
+        graft.sources.StagingSink.stage(rollup(clean.filter(col("ts") < seedCut)), s"$base/staging0")
+        graft.sources.StagingSink.mergeToMain(
+          s, s"$base/staging0", s"$base/main", Seq("station", "wbanno", "utc_hour"), clock = t0)
+        // get_update_cutoff: ONE row read back from main itself — the
+        // reference's exact "SELECT utc_datetime ... ORDER BY ... LIMIT 1".
+        val cutoff = s.read.parquet(s"$base/main")
+          .agg(max(col("utc_hour"))).head().getTimestamp(0)
+        // Incremental extract: only rows past main's own max hour.
+        graft.sources.StagingSink.stage(
+          rollup(clean.filter(col("ts") > lit(cutoff))).orderBy("station", "utc_hour"),
+          s"$base/staging1")
+        graft.sources.StagingSink.mergeToMain(
+          s, s"$base/staging1", s"$base/main", Seq("station", "wbanno", "utc_hour"), clock = t1)
+        s.read.parquet(s"$base/main")
+          .select("station", "wbanno", "utc_hour", "lst_hour", "wind_hr_avg", "date_added_utc")
+          .orderBy("station", "wbanno", "utc_hour")
+      },
+      // Whole-chain restatement: seed rollup before the cutoff date, the
+      // cutoff read back as the seed's max hour, the incremental rollup of
+      // clean rows past it, and the keyed insert-if-absent union — the
+      // partially-re-aggregated cutoff hour must be anti-joined away.
+      Some("""WITH obs AS (
+             |  SELECT e.user_id AS wbanno, e.ts, e.event_type, e.value, n.n_name AS station
+             |  FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey),
+             |clean AS (
+             |  SELECT * FROM obs WHERE NOT (value < 0 OR event_type = 'error')),
+             |main0 AS (
+             |  SELECT station, wbanno, date_trunc('hour', ts) AS utc_hour,
+             |    round(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 3)
+             |      AS wind_hr_avg,
+             |    TIMESTAMP '2026-01-01 00:00:00' AS date_added_utc
+             |  FROM clean WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+             |  GROUP BY 1, 2, 3),
+             |cutoff AS (SELECT max(utc_hour) AS c FROM main0),
+             |upd AS (
+             |  SELECT station, wbanno, date_trunc('hour', ts) AS utc_hour,
+             |    round(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 3)
+             |      AS wind_hr_avg,
+             |    TIMESTAMP '2026-02-01 00:00:00' AS date_added_utc
+             |  FROM clean WHERE ts > (SELECT c FROM cutoff)
+             |  GROUP BY 1, 2, 3),
+             |merged AS (
+             |  SELECT * FROM main0
+             |  UNION ALL
+             |  SELECT * FROM upd u
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM main0 m
+             |    WHERE m.station = u.station AND m.wbanno = u.wbanno
+             |      AND m.utc_hour = u.utc_hour))
+             |SELECT station, wbanno, utc_hour, utc_hour - INTERVAL 9 HOUR AS lst_hour,
+             |  wind_hr_avg, date_added_utc
+             |FROM merged ORDER BY station, wbanno, utc_hour""".stripMargin)
     )
   )
 }

@@ -240,7 +240,14 @@ object ScaleGrowth {
           Option(srcDir.list()).toSeq.flatten
             .filter(f => f.endsWith(".parquet") && !allTables(f.stripSuffix(".parquet")))
             .foreach { f =>
-              spark.read.parquet(s"$src/$f").write.mode("overwrite").parquet(s"$dir/$f")
+              // Byte-for-byte copy, NOT a Spark read→write: a rewrite would
+              // re-encode the file and could normalize the footer/type
+              // flavor — the very axis EventsSchemaCanarySpec guards — so
+              // "verbatim" must mean the same bytes.
+              val from = new java.io.File(src, f)
+              val to = new java.io.File(dir, f)
+              if (from.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(from, to)
+              else org.apache.commons.io.FileUtils.copyFile(from, to)
             }
           run()
       }

@@ -976,7 +976,13 @@ object StreamQueries {
               .withColumn("df", col("k") - 1)
               .select(
                 col("n_ref"), col("n_cur"), col("k"), col("df"),
-                round(col("chi2_fp").cast("double") / lit(1.0e9), 6).as("chi2"),
+                // Zero-expected guard, restated verbatim from q_drift_chi2:
+                // a degenerate median split (an empty half) must fail
+                // loudly on both engines, not diverge through NaN casts.
+                when(col("n_ref") > 0 && col("n_cur") > 0,
+                  round(col("chi2_fp").cast("double") / lit(1.0e9), 6))
+                  .otherwise(raise_error(lit("chi2: degenerate median split (an empty half)")))
+                  .as("chi2"),
                 (col("chi2_fp") > critFp).as("drift_alert"))
               .write.mode("overwrite").parquet(out)
           }
@@ -1021,7 +1027,8 @@ object StreamQueries {
              |    CAST(SUM(term_fp) AS BIGINT) AS chi2_fp
              |  FROM terms)
              |SELECT n_ref, n_cur, k, k - 1 AS df,
-             |  round(CAST(chi2_fp AS DOUBLE) / 1.0e9, 6) AS chi2,
+             |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN round(CAST(chi2_fp AS DOUBLE) / 1.0e9, 6)
+             |    ELSE error('chi2: degenerate median split (an empty half)') END AS chi2,
              |  chi2_fp > CASE k - 1
              |    WHEN 1 THEN 3841458821 WHEN 2 THEN 5991464547 WHEN 3 THEN 7814727903
              |    WHEN 4 THEN 9487729037 WHEN 5 THEN 11070497694 WHEN 6 THEN 12591587244
@@ -1058,7 +1065,15 @@ object StreamQueries {
         val main = s"$base/main"
         val ckpt = s"$base/ckpt"
         val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
-        val line = concat_ws(" ", col("event_id"), col("user_id"), col("event_type"), col("value"))
+        // Same null/empty-field guard as q_uscrn_e2e: concat_ws silently
+        // skips nulls, shifting fields — fail loudly by name instead.
+        def reqField(c: org.apache.spark.sql.Column, n: String) =
+          when(c.isNull || c.cast("string") === "",
+            raise_error(lit(s"q_stream_uscrn: null/empty $n cannot round-trip a whitespace-joined line")))
+            .otherwise(c.cast("string"))
+        val line = concat_ws(" ",
+          reqField(col("event_id"), "event_id"), reqField(col("user_id"), "user_id"),
+          reqField(col("event_type"), "event_type"), reqField(col("value"), "value"))
         events(s, d)
           .select(col("event_id"), line.as("line"))
           .repartitionByRange(4, col("event_id"))
@@ -1068,7 +1083,13 @@ object StreamQueries {
         // file source's (mtime, path) listing cannot reorder them.
         new java.io.File(src).listFiles()
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L * (i + 1)) }
+          .zipWithIndex.foreach { case (f, i) =>
+            // Arrival order IS the contract here — a filesystem that
+            // cannot pin mtimes must fail with a named cause, not surface
+            // later as an inscrutable hash mismatch.
+            require(f.setLastModified(1000000L * (i + 1)),
+              s"setLastModified unsupported on ${f.getPath}: cannot pin micro-batch arrival order")
+          }
         val dim = nation(s, d).select(col("n_nationkey"), col("n_name").as("station"))
         val schema = s.read.parquet(src).schema
         val q = s.readStream
@@ -1178,7 +1199,8 @@ object StreamQueries {
             .get()
           java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$src/$name.parquet"))
           val f = new java.io.File(s"$src/$name.parquet")
-          f.setLastModified(1000000L * (i + 1))
+          require(f.setLastModified(1000000L * (i + 1)),
+            s"setLastModified unsupported on ${f.getPath}: cannot pin micro-batch arrival order")
           ()
         }
         stageFile("f0", col("us") > t1 && col("us") <= t2, 0) // A: the middle third

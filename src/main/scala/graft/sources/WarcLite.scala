@@ -66,7 +66,14 @@ object WarcLite {
         require(c > 0, s"WARC: malformed header line at offset $pos: $l")
         l.substring(0, c).trim -> l.substring(c + 1).trim
       }.toMap
-      val len = headers.get("Content-Length").flatMap(_.toIntOption)
+      // Case-insensitive lookup for the ONE framing-critical header: WARC
+      // header names are case-insensitive (ISO 28500 §5.1 inherits RFC 822
+      // field-name rules), and a conformant record spelling it
+      // "content-length" must frame, not throw. Other headers keep their
+      // case-preserved names — only framing gets the relaxed lookup.
+      val len = headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("Content-Length") => v
+      }.flatMap(_.toIntOption)
       require(len.nonEmpty, s"WARC: record at offset $pos has no numeric Content-Length")
       val payloadStart = headerEnd + 4
       val payloadEnd = payloadStart + len.get

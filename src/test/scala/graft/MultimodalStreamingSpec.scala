@@ -557,7 +557,8 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
       val dst = Paths.get(srcDir, f"$i%02d.parquet")
       Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      require(dst.toFile.setLastModified(1700000000000L + i * 60000L),
+        s"setLastModified unsupported on $dst: cannot pin arrival order")
     }
 
     val schema = spark.read.parquet(s"$srcDir/00.parquet").schema
@@ -630,7 +631,8 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSpec {
       val dst = Paths.get(srcDir, f"$i%02d.parquet")
       Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
       // Oldest-first pickup order: FileStreamSource sorts by mod time.
-      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      require(dst.toFile.setLastModified(1700000000000L + i * 60000L),
+        s"setLastModified unsupported on $dst: cannot pin arrival order")
     }
 
     val stream = spark.readStream

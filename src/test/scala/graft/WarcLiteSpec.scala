@@ -42,6 +42,15 @@ class WarcLiteSpec extends AnyFunSuite {
     assert(rs.head.payload.length == multi.getBytes("UTF-8").length)
   }
 
+  test("Content-Length lookup is case-insensitive (header names are RFC-822 style)") {
+    // A conformant writer may spell the framing header any case; only the
+    // LOOKUP relaxes — names stay case-preserved for the caller.
+    val raw = "WARC/1.0\r\nWARC-Type: response\r\ncontent-length: 4\r\n\r\nbody\r\n\r\n"
+    val rs = WarcLite.parse(raw.getBytes("UTF-8"))
+    assert(rs.size == 1 && new String(rs.head.payload, "UTF-8") == "body")
+    assert(rs.head.headers.contains("content-length"), "original spelling preserved")
+  }
+
   test("empty payloads are legal records") {
     val rs = WarcLite.parse(rec("http://h/e", "").getBytes("UTF-8"))
     assert(rs.size == 1 && rs.head.payload.isEmpty)

@@ -41,7 +41,8 @@ class WatermarkSemanticsSpec extends AnyFunSuite with SparkSpec {
       val part = Files.list(Paths.get(tmp))
         .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
       Files.move(part, Paths.get(s"$dir/f$i.parquet"))
-      new java.io.File(s"$dir/f$i.parquet").setLastModified(1000000L * (i + 1))
+      require(new java.io.File(s"$dir/f$i.parquet").setLastModified(1000000L * (i + 1)),
+        s"setLastModified unsupported on $dir/f$i.parquet: cannot pin arrival order")
     }
     val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
     val schema = spark.read.parquet(s"$dir/f0.parquet").schema
