@@ -1222,6 +1222,90 @@ object EtlQueries {
              |FROM n ORDER BY event_type""".stripMargin)
     ),
 
+    // Differentially-private SUM release — the DP family's SENSITIVITY leg
+    // (r16 verdict item 5; q_dp_counts has sensitivity 1 by construction —
+    // a SUM's sensitivity is whatever ONE individual can contribute, so
+    // the mechanism is only sound after per-row contribution CLAMPING:
+    // clamp to [0, 100], sensitivity Δ = 100, noise ~ Laplace(Δ/ε) — Dwork
+    // 2006, the same inverse-CDF calibration as q_dp_counts with b scaled
+    // by the clamp bound). The clamp DEMONSTRABLY binds at every scale
+    // factor: the events fixture carries values past 100 at sf0.001+ (hi
+    // clamp) and negative values on the canary fixture (lo clamp), and
+    // n_clamped is reported per class as the AUDIT column — an exact count
+    // that is diagnostics for this gate, not part of the DP release (a
+    // production release drops it or noises it separately). Suppression
+    // (n < 25 releases NULL) rides the same planted 3-row rare class as
+    // q_dp_counts so the gate fires at every SF. Same HONESTY NOTE as
+    // q_dp_counts, stated plainly: the md5-seeded uniform makes the
+    // release deterministic and oracle-checkable, which is NOT ε-DP — the
+    // production swap is fresh randomness in the same expression slot;
+    // calibration, clamping, fixed-point, and suppression ship unchanged.
+    // Scale: ONE bounded-K rollup carrying the fixed-point clamped sum,
+    // the count, and the clamp-audit count in the same partial aggregation.
+    Q(
+      "q_dp_sum",
+      (s, d) => {
+        val clamped = greatest(least(col("value"), lit(100.0)), lit(0.0))
+        val sums = events(s, d)
+          .select(col("event_type"), col("value"))
+          .unionAll(s.range(3).select(
+            lit("zz_planted_rare").as("event_type"), lit(1.0).as("value")))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_true"),
+            // Per-row fixed point BEFORE the aggregate: round(clamp·1e9)
+            // is an exact long per row (both engines do the identical
+            // IEEE multiply + round), and a long SUM is exact and
+            // order-free — no decimal×bigint precision games later.
+            sum(round(clamped * lit(1.0e9), 0).cast("long")).as("sum_fp"),
+            sum(when(col("value") < 0 || col("value") > 100, 1L).otherwise(0L)).as("n_clamped"))
+        // Laplace(Δ/ε) with Δ = 100 (the clamp bound), ε = 1 — decorrelated
+        // from q_dp_counts' draw by the 'sum|' seed prefix.
+        val v = conv(substring(md5(concat(lit("sum|"), col("event_type"))), 1, 6), 16, 10).cast("long")
+        val u = (v.cast("double") + lit(0.5)) / lit(16777216.0)
+        val c = u - lit(0.5)
+        val noise = -lit(100.0) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+        val noiseFp = round(noise * lit(1.0e9), 0).cast("long")
+        val releasedFp = col("sum_fp") + noiseFp
+        sums
+          .select(
+            col("event_type"),
+            lit(1.0).as("epsilon"),
+            lit(0.0).as("clamp_lo"),
+            lit(100.0).as("clamp_hi"),
+            col("n_clamped"),
+            when(col("n_true") >= 25,
+              round(releasedFp.cast("double") / lit(1.0e9), 6)).as("sum_released"),
+            (col("n_true") < 25).as("suppressed"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true,
+             |    CAST(SUM(CAST(round(greatest(least(value, 100.0), 0.0) * 1.0e9) AS BIGINT))
+             |      AS BIGINT) AS sum_fp,
+             |    CAST(SUM(CASE WHEN value < 0 OR value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_clamped
+             |  FROM (SELECT event_type, value FROM events
+             |        UNION ALL SELECT 'zz_planted_rare', 1.0 FROM range(3)) u
+             |  GROUP BY 1),
+             |m AS (
+             |  SELECT event_type, n_true, sum_fp, n_clamped,
+             |    (CAST(CAST('0x' || substr(md5('sum|' || event_type), 1, 6) AS BIGINT) AS DOUBLE)
+             |      + 0.5) / 16777216.0 - 0.5 AS ctr
+             |  FROM c),
+             |n AS (
+             |  SELECT event_type, n_true, sum_fp, n_clamped,
+             |    CAST(round(-100.0 * sign(ctr) * ln(1.0 - 2.0 * abs(ctr)) * 1.0e9) AS BIGINT)
+             |      AS noise_fp
+             |  FROM m)
+             |SELECT event_type, 1.0 AS epsilon, 0.0 AS clamp_lo, 100.0 AS clamp_hi, n_clamped,
+             |  CASE WHEN n_true >= 25
+             |       THEN round(CAST(sum_fp + noise_fp AS DOUBLE) / 1.0e9, 6)
+             |       END AS sum_released,
+             |  n_true < 25 AS suppressed
+             |FROM n ORDER BY event_type""".stripMargin)
+    ),
+
     // Data-quality constraint suite (the Deequ/Great-Expectations shape):
     // a declarative set of table constraints evaluated in ONE pass and
     // reported as (check, compliance metric, threshold, verdict) rows —

@@ -159,7 +159,14 @@ object Plans {
     "q_nearest_station_cells",
     "q_drift_chi2",
     "q_semi_join_bloom",
-    "q_redirect_resolve"
+    "q_redirect_resolve",
+    // Round 17: the composed crawl chain (frontier + broadcast robots +
+    // row-local redirect/canonicalize + one dedup rollup — the no-new-
+    // shuffle composition pin). The three e2e read-backs (q_nws_e2e,
+    // q_wind_e2e like q_uscrn_e2e) register post-merge read-back plans,
+    // so their shapes live in their builds/specs; q_mp4_meta and
+    // q_warc_roundtrip are typed map/group passes.
+    "q_crawl_e2e"
   )
 
   def main(args: Array[String]): Unit = {

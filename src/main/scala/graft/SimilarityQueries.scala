@@ -1417,6 +1417,39 @@ object SimilarityQueries {
       )
       .filter(col("containment") >= 0.9)
 
+  /** Deterministic ISO-BMFF fixture for q_mp4_meta (the q_sitemap_ingest
+    * device in binary: synthesize the container from the row key, parse
+    * with the REAL box parser, state post-parse ground truth directly in
+    * the oracle). One video trak always; an audio trak unless k%3=0 (so
+    * the track walk sees both shapes); mvhd alternates v0/v1 and tkhd
+    * alternates on k/2 (both FullBox layouts execute at every SF); a
+    * `free` box sits between ftyp and moov (the unknown-type skip path —
+    * what makes the format forward-compatible); mdat carries k%50+1
+    * filler bytes (the opaque codec payload — decode stays on the
+    * documented stub seam, the container does not).
+    */
+  private[graft] def mp4Fixture(k: Long): Array[Byte] = {
+    import graft.sources.Mp4Lite._
+    val ticks = 1000 + (k * 37) % 90000
+    val mvhdV = (k % 2).toInt
+    val tkhdV = ((k / 2) % 2).toInt
+    def trak(id: Long, handler: String, codec: String) = container(
+      "trak",
+      box("tkhd", tkhdPayload(tkhdV, id)),
+      container(
+        "mdia",
+        box("hdlr", hdlrPayload(handler)),
+        container("minf", container("stbl", box("stsd", stsdPayload(codec))))))
+    val traks =
+      if (k % 3 == 0) Seq(trak(1, "vide", "avc1"))
+      else Seq(trak(1, "vide", "avc1"), trak(2, "soun", "mp4a"))
+    val moov = container("moov", (box("mvhd", mvhdPayload(mvhdV, 1000, ticks)) +: traks): _*)
+    box("ftyp", ftypPayload("isom", 512, Seq("isom", "mp41"))) ++
+      box("free", Array.fill(((k % 5) + 1).toInt)(0x20.toByte)) ++
+      moov ++
+      box("mdat", Array.fill((k % 50 + 1).toInt)((k % 251).toByte))
+  }
+
   val all: Seq[Q] = Seq(
     // Exact dedup: content-hash groupBy, min doc_id is the canonical copy.
     Q(
@@ -2259,6 +2292,53 @@ object SimilarityQueries {
              |  64 + (n_chars * 7) % 1016 AS fake_height,
              |  1 + n_chars % 24 AS n_frames
              |FROM documents""".stripMargin)
+    ),
+
+    // MP4/ISO-BMFF box metadata (r16 verdict item 8 — the video arm's
+    // CONTAINER made real; q_multimodal_meta treats media as opaque bytes,
+    // this parses the actual box framing the way WarcLite parses WARC:
+    // big-endian size + 4cc, nested moov/trak/mdia/minf/stbl containers,
+    // FullBox v0 AND v1 field layouts, unknown boxes skipped by size, and
+    // framing defects failing loudly — see sources/Mp4Lite). Per document
+    // a deterministic container is synthesized from doc_id (mvhd/tkhd
+    // versions alternate so BOTH FullBox arms execute; a `free` box
+    // exercises the unknown-skip; one- and two-track shapes both occur)
+    // and parsed back; the oracle restates the generator's ground truth —
+    // brand, both version fields, duration math through the timescale,
+    // the track walk (handler + codec fourcc per trak), and the mdat
+    // byte count. Codec DECODE stays on the documented stub seam — the
+    // container does not. Scale shape: one map-only pass, no shuffle; at
+    // 100 TB this is the binaryFile-scan metadata extraction stage of a
+    // video ingest DAG.
+    Q(
+      "q_mp4_meta",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select(col("doc_id"))
+          .as[Long]
+          .map { k =>
+            val m = graft.sources.Mp4Lite.parse(mp4Fixture(k))
+            (k, m.majorBrand, m.compatibleBrands.mkString(","), m.mvhdVersion,
+              m.timescale, m.durationMs, m.tracks.length.toLong,
+              m.tracks.map(_.handler).mkString(","), m.tracks.map(_.codec).mkString(","),
+              m.mdatBytes)
+          }
+          .toDF("doc_id", "major_brand", "brands", "mvhd_version", "timescale",
+            "duration_ms", "n_tracks", "handlers", "codecs", "mdat_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'isom' AS major_brand,
+             |  'isom,mp41' AS brands,
+             |  CAST(doc_id % 2 AS INT) AS mvhd_version,
+             |  CAST(1000 AS BIGINT) AS timescale,
+             |  CAST(1000 + (doc_id * 37) % 90000 AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_tracks,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'vide' ELSE 'vide,soun' END AS handlers,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'avc1' ELSE 'avc1,mp4a' END AS codecs,
+             |  CAST(doc_id % 50 + 1 AS BIGINT) AS mdat_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
     // REAL audio decode through the JDK's own WAV codec — the audio arm of

@@ -2107,15 +2107,21 @@ object TextQueries {
     // redirect, and a 2-cycle, and the resolver runs POINTER DOUBLING —
     // compose the map with itself ⌈log₂ L⌉ times, so a chain of length L
     // resolves in O(log L) self-joins instead of L sequential probes
-    // (three rounds here cover chains ≤ 8; a billion-edge map resolves
+    // (maxDepth = 8 here → three rounds; a billion-edge map resolves
     // 64-deep chains in six shuffles, the classic parallel
     // list-ranking/path-doubling bound — per round ONE equi-join on the
-    // current target, AQE-planned). Hop counts compose additively through
-    // the doubling; a URL still holding an outgoing edge after the rounds
-    // is a LOOP (final_url/hops NULL, is_cycle true — the 2-cycle pins
-    // it). The oracle resolves the same map with a hop-bounded RECURSIVE
-    // CTE and takes the terminal row — so a composition, hop-accounting,
-    // or loop-detection defect flips the hash.
+    // current target, AQE-planned). The operator is
+    // EtlOps.resolveRedirects, which carries the lineage discipline that
+    // LICENSES the depth claim: localCheckpoint every two rounds (the
+    // rankDistributed device), so deep resolves run over truncated plans
+    // instead of a 2^rounds join tree — RedirectResolveSpec drives a real
+    // 64-deep chain through it against a driver-walked reference. Hop
+    // counts compose additively through the doubling; a URL still holding
+    // an outgoing edge after the rounds is a LOOP (final_url/hops NULL,
+    // is_cycle true — the 2-cycle pins it). The oracle resolves the same
+    // map with a hop-bounded RECURSIVE CTE and takes the terminal row —
+    // so a composition, hop-accounting, or loop-detection defect flips
+    // the hash.
     Q(
       "q_redirect_resolve",
       (s, d) => {
@@ -2132,24 +2138,7 @@ object TextQueries {
             struct(u(a).as("src"), u(b).as("dst"))
           }: _*)).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        var f = edges.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
-        for (_ <- 1 to 3) {
-          val g = f.select(col("src").as("g_src"), col("cur").as("g_cur"), col("hops").as("g_hops"))
-          f = f
-            .join(g, f("cur") === g("g_src"), "left")
-            .select(
-              col("src"),
-              coalesce(col("g_cur"), col("cur")).as("cur"),
-              (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops"))
-        }
-        val outDegree = edges.select(col("src").as("o_src")).distinct()
-        f.join(outDegree, f("cur") === outDegree("o_src"), "left")
-          .select(
-            col("src").as("url"),
-            when(col("o_src").isNull, col("cur")).as("final_url"),
-            when(col("o_src").isNull, col("hops")).as("hops"),
-            col("o_src").isNotNull.as("is_cycle"))
-          .orderBy("url")
+        graft.operators.EtlOps.resolveRedirects(edges, maxDepth = 8).orderBy("url")
       },
       Some("""WITH RECURSIVE hosts AS (
              |  SELECT DISTINCT lower(source) || '.example.com' AS host FROM documents),
@@ -2172,6 +2161,125 @@ object TextQueries {
              |FROM (SELECT DISTINCT src FROM e) e0
              |LEFT JOIN term t ON e0.src = t.src
              |ORDER BY url""".stripMargin)
+    ),
+
+    // The crawl chain COMPOSED under one hash gate (r16 verdict item 6 —
+    // the q_uscrn_e2e lesson applied to the crawl family: frontier
+    // election, robots permission, redirect following, canonicalization,
+    // and dedup each have green rows; a crawler runs them as ONE loop):
+    // frontier candidates (link extraction → canonical rollup → ledger
+    // filter → per-host top-10) → robots decision (q_robots_filter's
+    // broadcast rules + row-local longest-match election; blocked
+    // candidates never fetch) → fetch simulation where a deterministic
+    // subset 301s to a MESSY absolute Location (uppercase scheme/host +
+    // a tracking param — what servers actually emit) → the REAL
+    // UrlFunctions.canonicalizeUrl on the Location (lowercases, strips
+    // utm) → a second hop for two of the four landing pages (bounded
+    // 2-deep chains; unbounded chains are q_redirect_resolve's doubling
+    // row) → final-URL DEDUP (q_url_dedup's rollup): the fetch plan a
+    // crawler executes, with n_urls counting how many elected candidates
+    // collapsed onto each final page. Scale shape: composition adds no
+    // shuffle beyond its parts — frontier's own shuffles, ONE broadcast
+    // for rules, row-local redirect+canonicalize arithmetic, and the one
+    // partial-agg'd final rollup.
+    Q(
+      "q_crawl_e2e",
+      (s, d) => {
+        import s.implicits._
+        def hostDigit(i: Int) =
+          expr(s"locate(substring(md5(host), $i, 1), '0123456789abcdef') - 1")
+        def urlDigit(i: Int) =
+          expr(s"locate(substring(md5(url), $i, 1), '0123456789abcdef') - 1")
+        def rule(prefix: String, allow: Boolean, live: org.apache.spark.sql.Column) =
+          struct(lit(prefix).as("prefix"), lit(allow).as("allow"), live.as("live"))
+        val cands = frontierCandidates(s, d, 10)
+        // Permission: q_robots_filter's rules fixture verbatim (same
+        // thresholds, so the two rows can never disagree on a verdict).
+        val rules = documents(s, d)
+          .select(concat(lower(col("source")), lit(".example.com")).as("host"))
+          .distinct()
+          .unionAll(Seq("ext.example.org", "cdn.example.net").toDF("host"))
+          .select(
+            col("host"),
+            filter(
+              array(
+                rule("/search", allow = false, lit(true)),
+                rule("/lib", allow = false, hostDigit(1) < 9),
+                rule("/lib/p", allow = true, hostDigit(2) < 9),
+                rule("/docs/up", allow = false, hostDigit(3) < 12)),
+              r => r("live")).as("rules"))
+        val allowed = cands
+          .join(broadcast(rules), Seq("host"), "left")
+          .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+          .filter(coalesce(robotsBestMatch(col("rules"), col("path"))("allow"), lit(true)))
+          .select("host", "url", "n_refs")
+        // Fetch: urls with md5 digit 1 < 8 return a 301 whose Location is
+        // messy on purpose; the real canonicalizer cleans it.
+        val loc = concat(
+          lit("HTTP://"), upper(col("host")), lit("/dest/"),
+          pmod(urlDigit(2), lit(4)).cast("int").cast("string"),
+          lit(".html?utm_source=crawl&page="),
+          pmod(urlDigit(3), lit(2)).cast("int").cast("string"))
+        val cur1 = when(urlDigit(1) < 8, graft.functions.UrlFunctions.canonicalizeUrl(loc))
+          .otherwise(col("url"))
+        // Hop 2: landing pages /dest/0.html and /dest/1.html moved again.
+        val finalUrl = when(
+          cur1.rlike("/dest/[01]\\.html"),
+          concat(lit("http://"), col("host"), lit("/dest/final.html"))).otherwise(cur1)
+        allowed
+          .select(col("host"), col("n_refs"), finalUrl.as("final_url"))
+          .groupBy("host", "final_url")
+          .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("n_refs"))
+          .orderBy("host", "final_url")
+      },
+      Some(duckLinkCte + duckFrontierCte +
+        """
+          |, cand AS (
+          |  SELECT host, url, n_refs, rk,
+          |         regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
+          |  FROM r WHERE rk <= 10),
+          |hosts AS (
+          |  SELECT DISTINCT lower(source) || '.example.com' AS host FROM documents
+          |  UNION ALL SELECT 'ext.example.org'
+          |  UNION ALL SELECT 'cdn.example.net'),
+          |rules AS (
+          |  SELECT host, '/search' AS prefix, FALSE AS allow FROM hosts
+          |  UNION ALL
+          |  SELECT host, '/lib', FALSE FROM hosts
+          |  WHERE strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1 < 9
+          |  UNION ALL
+          |  SELECT host, '/lib/p', TRUE FROM hosts
+          |  WHERE strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1 < 9
+          |  UNION ALL
+          |  SELECT host, '/docs/up', FALSE FROM hosts
+          |  WHERE strpos('0123456789abcdef', substr(md5(host), 3, 1)) - 1 < 12),
+          |m AS (
+          |  SELECT c.url, ru.allow,
+          |    row_number() OVER (PARTITION BY c.url
+          |      ORDER BY length(ru.prefix) DESC, ru.allow DESC, ru.prefix DESC) AS mrk
+          |  FROM cand c JOIN rules ru
+          |    ON ru.host = c.host AND starts_with(c.path, ru.prefix)),
+          |alw AS (
+          |  SELECT c.host, c.url, c.n_refs
+          |  FROM cand c LEFT JOIN (SELECT url, allow FROM m WHERE mrk = 1) b USING (url)
+          |  WHERE COALESCE(b.allow, TRUE)),
+          |d1 AS (
+          |  SELECT host, url, n_refs,
+          |    CASE WHEN strpos('0123456789abcdef', substr(md5(url), 1, 1)) - 1 < 8
+          |         THEN 'http://' || host || '/dest/'
+          |           || CAST((strpos('0123456789abcdef', substr(md5(url), 2, 1)) - 1) % 4 AS VARCHAR)
+          |           || '.html?page='
+          |           || CAST((strpos('0123456789abcdef', substr(md5(url), 3, 1)) - 1) % 2 AS VARCHAR)
+          |         ELSE url END AS cur
+          |  FROM alw),
+          |d2 AS (
+          |  SELECT host, n_refs,
+          |    CASE WHEN regexp_matches(cur, '/dest/[01]\.html')
+          |         THEN 'http://' || host || '/dest/final.html' ELSE cur END AS final_url
+          |  FROM d1)
+          |SELECT host, final_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+          |  CAST(SUM(n_refs) AS BIGINT) AS n_refs
+          |FROM d2 GROUP BY 1, 2 ORDER BY host, final_url""".stripMargin)
     ),
 
     // WARC-record parsing (r16 — the crawl family's CONTAINER format:
@@ -2234,6 +2342,61 @@ object TextQueries {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
              |  md5(text) AS payload_md5
              |FROM documents ORDER BY host, url""".stripMargin)
+    ),
+
+    // WARC WRITE→PARSE round trip (r16 verdict item 4 — q_warc_parse
+    // covers ingest, but Common Crawl pipelines WRITE warc too; the
+    // container format is only closed when the engine's own writer's
+    // output re-parses byte-exactly): documents shard into BOUNDED streams
+    // (doc_id mod 4 per source — the shard count is the scale knob; at
+    // 100 TB you size K so each stream is the ~1 GB WARC file a crawler
+    // actually emits, and shards fan out across executors), each shard
+    // serializes through WarcLite.write (derived Content-Length counting
+    // octets, sorted headers for a deterministic stream) and immediately
+    // re-parses through WarcLite.parse — so the oracle hash checks the
+    // writer THROUGH the parser: a framing defect on either side (a
+    // mis-counted multibyte length, a missing terminator, an unsorted
+    // duplicate header) surfaces as a row/hash mismatch, not a latent
+    // corrupt container. One groupByKey shuffle on (source, shard); the
+    // write+parse is a linear per-group pass.
+    Q(
+      "q_warc_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select(lower(col("source")).as("src"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .groupByKey { case (src, id, _) => (src, id % 4) }
+          .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, String)]) =>
+            val (src, shard) = key
+            val recs = it.toSeq.sortBy(_._2).map { case (_, id, text) =>
+              graft.sources.WarcLite.Record(
+                Map(
+                  "WARC-Type" -> "response",
+                  "WARC-Target-URI" -> s"http://$src.example.com/doc/$id",
+                  "Content-Type" -> "text/plain"),
+                text.getBytes("UTF-8"))
+            }
+            val stream = graft.sources.WarcLite.write(recs)
+            graft.sources.WarcLite.parse(stream).map { r =>
+              (s"$src.example.com", shard,
+                r.header("WARC-Target-URI").getOrElse(""),
+                r.header("WARC-Type").getOrElse(""),
+                r.payload.length.toLong,
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(r.payload).map(b => f"$b%02x").mkString)
+            }
+          }
+          .toDF("host", "shard", "url", "warc_type", "content_length", "payload_md5")
+          .orderBy("host", "shard", "url")
+      },
+      Some("""SELECT lower(source) || '.example.com' AS host,
+             |  doc_id % 4 AS shard,
+             |  'http://' || lower(source) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             |  'response' AS warc_type,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             |  md5(text) AS payload_md5
+             |FROM documents ORDER BY host, shard, url""".stripMargin)
     ),
 
     // Incremental recrawl scheduling — what the sitemap's <lastmod> is FOR

@@ -177,6 +177,48 @@ object EtlOps {
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Redirect-chain resolution by POINTER DOUBLING, depth-parameterized
+    * (the q_redirect_resolve device promoted to an operator — r16 verdict
+    * item 7): after round r every chain of length ≤ 2^r is fully resolved,
+    * so `⌈log₂ maxDepth⌉` self-joins cover maxDepth-deep chains — 6 joins
+    * for 64-deep, never a 64-step iteration. The lineage discipline that
+    * LICENSES the depth claim: `localCheckpoint` every `checkpointEvery`
+    * rounds truncates the doubling plan (each round otherwise DOUBLES the
+    * plan tree — at depth 64 the uncheckpointed plan is 2^6 nested joins
+    * and the optimizer re-plans all of it every round; the same discipline
+    * GraphOps.rankDistributed uses for its iterate).
+    *
+    * Input: edges (src, dst) — at most one outgoing edge per src (HTTP
+    * redirects are single-valued). Output per distinct src: (url,
+    * final_url, hops, is_cycle) — final_url/hops NULL and is_cycle=true
+    * when the chase has not terminated within maxDepth rounds-worth of
+    * hops (a loop, or a chain deeper than maxDepth).
+    */
+  def resolveRedirects(edges: DataFrame, maxDepth: Int, checkpointEvery: Int = 2): DataFrame = {
+    require(maxDepth >= 1, s"resolveRedirects: maxDepth must be >= 1 (got $maxDepth)")
+    require(checkpointEvery >= 1, s"resolveRedirects: checkpointEvery must be >= 1")
+    val rounds =
+      if (maxDepth == 1) 0 else 32 - Integer.numberOfLeadingZeros(maxDepth - 1)
+    var f = edges.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
+    for (r <- 1 to rounds) {
+      val g = f.select(col("src").as("g_src"), col("cur").as("g_cur"), col("hops").as("g_hops"))
+      f = f
+        .join(g, f("cur") === g("g_src"), "left")
+        .select(
+          col("src"),
+          coalesce(col("g_cur"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops"))
+      if (r % checkpointEvery == 0 && r < rounds) f = f.localCheckpoint(true)
+    }
+    val outDeg = edges.select(col("src").as("o_src")).distinct()
+    f.join(outDeg, f("cur") === outDeg("o_src"), "left")
+      .select(
+        col("src").as("url"),
+        when(col("o_src").isNull, col("cur")).as("final_url"),
+        when(col("o_src").isNull, col("hops")).as("hops"),
+        col("o_src").isNotNull.as("is_cycle"))
+  }
+
   /** As-of join: for every left row, attach the single right row with the
     * greatest `rightTs` ≤ `leftTs` for the same key — the "latest snapshot
     * at event time" join (DuckDB/kdb ASOF JOIN; Spark has no native

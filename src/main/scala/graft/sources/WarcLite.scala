@@ -45,6 +45,40 @@ object WarcLite {
     -1
   }
 
+  /** Serialize records as one concatenated WARC stream — the write half of
+    * the container round trip (Common Crawl pipelines WRITE warc too; the
+    * parse half alone covers only ingest). Byte-exact mirror of [[parse]]:
+    * `WARC/1.0` magic, `Name: value` headers (sorted by name so the stream
+    * is deterministic regardless of Map iteration order), a derived
+    * `Content-Length` counting payload OCTETS, CRLFCRLF, the payload's raw
+    * bytes, CRLFCRLF. Callers must not supply Content-Length (it is framing,
+    * derived from the payload — a caller-supplied lie would corrupt every
+    * record after it), and header names/values must be CR/LF-free (names
+    * also colon-free) or the record could not re-parse — both fail loudly.
+    */
+  def write(records: Seq[Record]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      require(!r.headers.keys.exists(_.equalsIgnoreCase("Content-Length")),
+        "WARC write: Content-Length is derived from the payload, not caller-supplied")
+      r.headers.foreach { case (k, v) =>
+        require(k.nonEmpty && !k.exists(c => c == '\r' || c == '\n' || c == ':'),
+          s"WARC write: illegal header name: $k")
+        require(!v.exists(c => c == '\r' || c == '\n'),
+          s"WARC write: header value for $k contains CR/LF")
+      }
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      r.headers.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        sb.append(k).append(": ").append(v).append("\r\n")
+      }
+      sb.append("Content-Length: ").append(r.payload.length).append("\r\n\r\n")
+      out.write(sb.toString.getBytes("US-ASCII"))
+      out.write(r.payload)
+      out.write(crlfCrlf)
+    }
+    out.toByteArray
+  }
+
   /** Parse a concatenated record stream. Malformed framing (bad magic, a
     * header line without a colon, a missing/non-numeric Content-Length, a
     * payload running past the stream, or a missing record terminator)

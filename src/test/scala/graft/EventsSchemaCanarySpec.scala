@@ -282,7 +282,12 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     // Round 16: the reference DAG end-to-end (read-back — events lineage
     // hidden from the scan walk like q_upsert_merge; its nation dim join
     // rides the flavor fixtures' nation.parquet).
-    "q_uscrn_e2e"
+    "q_uscrn_e2e",
+    // Round 17: the wind DAG end-to-end (read-back like q_uscrn_e2e; its
+    // station dim join rides the fixtures' nation.parquet) and the DP
+    // family's sensitivity leg (events-only clamped-sum release).
+    "q_wind_e2e",
+    "q_dp_sum"
   )
 
   test("the hand list above covers EVERY registered events-consuming query (r10 advice)") {
@@ -307,7 +312,7 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     // returns the re-read) hide their events lineage from the scan walk —
     // they must be added HERE and to eventQueries by hand; their actual
     // flavor coverage comes from the per-query invariance tests below.
-    val indirect = Set("q_upsert_merge", "q_schema_drift", "q_scd2_apply", "q_uscrn_e2e")
+    val indirect = Set("q_upsert_merge", "q_schema_drift", "q_scd2_apply", "q_uscrn_e2e", "q_wind_e2e")
     val handBatch = eventQueries.filterNot(_.startsWith("q_stream_")).toSet
     assert(indirect.subsetOf(handBatch), "indirect consumers must be canary-covered too")
     assert(handBatch -- indirect == eventsOnly,

@@ -1028,6 +1028,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(bloomAt > joinAt, s"might_contain must be below the join (probe side):\n$p")
   }
 
+  test("q_crawl_e2e: composition adds no shuffle beyond its parts — broadcast rules, row-local redirects, one rollup") {
+    // The composed crawl chain may contain ONLY the frontier's own windows
+    // (per-host rank), ONE broadcast for the robots rules, and the final
+    // dedup rollup's aggregation — the redirect hops and canonicalization
+    // are row-local expressions, so no extra window, no cartesian, and no
+    // join beyond the frontier's + the broadcast may appear.
+    val p = plan("q_crawl_e2e")
+    assert(p.contains("BroadcastHashJoin"), s"rules join must broadcast:\n$p")
+    val frontierWindows = plan("q_url_frontier").linesIterator.count(_.contains("windowspecdefinition"))
+    val crawlWindows = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(crawlWindows <= frontierWindows,
+      s"crawl composition added a window beyond the frontier's ($crawlWindows > $frontierWindows):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere in the chain:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the only join beyond the frontier's must broadcast:\n$p")
+  }
+
   test("charset detect/decode: one codegen map pass over the scan — no join, no aggregation shuffle") {
     // The bytes→text chain must stay embarrassingly parallel: synthesis,
     // cascade, and decode are all builtins in one projection; the only

@@ -56,6 +56,39 @@ class WarcLiteSpec extends AnyFunSuite {
     assert(rs.size == 1 && rs.head.payload.isEmpty)
   }
 
+  test("write→parse round trip is the identity, including binary-hostile payloads") {
+    val payloads = Seq(
+      "plain", "", "part1\r\n\r\nWARC/1.0\r\npart2", "café 💡",
+      new String(Array[Char](0, 1, 31, 127)) // control bytes survive length framing
+    )
+    val recs = payloads.zipWithIndex.map { case (p, i) =>
+      WarcLite.Record(
+        Map("WARC-Type" -> "response", "WARC-Target-URI" -> s"http://h/$i"),
+        p.getBytes("UTF-8"))
+    }
+    val back = WarcLite.parse(WarcLite.write(recs))
+    assert(back.map(r => new String(r.payload, "UTF-8")) == payloads)
+    assert(back.map(_.header("WARC-Target-URI").get) == payloads.indices.map(i => s"http://h/$i"))
+    assert(back.forall(_.header("WARC-Type").contains("response")))
+  }
+
+  test("write is byte-deterministic: header order does not depend on Map iteration") {
+    val a = Map("B-Header" -> "2", "A-Header" -> "1", "WARC-Type" -> "x")
+    val b = Map("WARC-Type" -> "x", "A-Header" -> "1", "B-Header" -> "2")
+    val wa = WarcLite.write(Seq(WarcLite.Record(a, "p".getBytes)))
+    val wb = WarcLite.write(Seq(WarcLite.Record(b, "p".getBytes)))
+    assert(java.util.Arrays.equals(wa, wb))
+  }
+
+  test("write rejects caller-supplied Content-Length and unframeable header text") {
+    def bad(r: WarcLite.Record) = intercept[IllegalArgumentException](WarcLite.write(Seq(r)))
+    bad(WarcLite.Record(Map("Content-Length" -> "3"), "abc".getBytes))
+    bad(WarcLite.Record(Map("content-length" -> "3"), "abc".getBytes)) // any case
+    bad(WarcLite.Record(Map("Bad:Name" -> "v"), Array.empty))
+    bad(WarcLite.Record(Map("Name" -> "line1\r\nline2"), Array.empty))
+    bad(WarcLite.Record(Map("" -> "v"), Array.empty))
+  }
+
   test("framing defects fail loudly: magic, header colon, length, overrun, terminator") {
     def bad(s: String) = intercept[IllegalArgumentException](WarcLite.parse(s.getBytes("UTF-8")))
     bad("HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n\r\n\r\n") // no magic
