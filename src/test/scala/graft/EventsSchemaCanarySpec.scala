@@ -287,7 +287,11 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     // station dim join rides the fixtures' nation.parquet) and the DP
     // family's sensitivity leg (events-only clamped-sum release).
     "q_wind_e2e",
-    "q_dp_sum"
+    "q_dp_sum",
+    // Round 17: the JDBC warehouse load e2e — events lineage hidden behind
+    // the Derby read-back (neither eventsOnly nor mixed in the scan walk),
+    // hand-listed like the parquet read-backs.
+    "q_warehouse_e2e"
   )
 
   test("the hand list above covers EVERY registered events-consuming query (r10 advice)") {
@@ -312,7 +316,8 @@ class EventsSchemaCanarySpec extends AnyFunSuite with SparkSpec {
     // returns the re-read) hide their events lineage from the scan walk —
     // they must be added HERE and to eventQueries by hand; their actual
     // flavor coverage comes from the per-query invariance tests below.
-    val indirect = Set("q_upsert_merge", "q_schema_drift", "q_scd2_apply", "q_uscrn_e2e", "q_wind_e2e")
+    val indirect =
+      Set("q_upsert_merge", "q_schema_drift", "q_scd2_apply", "q_uscrn_e2e", "q_wind_e2e", "q_warehouse_e2e")
     val handBatch = eventQueries.filterNot(_.startsWith("q_stream_")).toSet
     assert(indirect.subsetOf(handBatch), "indirect consumers must be canary-covered too")
     assert(handBatch -- indirect == eventsOnly,
