@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.EtlOps
 
 /** §2.2 of SURVEY.md — the dashboard/analytical surface (the reference's
   * Looker Studio layer) as TPC-H-shaped plans over the testdata.
@@ -1837,7 +1838,12 @@ object AnalyticQueries {
       (s, d) => {
         val x = col("l_quantity")
         val y = col("l_extendedprice")
-        val m = lineitem(s, d)
+        // spreadScan (r17): one scan partition serialized the six
+        // decimal-moment partial aggregates (measured wall ≈ taskRun ≈ 3 s
+        // at sf0.1 local[32]); round-robin spread parallelizes them and is
+        // a no-op when the input already scans wide.
+        val m = EtlOps
+          .spreadScan(lineitem(s, d).select(col("l_returnflag"), x, y))
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n"),

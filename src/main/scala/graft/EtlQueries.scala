@@ -106,6 +106,9 @@ object EtlQueries {
     Q(
       "q_agg_pricing",
       (s, d) => {
+        // r17 note: a spreadScan here measured a wash (the spread's own
+        // serial shuffle-write of the one scan partition ≈ the ~1.1 CPU-s
+        // decimal agg it parallelizes) — left on the plain scan.
         val l = lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         l.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
@@ -569,7 +572,10 @@ object EtlQueries {
         // Both quantiles from ONE percentile buffer (the aggregate builds a
         // per-group value histogram; two scalar calls would build it twice —
         // measured ~2× on the threshold aggregate at sf0.1).
-        val stats = lineitem(s, d)
+        // spreadScan (r17): the percentile buffer build ran on the one scan
+        // partition; spread the two columns it reads. No-op at scale.
+        val stats = EtlOps
+          .spreadScan(lineitem(s, d).select("l_returnflag", "l_extendedprice"))
           .groupBy("l_returnflag")
           .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("q"))
           .select(
@@ -616,7 +622,9 @@ object EtlQueries {
     Q(
       "q_winsorize_approx",
       (s, d) => {
-        val stats = lineitem(s, d)
+        // spreadScan (r17): same serial percentile-buffer fix as q_winsorize.
+        val stats = EtlOps
+          .spreadScan(lineitem(s, d).select("l_returnflag", "l_extendedprice"))
           .groupBy("l_returnflag")
           .agg(
             expr("approx_percentile(l_extendedprice, array(0.05D, 0.95D), 10000)").as("qa"),

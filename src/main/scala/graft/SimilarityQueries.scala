@@ -367,13 +367,143 @@ object SimilarityQueries {
   ): Array[Seq[Double]] =
     trainIvfCentroidsWithInit(e0, k, iters, sampleN, stride)._2
 
+  /** Driver-side Lloyd over ≤ 2^16 collected sample vectors (r17
+    * optimization): past this the sample no longer fits the "small driver
+    * state" budget and training falls back to the distributed Spark-job
+    * form. Registered configs are far below it (flat 4096; two-level
+    * 4·k ≤ 65536 up to k = 16384).
+    */
+  private val driverLloydMaxSample: Int = 1 << 16
+
+  private def uad(a: Array[Double]): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a)
+
+  /** The bounded deterministic training sample, collected in vec_id order —
+    * the same rows the distributed trainer cached (every stride-th vector
+    * plus the first k, smallest ids first, capped at sampleN), promoted to
+    * doubles exactly as the codegen kernels promote them (float→double is
+    * exact).
+    */
+  private def collectTrainSample(
+      e0: DataFrame, k: Int, sampleN: Int, stride: Int): Array[Array[Double]] =
+    e0.filter(pmod(col("vec_id"), lit(stride)) === 0 || col("vec_id") < k)
+      .orderBy("vec_id")
+      .limit(sampleN)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => vecToDouble(r, 1).toArray)
+
+  /** array_max + array_position(−1) over a compiled-cosine array, replicated
+    * with Spark's SQL double ordering (SQLOrderingUtil.compareDoubles: NaN
+    * greatest and self-equal, −0.0 == 0.0) so the driver-local assignment
+    * is bit-identical to the distributed argmax it replaces.
+    */
+  private def sqlArgmax(cos: Array[Double]): Int = {
+    import org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles
+    var mx = cos(0)
+    var i = 1
+    while (i < cos.length) { if (compareDoubles(cos(i), mx) > 0) mx = cos(i); i += 1 }
+    var p = 0
+    while (compareDoubles(cos(p), mx) != 0) p += 1
+    p
+  }
+
+  /** Flat argmax-cosine assignment of one sample vector — the SAME
+    * SketchImpl.cosine kernel the codegen'd distributed assignment invokes
+    * (identical arithmetic by construction), then [[sqlArgmax]].
+    */
+  private def argmaxCosCell(x: Array[Double], cents: Array[Seq[Double]]): Int = {
+    val cos = new Array[Double](cents.length)
+    val xv = uad(x)
+    var c = 0
+    while (c < cents.length) {
+      cos(c) = graft.functions.SketchImpl.cosine(xv, uad(cents(c).toArray), false, false)
+      c += 1
+    }
+    sqlArgmax(cos)
+  }
+
+  /** One driver-local Lloyd update with the exact distributed arithmetic:
+    * per-vector norm = sqrt of the IN-ORDER Σx² fold (the aggregate-HOF
+    * fold order), per-position addend ((x/nrm)·1e12).toLong (the JVM d2l
+    * cast — what Spark's non-ANSI double→long cast compiles to, NaN→0),
+    * LONG sums (order-free, so driver order ≡ any shuffle order), mean =
+    * (sum.toDouble/1e12)/cnt — [[centroidFromSums]] verbatim. Returns only
+    * non-empty cells; callers keep the previous centroid for empty ones.
+    */
+  private def lloydQuantizedUpdate(
+      xs: Array[Array[Double]],
+      cells: Array[Int],
+      nCells: Int,
+      dim: Int): Map[Int, Seq[Double]] = {
+    val sums = Array.ofDim[Long](nCells, dim)
+    val counts = new Array[Long](nCells)
+    var r = 0
+    while (r < xs.length) {
+      val x = xs(r)
+      val c = cells(r)
+      if (c >= 0 && c < nCells) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += x(j) * x(j); j += 1 }
+        val nrm = math.sqrt(acc)
+        counts(c) += 1
+        j = 0
+        while (j < dim) { sums(c)(j) += ((x(j) / nrm) * 1e12).toLong; j += 1 }
+      }
+      r += 1
+    }
+    (0 until nCells).iterator.filter(counts(_) > 0).map { c =>
+      c -> (0 until dim).map(j => sums(c)(j).toDouble / 1e12 / counts(c))
+    }.toMap
+  }
+
   /** [[trainIvfCentroids]], also returning the pre-Lloyd INIT centroids
     * (the first k sample members) from the same sample materialization —
     * callers that need both (the kmeans audit's Lloyd-beats-init flag)
     * would otherwise pay a second full sample pipeline for a byproduct
     * the training computes anyway.
+    *
+    * r17 optimization (guide §1.2/§5: the training sample is BOUNDED, so
+    * the iteration belongs on the driver, not in iters Spark jobs): the
+    * sample is collected ONCE (one TakeOrdered job — the same rows the
+    * old form cached) and the Lloyd iterations run driver-locally through
+    * the SAME SketchImpl.cosine kernel and the same quantized-long update
+    * arithmetic, so the centroids are bit-identical to the distributed
+    * form's (TrainerEquivalenceSpec asserts exact equality; the kmeans
+    * audit's determinism flag and every ANN/semdedup oracle hash ride on
+    * it). This removed ~25 driver-blocking jobs per registered training
+    * query (StageProbe r17: q_kmeans_clusters build 4.3 s → sub-second).
+    * Samples past [[driverLloydMaxSample]] stay on the distributed path.
     */
   private[graft] def trainIvfCentroidsWithInit(
+      e0: DataFrame,
+      k: Int = 16,
+      iters: Int = 3,
+      sampleN: Int = 4096,
+      stride: Int = 10
+  ): (Array[Seq[Double]], Array[Seq[Double]]) = {
+    if (sampleN > driverLloydMaxSample)
+      return trainIvfCentroidsWithInitDistributed(e0, k, iters, sampleN, stride)
+    val xs = collectTrainSample(e0, k, sampleN, stride)
+    val init: Array[Seq[Double]] = xs.take(k).map(x => x.toIndexedSeq: Seq[Double])
+    var cents = init
+    val dim = if (cents.nonEmpty) cents.head.length else 0
+    for (_ <- 1 to iters if dim > 0) {
+      val cells = xs.map(argmaxCosCell(_, cents))
+      val updated = lloydQuantizedUpdate(xs, cells, cents.length, dim)
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    (init, cents)
+  }
+
+  /** The pre-r17 Spark-job Lloyd trainer, kept as the scale fallback for
+    * samples past [[driverLloydMaxSample]] AND as the equivalence
+    * reference: TrainerEquivalenceSpec asserts this and the driver-local
+    * form produce bit-identical centroids on the registered corpora.
+    */
+  private[graft] def trainIvfCentroidsWithInitDistributed(
       e0: DataFrame,
       k: Int = 16,
       iters: Int = 3,
@@ -469,12 +599,83 @@ object SimilarityQueries {
     require(k >= 4, s"two-level training needs k >= 4, got $k")
     val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val fsub = math.max(1, math.ceil(k.toDouble / kc).toInt)
+    val sampleN = math.max(1024, 4 * k)
+    if (sampleN > driverLloydMaxSample)
+      return trainTwoLevelCentroidsDistributed(e0, k, itersCoarse, itersFine, stride)
+    // r17: same driver-local move as trainIvfCentroidsWithInit — the
+    // sample is bounded (4·k vectors), so coarse training, the coarse
+    // assignment, sub-centroid init, and the fine Lloyd iterations all
+    // run on ONE collected sample through the same SketchImpl kernels
+    // (cosine for the flat coarse argmax, ivfAssign with the IvfAssign
+    // expression's own precomputed-norm arithmetic for the fine update).
+    // TrainerEquivalenceSpec asserts bit-identical output vs the
+    // distributed form below.
+    val coarse = trainIvfCentroids(e0, k = kc, iters = itersCoarse, sampleN = sampleN, stride = stride)
+    val rows = e0
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 || col("vec_id") < kc)
+      .orderBy("vec_id")
+      .limit(sampleN)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val xs: Array[Array[Double]] = rows.map(r => vecToDouble(r, 1).toArray)
+    // Coarse assignment of the sample: the flat argmax the distributed
+    // form's cosArr/cell columns computed.
+    val cells: Array[Int] = xs.map(argmaxCosCell(_, coarse))
+    // Sub-centroid init: per coarse cell, the first fsub sample members by
+    // vec_id (rows are already vec_id-sorted, so in-order grouping IS the
+    // row_number-by-vec_id window).
+    val byCell: Map[Int, Array[Seq[Double]]] = cells.zipWithIndex
+      .groupBy(_._1)
+      .map { case (c, members) =>
+        c -> members.map(_._2).sorted.take(fsub).map(i => xs(i).toIndexedSeq: Seq[Double])
+      }
+    var fine: Array[Array[Seq[Double]]] =
+      (0 until kc).map(c => byCell.getOrElse(c, Array(coarse(c)))).toArray
+    val dim = coarse.head.length
+    for (_ <- 1 to itersFine) {
+      val starts = fine.scanLeft(0)((a, cell) => a + cell.length)
+      // EXACTLY the IvfAssign expression's precomputed constants: norms via
+      // the same Seq fold and 1e-12 floor, flat row-major layouts.
+      val coarseFlat = coarse.flatMap(identity)
+      val coarseNorm = coarse.map(c => math.max(math.sqrt(c.map(x => x * x).sum), 1e-12))
+      val fineSeq: Array[Seq[Double]] = fine.flatten
+      val fineFlat = fineSeq.flatMap(identity)
+      val fineNorm = fineSeq.map(c => math.max(math.sqrt(c.map(x => x * x).sum), 1e-12))
+      val fineStart = starts
+      val fids = xs.map(x =>
+        graft.functions.SketchImpl.ivfAssign(
+          uad(x), dim, coarseFlat, coarseNorm, fineFlat, fineNorm, fineStart, false))
+      val updated = lloydQuantizedUpdate(xs, fids, starts.last, dim)
+      fine = fine.zipWithIndex.map { case (cell, c) =>
+        cell.zipWithIndex.map { case (old, j) => updated.getOrElse(starts(c) + j, old) }
+      }
+    }
+    (coarse, fine)
+  }
+
+  /** The pre-r17 Spark-job two-level trainer — scale fallback past
+    * [[driverLloydMaxSample]] and the TrainerEquivalenceSpec reference.
+    */
+  private[graft] def trainTwoLevelCentroidsDistributed(
+      e0: DataFrame,
+      k: Int,
+      itersCoarse: Int = 3,
+      itersFine: Int = 2,
+      stride: Int = 10
+  ): (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
+    require(k >= 4, s"two-level training needs k >= 4, got $k")
+    val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val fsub = math.max(1, math.ceil(k.toDouble / kc).toInt)
     // dim resolves from the trained coarse centroids below.
     // ≥ 4 sample vectors per fine cell, floored at 1024 — scales with k
     // (the trainer must outnumber the centroids) without dragging the
     // whole corpus through the Lloyd jobs at small k.
     val sampleN = math.max(1024, 4 * k)
-    val coarse = trainIvfCentroids(e0, k = kc, iters = itersCoarse, sampleN = sampleN, stride = stride)
+    // Stay on the distributed coarse trainer here: this variant exists as
+    // the all-Spark-jobs reference the equivalence spec compares against.
+    val coarse =
+      trainIvfCentroidsWithInitDistributed(e0, k = kc, iters = itersCoarse, sampleN = sampleN, stride = stride)._2
     val e = e0
       .filter(pmod(col("vec_id"), lit(stride)) === 0 || col("vec_id") < kc)
       .orderBy("vec_id")
@@ -1279,25 +1480,42 @@ object SimilarityQueries {
       maxIters: Int = 20
   ): DataFrame = {
     val durable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def truncate(df: DataFrame): DataFrame =
+    // `eager = false` (r17): a LAZY localCheckpoint materializes inside the
+    // first action that reads it — for the per-round label tables that is
+    // the convergence labelSum aggregate, so each round costs ONE Spark job
+    // instead of a materialization job plus the aggregate (measured: ~2
+    // jobs/round → 1 at identical results; job count is the dominant cost
+    // of the loop at bench scale). Only safe when the frame's FIRST
+    // consumer is a single sequential action — the edge list stays EAGER
+    // because its first consumer (round 1) reads it through two union
+    // branches at once, which would race to compute the un-materialized
+    // pipeline twice. The durable arm keeps the standard
+    // persist→checkpoint→unpersist shape (reliable checkpoints are a
+    // cluster-faul-tolerance write; eagerness is the point there).
+    def truncate(df: DataFrame, eager: Boolean = true): DataFrame =
       if (durable) {
         df.persist()
         val out = df.checkpoint() // eager: safe to drop the cache after
         df.unpersist()
         out
-      } else df.localCheckpoint()
-    val bi = truncate(
-      edges
-        .select(col("src"), col("dst"))
-        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    )
+      } else df.localCheckpoint(eager)
+    // Truncate the edge pipeline BEFORE the symmetric union: the union's
+    // two branches are different projections of the same (expensive) pair
+    // pipeline, so truncating the union evaluated that pipeline twice in
+    // one job (StageProbe r17: the shingle+verify stages ran once per
+    // branch in q_dedup_clusters / q_survivorship). Materialize the raw
+    // edge list once; the swapped branch is then a free re-scan of the
+    // checkpointed rows, and the union itself needs no second checkpoint.
+    val e0 = truncate(edges.select(col("src"), col("dst")))
+    val bi = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     // Only nodes that touch an edge can ever change label — in a dedup
     // graph that is a small fraction of the corpus, so the iteration works
     // on the edge-connected subset and the (dominant) singleton mass joins
     // back untouched at the end. At 100 TB this is the difference between
     // iterating over near-dup clusters and iterating over the internet.
     val connected = bi.select(col("src").as("id")).distinct()
-    var labels = truncate(connected.select(col("id"), col("id").as("comp")))
+    // Lazy: materialized by the labelSum aggregate below, one job.
+    var labels = truncate(connected.select(col("id"), col("id").as("comp")), eager = false)
     // Convergence detection: labels only ever DECREASE under min-label
     // propagation, so the label sum is strictly monotone — equal sums
     // between rounds ⟺ no label changed. One aggregate job over the new
@@ -1323,7 +1541,7 @@ object SimilarityQueries {
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .transform(truncate)
+        .transform(d => truncate(d, eager = false)) // materialized by labelSum: one job/round
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -2515,7 +2733,14 @@ object SimilarityQueries {
     Q(
       "q_dedup_images",
       (s, d) => {
-        val pairs = imageDedupPairs(s, d)
+        // Materialize the corpus signature table ONCE (localCheckpoint —
+        // bounded: 2 longs per image, within the timed query). The report
+        // consumes the pair table along two branches (planted recall +
+        // sampled ball) whose pushed-down filters rewrite the pair subtree
+        // differently, so no exchange reuse is possible across them and
+        // without this the whole render→ImageIO-decode→dHash pass ran
+        // TWICE (StageProbe r17: two identical full-corpus codec stages).
+        val pairs = byteBandPairs(imageSigs(s, d).localCheckpoint())
         // Render only the fixed-size sample for the ball branch (base-id
         // sampling via inSampleBase keeps each sampled original's
         // planted variant, and the second render pass costs ~500 docs
@@ -2572,7 +2797,12 @@ object SimilarityQueries {
     Q(
       "q_dedup_audio",
       (s, d) => {
-        val pairs = audioDedupPairs(s, d)
+        // Same single-codec-pass materialization as q_dedup_images: the
+        // recall and ball branches duplicate the pair subtree under
+        // different pushed filters, so without the localCheckpoint the
+        // synth→encode→decode→fingerprint pass ran TWICE (StageProbe r17:
+        // two identical ~4 s 32-task codec stages at sf0.1).
+        val pairs = byteBandPairs(audioSigs(s, d).localCheckpoint())
         // Synthesize only the fixed-size sample for the ball branch —
         // base-id sampling keeps each sampled original's planted variant,
         // and the second codec pass costs ~500 docs at ANY corpus size.
@@ -2625,7 +2855,13 @@ object SimilarityQueries {
     Q(
       "q_phash_images",
       (s, d) => {
-        val pairs = phashDedupPairs(s, d)
+        // Same single-codec-pass materialization as q_dedup_images: the
+        // recall and ball branches duplicate the pair subtree under
+        // different pushed filters, so without the localCheckpoint the
+        // render→encode→decode→crop→dither→re-encode→decode→DCT pass ran
+        // TWICE (StageProbe r17: two identical ~12 s 32-task codec stages
+        // at sf0.1 — the query's entire cost, doubled).
+        val pairs = byteBandPairs(phashSigs(s, d).localCheckpoint())
         // Render only the fixed-size sample for the ball branch — the
         // second render+crop pass costs ~500 docs at ANY corpus size.
         val off = plantedOffset(s, d)

@@ -14,6 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object EtlOps {
 
+  /** Scale-adaptive scan spreader (r17, optimization guide §2.5 "input
+    * skew: one huge unsplittable file ... repartition immediately after
+    * the read"). The driver testdata ships each table as ONE parquet file
+    * with ONE row group, so a scan yields ONE partition and every
+    * downstream partial aggregate runs single-threaded no matter how many
+    * cores the session has (StageProbe r17: q_corr_stats wall ≈ taskRun ≈
+    * 3 s — a fully serial decimal-moment aggregate on local[32]).
+    * Round-robin repartition to the session's shuffle parallelism ONLY
+    * when the scan produces fewer partitions — at production layouts
+    * (many files / row groups ≥ cores) this is a structural no-op, so no
+    * shuffle is added at scale; locally it parallelizes the expensive
+    * per-row work (decimal casts/sums, percentile buffers, explodes).
+    * Round-robin (not hash-by-column): no key skew, and the partial
+    * aggregate above it is order-free so placement cannot change results.
+    * Call AFTER projecting/filtering to the needed columns (guide §2.3 —
+    * the exchange then carries only what the aggregate reads).
+    */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   /** Shuffle-free per-partition top-k pre-cap for LOW-CARDINALITY keys
     * (the hot-key hazard: a bare rank window on a fixed-cardinality key
     * funnels the whole table through K reducers, and AQE cannot split a

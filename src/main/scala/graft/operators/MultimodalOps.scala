@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // r17: ImageIO's createImageInputStream/write default to DISK-backed
+  // cache streams (FileCacheImageInput/OutputStream) for non-File
+  // sources — every encode/decode of an in-memory byte[] spools through a
+  // temp file in java.io.tmpdir. Under 32 concurrent codec tasks that is
+  // a create/write/delete syscall storm per image, pure overhead on a
+  // pipeline whose payloads already sit in memory. Memory-cached streams
+  // produce byte-identical codec output (same readers/writers, different
+  // scratch backing); every image spec and the perceptual-hash oracles
+  // pin the results.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media document: opaque payload + typed metadata. */
   case class MediaDoc(doc_id: Long, media: Array[Byte], mime: String, n_bytes: Long)
 

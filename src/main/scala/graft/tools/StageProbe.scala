@@ -42,7 +42,7 @@ object StageProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q_corr_stats")
+    val names = args.headOption.getOrElse("q_corr_stats").split(',').toSeq
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val n = args.lift(2).map(_.toInt).getOrElse(4)
     val cpus = args.lift(3).map(_.toInt).getOrElse(32)
@@ -51,7 +51,7 @@ object StageProbe {
     spark.sparkContext.addSparkListener(probe)
     // Same warmup as Bench so run 1 is not JVM init.
     spark.range(1000000).selectExpr("sum(id) s", "count(*) c").write.format("noop").mode("overwrite").save()
-    (1 to n).foreach { i =>
+    for (name <- names) (1 to n).foreach { i =>
       probe.reset()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, dir)
