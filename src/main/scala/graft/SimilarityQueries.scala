@@ -1007,7 +1007,7 @@ object SimilarityQueries {
     * cap). A production recall audit over a corpus with real mega-groups
     * must count reachability (one hop through gmn), not direct rows.
     */
-  private[graft] def byteBandPairs(sigs: DataFrame, maxGroup: Int = 256): DataFrame = {
+  private[graft] def byteBandPairsUnsorted(sigs: DataFrame, maxGroup: Int = 256): DataFrame = {
     val wg = Window.partitionBy(col("sig"))
     val grouped = sigs
       .withColumn("gocc", count(lit(1)).over(wg))
@@ -1038,8 +1038,16 @@ object SimilarityQueries {
       )
       .unionAll(star)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** [[byteBandPairsUnsorted]] plus the (doc_a, doc_b) output ordering — the
+    * production pair-table contract the specs consume. The registered
+    * AUDITS consume the unsorted form instead (r17): they only aggregate
+    * over the pairs, so the sort — a range exchange plus its sampling job,
+    * paid once per report branch — was pure overhead there.
+    */
+  private[graft] def byteBandPairs(sigs: DataFrame, maxGroup: Int = 256): DataFrame =
+    byteBandPairsUnsorted(sigs, maxGroup).orderBy(col("doc_a"), col("doc_b"))
 
   /** dHash signatures for the given base documents' rendered test images
     * plus their planted ±3-luma ripple variants at doc_id+1e6 — the real
@@ -2039,10 +2047,14 @@ object SimilarityQueries {
     Q(
       "q_dedup_simhash",
       (s, d) => {
-        val pairs = simhashPairs(s, d)
+        // r17: unsorted pairs over a checkpointed sig table — the report
+        // only aggregates, so the production table's output sort (and the
+        // sketch pipeline's re-evaluation per report branch) was overhead.
+        val sigs = simhashSigs(s, d).localCheckpoint()
+        val pairs = byteBandPairsUnsorted(sigs)
         val mod = sampleModulus(documentsCount(s, d))
         val mismatch =
-          sampledBallAudit(simhashSigs(s, d).filter(inSampleBase(mod)(col("doc_id"))), pairs, mod)
+          sampledBallAudit(sigs.filter(inSampleBase(mod)(col("doc_id"))), pairs, mod)
         val recall = pairs
           .filter(col("doc_b") === col("doc_a") + 1000000L)
           .agg(count(lit(1)).as("n_planted_found"))
@@ -2740,7 +2752,7 @@ object SimilarityQueries {
         // differently, so no exchange reuse is possible across them and
         // without this the whole render→ImageIO-decode→dHash pass ran
         // TWICE (StageProbe r17: two identical full-corpus codec stages).
-        val pairs = byteBandPairs(imageSigs(s, d).localCheckpoint())
+        val pairs = byteBandPairsUnsorted(imageSigs(s, d).localCheckpoint())
         // Render only the fixed-size sample for the ball branch (base-id
         // sampling via inSampleBase keeps each sampled original's
         // planted variant, and the second render pass costs ~500 docs
@@ -2802,7 +2814,7 @@ object SimilarityQueries {
         // different pushed filters, so without the localCheckpoint the
         // synth→encode→decode→fingerprint pass ran TWICE (StageProbe r17:
         // two identical ~4 s 32-task codec stages at sf0.1).
-        val pairs = byteBandPairs(audioSigs(s, d).localCheckpoint())
+        val pairs = byteBandPairsUnsorted(audioSigs(s, d).localCheckpoint())
         // Synthesize only the fixed-size sample for the ball branch —
         // base-id sampling keeps each sampled original's planted variant,
         // and the second codec pass costs ~500 docs at ANY corpus size.
@@ -2861,7 +2873,7 @@ object SimilarityQueries {
         // render→encode→decode→crop→dither→re-encode→decode→DCT pass ran
         // TWICE (StageProbe r17: two identical ~12 s 32-task codec stages
         // at sf0.1 — the query's entire cost, doubled).
-        val pairs = byteBandPairs(phashSigs(s, d).localCheckpoint())
+        val pairs = byteBandPairsUnsorted(phashSigs(s, d).localCheckpoint())
         // Render only the fixed-size sample for the ball branch — the
         // second render+crop pass costs ~500 docs at ANY corpus size.
         val off = plantedOffset(s, d)

@@ -661,6 +661,58 @@ object MultimodalOps {
     }
   }
 
+  // r17: every AudioSystem.getAudioInputStream / AudioSystem.write call
+  // resolves its SPI providers through a per-call `static synchronized`
+  // registry lookup — with 32 executor threads doing two calls per clip the
+  // lock serializes the codec stage (measured: the same q_dedup_audio codec
+  // work costs ~28 task-seconds on 8 threads but ~100 on 32, wall barely
+  // improving). Resolve the SAME providers ONCE through the public
+  // java.util.ServiceLoader SPI and replicate AudioSystem's own first-
+  // provider-that-accepts loop; the bytes are still parsed/written by the
+  // identical JDK codec classes (WaveFileReader/WaveFileWriter), so output
+  // is byte-identical — AudioSpec and the audio dedup oracles pin it. If
+  // the loader finds no providers (exotic deployment), fall back to the
+  // AudioSystem calls.
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** AudioSystem.getAudioInputStream over the once-resolved providers:
+    * each reader either parses or resets the stream and throws
+    * UnsupportedAudioFileException (the SPI contract), exactly as the
+    * registry loop behaves.
+    */
+  private def openAudioStream(is: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+    if (audioReaders.isEmpty) return javax.sound.sampled.AudioSystem.getAudioInputStream(is)
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(is)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException("Stream of unsupported format")
+  }
+
+  /** AudioSystem.write for one file type over the once-resolved providers
+    * (first writer supporting the type — the registry loop's pick).
+    */
+  private def writeAudio(
+      ais: javax.sound.sampled.AudioInputStream,
+      tpe: javax.sound.sampled.AudioFileFormat.Type,
+      out: java.io.OutputStream): Unit =
+    audioWriters.find(_.isFileTypeSupported(tpe, ais)) match {
+      case Some(w) => w.write(ais, tpe, out): Unit
+      case None    => javax.sound.sampled.AudioSystem.write(ais, tpe, out): Unit
+    }
+
   def synthWav(seed: Long, sampleRate: Int, nSamples: Int, amp: Double): Array[Byte] = {
     require(sampleRate > 0 && nSamples > 0 && amp > 0 && amp <= 1.0, "synthWav: bad params")
     val wave = synthSamples(seed, sampleRate, nSamples, amp)
@@ -676,7 +728,7 @@ object MultimodalOps {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    writeAudio(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -689,8 +741,7 @@ object MultimodalOps {
     */
   def decodeAudio(media: Array[Byte]): Option[(Int, Int, Int, Long, Array[Double])] =
     try {
-      val ais = javax.sound.sampled.AudioSystem
-        .getAudioInputStream(new java.io.ByteArrayInputStream(media))
+      val ais = openAudioStream(new java.io.ByteArrayInputStream(media))
       try {
         val fmt = ais.getFormat
         val bits = fmt.getSampleSizeInBits

@@ -44,14 +44,29 @@ object SitemapXml {
   /** Parse with the untrusted-input hardening shared by both document
     * kinds: namespace-aware, DOCTYPE rejected (XXE/billion-laughs), no
     * XInclude, no entity expansion beyond the five predefined ones.
+    *
+    * The hardened builder is constructed ONCE per thread (r17:
+    * DocumentBuilderFactory.newInstance is an SPI lookup per call — pure
+    * per-row overhead on the executor hot path) and reset() before each
+    * parse, which restores it to its freshly-constructed state: identical
+    * parsing behavior, the factory cost amortized over the partition. The
+    * hardening features are factory-level and survive reset().
     */
+  private val secureBuilder = new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+    override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(true)
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setXIncludeAware(false)
+      dbf.setExpandEntityReferences(false)
+      dbf.newDocumentBuilder()
+    }
+  }
+
   private def parseSecure(xml: String): org.w3c.dom.Document = {
-    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    dbf.setNamespaceAware(true)
-    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    dbf.setXIncludeAware(false)
-    dbf.setExpandEntityReferences(false)
-    dbf.newDocumentBuilder().parse(new InputSource(new StringReader(xml)))
+    val b = secureBuilder.get()
+    b.reset()
+    b.parse(new InputSource(new StringReader(xml)))
   }
 
   private def childText(el: Element, tag: String): Option[String] = {
