@@ -210,20 +210,22 @@ object Bench {
          else s""","shared_sum_vs_prev":${r4(curSum / prevSum)},"shared_n":${shared.size}"""
        }) + regressionsJson
 
-    // The driver parses only the last ~2000 chars of stdout: the stdout
-    // line stays MINIMAL (total + counts + failures + skew + envelope,
-    // ~300 chars — immune to query-count growth); the full per-query
-    // detail goes to bench.json (committed, the artifact of record).
+    // r18 (verdict item 1): the stdout line now CARRIES the per-query map —
+    // the driver's PERF per-query comparison and scaling block read the
+    // emitted line, not bench.json, and came back empty (`n_common: 0`,
+    // geomean null) in r17 because the line held only the total. Additive
+    // only: every existing field keeps its name and meaning; bench.json
+    // additionally records the per-query spread and run counts.
+    val qs = ok.map { case (k, v, _, _) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${ok.size},""" +
         s""""failed":$failedJson,"skew_demo":$skewJson,"spread_median_pct":${pct(0.5)},""" +
         s""""spread_p90_pct":${pct(0.9)},"stream_spread_median_pct":${streamPct(0.5)},""" +
-        s""""stream_spread_p90_pct":${streamPct(0.9)}$sharedJson,"method":"min3_med5","detail":"bench.json","sf":"$sfDir"}"""
-    val qs = ok.map { case (k, v, _, _) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+        s""""stream_spread_p90_pct":${streamPct(0.9)}$sharedJson,"queries":$qs,"method":"min3_med5","detail":"bench.json","sf":"$sfDir"}"""
     val spreads = ok.map { case (k, _, sp, _) => s"\"" + k + "\":" + r4(sp) }.mkString("{", ",", "}")
     val runsJson = ok.map { case (k, _, _, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     val detail = line.dropRight(1) +
-      s""","queries":$qs,"spread":$spreads,"runs":$runsJson}"""
+      s""","spread":$spreads,"runs":$runsJson}"""
     // sbt prefixes stdout with [info], which broke the driver's JSON parse in
     // round 1 — emit the line on every channel it might read: stdout, stderr
     // (unprefixed by sbt), bench.json in cwd, and $SPARK_GRAFT_BENCH_OUT.

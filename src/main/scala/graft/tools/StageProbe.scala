@@ -23,7 +23,19 @@ object StageProbe {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
-    @volatile var taskRunMs: Long = 0L
+    // AtomicLong (r18, ADVICE): onTaskEnd used to add under synchronized(this)
+    // while reset() wrote the then-volatile field without the lock — a task
+    // ending concurrently with reset() could resurrect pre-reset milliseconds.
+    private val taskRun = new java.util.concurrent.atomic.AtomicLong
+    def taskRunMs: Long = taskRun.get
+    // executorRunTime is WALL time on the task thread — it inflates under
+    // GC pauses and hypervisor CPU steal. executorCpuTime (ns) counts only
+    // on-CPU time, so run ≫ cpu separates "threads waiting" (GC/steal/lock)
+    // from "threads computing" (r18: the audio 8-vs-32-thread adjudication).
+    private val taskCpu = new java.util.concurrent.atomic.AtomicLong
+    private val taskGc = new java.util.concurrent.atomic.AtomicLong
+    def taskCpuMs: Long = taskCpu.get / 1000000L
+    def taskGcMs: Long = taskGc.get
     val stageInfo = mutable.ArrayBuffer.empty[(String, Int, Long)] // name, tasks, ms
     override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -36,9 +48,17 @@ object StageProbe {
     }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       tasks.incrementAndGet()
-      if (t.taskMetrics != null) synchronized { taskRunMs += t.taskMetrics.executorRunTime }
+      if (t.taskMetrics != null) {
+        taskRun.addAndGet(t.taskMetrics.executorRunTime)
+        taskCpu.addAndGet(t.taskMetrics.executorCpuTime)
+        taskGc.addAndGet(t.taskMetrics.jvmGCTime)
+        ()
+      }
     }
-    def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0); taskRunMs = 0; stageInfo.synchronized { stageInfo.clear() } }
+    def reset(): Unit = {
+      jobs.set(0); stages.set(0); tasks.set(0); taskRun.set(0); taskCpu.set(0); taskGc.set(0)
+      stageInfo.synchronized { stageInfo.clear() }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,7 +83,8 @@ object StageProbe {
       Thread.sleep(300)
       println(f"[$i/$n] $name total=${(t2 - t0) / 1e9}%.3f s  build=${(t1 - t0) / 1e9}%.3f s  " +
         f"exec=${(t2 - t1) / 1e9}%.3f s  jobs=${probe.jobs.get} stages=${probe.stages.get} " +
-        f"tasks=${probe.tasks.get} taskRun=${probe.taskRunMs / 1e3}%.2f s")
+        f"tasks=${probe.tasks.get} taskRun=${probe.taskRunMs / 1e3}%.2f s " +
+        f"taskCpu=${probe.taskCpuMs / 1e3}%.2f s taskGc=${probe.taskGcMs / 1e3}%.2f s")
       if (i == n) {
         val top = probe.stageInfo.synchronized(probe.stageInfo.sortBy(-_._3).take(12))
         top.foreach { case (nm, nt, ms) => println(f"    stage $ms%6d ms  $nt%4d tasks  $nm") }
